@@ -1,0 +1,15 @@
+"""retriv-spark: a PySpark-native full-text (BM25/TF-IDF) analytics engine.
+
+A from-scratch rebuild of the capabilities of AmenRa/retriv's
+SparseRetriever on Spark DataFrames: distributed inverted-index
+construction, BM25/TF-IDF top-k retrieval, metadata filtering, fusion, and
+the surrounding large-scale training-data operators (dedup, similarity
+search, text statistics).
+"""
+
+from .retriever import SparseRetriever
+from .session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["SparseRetriever", "get_spark"]

@@ -1,0 +1,3 @@
+from .builder import DOC_ID, IndexStats, SparseIndex, assign_doc_ids, build_index
+
+__all__ = ["DOC_ID", "IndexStats", "SparseIndex", "assign_doc_ids", "build_index"]

@@ -1,0 +1,263 @@
+"""Distributed inverted-index construction.
+
+Re-expresses the reference build
+(/root/reference/retriv/sparse_retriever/build_inverted_index.py:29-66 —
+sklearn CountVectorizer -> CSR -> term-major dict) as a Spark DataFrame
+pipeline designed for 100 TB-scale corpora:
+
+  docs ──row_number──> doc_map (deterministic dense ids)
+       ──pandas UDF──> per-doc (term, tf) pairs     [NO shuffle: term counts
+                                                     are computed inside the
+                                                     Arrow batch, not via
+                                                     explode+groupBy]
+       ──explode─────> flat (doc_id, term, tf, rel_dl)
+       ──groupBy(term)─> df / packed posting lists  [THE one big shuffle,
+                                                     term-keyed; AQE splits
+                                                     skewed (hot) terms]
+
+Shuffle inventory for the default ``min_df=1`` build:
+  * one term-keyed shuffle for document frequencies / posting packing
+  * one term-keyed join of df back onto the flat relation (AQE converts to
+    broadcast when the vocabulary is small)
+  * one tiny global agg for (doc_count, avgdl)
+Doc lengths are per-row array sums — no shuffle.  With ``min_df > 1`` the
+doc lengths depend on the pruned relation
+(reference build_inverted_index.py:63 sums the *pruned* matrix), adding one
+doc-keyed shuffle; this path is only taken when pruning is requested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..preprocessing import TextPreprocessor
+
+DOC_ID = "__doc_id__"
+
+
+def make_term_counts_udf(pre: TextPreprocessor):
+    """string -> array<struct<term,tf,pos>>: tokenize + per-doc term counts.
+
+    Counting inside the Arrow batch removes the (doc_id, term) shuffle a
+    naive explode+groupBy would need.  ``pos`` is the first-occurrence
+    index of the term in the token stream (used nowhere by BM25 but kept
+    cheap and useful for phrase-ish extensions).
+    """
+
+    @pandas_udf("array<struct<term:string,tf:int>>")
+    def term_counts(texts: pd.Series) -> pd.Series:
+        out = []
+        for x in texts:
+            if x is None:
+                out.append([])
+                continue
+            counts: dict = {}
+            for t in pre(x):
+                counts[t] = counts.get(t, 0) + 1
+            out.append(list(counts.items()))
+        return pd.Series(out)
+
+    return term_counts
+
+
+@dataclass
+class IndexStats:
+    doc_count: int
+    avg_doc_len: float       # float32-faithful value (reference parity)
+    avg_doc_len_f64: float   # full-precision value (float64 scoring mode)
+
+
+@dataclass
+class SparseIndex:
+    """Handle over the index tables (all lazily-evaluated DataFrames).
+
+    Spark analogue of the reference's pickled state
+    (sparse_retriever.py:124-138): ``doc_map`` replaces ``id_mapping``,
+    ``flat``+``packed`` replace ``inverted_index``, ``doc_lens`` carries
+    ``relative_doc_lens``, ``stats`` carries doc_count/avg_doc_len.
+    """
+
+    spark: SparkSession
+    docs: DataFrame            # original columns + __doc_id__
+    doc_map: DataFrame         # (__doc_id__, <orig id col>)
+    flat: DataFrame            # (term, __doc_id__, tf, doc_len, rel_dl, df)
+    doc_lens: DataFrame        # (__doc_id__, doc_len, rel_dl)
+    terms: DataFrame           # (term, df) — the vocabulary
+    stats: IndexStats
+    orig_id_col: str
+    pre_config: dict
+    min_df: Union[int, float]
+    packed: Optional[DataFrame] = None   # (term, df, doc_ids bin, tfs bin, …)
+
+    @property
+    def doc_count(self) -> int:
+        return self.stats.doc_count
+
+    @property
+    def avg_doc_len(self) -> float:
+        return self.stats.avg_doc_len
+
+
+def assign_doc_ids(
+    df: DataFrame, order_cols: List[str], doc_id_col: str = DOC_ID
+) -> DataFrame:
+    """Deterministic dense doc ids 0..N-1.
+
+    The reference enumerates the collection file (base_retriever.py:56-62);
+    a distributed engine must NOT use partition-dependent ids
+    (monotonically_increasing_id) or results differ across cluster sizes.
+    ``row_number`` over an explicit total order is deterministic at any
+    parallelism — this is what makes local[8] ≡ local[32] rank-identity
+    hold.  A global window sort is a known single-reducer pinch point; it
+    is acceptable because it runs once at build and only moves (order_cols)
+    — at true 10^12-file scale, replace with rangepartition+row_number per
+    partition + offset cumsum (same deterministic result).
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(doc_id_col, F.row_number().over(w) - F.lit(1))
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    pre: TextPreprocessor,
+    text_col: str = "text",
+    id_col: str = "id",
+    order_cols: Optional[List[str]] = None,
+    min_df: Union[int, float] = 1,
+    doc_id_col_precomputed: Optional[str] = None,
+) -> SparseIndex:
+    """Build the inverted-index tables from a document DataFrame.
+
+    ``order_cols`` define the deterministic enumeration order (defaults to
+    ``[id_col]``).  If ``doc_id_col_precomputed`` names an existing column
+    of dense deterministic ids, the row_number stage is skipped.
+    """
+    order_cols = order_cols or [id_col]
+
+    if doc_id_col_precomputed:
+        base = docs.withColumn(DOC_ID, F.col(doc_id_col_precomputed).cast("long"))
+    else:
+        base = assign_doc_ids(docs, order_cols)
+
+    term_counts = make_term_counts_udf(pre)
+    with_terms = base.select(
+        F.col(DOC_ID),
+        F.col(id_col).alias("__orig_id__"),
+        term_counts(F.col(text_col)).alias("__tcs__"),
+    )
+
+    doc_map = base.select(DOC_ID, F.col(id_col))
+
+    is_pruning = (isinstance(min_df, float) and min_df > 0.0 and min_df != 1) or (
+        isinstance(min_df, int) and min_df > 1
+    )
+
+    if not is_pruning:
+        # doc_len = token count, computable per-row without any shuffle.
+        with_lens = with_terms.withColumn(
+            "doc_len",
+            F.aggregate("__tcs__", F.lit(0), lambda acc, x: acc + x["tf"]),
+        )
+        with_lens = with_lens.persist()
+        row = with_lens.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("doc_len").cast("float")).alias("avgdl"),
+        ).collect()[0]
+        import numpy as np
+
+        avgdl_f64 = float(row["avgdl"] or 0.0)
+        stats = IndexStats(int(row["n"]), float(np.float32(avgdl_f64)), avgdl_f64)
+
+        flat0 = with_lens.select(
+            DOC_ID,
+            F.explode("__tcs__").alias("tc"),
+            F.col("doc_len").cast("float").alias("doc_len"),
+            (
+                F.col("doc_len").cast("float") / F.lit(stats.avg_doc_len).cast("float")
+            ).cast("float").alias("rel_dl"),
+        ).select(
+            DOC_ID,
+            F.col("tc.term").alias("term"),
+            F.col("tc.tf").alias("tf"),
+            "doc_len",
+            "rel_dl",
+        )
+
+        dfreq = flat0.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        flat = flat0.join(dfreq, "term")
+
+        doc_lens = with_lens.select(
+            DOC_ID,
+            F.col("doc_len").cast("float").alias("doc_len"),
+            (
+                F.col("doc_len").cast("float") / F.lit(stats.avg_doc_len).cast("float")
+            ).cast("float").alias("rel_dl"),
+        )
+    else:
+        # min_df pruning: df first, prune, THEN doc lengths over the pruned
+        # relation (reference semantics, build_inverted_index.py:63).
+        flat0 = with_terms.select(
+            DOC_ID, F.explode("__tcs__").alias("tc")
+        ).select(
+            DOC_ID,
+            F.col("tc.term").alias("term"),
+            F.col("tc.tf").alias("tf"),
+        )
+        n_docs = base.count()
+        if isinstance(min_df, float) and 0.0 < min_df < 1.0:
+            threshold = min_df * n_docs  # CountVectorizer: df >= min_df * n
+            import math
+
+            threshold = int(math.ceil(threshold))
+        else:
+            threshold = int(min_df)
+        dfreq = (
+            flat0.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= F.lit(threshold))
+        )
+        pruned = flat0.join(dfreq, "term")
+        lens = pruned.groupBy(DOC_ID).agg(F.sum("tf").alias("doc_len"))
+        # Docs whose every term was pruned still count (len 0).
+        lens = (
+            doc_map.select(DOC_ID)
+            .join(lens, DOC_ID, "left")
+            .fillna({"doc_len": 0})
+        )
+        lens = lens.persist()
+        row = lens.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("doc_len").cast("float")).alias("avgdl"),
+        ).collect()[0]
+        import numpy as np
+
+        avgdl_f64 = float(row["avgdl"] or 0.0)
+        stats = IndexStats(int(row["n"]), float(np.float32(avgdl_f64)), avgdl_f64)
+        doc_lens = lens.select(
+            DOC_ID,
+            F.col("doc_len").cast("float").alias("doc_len"),
+            (
+                F.col("doc_len").cast("float") / F.lit(stats.avg_doc_len).cast("float")
+            ).cast("float").alias("rel_dl"),
+        )
+        flat = pruned.join(doc_lens.select(DOC_ID, "doc_len", "rel_dl"), DOC_ID)
+
+    return SparseIndex(
+        spark=spark,
+        docs=base,
+        doc_map=doc_map,
+        flat=flat,
+        doc_lens=doc_lens,
+        terms=dfreq,
+        stats=stats,
+        orig_id_col=id_col,
+        pre_config=pre.config,
+        min_df=min_df,
+    )

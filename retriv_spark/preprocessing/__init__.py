@@ -1,0 +1,29 @@
+from .normalization import (
+    lowercasing,
+    normalize_acronyms,
+    normalize_ampersand,
+    normalize_special_chars,
+    remove_punctuation,
+    strip_whitespaces,
+)
+from .pipeline import TextPreprocessor, make_tokenize_udf
+from .porter2 import porter2_stem
+from .stemmer import get_stemmer
+from .stopwords import ENGLISH_STOPWORDS, get_stopwords
+from .tokenizer import get_tokenizer
+
+__all__ = [
+    "lowercasing",
+    "normalize_acronyms",
+    "normalize_ampersand",
+    "normalize_special_chars",
+    "remove_punctuation",
+    "strip_whitespaces",
+    "TextPreprocessor",
+    "make_tokenize_udf",
+    "porter2_stem",
+    "get_stemmer",
+    "get_stopwords",
+    "get_tokenizer",
+    "ENGLISH_STOPWORDS",
+]

@@ -1,0 +1,91 @@
+"""String normalization primitives.
+
+Semantics mirror the reference pipeline
+(/root/reference/retriv/sparse_retriever/preprocessing/normalization.py:7-41),
+re-implemented from scratch.  Each helper exists in two forms:
+
+* a plain-Python ``str -> str`` function (used inside Arrow-batched pandas
+  UDFs and by the numpy oracle), and
+* a Spark ``Column -> Column`` expression builder (used when the whole
+  pipeline can stay JVM-side / whole-stage-codegen).
+
+Both forms are semantically identical and covered by equivalence tests.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# -- plain python ------------------------------------------------------------
+
+# `‘’´“”–-` -> `'''""--` (reference normalization.py:19-23)
+_SPECIAL_CHARS_TRANS = str.maketrans("‘’´“”–-", "'''\"\"--")
+
+# acronym regex (reference normalization.py:26-27): drop "." unless followed
+# by (non-space char + char that is neither "." nor " ") or a digit.
+# "P.C.I." -> "PCI" but "foo.bar" and "a.b@x.com" and "3.14" survive.
+_ACRONYM_RE = re.compile(r"\.(?!(\S[^. ])|\d)")
+
+_PUNCT_TRANS = str.maketrans(string.punctuation, " " * len(string.punctuation))
+
+_WS_RUN_RE = re.compile(r" {2,}")
+
+
+def lowercasing(x: str) -> str:
+    return x.lower()
+
+
+def normalize_ampersand(x: str) -> str:
+    return x.replace("&", " and ")
+
+
+def normalize_special_chars(x: str) -> str:
+    return x.translate(_SPECIAL_CHARS_TRANS)
+
+
+def normalize_acronyms(x: str) -> str:
+    return _ACRONYM_RE.sub("", x)
+
+
+def remove_punctuation(x: str) -> str:
+    return x.translate(_PUNCT_TRANS)
+
+
+def strip_whitespaces(x: str) -> str:
+    return _WS_RUN_RE.sub(" ", x.strip())
+
+
+# -- Spark column expressions ------------------------------------------------
+
+_SPECIAL_SRC = "‘’´“”–-"
+_SPECIAL_DST = "'''\"\"--"
+
+
+def col_lowercasing(c: Column) -> Column:
+    return F.lower(c)
+
+
+def col_normalize_ampersand(c: Column) -> Column:
+    # replace() on "&" has no regex metacharacters; regexp_replace is fine.
+    return F.regexp_replace(c, "&", " and ")
+
+
+def col_normalize_special_chars(c: Column) -> Column:
+    return F.translate(c, _SPECIAL_SRC, _SPECIAL_DST)
+
+
+def col_normalize_acronyms(c: Column) -> Column:
+    # Java regex supports the same negative lookahead.
+    return F.regexp_replace(c, r"\.(?!(\S[^. ])|\d)", "")
+
+
+def col_remove_punctuation(c: Column) -> Column:
+    return F.translate(c, string.punctuation, " " * len(string.punctuation))
+
+
+def col_strip_whitespaces(c: Column) -> Column:
+    return F.trim(F.regexp_replace(c, " {2,}", " "))

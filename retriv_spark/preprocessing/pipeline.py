@@ -1,0 +1,138 @@
+"""Text preprocessing pipeline: string -> token list.
+
+Replicates the reference pipeline order exactly
+(/root/reference/retriv/sparse_retriever/preprocessing/__init__.py:31-63):
+
+    lowercase -> ampersand -> special-chars -> acronyms
+    -> [punctuation removal BEFORE tokenize iff whitespace tokenizer]
+    -> tokenize
+    -> [per-token punctuation removal AFTER tokenize otherwise]
+    -> stop-word filter   (NOTE: against the *stemmed* stop-word list,
+                           applied to *pre-stem* tokens — the reference
+                           stems its stop-word list at init,
+                           sparse_retriever.py:98, so e.g. "during" is NOT
+                           removed and is indexed as "dure"; replicated
+                           verbatim for rank-identity)
+    -> stem
+
+One ``TextPreprocessor`` instance is shared by the driver (query
+preprocessing, numpy oracle) and executors (Arrow-batched pandas UDF via
+``make_tokenize_udf``); both paths call the same ``__call__``.
+
+The reference parallelizes with a multiprocess pool
+(preprocessing/__init__.py:110); here Spark partitions replace the pool and
+a per-process stem memo exploits vocabulary ≪ token-count (Zipf).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Set, Union
+
+import pandas as pd
+
+from .normalization import (
+    lowercasing,
+    normalize_acronyms,
+    normalize_ampersand,
+    normalize_special_chars,
+    remove_punctuation,
+    strip_whitespaces,
+)
+from .stemmer import get_stemmer
+from .stopwords import get_stopwords
+from .tokenizer import get_tokenizer, identity_function
+
+
+class TextPreprocessor:
+    """Configurable, picklable ``str -> List[str]`` pipeline."""
+
+    def __init__(
+        self,
+        tokenizer: Union[str, Callable, None] = "whitespace",
+        stemmer: Union[str, Callable, None] = "english",
+        stopwords: Union[str, Sequence[str], Set[str], None] = "english",
+        do_lowercasing: bool = True,
+        do_ampersand_normalization: bool = True,
+        do_special_chars_normalization: bool = True,
+        do_acronyms_normalization: bool = True,
+        do_punctuation_removal: bool = True,
+    ):
+        self.config = {
+            "tokenizer": tokenizer,
+            "stemmer": stemmer,
+            "stopwords": stopwords,
+            "do_lowercasing": do_lowercasing,
+            "do_ampersand_normalization": do_ampersand_normalization,
+            "do_special_chars_normalization": do_special_chars_normalization,
+            "do_acronyms_normalization": do_acronyms_normalization,
+            "do_punctuation_removal": do_punctuation_removal,
+        }
+        self.tokenizer = get_tokenizer(tokenizer)
+        self.stemmer = get_stemmer(stemmer)
+        # Reference quirk (sparse_retriever.py:98): the stop-word list is
+        # stemmed once at init, while the filter runs on pre-stem tokens.
+        self.stopwords: Set[str] = {self.stemmer(sw) for sw in get_stopwords(stopwords)}
+        self.do_lowercasing = do_lowercasing
+        self.do_ampersand_normalization = do_ampersand_normalization
+        self.do_special_chars_normalization = do_special_chars_normalization
+        self.do_acronyms_normalization = do_acronyms_normalization
+        self.do_punctuation_removal = do_punctuation_removal
+        self._is_whitespace = self.tokenizer is str.split
+        self._stem_memo: dict = {}
+
+    # -- scalar path (driver: query preprocessing; oracle) -------------------
+
+    def __call__(self, x: str) -> List[str]:
+        if self.do_lowercasing:
+            x = lowercasing(x)
+        if self.do_ampersand_normalization:
+            x = normalize_ampersand(x)
+        if self.do_special_chars_normalization:
+            x = normalize_special_chars(x)
+        if self.do_acronyms_normalization:
+            x = normalize_acronyms(x)
+
+        if self._is_whitespace and self.do_punctuation_removal:
+            x = remove_punctuation(x)
+            x = strip_whitespaces(x)
+
+        toks = self.tokenizer(x)
+
+        if not self._is_whitespace and self.do_punctuation_removal:
+            toks = [remove_punctuation(t) for t in toks]
+            toks = [t for t in toks if t]
+
+        toks = [t for t in toks if t not in self.stopwords]
+
+        memo = self._stem_memo
+        stem = self.stemmer
+        out = []
+        for t in toks:
+            s = memo.get(t)
+            if s is None:
+                s = stem(t)
+                memo[t] = s
+            out.append(s)
+        return out
+
+    # -- vectorized path (executors) -----------------------------------------
+
+    def transform_series(self, texts: pd.Series) -> pd.Series:
+        """Arrow-batch path: Series[str] -> Series[list[str]].
+
+        Same semantics as ``__call__``; the per-token tail shares the
+        stem memo across the whole batch (and across batches within a
+        python worker process).
+        """
+        return texts.map(lambda x: self(x) if x is not None else [])
+
+
+def make_tokenize_udf(pre: TextPreprocessor):
+    """Pandas UDF ``string -> array<string>`` wrapping ``pre``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def tokenize(texts: pd.Series) -> pd.Series:
+        return pre.transform_series(texts)
+
+    return tokenize

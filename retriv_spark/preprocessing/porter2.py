@@ -1,0 +1,241 @@
+"""Pure-Python Porter2 ("Snowball English") stemmer.
+
+The reference delegates stemming to nltk's SnowballStemmer("english")
+(/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:23,94-95),
+which is an implementation of the public Porter2 algorithm
+(https://snowballstem.org/algorithms/english/stemmer.html).  nltk is not
+available in this environment, so the algorithm is re-implemented here from
+the published specification, including its documented exceptional forms and
+the conventional behaviours (lowercasing, <=2-letter passthrough).
+
+This module is dependency-free so it can run inside Arrow-batched pandas
+UDFs on executors as well as in the driver-side numpy oracle.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouy")
+_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_LI_ENDING = frozenset("cdeghkmnrt")
+
+_SPECIAL_WORDS = {
+    "skis": "ski",
+    "skies": "sky",
+    "dying": "die",
+    "lying": "lie",
+    "tying": "tie",
+    "idly": "idl",
+    "gently": "gentl",
+    "ugly": "ugli",
+    "early": "earli",
+    "only": "onli",
+    "singly": "singl",
+    "sky": "sky",
+    "news": "news",
+    "howe": "howe",
+    "atlas": "atlas",
+    "cosmos": "cosmos",
+    "bias": "bias",
+    "andes": "andes",
+}
+
+_EXCEPTION_AFTER_1A = frozenset(
+    ("inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed")
+)
+
+_STEP2_SUFFIXES = (
+    # (suffix, replacement, requires_l_before) — longest-first order
+    ("ization", "ize", False),
+    ("ational", "ate", False),
+    ("fulness", "ful", False),
+    ("ousness", "ous", False),
+    ("iveness", "ive", False),
+    ("tional", "tion", False),
+    ("biliti", "ble", False),
+    ("lessli", "less", False),
+    ("entli", "ent", False),
+    ("ation", "ate", False),
+    ("alism", "al", False),
+    ("aliti", "al", False),
+    ("ousli", "ous", False),
+    ("iviti", "ive", False),
+    ("fulli", "ful", False),
+    ("enci", "ence", False),
+    ("anci", "ance", False),
+    ("abli", "able", False),
+    ("izer", "ize", False),
+    ("ator", "ate", False),
+    ("alli", "al", False),
+    ("bli", "ble", False),
+    ("ogi", "og", True),   # only if preceded by "l"
+    ("li", "", False),     # only if preceded by a valid li-ending
+)
+
+_STEP3_SUFFIXES = (
+    ("ational", "ate"),
+    ("tional", "tion"),
+    ("alize", "al"),
+    ("icate", "ic"),
+    ("iciti", "ic"),
+    ("ative", ""),         # only if in R2
+    ("ical", "ic"),
+    ("ness", ""),
+    ("ful", ""),
+)
+
+_STEP4_SUFFIXES = (
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+    "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+)
+
+
+def _r1_r2(word: str) -> tuple[int, int]:
+    """Start offsets of regions R1 and R2 (len(word) if empty)."""
+    n = len(word)
+    r1 = n
+    for prefix in ("gener", "commun", "arsen"):
+        if word.startswith(prefix):
+            r1 = len(prefix)
+            break
+    else:
+        for i in range(1, n):
+            if word[i] not in _VOWELS and word[i - 1] in _VOWELS:
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if word[i] not in _VOWELS and word[i - 1] in _VOWELS:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _ends_short_syllable(word: str) -> bool:
+    if len(word) == 2:
+        return word[0] in _VOWELS and word[1] not in _VOWELS
+    if len(word) >= 3:
+        return (
+            word[-3] not in _VOWELS
+            and word[-2] in _VOWELS
+            and word[-1] not in _VOWELS
+            and word[-1] not in "wxY"
+        )
+    return False
+
+
+def porter2_stem(word: str) -> str:
+    word = word.lower()
+    if len(word) <= 2:
+        return word
+    if word in _SPECIAL_WORDS:
+        return _SPECIAL_WORDS[word]
+
+    word = (
+        word.replace("’", "\x27")
+        .replace("‘", "\x27")
+        .replace("‛", "\x27")
+    )
+    if word.startswith("\x27"):
+        word = word[1:]
+
+    # Mark consonant-y as "Y": initial y, or y after a vowel.
+    if word.startswith("y"):
+        word = "Y" + word[1:]
+    chars = list(word)
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _VOWELS:
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    r1, r2 = _r1_r2(word)
+
+    # Step 0: longest of ' , 's , 's'
+    for suffix in ("'s'", "'s", "'"):
+        if word.endswith(suffix):
+            word = word[: -len(suffix)]
+            break
+
+    # Step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith(("ied", "ies")):
+        word = word[:-2] if len(word) > 4 else word[:-1]
+    elif word.endswith(("us", "ss")):
+        pass
+    elif word.endswith("s"):
+        if any(ch in _VOWELS for ch in word[:-2]):
+            word = word[:-1]
+
+    if word in _EXCEPTION_AFTER_1A:
+        return word
+
+    # Step 1b (longest suffix first)
+    for suffix in ("eedly", "ingly", "edly", "eed", "ing", "ed"):
+        if word.endswith(suffix):
+            if suffix in ("eed", "eedly"):
+                if len(word) - len(suffix) >= r1:
+                    word = word[: -len(suffix)] + "ee"
+            else:
+                stem = word[: -len(suffix)]
+                if any(ch in _VOWELS for ch in stem):
+                    word = stem
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                    elif word.endswith(_DOUBLES):
+                        word = word[:-1]
+                    elif r1 >= len(word) and _ends_short_syllable(word):
+                        word += "e"
+            break
+
+    # Step 1c: y/Y -> i after a non-vowel that is not the first letter
+    if len(word) > 2 and word[-1] in "yY" and word[-2] not in _VOWELS:
+        word = word[:-1] + "i"
+
+    # Step 2 (in R1)
+    for suffix, repl, needs_l in _STEP2_SUFFIXES:
+        if word.endswith(suffix):
+            if len(word) - len(suffix) >= r1:
+                if suffix == "li":
+                    if len(word) >= 3 and word[-3] in _LI_ENDING:
+                        word = word[:-2]
+                elif needs_l:
+                    if len(word) >= len(suffix) + 1 and word[-len(suffix) - 1] == "l":
+                        word = word[: -len(suffix)] + repl
+                else:
+                    word = word[: -len(suffix)] + repl
+            break
+
+    # Step 3 (in R1)
+    for suffix, repl in _STEP3_SUFFIXES:
+        if word.endswith(suffix):
+            if len(word) - len(suffix) >= r1:
+                if suffix == "ative":
+                    if len(word) - len(suffix) >= r2:
+                        word = word[: -len(suffix)]
+                else:
+                    word = word[: -len(suffix)] + repl
+            break
+
+    # Step 4 (in R2)
+    for suffix in _STEP4_SUFFIXES:
+        if word.endswith(suffix):
+            if len(word) - len(suffix) >= r2:
+                if suffix == "ion":
+                    if len(word) >= 4 and word[-4] in "st":
+                        word = word[:-3]
+                else:
+                    word = word[: -len(suffix)]
+            break
+
+    # Step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= r2:
+            word = word[:-1]
+        elif len(word) - 1 >= r1 and not _ends_short_syllable(word[:-1]):
+            word = word[:-1]
+    elif word.endswith("l"):
+        if len(word) - 1 >= r2 and len(word) >= 2 and word[-2] == "l":
+            word = word[:-1]
+
+    return word.replace("Y", "y")

@@ -1,0 +1,32 @@
+"""Stemmer factory.
+
+Mirrors the reference contract
+(/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:46-58,
+215-223): a stemmer spec may be a name, a user callable, or ``None``
+(identity).  Only ``english`` (Porter2/Snowball, see ``porter2.py``) is
+implemented natively; other languages plug in as user callables.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+from .porter2 import porter2_stem
+from .tokenizer import identity_function
+
+stemmers_dict = {
+    "english": porter2_stem,
+}
+
+
+def get_stemmer(stemmer: Union[str, Callable, None]) -> Callable:
+    if isinstance(stemmer, str):
+        name = stemmer.lower()
+        assert name in stemmers_dict, f"Stemmer {stemmer} not supported."
+        return stemmers_dict[name]
+    elif callable(stemmer):
+        return stemmer
+    elif stemmer is None:
+        return identity_function
+    else:
+        raise NotImplementedError

@@ -1,0 +1,56 @@
+"""Stop-word lists.
+
+The reference resolves stop-words via nltk downloads
+(/root/reference/retriv/sparse_retriever/preprocessing/stopwords.py:37-56).
+nltk is not available here, so the standard NLTK English stop-word list
+(public domain, 179 entries) is embedded as a constant.  Other languages can
+be supplied by the caller as an explicit list/set, matching the reference's
+``get_stopwords`` contract.
+"""
+
+from __future__ import annotations
+
+from typing import List, Set, Union
+
+ENGLISH_STOPWORDS: List[str] = [
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are", "was",
+    "were", "be", "been", "being", "have", "has", "had", "having", "do",
+    "does", "did", "doing", "a", "an", "the", "and", "but", "if", "or",
+    "because", "as", "until", "while", "of", "at", "by", "for", "with",
+    "about", "against", "between", "into", "through", "during", "before",
+    "after", "above", "below", "to", "from", "up", "down", "in", "out",
+    "on", "off", "over", "under", "again", "further", "then", "once",
+    "here", "there", "when", "where", "why", "how", "all", "any", "both",
+    "each", "few", "more", "most", "other", "some", "such", "no", "nor",
+    "not", "only", "own", "same", "so", "than", "too", "very", "s", "t",
+    "can", "will", "just", "don", "don't", "should", "should've", "now",
+    "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren", "aren't",
+    "couldn", "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn",
+    "hadn't", "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't", "shan",
+    "shan't", "shouldn", "shouldn't", "wasn", "wasn't", "weren", "weren't",
+    "won", "won't", "wouldn", "wouldn't",
+]
+
+
+def get_stopwords(sw_list: Union[str, List[str], Set[str], None]) -> List[str]:
+    """Resolve a stop-word spec to a list (reference stopwords.py:46-56)."""
+    if isinstance(sw_list, str):
+        if sw_list.lower() != "english":
+            raise AssertionError(
+                f"Stop-words for {sw_list.capitalize()} are not available."
+            )
+        return list(ENGLISH_STOPWORDS)
+    elif type(sw_list) is list and all(isinstance(x, str) for x in sw_list):
+        return sw_list
+    elif type(sw_list) is set:
+        return list(sw_list)
+    elif sw_list is None:
+        return []
+    else:
+        raise NotImplementedError

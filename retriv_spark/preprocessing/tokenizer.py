@@ -1,0 +1,48 @@
+"""Tokenizer factory.
+
+Mirrors the reference factory contract
+(/root/reference/retriv/sparse_retriever/preprocessing/tokenizer.py:7-30):
+a tokenizer spec may be a name, a user callable, or ``None`` (identity).
+
+``whitespace`` (the default, ``str.split``) is implemented natively.  The
+nltk-backed ``word``/``sent`` tokenizers are unavailable here; ``wordpunct``
+is re-implemented with the equivalent public regex ``\\w+|[^\\w\\s]+``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Union
+
+
+def identity_function(x):
+    return x
+
+
+_WORDPUNCT_RE = re.compile(r"\w+|[^\w\s]+")
+
+
+def wordpunct_tokenize(x: str) -> list:
+    return _WORDPUNCT_RE.findall(x)
+
+
+# ``whitespace`` must be ``str.split`` itself: the pipeline checks
+# ``tokenizer == str.split`` to decide where punctuation removal happens
+# (reference preprocessing/__init__.py:50-59).
+tokenizers_dict = {
+    "whitespace": str.split,
+    "wordpunct": wordpunct_tokenize,
+}
+
+
+def get_tokenizer(tokenizer: Union[str, Callable, None]) -> Callable:
+    if isinstance(tokenizer, str):
+        name = tokenizer.lower()
+        assert name in tokenizers_dict, f"Tokenizer {tokenizer} not supported."
+        return tokenizers_dict[name]
+    elif callable(tokenizer):
+        return tokenizer
+    elif tokenizer is None:
+        return identity_function
+    else:
+        raise NotImplementedError

@@ -1,0 +1,284 @@
+"""SparseRetriever — the user-facing API, mirroring the reference surface.
+
+Reference: /root/reference/retriv/sparse_retriever/sparse_retriever.py
+(API: __init__/index/search/msearch/bsearch/autotune — re-designed here as a
+thin driver over Spark DataFrame plans; NOT a port of its numba kernels).
+
+Two input shapes are accepted by ``index``:
+  * a Spark DataFrame (the native path — e.g. the source-code table
+    ``(repo, path, commit, lang, content)``), with ``order_cols`` defining
+    the deterministic doc-id enumeration;
+  * a Python iterable of ``{"id": ..., "text": ...}`` dicts (reference
+    parity path, used by the ported test-suite) — enumeration order is the
+    input order, exactly like base_retriever.py:56-62.
+
+``search``/``msearch`` return ``{id: score}`` dicts like the reference;
+``msearch_df`` is the Spark-native entry point returning a DataFrame
+``(q_id, id, score, rank)`` and never collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, Iterable, List, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .index.builder import DOC_ID, SparseIndex, build_index
+from .preprocessing import TextPreprocessor
+from .search.scorer import score_query_terms
+
+_QT_SCHEMA = StructType(
+    [
+        StructField("q_id", StringType()),
+        StructField("term", StringType()),
+        StructField("n_occ", IntegerType()),
+    ]
+)
+
+
+class SparseRetriever:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_name: str = "new-index",
+        model: str = "bm25",
+        min_df: Union[int, float] = 1,
+        tokenizer="whitespace",
+        stemmer="english",
+        stopwords="english",
+        do_lowercasing: bool = True,
+        do_ampersand_normalization: bool = True,
+        do_special_chars_normalization: bool = True,
+        do_acronyms_normalization: bool = True,
+        do_punctuation_removal: bool = True,
+        hyperparams: Optional[dict] = None,
+        precision: str = "float32",
+    ):
+        assert model.lower() in {"bm25", "tf-idf"}
+        assert min_df > 0, "`min_df` must be greater than zero."
+        self.spark = spark
+        self.index_name = index_name
+        self.model = model.lower()
+        self.min_df = min_df
+        self.precision = precision
+        self.pre = TextPreprocessor(
+            tokenizer=tokenizer,
+            stemmer=stemmer,
+            stopwords=stopwords,
+            do_lowercasing=do_lowercasing,
+            do_ampersand_normalization=do_ampersand_normalization,
+            do_special_chars_normalization=do_special_chars_normalization,
+            do_acronyms_normalization=do_acronyms_normalization,
+            do_punctuation_removal=do_punctuation_removal,
+        )
+        self.hyperparams = dict(b=0.75, k1=1.2) if hyperparams is None else dict(hyperparams)
+        self.index_data: Optional[SparseIndex] = None
+
+    # -- indexing ------------------------------------------------------------
+
+    def index(
+        self,
+        collection: Union[DataFrame, Iterable[dict]],
+        text_col: str = "text",
+        id_col: str = "id",
+        order_cols: Optional[List[str]] = None,
+        callback=None,
+    ) -> "SparseRetriever":
+        if isinstance(collection, DataFrame):
+            df = collection
+            if callback is not None:
+                df = callback(df)
+            self.index_data = build_index(
+                self.spark, df, self.pre,
+                text_col=text_col, id_col=id_col,
+                order_cols=order_cols, min_df=self.min_df,
+            )
+        else:
+            rows = list(collection)
+            if callback is not None:
+                rows = [callback(r) for r in rows]
+            # Reference enumeration-order ids (base_retriever.py:56-62).
+            schema = StructType(
+                [
+                    StructField("__enum__", LongType()),
+                    StructField("id", StringType()),
+                    StructField("text", StringType()),
+                ]
+            )
+            data = [
+                (i, str(r["id"]), str(r["text"])) for i, r in enumerate(rows)
+            ]
+            df = self.spark.createDataFrame(data, schema)
+            self.index_data = build_index(
+                self.spark, df, self.pre,
+                text_col="text", id_col="id",
+                min_df=self.min_df,
+                doc_id_col_precomputed="__enum__",
+            )
+        return self
+
+    # -- query-side helpers ----------------------------------------------------
+
+    def _query_terms_df(self, queries: List[Dict[str, str]]) -> DataFrame:
+        rows = []
+        for q in queries:
+            q_id, text = str(q["id"]), q["text"]
+            for term, n in Counter(self.pre(text)).items():
+                rows.append((q_id, term, n))
+        return self.spark.createDataFrame(rows, _QT_SCHEMA)
+
+    def _require_index(self) -> SparseIndex:
+        if self.index_data is None:
+            raise RuntimeError("index() must be called before searching")
+        return self.index_data
+
+    # -- search ---------------------------------------------------------------
+
+    def msearch_df(
+        self,
+        queries: Union[DataFrame, List[Dict[str, str]]],
+        cutoff: int = 100,
+        operator: str = "OR",
+        subset_doc_ids: Optional[DataFrame] = None,
+        model: Optional[str] = None,
+    ) -> DataFrame:
+        """Spark-native batch search: returns (q_id, id, score, rank)."""
+        idx = self._require_index()
+        if isinstance(queries, DataFrame):
+            qt = self._preprocess_queries_df(queries)
+        else:
+            qt = self._query_terms_df(queries)
+        scored = score_query_terms(
+            idx, qt,
+            model=model or self.model,
+            k1=float(self.hyperparams.get("k1", 1.2)),
+            b=float(self.hyperparams.get("b", 0.75)),
+            cutoff=cutoff,
+            operator=operator,
+            subset_doc_ids=subset_doc_ids,
+            precision=self.precision,
+        )
+        return scored.join(idx.doc_map, DOC_ID).select(
+            "q_id",
+            F.col(idx.orig_id_col).alias("id"),
+            "score",
+            "rank",
+        )
+
+    def _preprocess_queries_df(self, queries: DataFrame) -> DataFrame:
+        """(q_id, text) DataFrame -> (q_id, term, n_occ) via the same
+        Arrow-batched pipeline used at index time (for large query sets the
+        preprocessing itself is distributed)."""
+        from .index.builder import make_term_counts_udf
+
+        term_counts = make_term_counts_udf(self.pre)
+        return (
+            queries.select(
+                F.col("q_id").cast("string").alias("q_id"),
+                term_counts(F.col("text")).alias("__tcs__"),
+            )
+            .select("q_id", F.explode("__tcs__").alias("tc"))
+            .select(
+                "q_id",
+                F.col("tc.term").alias("term"),
+                F.col("tc.tf").alias("n_occ"),
+            )
+        )
+
+    def msearch(
+        self,
+        queries: List[Dict[str, str]],
+        cutoff: int = 100,
+        operator: str = "OR",
+    ) -> Dict:
+        """Reference-parity batch search -> {q_id: {orig_id: score}}."""
+        out = self.msearch_df(queries, cutoff=cutoff, operator=operator)
+        results: Dict = {str(q["id"]): {} for q in queries}
+        id_is_int = {}
+        for q in queries:
+            id_is_int[str(q["id"])] = q["id"]
+        for row in out.orderBy("q_id", "rank").collect():
+            results[row["q_id"]][self._restore_id(row["id"])] = row["score"]
+        return {id_is_int[str(q["id"])]: results[str(q["id"])] for q in queries}
+
+    def search(
+        self, query: str, return_docs: bool = True, cutoff: int = 100,
+        operator: str = "OR",
+    ):
+        """Single-query search (reference sparse_retriever.py:260-308)."""
+        res = self.msearch(
+            [{"id": "_q", "text": query}], cutoff=cutoff, operator=operator
+        )["_q"]
+        if not return_docs:
+            return res
+        if not res:
+            return []
+        idx = self._require_index()
+        ids = list(res.keys())
+        docs = {
+            self._restore_id(r["id"]): r.asDict()
+            for r in idx.docs.filter(
+                F.col(idx.orig_id_col).isin([str(i) for i in ids])
+            ).collect()
+        }
+        out = []
+        for i in ids:
+            d = dict(docs.get(i, {"id": i}))
+            for internal in (DOC_ID, "__enum__"):
+                d.pop(internal, None)
+            d["id"] = i
+            d["score"] = res[i]
+            out.append(d)
+        return out
+
+    def bsearch(
+        self,
+        queries: List[Dict[str, str]],
+        cutoff: int = 100,
+        batch_size: int = 1_000,
+        path: Optional[str] = None,
+        qrels: Optional[Dict] = None,
+    ) -> Dict:
+        """Batched search (reference sparse_retriever.py:380-451).  Spark's
+        partitioned execution *is* the batching; ``path`` spills results as
+        JSONL without collecting them to the driver."""
+        if path is None:
+            return self.msearch(queries, cutoff=cutoff)
+        df = self.msearch_df(queries, cutoff=cutoff)
+        df.write.mode("overwrite").json(path)
+        return {}
+
+    # -- id round-trip ---------------------------------------------------------
+
+    def _restore_id(self, id_str):
+        """Original collection ids may be ints (reference test fixtures)."""
+        try:
+            return int(id_str)
+        except (TypeError, ValueError):
+            return id_str
+
+    # -- tuning ---------------------------------------------------------------
+
+    def autotune(
+        self,
+        queries: List[Dict[str, str]],
+        qrels: Dict[str, Dict[str, float]],
+        metric: str = "ndcg",
+        n_trials: int = 32,
+        cutoff: int = 100,
+    ):
+        from .autotune import tune_bm25
+
+        self.hyperparams = tune_bm25(
+            self, queries, qrels, metric=metric, n_trials=n_trials, cutoff=cutoff
+        )
+        return self.hyperparams

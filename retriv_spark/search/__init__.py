@@ -1,0 +1,3 @@
+from .scorer import bm25_partial, score_query_terms, tfidf_partial
+
+__all__ = ["bm25_partial", "score_query_terms", "tfidf_partial"]

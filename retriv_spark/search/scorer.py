@@ -1,0 +1,168 @@
+"""Relational BM25 / TF-IDF scoring over the inverted index.
+
+The reference scores with hand-fused numba TAAT kernels
+(/root/reference/retriv/sparse_retriever/sparse_retrieval_models/bm25.py:16-59,
+tf_idf.py:16-57).  Here the same math is expressed declaratively so Catalyst
+owns the physical plan:
+
+    query_terms (tiny, broadcast)
+      ⋈ flat postings (term-keyed)          -- broadcast hash join: the big
+                                               side never shuffles
+      → per-(term,doc) partial score        -- whole-stage-codegen column
+                                               expressions, float32-faithful
+      → groupBy(q_id, doc_id) sum           -- the TAAT accumulation as a
+                                               partial+final hash agg
+      → per-query top-k window / global limit
+
+Float32 parity (reference bm25.py:39-49): idf is ln() computed in float64
+then rounded to float32; the per-(term,doc) partial multiplies that float32
+idf back in float64; accumulation order differences land within the
+reference's own tolerance (rel_tol 1e-6, search_engine_test.py:7).  A
+``precision="float64"`` mode skips the float32 roundings so results can be
+cross-checked bit-for-bit against an ANSI-SQL oracle.
+
+Tie-break: canonical ``(-score, doc_id)`` (np.argsort tie order in the
+reference is unstable/unspecified — bm25.py:57 vs :102; precedent for the
+canonical order: merger/merger.py:44).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..index.builder import DOC_ID
+
+
+def bm25_partial(
+    tf: Column, df: Column, rel_dl: Column, doc_count: int, k1: float, b: float,
+    precision: str = "float32",
+) -> Column:
+    """Per-(term, doc) BM25 contribution (Lucene-style idf).
+
+    score += idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*rel_dl))
+    idf    = ln(1 + (N - df + 0.5) / (df + 0.5))
+    """
+    N = F.lit(float(doc_count))
+    if precision == "float32":
+        # df goes through float32 (reference: df = np.float32(len(indices)))
+        df_d = df.cast("float").cast("double")
+        idf = F.log(F.lit(1.0) + ((N - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))))
+        idf = idf.cast("float").cast("double")
+        rel = rel_dl.cast("double")  # rel_dl column is float32-faithful
+    else:
+        df_d = df.cast("double")
+        idf = F.log(F.lit(1.0) + ((N - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))))
+        rel = rel_dl
+    tf_d = tf.cast("double")
+    k1l, bl = F.lit(float(k1)), F.lit(float(b))
+    return idf * (tf_d * (k1l + F.lit(1.0))) / (
+        tf_d + k1l * (F.lit(1.0) - bl + bl * rel)
+    )
+
+
+def tfidf_partial(
+    tf: Column, df: Column, doc_len: Column, doc_count: int,
+    precision: str = "float32",
+) -> Column:
+    """Per-(term, doc) TF-IDF contribution (reference tf_idf.py:37-46).
+
+    score += (tf / doc_len) * (ln((1 + N) / (1 + df)) + 1)
+    """
+    N = F.lit(float(doc_count))
+    if precision == "float32":
+        # reference: tf (int16 array) / doc_lens (float32) -> float32
+        rel_tf = (tf.cast("float") / doc_len.cast("float")).cast("float")
+        df_d = df.cast("float").cast("double")
+        idf = (F.log((F.lit(1.0) + N) / (F.lit(1.0) + df_d)) + F.lit(1.0)).cast("float")
+        return (rel_tf * idf).cast("float").cast("double")
+    df_d = df.cast("double")
+    idf = F.log((F.lit(1.0) + N) / (F.lit(1.0) + df_d)) + F.lit(1.0)
+    return (tf.cast("double") / doc_len.cast("double")) * idf
+
+
+def score_query_terms(
+    index,
+    query_terms: DataFrame,
+    model: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+    cutoff: int = 100,
+    operator: str = "OR",
+    subset_doc_ids: Optional[DataFrame] = None,
+    precision: str = "float32",
+    rank_output: bool = True,
+) -> DataFrame:
+    """Score preprocessed query terms against the index.
+
+    ``query_terms``: (q_id, term, n_occ) — one row per *distinct* term per
+    query, with its occurrence count.  The reference scores each query-term
+    occurrence independently (sparse_retriever.py:252-258 builds one
+    posting-list entry per occurrence), so partials are weighted by
+    ``n_occ``.
+
+    Returns (q_id, __doc_id__, score) plus ``rank`` when ``rank_output``.
+    Queries that are empty / fully OOV simply produce no rows
+    (reference: {} — sparse_retriever.py:275-279,331-337).
+    """
+    flat = index.flat
+    qt = F.broadcast(query_terms)
+
+    joined = flat.join(qt, "term")
+
+    if model == "bm25":
+        partial = bm25_partial(
+            F.col("tf"), F.col("df"), F.col("rel_dl"),
+            index.doc_count, k1, b, precision,
+        )
+    elif model in ("tf-idf", "tfidf"):
+        partial = tfidf_partial(
+            F.col("tf"), F.col("df"), F.col("doc_len"),
+            index.doc_count, precision,
+        )
+    else:
+        raise NotImplementedError(f"model {model}")
+
+    joined = joined.withColumn(
+        "__partial__", partial * F.col("n_occ").cast("double")
+    )
+
+    agg_cols = [
+        F.sum("__partial__").alias("__score_d__"),
+        F.count(F.lit(1)).alias("__n_matched__"),
+    ]
+    scored = joined.groupBy("q_id", DOC_ID).agg(*agg_cols)
+
+    if operator.upper() == "AND":
+        # Keep docs containing ALL in-vocabulary distinct terms of the query
+        # (reference intersect_sorted_multi over the post-OOV-filter terms,
+        # bm25.py:28-29).  n_req per query = its distinct in-vocab terms.
+        qt_in_vocab = query_terms.join(
+            index.terms.select("term"), "term", "left_semi"
+        )
+        n_req = qt_in_vocab.groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("__n_req__")
+        )
+        scored = scored.join(F.broadcast(n_req), "q_id").filter(
+            F.col("__n_matched__") == F.col("__n_req__")
+        )
+
+    if subset_doc_ids is not None:
+        scored = scored.join(subset_doc_ids.select(DOC_ID), DOC_ID, "left_semi")
+
+    score = F.col("__score_d__")
+    if precision == "float32":
+        score = score.cast("float")
+    scored = scored.select("q_id", DOC_ID, score.cast("double").alias("score"))
+
+    if rank_output:
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("score"), F.asc(DOC_ID)
+        )
+        scored = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.lit(int(cutoff)))
+        )
+    return scored
