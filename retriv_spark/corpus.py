@@ -1,0 +1,100 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §F1).
+
+Generates the north-rule input table
+``(repo, path, commit, lang, content)`` + ``sha256`` with a seeded
+Zipfian token sampler over a code-flavoured vocabulary.  Fully
+deterministic for a given (n_rows, seed): generation happens inside
+``mapInPandas`` keyed by row index, so the same table materializes at any
+parallelism — no external data, no driver-side row loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LANGS = ["python", "java", "c", "go", "js"]
+_EXT = {"python": "py", "java": "java", "c": "c", "go": "go", "js": "js"}
+
+_KEYWORDS = (
+    "import def return for if else while class from with try except "
+    "raise yield lambda pass break continue not and or in is None True False "
+    "public static void int float double string bool var func package "
+    "struct interface type map chan go defer select case switch default "
+    "const let function new this null undefined async await export"
+).split()
+
+_IDENTS = [
+    f"{a}{b}" for a in ("get", "set", "make", "build", "parse", "read",
+                        "write", "load", "dump", "init", "run", "exec",
+                        "merge", "split", "index", "query", "score", "rank")
+    for b in ("_data", "_file", "_node", "_tree", "_list", "_map", "_buf",
+              "_row", "_col", "_term", "_doc", "_key")
+]
+
+_GOLDEN_PHRASES = [
+    "witches masses",
+    "shane connelly",
+    "generals gathered in their masses",
+    "sorcerers of deaths construction",
+]
+
+
+def _vocab() -> list:
+    v = list(_KEYWORDS) + _IDENTS + [str(i) for i in range(64)]
+    v += ["{", "}", "(", ")", "==", "!=", "+=", "->", "::", ";"]
+    return v
+
+
+def _zipf_weights(n: int) -> np.ndarray:
+    w = 1.0 / np.arange(1, n + 1, dtype=np.float64)
+    return w / w.sum()
+
+
+def _row_content(i: int, seed: int, vocab, weights) -> str:
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    n_tokens = int(rng.integers(50, 2001))
+    toks = list(rng.choice(vocab, size=n_tokens, p=weights))
+    # Inject golden phrases into a deterministic subset of rows so the
+    # reference query set has known hits.
+    if i % 97 == 0:
+        toks.extend(_GOLDEN_PHRASES[i % len(_GOLDEN_PHRASES)].split())
+    return " ".join(toks)
+
+
+def generate_code_corpus(
+    spark: SparkSession, n_rows: int, seed: int = 42, partitions: int = 32
+) -> DataFrame:
+    vocab = np.array(_vocab())
+    weights = _zipf_weights(len(vocab))
+
+    idx = spark.range(0, n_rows, 1, partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                i = int(i)
+                lang = _LANGS[i % len(_LANGS)]
+                content = _row_content(i, seed, vocab, weights)
+                rows.append(
+                    {
+                        "repo": f"org{i % 7}/repo{i % 23}",
+                        "path": f"src/mod{i % 11}/file_{i}.{_EXT[lang]}",
+                        "commit": hashlib.sha256(
+                            f"commit-{i}".encode()
+                        ).hexdigest()[:12],
+                        "lang": lang,
+                        "content": content,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    df = idx.mapInPandas(gen, schema)
+    return df.withColumn("sha256", F.sha2(F.col("content"), 256))

@@ -103,6 +103,17 @@ class SparseIndex:
     def avg_doc_len(self) -> float:
         return self.stats.avg_doc_len
 
+    def materialize(self) -> "SparseIndex":
+        """Persist the scoring relation so repeated queries don't re-run
+        tokenization (the reference holds its index in RAM,
+        sparse_retriever.py:199; persisted DataFrames are the Spark
+        analogue, spilling to disk when they don't fit)."""
+        self.flat = self.flat.persist()
+        self.doc_map = self.doc_map.persist()
+        self.terms = self.terms.persist()
+        self.flat.count()  # force
+        return self
+
 
 def assign_doc_ids(
     df: DataFrame, order_cols: List[str], doc_id_col: str = DOC_ID

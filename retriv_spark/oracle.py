@@ -1,0 +1,139 @@
+"""Self-contained numpy oracle for differential testing.
+
+Replicates the reference's exact numeric semantics —
+build_inverted_index.py:35-66 (CountVectorizer term-doc matrix, min_df
+pruning, float32 doc lengths) and bm25.py:16-59 / tf_idf.py:16-57 (float32
+TAAT accumulation in query-term order) — WITHOUT Spark, so any divergence
+between the Spark engine and the reference formulas is caught by tests.
+
+The reference itself cannot run in this environment (numba/sklearn/nltk are
+absent); this oracle plus the ported golden values stand in for it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .preprocessing import TextPreprocessor
+
+
+class NumpyOracle:
+    def __init__(
+        self,
+        collection: Sequence[dict],
+        pre: Optional[TextPreprocessor] = None,
+        min_df=1,
+    ):
+        self.pre = pre or TextPreprocessor()
+        self.ids = [d["id"] for d in collection]
+        token_lists = [self.pre(d["text"]) for d in collection]
+        n_docs = len(token_lists)
+
+        # document frequencies
+        dfreq: Dict[str, int] = {}
+        for toks in token_lists:
+            for t in set(toks):
+                dfreq[t] = dfreq.get(t, 0) + 1
+
+        if isinstance(min_df, float) and 0.0 < min_df < 1.0:
+            threshold = math.ceil(min_df * n_docs)
+        else:
+            threshold = int(min_df)
+        vocab = {t for t, c in dfreq.items() if c >= threshold}
+
+        # inverted index: term -> (doc_ids sorted asc, tfs)
+        self.inverted: Dict[str, tuple] = {}
+        per_doc_counts: List[Dict[str, int]] = []
+        for toks in token_lists:
+            c: Dict[str, int] = {}
+            for t in toks:
+                if t in vocab:
+                    c[t] = c.get(t, 0) + 1
+            per_doc_counts.append(c)
+        postings: Dict[str, List[tuple]] = {}
+        for i, c in enumerate(per_doc_counts):
+            for t, tf in c.items():
+                postings.setdefault(t, []).append((i, tf))
+        for t, plist in postings.items():
+            plist.sort()
+            self.inverted[t] = (
+                np.array([p[0] for p in plist], dtype=np.int32),
+                np.array([p[1] for p in plist], dtype=np.int32),
+            )
+
+        # doc lengths AFTER pruning (build_inverted_index.py:63)
+        self.doc_lens = np.array(
+            [sum(c.values()) for c in per_doc_counts], dtype=np.float32
+        )
+        self.relative_doc_lens = self.doc_lens / np.mean(
+            self.doc_lens, dtype=np.float32
+        )
+        self.doc_count = n_docs
+        self.vocabulary = set(self.inverted)
+
+    # -- scoring kernels (reference bm25.py:36-49, tf_idf.py:37-46) ----------
+
+    def _score_terms(self, query_terms: List[str], model, k1, b) -> np.ndarray:
+        scores = np.zeros(self.doc_count, dtype=np.float32)
+        for t in query_terms:
+            indices, freqs = self.inverted[t]
+            df = np.float32(len(indices))
+            if model == "bm25":
+                idf = np.float32(
+                    np.log(1.0 + (((self.doc_count - df) + 0.5) / (df + 0.5)))
+                )
+                scores[indices] += idf * (
+                    (freqs * (k1 + 1.0))
+                    / (freqs + k1 * (1.0 - b + (b * self.relative_doc_lens[indices])))
+                )
+            else:  # tf-idf
+                tf = freqs / self.doc_lens[indices]
+                idf = np.float32(
+                    np.log((1.0 + self.doc_count) / (1.0 + df)) + 1.0
+                )
+                scores[indices] += tf * idf
+        return scores
+
+    def search(
+        self,
+        query: str,
+        cutoff: int = 100,
+        operator: str = "OR",
+        model: str = "bm25",
+        k1: float = 1.2,
+        b: float = 0.75,
+        subset_ids: Optional[Sequence] = None,
+    ) -> Dict:
+        """Returns {orig_id: float32 score} canonically ordered by
+        (-score, doc_id)."""
+        query_terms = [t for t in self.pre(query) if t in self.vocabulary]
+        if not query_terms:
+            return {}
+        cand_sets = [set(self.inverted[t][0].tolist()) for t in query_terms]
+        if operator.upper() == "AND":
+            cand = set.intersection(*cand_sets)
+        else:
+            cand = set.union(*cand_sets)
+        if subset_ids is not None:
+            id_to_int = {orig: i for i, orig in enumerate(self.ids)}
+            cand &= {id_to_int[i] for i in subset_ids if i in id_to_int}
+        if not cand:
+            return {}
+        scores = self._score_terms(query_terms, model, k1, b)
+        cand_arr = np.array(sorted(cand), dtype=np.int64)
+        cand_scores = scores[cand_arr]
+        order = sorted(
+            range(len(cand_arr)), key=lambda j: (-cand_scores[j], cand_arr[j])
+        )[: int(cutoff)]
+        return {
+            self.ids[int(cand_arr[j])]: float(cand_scores[j]) for j in order
+        }
+
+    def msearch(self, queries, cutoff: int = 100, model="bm25", k1=1.2, b=0.75):
+        return {
+            q["id"]: self.search(q["text"], cutoff=cutoff, model=model, k1=k1, b=b)
+            for q in queries
+        }

@@ -92,6 +92,7 @@ class SparseRetriever:
         id_col: str = "id",
         order_cols: Optional[List[str]] = None,
         callback=None,
+        materialize: bool = True,
     ) -> "SparseRetriever":
         if isinstance(collection, DataFrame):
             df = collection
@@ -124,6 +125,8 @@ class SparseRetriever:
                 min_df=self.min_df,
                 doc_id_col_precomputed="__enum__",
             )
+        if materialize:
+            self.index_data.materialize()
         return self
 
     # -- query-side helpers ----------------------------------------------------

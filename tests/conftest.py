@@ -1,0 +1,40 @@
+import pytest
+
+from retriv_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="retriv-spark-tests", master="local[4]", shuffle_partitions=4
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def spark_module(spark):
+    return spark
+
+
+@pytest.fixture(scope="session")
+def shane_collection_module():
+    return _shane()
+
+
+def _shane():
+    # Ported verbatim from the reference golden suite
+    # (tests/sparse_retriever/search_engine_test.py:12-20).
+    return [
+        {"id": 1, "text": "Shane"},
+        {"id": 2, "text": "Shane C"},
+        {"id": 3, "text": "Shane P Connelly"},
+        {"id": 4, "text": "Shane Connelly"},
+        {"id": 5, "text": "Shane Shane Connelly Connelly"},
+        {"id": 6, "text": "Shane Shane Shane Connelly Connelly Connelly"},
+    ]
+
+
+@pytest.fixture
+def shane_collection():
+    return _shane()

@@ -1,0 +1,74 @@
+"""Ported from reference tests/sparse_retriever/text_normalization_test.py:12-36
+plus Spark-column-expression equivalence checks."""
+
+import pytest
+
+from retriv_spark.preprocessing import normalization as N
+
+
+def test_lowercasing():
+    assert N.lowercasing("hEllO") == "hello"
+
+
+def test_normalize_ampersand():
+    assert N.normalize_ampersand("black&sabbath") == "black and sabbath"
+
+
+def test_normalize_special_chars():
+    assert N.normalize_special_chars("‘’") == "''"
+    assert N.normalize_special_chars("“”") == '""'
+    assert N.normalize_special_chars("–") == "-"
+
+
+def test_normalize_acronyms():
+    assert N.normalize_acronyms("a.b.c.") == "abc"
+    assert N.normalize_acronyms("foo.bar") == "foo.bar"
+    assert N.normalize_acronyms("a.b@hello.com") == "a.b@hello.com"
+    assert N.normalize_acronyms("3.14") == "3.14"
+    assert N.normalize_acronyms("P.C.I.") == "PCI"
+
+
+def test_remove_punctuation():
+    assert N.remove_punctuation("foo.bar?") == "foo bar "
+
+
+def test_strip_whitespaces():
+    assert N.strip_whitespaces(" hello   world  ") == "hello world"
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "hEllO wOrLd",
+        "black&sabbath ‘quoted’ “here” – there",
+        "a.b.c. meets foo.bar and a.b@hello.com at 3.14",
+        "  lots   of, punct!? and   spaces  ",
+        "",
+    ],
+)
+def test_column_expressions_match_python(spark, text):
+    """The JVM-side column expressions are semantically identical to the
+    Python functions used inside UDFs/oracle."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(text,)], "t string")
+    expr = N.col_strip_whitespaces(
+        N.col_remove_punctuation(
+            N.col_normalize_acronyms(
+                N.col_normalize_special_chars(
+                    N.col_normalize_ampersand(N.col_lowercasing(F.col("t")))
+                )
+            )
+        )
+    )
+    got = df.select(expr.alias("o")).collect()[0]["o"]
+    want = N.strip_whitespaces(
+        N.remove_punctuation(
+            N.normalize_acronyms(
+                N.normalize_special_chars(
+                    N.normalize_ampersand(N.lowercasing(text))
+                )
+            )
+        )
+    )
+    assert got == want

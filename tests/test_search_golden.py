@@ -1,0 +1,95 @@
+"""Golden BM25 scores ported from the reference suite.
+
+Reference: /root/reference/tests/sparse_retriever/search_engine_test.py:23-111
+(6-doc Shane/Connelly collection; exact float32 scores under three
+(b, k1) settings at rel_tol 1e-6 — the reference's own tolerance, :7).
+The reference itself cannot run in this environment; these literals ARE
+the rank-identity contract of the north rule.
+"""
+
+from math import isclose
+
+import pytest
+
+from retriv_spark.oracle import NumpyOracle
+from retriv_spark.retriever import SparseRetriever
+
+REL_TOL = 1e-6
+
+GOLDEN_SEARCH = {
+    # (b, k1) -> {doc_id: score} for query "shane"
+    (0.5, 0): {i: 0.07410797 for i in range(1, 7)},
+    (0, 10): {1: 0.07410797, 2: 0.07410797, 3: 0.07410797,
+              4: 0.07410797, 5: 0.13586462, 6: 0.18812023},
+    (1, 5): {1: 0.16674294, 2: 0.10261103, 3: 0.07410797,
+             4: 0.10261103, 5: 0.10261103, 6: 0.10261105},
+}
+
+GOLDEN_Q2 = {
+    # (b, k1) -> {doc_id: score} for query "connelly"
+    (0.5, 0): {3: 0.44183275, 4: 0.44183275, 5: 0.44183275, 6: 0.44183275},
+    (0, 10): {3: 0.44183275, 4: 0.44183275, 5: 0.8100267, 6: 1.1215755},
+    (1, 5): {3: 0.44183275, 4: 0.6117684, 5: 0.6117684, 6: 0.6117684},
+}
+
+
+@pytest.fixture(scope="module")
+def retriever(spark_module, shane_collection_module):
+    sr = SparseRetriever(spark_module, hyperparams=dict(b=0.5, k1=0))
+    sr.index(shane_collection_module)
+    return sr
+
+
+@pytest.mark.parametrize("b,k1", [(0.5, 0), (0, 10), (1, 5)])
+def test_search_bm25_golden(retriever, b, k1):
+    retriever.hyperparams = dict(b=b, k1=k1)
+    results = retriever.search("shane", return_docs=False)
+    expected = GOLDEN_SEARCH[(b, k1)]
+    assert set(results) == set(expected)
+    for doc_id, score in expected.items():
+        assert isclose(results[doc_id], score, rel_tol=REL_TOL), (
+            doc_id, results[doc_id], score)
+
+
+@pytest.mark.parametrize("b,k1", [(0.5, 0), (0, 10), (1, 5)])
+def test_msearch_bm25_golden(retriever, b, k1):
+    retriever.hyperparams = dict(b=b, k1=k1)
+    queries = [{"id": "q_1", "text": "shane"}, {"id": "q_2", "text": "connelly"}]
+    results = retriever.msearch(queries)
+    for doc_id, score in GOLDEN_SEARCH[(b, k1)].items():
+        assert isclose(results["q_1"][doc_id], score, rel_tol=REL_TOL)
+    for doc_id, score in GOLDEN_Q2[(b, k1)].items():
+        assert isclose(results["q_2"][doc_id], score, rel_tol=REL_TOL)
+
+
+@pytest.mark.parametrize("b,k1", [(0.5, 0), (0, 10), (1, 5)])
+def test_oracle_matches_golden(shane_collection_module, b, k1):
+    """The numpy oracle replicates the reference kernels exactly; anchoring
+    it to the golden literals lets randomized differential tests stand in
+    for the (non-runnable) reference on arbitrary corpora."""
+    oracle = NumpyOracle(shane_collection_module)
+    res = oracle.search("shane", k1=k1, b=b)
+    for doc_id, score in GOLDEN_SEARCH[(b, k1)].items():
+        assert isclose(res[doc_id], score, rel_tol=REL_TOL)
+    res2 = oracle.search("connelly", k1=k1, b=b)
+    for doc_id, score in GOLDEN_Q2[(b, k1)].items():
+        assert isclose(res2[doc_id], score, rel_tol=REL_TOL)
+
+
+def test_empty_and_oov_queries(retriever):
+    retriever.hyperparams = dict(b=0.75, k1=1.2)
+    # all-OOV query -> {} (reference sparse_retriever.py:331-337)
+    res = retriever.msearch([{"id": "q", "text": "zzzzunknown wordzz"}])
+    assert res == {"q": {}}
+    # empty-after-preprocessing -> {}
+    res = retriever.msearch([{"id": "q", "text": "...   ..."}])
+    assert res == {"q": {}}
+
+
+def test_search_return_docs(retriever):
+    retriever.hyperparams = dict(b=0.75, k1=1.2)
+    out = retriever.search("shane connelly", return_docs=True, cutoff=3)
+    assert len(out) == 3
+    assert all({"id", "text", "score"} <= set(d) for d in out)
+    scores = [d["score"] for d in out]
+    assert scores == sorted(scores, reverse=True)

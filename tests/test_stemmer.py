@@ -1,0 +1,68 @@
+"""Porter2 stemmer: full-algorithm output vectors (hand-traced against the
+published Snowball English spec) + factory contract tests ported from
+reference tests/sparse_retriever/stemmer_test.py."""
+
+import pytest
+
+from retriv_spark.preprocessing import get_stemmer
+from retriv_spark.preprocessing.porter2 import porter2_stem
+
+VECTORS = {
+    # step 1a
+    "caresses": "caress", "ponies": "poni", "ties": "tie", "cats": "cat",
+    "masses": "mass", "witches": "witch",
+    # step 1b + short-word e restoration
+    "feed": "feed", "agreed": "agre", "motoring": "motor", "sing": "sing",
+    "hopping": "hop", "tanned": "tan", "falling": "fall", "hissing": "hiss",
+    "fizzed": "fizz", "failing": "fail", "filing": "file", "sized": "size",
+    # step 1c
+    "happy": "happi", "cry": "cri", "by": "by", "say": "say",
+    "connelly": "connelli",
+    # special words / invariants
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "ugly": "ugli", "early": "earli", "only": "onli", "sky": "sky",
+    "news": "news", "atlas": "atlas", "cosmos": "cosmos", "bias": "bias",
+    "andes": "andes", "inning": "inning", "outing": "outing",
+    "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+    # prefix-region specials
+    "generous": "generous", "generate": "generat", "general": "general",
+    "communism": "communism", "arsenal": "arsenal",
+    # short-word passthrough + lowering
+    "a": "a", "ab": "ab", "Shane": "shane", "RUNNING": "run",
+    # y-marking
+    "youth": "youth", "yearly": "year", "syntax": "syntax",
+    # misc full traces
+    "running": "run", "runner": "runner", "quickly": "quick",
+    "argument": "argument", "arguments": "argument",
+    "conditional": "condit", "electrical": "electr", "hopefulness": "hope",
+    "agreement": "agreement", "cement": "cement",
+}
+
+
+@pytest.mark.parametrize("word,expected", sorted(VECTORS.items()))
+def test_porter2_vectors(word, expected):
+    assert porter2_stem(word) == expected
+
+
+def test_factory_name():
+    assert get_stemmer("english")("witches") == "witch"
+
+
+def test_factory_none_identity():
+    assert get_stemmer(None)("witches") == "witches"
+
+
+def test_factory_callable_passthrough():
+    assert get_stemmer(lambda w: w[:3])("witches") == "wit"
+
+
+def test_factory_unknown_raises():
+    with pytest.raises(AssertionError):
+        get_stemmer("klingon")
+
+
+def test_idempotent_on_own_output_sample():
+    # Stemming is not mathematically idempotent in general, but these
+    # common stems are fixed points — guards accidental over-stemming.
+    for w in ("run", "file", "connelli", "witch", "mass", "shane"):
+        assert porter2_stem(porter2_stem(w)) == porter2_stem(w)
