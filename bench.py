@@ -1,0 +1,111 @@
+"""Benchmark harness: one JSON line with per-query wall times + headline
+throughput metrics (index-build docs/s, BM25 query qps).
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default all cores)
+  BENCH_QUERIES       comma-separated subset of catalog queries to time
+
+The headline metric mirrors the reference's published numbers
+(/root/reference/docs/speed.md): batch query throughput (qps) at cutoff
+100 plus index-build rate (docs/s), here over the sf documents table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "bm25_topk",
+    "tfidf_topk",
+    "fusion_minmax",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "token_count",
+    "fingerprint",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    names = os.environ.get("BENCH_QUERIES")
+    names = names.split(",") if names else HEADLINE
+
+    from retriv_spark.entry_queries import QUERIES, _build, _docs, _query_terms
+    from retriv_spark.search.scorer import score_query_terms
+    from retriv_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="retriv-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    timings = {}
+
+    # -- catalog queries (cold: includes any index build they need) ----------
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # -- headline: index build rate ------------------------------------------
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    idx = _build(spark, docs)
+    idx.materialize()
+    build_sec = time.perf_counter() - t0
+    timings["index_build"] = round(build_sec, 3)
+
+    # -- headline: batch query throughput (msearch over a warm index) --------
+    vocab = [r["term"] for r in idx.terms.orderBy("term").collect()]
+    import random
+
+    rng = random.Random(42)
+    n_queries = 512
+    batch = [
+        (f"bq{i}", " ".join(rng.sample(vocab, min(3, len(vocab)))))
+        for i in range(n_queries)
+    ]
+    qt = _query_terms(spark, batch)
+    t0 = time.perf_counter()
+    res = score_query_terms(idx, qt, model="bm25", cutoff=100)
+    n_res = res.count()
+    query_sec = time.perf_counter() - t0
+    timings["msearch_512"] = round(query_sec, 3)
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "index_build_docs_per_sec": round(n_docs / build_sec, 1),
+                "query_qps": round(n_queries / query_sec, 1),
+                "n_result_rows": n_res,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

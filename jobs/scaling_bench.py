@@ -1,0 +1,69 @@
+"""Two-parallelism scaling bench (sandbox stand-in for N vs 4N executors).
+
+Runs bench.py as subprocesses at local[N] and local[4N] on the SAME input
+and reports throughput at both plus scaling efficiency, appending the
+result table to BENCH/BASELINE.md (the north rule's >= 0.8 criterion,
+evidenced per the sandbox protocol — no real cluster available).
+
+Usage: python jobs/scaling_bench.py [sf_dir] [N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    lo = run_bench(sf_dir, n)
+    hi = run_bench(sf_dir, 4 * n)
+
+    rows = []
+    for metric in ("index_build_docs_per_sec", "query_qps"):
+        t_lo, t_hi = lo[metric], hi[metric]
+        eff = (t_hi / t_lo) / 4.0
+        rows.append((metric, t_lo, t_hi, round(t_hi / t_lo, 2), round(eff, 3)))
+
+    stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    lines = [
+        "",
+        f"## Scaling run {stamp} — {sf_dir}, local[{n}] vs local[{4*n}]",
+        "",
+        "| metric | local[{}] | local[{}] | speedup | efficiency (speedup/4) |".format(n, 4 * n),
+        "|---|---:|---:|---:|---:|",
+    ]
+    for metric, a, b, sp, eff in rows:
+        lines.append(f"| {metric} | {a} | {b} | {sp}x | {eff} |")
+    lines.append("")
+    lines.append(f"per-query seconds at local[{n}]: `{json.dumps(lo['queries'])}`")
+    lines.append(f"per-query seconds at local[{4*n}]: `{json.dumps(hi['queries'])}`")
+    lines.append("")
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "a") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+    print(f"\nwritten to {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Local replica of the driver's correctness gate: run every entry in
+``queries()`` against its ``oracle_sql()`` DuckDB statement at a given SF
+and compare row count, column names, and order-insensitive values.
+
+Usage: python jobs/validate_oracle.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def compare(name, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return f"SCHEMA MISMATCH spark={list(spark_pdf.columns)} duck={list(duck_pdf.columns)}"
+    if len(spark_pdf) != len(duck_pdf):
+        return f"ROWCOUNT MISMATCH spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    cols = sorted(spark_pdf.columns)
+    a = spark_pdf[cols].copy()
+    b = duck_pdf[cols].copy()
+    for c in cols:
+        a[c] = a[c].astype(str)
+        b[c] = b[c].astype(str)
+    a = a.sort_values(cols).reset_index(drop=True)
+    b = b.sort_values(cols).reset_index(drop=True)
+    if not a.equals(b):
+        neq = (a != b).any(axis=1)
+        diff = pd.concat(
+            [a[neq].head(5).add_prefix("spark_"), b[neq].head(5).add_prefix("duck_")],
+            axis=1,
+        )
+        return f"VALUE MISMATCH ({int(neq.sum())} rows)\n{diff.to_string()}"
+    return "OK"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from retriv_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"[FAIL] {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in sqls:
+            print(f"[rows-only] {name}: {len(spark_pdf)} rows")
+            continue
+        try:
+            duck_pdf = con.execute(sqls[name]).df()
+        except Exception as ex:
+            print(f"[FAIL] {name}: duckdb error: {str(ex)[:300]}")
+            failures += 1
+            continue
+        verdict = compare(name, spark_pdf, duck_pdf)
+        status = "ok" if verdict == "OK" else "FAIL"
+        print(f"[{status}] {name}: {len(spark_pdf)} rows {verdict if verdict != 'OK' else ''}")
+        if verdict != "OK":
+            failures += 1
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

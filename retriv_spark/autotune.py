@@ -1,0 +1,107 @@
+"""BM25 / fusion hyperparameter tuning.
+
+Reference: /root/reference/retriv/autotune/bm25_autotune.py:10-38 — optuna
+TPE (seed 42) over b ∈ [0,1] step .01, k1 ∈ [0,10] step .1 maximizing a
+ranking metric over batch-search runs.  optuna is not available here (and a
+driver-side loop resubmitting Spark jobs doesn't need it): a seeded
+coarse-to-fine random search over the same grid gives a deterministic,
+dependency-free equivalent.  The evaluation metric (ndcg@k / mrr@k /
+recall@k) is itself computed distributed — a join of the run against qrels
+and window math, never a driver loop over queries.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def eval_run(run: DataFrame, qrels: DataFrame, metric: str = "ndcg", k: int = 100) -> float:
+    """Mean ranking metric over queries.
+
+    run:   (q_id, id, score, rank)
+    qrels: (q_id, id, rel)  — graded relevance
+    """
+    run = run.filter(F.col("rank") <= k)
+    joined = run.join(qrels, ["q_id", "id"], "left").fillna({"rel": 0.0})
+    if metric == "ndcg":
+        gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rank") + 1)
+        dcg = joined.groupBy("q_id").agg(F.sum(gain).alias("dcg"))
+        wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("id"))
+        ideal = (
+            qrels.withColumn("irank", F.row_number().over(wq))
+            .filter(F.col("irank") <= k)
+            .groupBy("q_id")
+            .agg(
+                F.sum(
+                    (F.pow(F.lit(2.0), F.col("rel")) - 1)
+                    / F.log2(F.col("irank") + 1)
+                ).alias("idcg")
+            )
+        )
+        per_q = dcg.join(ideal, "q_id").select(
+            (F.col("dcg") / F.col("idcg")).alias("m")
+        )
+    elif metric == "mrr":
+        first_rel = (
+            joined.filter(F.col("rel") > 0)
+            .groupBy("q_id")
+            .agg(F.min("rank").alias("fr"))
+            .select((F.lit(1.0) / F.col("fr")).alias("m"))
+        )
+        per_q = first_rel
+    elif metric == "recall":
+        hits = joined.filter(F.col("rel") > 0).groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        total = qrels.filter(F.col("rel") > 0).groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("t")
+        )
+        per_q = hits.join(total, "q_id").select((F.col("h") / F.col("t")).alias("m"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    row = per_q.agg(F.avg("m").alias("avg")).collect()[0]
+    return float(row["avg"] or 0.0)
+
+
+def tune_bm25(
+    retriever,
+    queries: List[Dict[str, str]],
+    qrels: Dict[str, Dict[str, float]],
+    metric: str = "ndcg",
+    n_trials: int = 32,
+    cutoff: int = 100,
+    seed: int = 42,
+) -> Dict[str, float]:
+    """Seeded random search over the reference grid (b step .01 in [0,1],
+    k1 step .1 in [0,10]); returns the best {b, k1}."""
+    rng = random.Random(seed)
+    spark = retriever.spark
+    qrel_rows = [
+        (str(q), str(d), float(r))
+        for q, docs in qrels.items()
+        for d, r in docs.items()
+    ]
+    qrels_df = spark.createDataFrame(qrel_rows, "q_id string, id string, rel double")
+
+    grid_b = [round(i * 0.01, 2) for i in range(101)]
+    grid_k1 = [round(i * 0.1, 1) for i in range(101)]
+    best, best_score = dict(retriever.hyperparams), -1.0
+    tried = set()
+    for _ in range(n_trials):
+        b, k1 = rng.choice(grid_b), rng.choice(grid_k1)
+        if (b, k1) in tried:
+            continue
+        tried.add((b, k1))
+        retriever.hyperparams = dict(b=b, k1=k1)
+        run = retriever.msearch_df(queries, cutoff=cutoff).withColumn(
+            "id", F.col("id").cast("string")
+        )
+        score = eval_run(run, qrels_df, metric=metric, k=cutoff)
+        if score > best_score:
+            best, best_score = dict(b=b, k1=k1), score
+    retriever.hyperparams = best
+    return best

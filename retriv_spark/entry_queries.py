@@ -1,0 +1,747 @@
+"""Driver-contract query catalog: Spark implementations + DuckDB oracles.
+
+Each entry pairs a Spark DataFrame plan (the engine under test) with an
+ANSI-SQL statement computing the same relation, so the driver can verify
+row-count / schema / value-hash equality at sf=0.01.
+
+Numeric-parity rules used throughout:
+  * scores are computed in float64 on both sides and rounded to a fixed
+    number of decimals AFTER ranking (ranking uses deterministic
+    (-score, id) order; for cosine similarity the rounding happens before
+    ranking on both sides, identically);
+  * every hash is the portable md5-based 60-bit hash
+    (Spark ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+    ``('0x'||substr(md5(x),1,15))::BIGINT``);
+  * feature queries (quality, token counts, lang-id) expose integer/flag
+    columns only — no float-rounding hazards.
+
+The documents table text is whitespace-separated lowercase tokens, so the
+"plain" preprocessing config (whitespace tokenizer, no stemmer/stopwords)
+is exactly ``string_split_regex(trim(text), '\\s+')`` in SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .index.builder import DOC_ID, build_index
+from .merger import fuse
+from .ops.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+from .ops.similarity import brute_force_topk, lsh_topk
+from .ops.textstats import (
+    BPE_ISH_PATTERN,
+    _EN_STOP,
+    portable_hash64,
+    tokens_col,
+)
+from .preprocessing import TextPreprocessor
+from .search.scorer import score_query_terms
+
+# -- shared fixtures ---------------------------------------------------------
+
+# BM25 query set over the documents vocabulary (terms must be distinct
+# within each query so n_occ == 1 and the SQL oracle needs no query-side
+# term counting).
+BM25_QUERIES = [
+    ("q1", "spark join window"),
+    ("q2", "hash group order"),
+    ("q3", "customer line query"),
+    ("q4", "dup"),
+    ("q5", "fast slow merge sort"),
+]
+AND_QUERIES = [
+    ("q1", "spark join window"),
+    ("q2", "dup table"),
+]
+K1, B = 1.2, 0.75
+CUTOFF = 10
+
+
+def _plain_pre() -> TextPreprocessor:
+    return TextPreprocessor(
+        tokenizer="whitespace",
+        stemmer=None,
+        stopwords=None,
+        do_lowercasing=True,
+        do_ampersand_normalization=False,
+        do_special_chars_normalization=False,
+        do_acronyms_normalization=False,
+        do_punctuation_removal=False,
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _build(spark: SparkSession, docs: DataFrame, min_df=1):
+    return build_index(
+        spark, docs, _plain_pre(),
+        text_col="text", id_col="doc_id",
+        order_cols=["doc_id"], min_df=min_df,
+    )
+
+
+def _query_terms(spark: SparkSession, queries) -> DataFrame:
+    rows = [(qid, t, 1) for qid, text in queries for t in text.split()]
+    return spark.createDataFrame(rows, "q_id string, term string, n_occ int")
+
+
+def _ranked_search(
+    spark: SparkSession, sf_dir: str, queries, model: str,
+    operator: str = "OR", subset_filter=None,
+) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    idx = _build(spark, docs)
+    subset = None
+    if subset_filter is not None:
+        subset = idx.docs.filter(subset_filter).select(DOC_ID)
+    scored = score_query_terms(
+        idx, _query_terms(spark, queries),
+        model=model, k1=K1, b=B, cutoff=CUTOFF,
+        operator=operator, subset_doc_ids=subset,
+        precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .select(
+            "q_id",
+            F.col("doc_id"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+# SQL prelude shared by the BM25/TF-IDF oracles.
+def _sql_values(queries) -> str:
+    return ", ".join(
+        f"('{qid}', '{t}')" for qid, text in queries for t in text.split()
+    )
+
+
+def _bm25_sql(
+    queries, model: str = "bm25", operator: str = "OR",
+    extra_candidate_pred: str = "TRUE",
+) -> str:
+    if model == "bm25":
+        partial = (
+            "ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) "
+            f"* (tf.tf * ({K1} + 1.0)) "
+            f"/ (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))"
+        )
+    else:  # tf-idf (reference tf_idf.py:37-46)
+        partial = "(tf.tf / dl.dl) * (ln((1.0 + s.n) / (1.0 + d.df)) + 1.0)"
+    and_filter = (
+        "JOIN qn ON qn.q_id = scored.q_id WHERE scored.n_matched = qn.n_req"
+        if operator == "AND"
+        else ""
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(q_id, term) AS (VALUES {_sql_values(queries)}),
+qn AS (SELECT q_id, count(*) AS n_req FROM q GROUP BY 1),
+scored AS (
+  SELECT q.q_id, tf.doc_id,
+         sum({partial}) AS score,
+         count(*) AS n_matched
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN documents doc ON doc.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE {extra_candidate_pred}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT scored.q_id, scored.doc_id, scored.score,
+         row_number() OVER (
+           PARTITION BY scored.q_id
+           ORDER BY scored.score DESC, scored.doc_id ASC
+         ) AS rank
+  FROM scored {and_filter}
+)
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+
+_TOK_SQL = (
+    "SELECT doc_id, t.term FROM documents, "
+    "unnest(string_split_regex(trim(text), '\\s+')) AS t(term) "
+    "WHERE t.term <> ''"
+)
+
+_PH64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+# -- query catalog -----------------------------------------------------------
+
+
+def q_bm25_topk(spark, sf_dir):
+    return _ranked_search(spark, sf_dir, BM25_QUERIES, "bm25")
+
+
+def q_bm25_and(spark, sf_dir):
+    return _ranked_search(spark, sf_dir, AND_QUERIES, "bm25", operator="AND")
+
+
+def q_tfidf_topk(spark, sf_dir):
+    return _ranked_search(spark, sf_dir, BM25_QUERIES, "tf-idf")
+
+
+def q_bm25_filtered(spark, sf_dir):
+    """Metadata-filtered search (AdvancedRetriever analog): candidates
+    restricted to lang='en'; collection stats stay global."""
+    return _ranked_search(
+        spark, sf_dir, BM25_QUERIES, "bm25",
+        subset_filter=F.col("lang") == "en",
+    )
+
+
+def q_postings_stats(spark, sf_dir):
+    idx = _build(spark, _docs(spark, sf_dir))
+    return (
+        idx.flat.groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        )
+        .orderBy("term")
+    )
+
+
+def q_doc_lens(spark, sf_dir):
+    idx = _build(spark, _docs(spark, sf_dir))
+    avgdl = idx.stats.avg_doc_len_f64
+    return idx.doc_lens.select(
+        F.col(DOC_ID).alias("doc_id"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.round(F.col("doc_len").cast("double") / F.lit(avgdl), 4).alias("rel_dl"),
+    ).orderBy("doc_id")
+
+
+def q_vocab_min_df(spark, sf_dir):
+    idx = _build(spark, _docs(spark, sf_dir), min_df=30)
+    return idx.terms.select("term", "df").orderBy("term")
+
+
+def q_metadata_filter(spark, sf_dir):
+    """Pure predicate surface (AdvancedRetriever filters → WHERE)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(
+            (F.col("lang").isin("en", "fr"))
+            & F.col("n_chars").between(150, 400)
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_fusion_minmax(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    idx = _build(spark, docs)
+    qt = _query_terms(spark, BM25_QUERIES)
+    runs = []
+    for model in ("bm25", "tf-idf"):
+        scored = score_query_terms(
+            idx, qt, model=model, k1=K1, b=B, cutoff=20, precision="float64"
+        )
+        runs.append(
+            scored.join(idx.doc_map, DOC_ID).select(
+                "q_id", F.col("doc_id").alias("id"), "score"
+            )
+        )
+    fused = fuse(runs, norm="min-max", weights=[0.7, 0.3], cutoff=CUTOFF)
+    return fused.select(
+        "q_id",
+        F.col("id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
+def q_dedup_exact(spark, sf_dir):
+    groups = exact_dedup_groups(_docs(spark, sf_dir))
+    return groups.select("content_hash", "keep_id", "n_members").orderBy(
+        "content_hash"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=3, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=16, bands=4, k=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark, sf_dir):
+    return simhash_signature(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "simhash"
+    ).orderBy("doc_id")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_topk(emb, queries, k=5).select(
+        "q_id", "vec_id", "cos", "rank"
+    ).orderBy("q_id", "rank")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_topk(emb, queries, k=5, n_bits=8).select(
+        "q_id", "vec_id", "cos", "rank"
+    ).orderBy("q_id", "rank")
+
+
+def q_token_count(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_quality_features(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOP])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    mean_tok_len = (F.length("text") - (n_tokens - 1)) / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop_distinct"),
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), 1).otherwise(0).alias("len_ok"),
+        F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1).otherwise(0).alias("shape_ok"),
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOP])
+    hits = F.size(F.array_intersect(toks, stop_arr))
+    return docs.select(
+        "doc_id",
+        F.when(hits >= 3, F.lit("en"))
+        .when(hits >= 1, F.lit("maybe_en"))
+        .otherwise(F.lit("unk"))
+        .alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 5), " "),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(grams, portable_hash64)).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_topk": q_bm25_topk,
+    "bm25_and": q_bm25_and,
+    "tfidf_topk": q_tfidf_topk,
+    "bm25_filtered": q_bm25_filtered,
+    "postings_stats": q_postings_stats,
+    "doc_lens": q_doc_lens,
+    "vocab_min_df": q_vocab_min_df,
+    "metadata_filter": q_metadata_filter,
+    "fusion_minmax": q_fusion_minmax,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "token_count": q_token_count,
+    "quality_features": q_quality_features,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+}
+
+
+# -- oracle SQL ---------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _EN_STOP) + "]"
+
+ORACLE_SQL: Dict[str, str] = {
+    "bm25_topk": _bm25_sql(BM25_QUERIES, "bm25"),
+    "bm25_and": _bm25_sql(AND_QUERIES, "bm25", operator="AND"),
+    "tfidf_topk": _bm25_sql(BM25_QUERIES, "tf-idf"),
+    "bm25_filtered": _bm25_sql(
+        BM25_QUERIES, "bm25", extra_candidate_pred="doc.lang = 'en'"
+    ),
+    "postings_stats": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+       max(tf)::BIGINT AS max_tf
+FROM tf GROUP BY term ORDER BY term
+""",
+    "doc_lens": """
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok GROUP BY 1),
+stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM dl)
+SELECT doc_id, doc_len, round(doc_len / s.avgdl, 4) AS rel_dl
+FROM dl CROSS JOIN stats s ORDER BY doc_id
+""",
+    "vocab_min_df": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+HAVING count(*) >= 30 ORDER BY term
+""",
+    "metadata_filter": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang IN ('en', 'fr') AND n_chars BETWEEN 150 AND 400
+ORDER BY doc_id
+""",
+    "fusion_minmax": None,  # filled below (long)
+    "dedup_exact": """
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_members
+FROM documents GROUP BY 1 ORDER BY content_hash
+""",
+    "dedup_ngram_jaccard": """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+sh0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM sh0
+),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b,
+         round(n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+""",
+    "dedup_minhash_lsh": f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+sh0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM sh0
+),
+sig AS (
+  SELECT doc_id, j,
+         min({_PH64.format(x="shingle || '#' || j::TEXT")}) AS v
+  FROM sh CROSS JOIN range(0, 16) AS rj(j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(v::TEXT, ',' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // 4
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_match
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.id_a, c.id_b, c.n_bands_match,
+         round(
+           sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 16.0, 4
+         ) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, n_bands_match, est_jaccard FROM est ORDER BY id_a, id_b
+""",
+    "simhash": f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS w FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, term, w, {_PH64.format(x="term")} AS hash FROM tf),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (hash >> b.b) & 1 = 1 THEN w ELSE -w END) AS acc
+  FROM h CROSS JOIN range(0, 60) AS b(b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN acc > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+         AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+""",
+    "ann_cosine_topk": """
+WITH fe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fe GROUP BY 1),
+q AS (SELECT * FROM fe WHERE vec_id < 5),
+dots AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+  FROM q JOIN fe e ON e.i = q.i AND e.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT d.q_id, d.vec_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.q_id
+  JOIN nrm nb ON nb.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank
+  FROM cosd
+)
+SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+    "ann_lsh_topk": """
+WITH bk AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(generate_series(1, 8),
+           d -> CASE WHEN embedding[d] > 0
+                THEN (1::BIGINT << (8 - d)) ELSE 0::BIGINT END))::BIGINT
+           AS bucket
+  FROM embeddings
+),
+fe AS (
+  SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM bk
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fe GROUP BY 1),
+q AS (SELECT * FROM fe WHERE vec_id < 5),
+dots AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+  FROM q JOIN fe e ON e.i = q.i AND e.bucket = q.bucket
+              AND e.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT d.q_id, d.vec_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.q_id
+  JOIN nrm nb ON nb.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank
+  FROM cosd
+)
+SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+    "token_count": f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> t <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+""",
+    "quality_features": f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         len(list_intersect(toks, {_STOP_SQL})) AS n_stop_distinct,
+         (n_chars - (len(toks) - 1))::DOUBLE / len(toks) AS mtl
+  FROM t
+)
+SELECT doc_id, n_tokens, n_stop_distinct,
+       CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1 ELSE 0 END
+         AS len_ok,
+       CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1 ELSE 0 END AS shape_ok
+FROM f ORDER BY doc_id
+""",
+    "lang_id": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_intersect(
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+           {_STOP_SQL})) AS hits
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hits >= 3 THEN 'en'
+            WHEN hits >= 1 THEN 'maybe_en'
+            ELSE 'unk' END AS lang_pred
+FROM t ORDER BY doc_id
+""",
+    "fingerprint": f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+sh0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
+  FROM tok
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
+  FROM sh0
+)
+SELECT doc_id, min({_PH64.format(x="shingle")}) AS fingerprint
+FROM sh GROUP BY doc_id ORDER BY doc_id
+""",
+}
+
+ORACLE_SQL["fusion_minmax"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(q_id, term) AS (VALUES {_sql_values(BM25_QUERIES)}),
+base AS (
+  SELECT q.q_id, tf.doc_id, tf.tf, d.df, dl.dl, s.n, s.avgdl
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT q_id, doc_id,
+         sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf * ({K1} + 1.0))
+             / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score
+  FROM base GROUP BY 1, 2
+),
+tfidf AS (
+  SELECT q_id, doc_id,
+         sum((tf / dl) * (ln((1.0 + n) / (1.0 + df)) + 1.0)) AS score
+  FROM base GROUP BY 1, 2
+),
+run1 AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM bm25
+),
+run2 AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM tfidf
+),
+n1 AS (
+  SELECT q_id, doc_id,
+         0.7 * (score - min(score) OVER (PARTITION BY q_id))
+           / greatest(max(score) OVER (PARTITION BY q_id)
+                      - min(score) OVER (PARTITION BY q_id), 1e-9) AS score
+  FROM run1 WHERE rank <= 20
+),
+n2 AS (
+  SELECT q_id, doc_id,
+         0.3 * (score - min(score) OVER (PARTITION BY q_id))
+           / greatest(max(score) OVER (PARTITION BY q_id)
+                      - min(score) OVER (PARTITION BY q_id), 1e-9) AS score
+  FROM run2 WHERE rank <= 20
+),
+fused AS (
+  SELECT q_id, doc_id, sum(score) AS score
+  FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM fused
+)
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+"""

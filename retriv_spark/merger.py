@@ -1,0 +1,85 @@
+"""Score normalization + weighted fusion of retrieval runs.
+
+Reference: /root/reference/retriv/merger/normalization.py:20-74 (min-max /
+max / sum norms, per-query, eps 1e-9) and merger/merger.py:17-50 (weighted
+sum over normalized runs, (-score, doc_id) tiebreak, cutoff).  Re-expressed
+as window aggregations over result DataFrames ``(q_id, id, score)`` — the
+per-query min/max/sum are `Window.partitionBy(q_id)` aggregates, fusion is
+a `unionByName` + `groupBy` — so fusing N runs is one shuffle keyed on
+(q_id, id) regardless of N.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EPS = 1e-9  # reference normalization.py: max(denominator, 1e-9)
+
+
+def _wq():
+    return Window.partitionBy("q_id")
+
+
+def min_max_norm(run: DataFrame, score_col: str = "score") -> DataFrame:
+    """(s - min) / max(max - min, eps) per query (normalization.py:20-36)."""
+    w = _wq()
+    s = F.col(score_col)
+    denom = F.greatest(F.max(s).over(w) - F.min(s).over(w), F.lit(EPS))
+    return run.withColumn(score_col, (s - F.min(s).over(w)) / denom)
+
+
+def max_norm(run: DataFrame, score_col: str = "score") -> DataFrame:
+    """s / max(max, eps) per query (normalization.py:39-54)."""
+    w = _wq()
+    s = F.col(score_col)
+    return run.withColumn(
+        score_col, s / F.greatest(F.max(s).over(w), F.lit(EPS))
+    )
+
+
+def sum_norm(run: DataFrame, score_col: str = "score") -> DataFrame:
+    """(s - min) / max(sum(s - min), eps) per query (normalization.py:57-74)."""
+    w = _wq()
+    s = F.col(score_col)
+    mn = F.min(s).over(w)
+    denom = F.greatest(F.sum(s - mn).over(w), F.lit(EPS))
+    return run.withColumn(score_col, (s - mn) / denom)
+
+
+_NORMS = {"min-max": min_max_norm, "max": max_norm, "sum": sum_norm}
+
+
+def fuse(
+    runs: Sequence[DataFrame],
+    norm: str = "min-max",
+    weights: Optional[List[float]] = None,
+    cutoff: int = 100,
+) -> DataFrame:
+    """Normalize each run per query, weighted-sum per (q_id, id), rank by
+    (-score, id), cut to ``cutoff`` (merger.py:17-50; default weights 1.0).
+
+    Each run is a DataFrame (q_id, id, score).
+    Returns (q_id, id, score, rank).
+    """
+    if norm not in _NORMS:
+        raise ValueError(f"unknown norm {norm!r}; one of {sorted(_NORMS)}")
+    weights = weights or [1.0] * len(runs)
+    assert len(weights) == len(runs)
+    normed = [
+        _NORMS[norm](r.select("q_id", "id", "score")).withColumn(
+            "score", F.col("score") * F.lit(float(w))
+        )
+        for r, w in zip(runs, weights)
+    ]
+    allruns = normed[0]
+    for r in normed[1:]:
+        allruns = allruns.unionByName(r)
+    fused = allruns.groupBy("q_id", "id").agg(F.sum("score").alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cutoff)
+    )

@@ -1,0 +1,8 @@
+"""Large-scale training-data operators built on the same engine primitives:
+deduplication, similarity search, text analysis, multimodal plumbing.
+
+All operators are expressed with JVM-side built-in functions wherever the
+semantics allow (whole-stage codegen, no Python in the hot path); pandas
+UDFs only where genuinely required (SimHash bit packing, multimodal
+decode).
+"""

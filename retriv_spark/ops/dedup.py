@@ -1,0 +1,298 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (the whole point of these shapes):
+  * exact dedup      — one hash-keyed shuffle; the digest (16 B) shuffles,
+                       never the document body.
+  * minhash LSH      — signatures are computed per-row (narrow); the only
+                       shuffle is on (band, band_hash) buckets whose
+                       fan-out is bounded by band count; candidate
+                       verification joins only bucket-colliding pairs, so
+                       the O(n²) all-pairs comparison never materializes.
+  * n-gram Jaccard   — exposed as (a) exact pair scoring for candidate
+                       pairs and (b) an inverted-index join (shingle →
+                       docs) for small/medium corpora; at 100 TB you run
+                       minhash first and Jaccard only on candidates.
+  * simhash          — per-row 64-bit signature via one Arrow-batched
+                       pandas UDF (bit packing is genuinely not column
+                       algebra); hamming-band bucketing for candidates.
+
+All hashes go through ``portable_hash64`` (md5-based) so every step is
+reproducible in ANSI SQL for oracle checks — swap in xxhash64 for raw
+speed in production (same plan shape).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .textstats import portable_hash64, tokens_col
+
+
+# -- exact ---------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: (content_hash, keep_id, n_members).
+
+    keep_id = min id per group (deterministic survivor). One shuffle keyed
+    on the 256-bit digest — uniformly distributed, skew-free by
+    construction.
+    """
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Return the deduplicated rows (the survivor of each exact group)."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# -- shingles ------------------------------------------------------------
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column (array<string>)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with k-gram Jaccard >= threshold via a
+    shingle inverted-index join: explode shingles, self-join on shingle,
+    count per pair = |A∩B|, then |A∪B| = |A|+|B|-|A∩B|.
+
+    The shuffle key is the shingle, so common shingles are the skew risk —
+    at scale, drop shingles with document frequency above a cap first
+    (they contribute pairs that minhash would find anyway).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), k).alias("sh"),
+    ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+
+    a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return inter.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# -- minhash + LSH ---------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — sig[i] = min over shingles of
+    portable_hash64(shingle || '#i').  Pure column algebra (transform +
+    array_min); narrow, no shuffle, no Python."""
+    sh = shingles_col(F.col(text_col), k)
+
+    def _seeded(seed: int):
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # passes the array index to a second parameter if present.
+        suffix = F.lit(f"#{seed}")
+        return lambda s: portable_hash64(F.concat(s, suffix))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, _seeded(i)))
+            for i in range(n_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    rows_per_band = n_hashes / bands; two docs are candidates iff some
+    band's hash-slice matches exactly. Returns (id_a, id_b, n_bands_match,
+    est_jaccard) where est_jaccard = matching signature positions /
+    n_hashes (the unbiased minhash Jaccard estimator).
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, n_hashes, k)
+
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
+                        ).alias("band_key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_key"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_key"
+    )
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_match"),
+            F.first("sig_a").alias("sig_a"),
+            F.first("sig_b").alias("sig_b"),
+        )
+    )
+    eq_positions = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_bands_match",
+        F.round(eq_positions / F.lit(float(n_hashes)), 4).alias("est_jaccard"),
+    )
+
+
+# -- simhash ---------------------------------------------------------------
+
+
+def simhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash) — classic Charikar simhash over whitespace tokens,
+    weighted by term frequency, token hashed with the portable md5 hash
+    (only the low ``bits`` bits are used; default 60 effective bits from
+    the 15-hex-digit portable hash).
+
+    Bit packing is the one genuinely non-relational step → a vectorized
+    pandas UDF over the token arrays (Arrow in, numpy bit ops inside).
+    """
+    eff_bits = min(bits, 60)
+
+    @pandas_udf("long")
+    def _simhash(tok_lists: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(tok_lists), dtype=np.int64)
+        for row_i, toks in enumerate(tok_lists):
+            if toks is None or len(toks) == 0:
+                continue
+            acc = np.zeros(eff_bits, dtype=np.int64)
+            counts: dict = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t, w in counts.items():
+                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                bits_arr = (h >> np.arange(eff_bits)) & 1
+                acc += np.where(bits_arr == 1, w, -w)
+            sig = int(((acc > 0).astype(np.int64) << np.arange(eff_bits)).sum())
+            out[row_i] = sig
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        _simhash(tokens_col(F.col(text_col))).alias("simhash"),
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_hamming, found via
+    the block-permutation trick: split the signature into ``n_blocks``
+    blocks; any pair within distance < n_blocks shares at least one exact
+    block (pigeonhole) — join per block, verify hamming on candidates."""
+    sigs = simhash_signature(df, text_col, id_col)
+    width = 60 // n_blocks
+    blocked = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), bi * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("block_val"),
+                    )
+                    for bi in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.block").alias("block"), F.col("b.block_val").alias("block_val"))
+    a = blocked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block", "block_val")
+    b = blocked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "block", "block_val")
+    cand = (
+        a.join(b, ["block", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

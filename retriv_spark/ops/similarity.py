@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline: a broadcast join of
+the (small) query set against the full corpus with the dot product as
+column algebra (`zip_with` + `aggregate`) — no Python in the loop, scales
+linearly in corpus size, shuffle-free except the final per-query top-k.
+
+The scale path buckets vectors with a sign-bit LSH (axis projections here;
+swap the projection matrix for seeded random hyperplanes in production —
+same plan), probes only matching buckets, and falls back to brute force
+within the bucket.  An IVF variant (k-means coarse quantizer) would slot
+into the same bucket-join shape.
+
+Embedding near-dup dedup = same machinery with a distance threshold
+instead of top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, scan the corpus once.
+
+    Returns (q_id, vec_id, cos, rank). Deterministic tiebreak
+    (-cos, vec_id). The corpus side never shuffles — the only wide stage is
+    the per-query top-k, whose input is already cut to candidates.
+    """
+    q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")))
+    joined = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")).crossJoin(q)
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("q_id"))
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_sim(F.col("emb"), F.col("q_vec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def signbit_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the first ``n_bits`` dimensions
+    (dim 1 = most significant bit; binary fold acc*2 + bit).
+
+    Axis-aligned hyperplanes — deterministic and SQL-reproducible. For
+    isotropic embeddings replace with seeded random projections (matrix
+    broadcast, same column shape).
+    """
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_bits)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(F.element_at(vec, i) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket only, then exact
+    cosine within the bucket. Bucket join replaces the cross join — at 1000
+    executors the corpus is hash-partitioned by bucket and each query
+    probes one partition's slice instead of the full corpus."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(q_vec_col).alias("q_vec"),
+            signbit_bucket(F.col(q_vec_col), n_bits).alias("bucket"),
+        )
+    )
+    joined = c.join(q, "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("q_id"))
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_sim(F.col("emb"), F.col("q_vec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.98,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cos >= threshold) via bucketed
+    self-join: only same-bucket pairs are compared. Returns
+    (id_a, id_b, cos)."""
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("emb"),
+        signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a = c.select(F.col("id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket")
+    b = c.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-ratio heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (shingle
+min-hash / winnowing-lite).  Everything is built-in `pyspark.sql.functions`
+column algebra — no Python UDFs — so the whole pipeline stays inside
+whole-stage codegen and scales linearly with input splits (narrow
+transformations only; zero shuffles except explicit groupBys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Compact English stopword subset used by the heuristics. (The full
+# reference-parity list lives in retriv_spark.preprocessing.stopwords and
+# drives indexing; this one only feeds the quality/lang heuristics.)
+_EN_STOP = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (matches the engine's whitespace
+    tokenizer, reference tokenizer.py:7-12)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per row."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        "*",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / mean-token-length / stopword-ratio quality features.
+
+    quality = 0.4*len_ok + 0.3*stopword_signal + 0.3*token_shape — a
+    deterministic, explainable score in [0,1] (the standard cheap filters a
+    pretraining pipeline applies before expensive model-based scoring).
+    """
+    toks = tokens_col(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOP])
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        (n_chars - (n_tokens - 1)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    shape_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
+    stop_signal = F.least(stop_ratio * 4.0, F.lit(1.0))
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            0.4 * len_ok + 0.3 * stop_signal + 0.3 * shape_ok, 4
+        ).alias("quality"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: distinct-English-stopword hits over tokens.
+
+    A real pipeline swaps in fastText/CLD3; the operator contract (narrow,
+    per-row, no shuffle) is what matters at 100 TB.
+    """
+    toks = tokens_col(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOP])
+    hits = F.size(F.array_intersect(toks, stop_arr))
+    return df.select(
+        "*",
+        F.when(hits >= 3, F.lit("en"))
+        .when(hits >= 1, F.lit("maybe_en"))
+        .otherwise(F.lit("unk"))
+        .alias("lang_pred"),
+    )
+
+
+def portable_hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash shared with SQL oracles:
+    first 15 hex chars of md5 parsed base-16 (DuckDB:
+    ``('0x'||substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", shingle: int = 5
+) -> DataFrame:
+    """Winnowing-lite document fingerprint: the minimum portable hash over
+    all word ``shingle``-grams (a rolling-hash selector; min-sampling makes
+    it order-invariant and near-dup-stable)."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - shingle + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, shingle), " "),
+    )
+    hashes = F.transform(grams, portable_hash64)
+    return df.select("*", F.array_min(hashes).alias("fingerprint"))

@@ -39,6 +39,7 @@ from ..index.builder import DOC_ID
 def bm25_partial(
     tf: Column, df: Column, rel_dl: Column, doc_count: int, k1: float, b: float,
     precision: str = "float32",
+    rel_dl_f64: Optional[Column] = None,
 ) -> Column:
     """Per-(term, doc) BM25 contribution (Lucene-style idf).
 
@@ -55,7 +56,10 @@ def bm25_partial(
     else:
         df_d = df.cast("double")
         idf = F.log(F.lit(1.0) + ((N - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))))
-        rel = rel_dl
+        # full-float64 mode must not inherit the float32-rounded rel_dl —
+        # it exists so results can be cross-checked against float64 SQL
+        # oracles (DuckDB) digit-for-digit.
+        rel = rel_dl_f64 if rel_dl_f64 is not None else rel_dl
     tf_d = tf.cast("double")
     k1l, bl = F.lit(float(k1)), F.lit(float(b))
     return idf * (tf_d * (k1l + F.lit(1.0))) / (
@@ -113,9 +117,13 @@ def score_query_terms(
     joined = flat.join(qt, "term")
 
     if model == "bm25":
+        rel_dl_f64 = None
+        if precision != "float32":
+            avgdl = getattr(index.stats, "avg_doc_len_f64", None) or index.avg_doc_len
+            rel_dl_f64 = F.col("doc_len").cast("double") / F.lit(float(avgdl))
         partial = bm25_partial(
             F.col("tf"), F.col("df"), F.col("rel_dl"),
-            index.doc_count, k1, b, precision,
+            index.doc_count, k1, b, precision, rel_dl_f64=rel_dl_f64,
         )
     elif model in ("tf-idf", "tfidf"):
         partial = tfidf_partial(

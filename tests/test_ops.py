@@ -1,0 +1,152 @@
+"""Tests for the training-data operators (dedup, similarity, textstats)
+against hand-computed / numpy-computed expectations."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+from retriv_spark.ops.similarity import brute_force_topk, lsh_topk
+from retriv_spark.ops.textstats import (
+    portable_hash64,
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different text about spark and scale"),
+        (4, "x y"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_portable_hash64_matches_python(spark):
+    df = spark.createDataFrame([("hello",)], "s string")
+    got = df.select(portable_hash64(F.col("s")).alias("h")).collect()[0]["h"]
+    expected = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    assert got == expected
+
+
+def test_exact_dedup(docs_df):
+    groups = exact_dedup_groups(docs_df).collect()
+    by_n = sorted([g["n_members"] for g in groups])
+    assert by_n == [1, 1, 1, 2]
+    dup_group = [g for g in groups if g["n_members"] == 2][0]
+    assert dup_group["keep_id"] == 0
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs_df).collect())
+    assert kept == [0, 1, 3, 4]
+
+
+def test_ngram_jaccard(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, k=3, threshold=0.1).collect()
+    }
+    # docs 0 and 2 identical -> jaccard 1.0
+    assert pairs[(0, 2)] == 1.0
+    # docs 0 and 1 differ in last word: 7 shingles each, 6 shared
+    assert math.isclose(pairs[(0, 1)], round(6 / 8, 4))
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_neardups(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_lsh_pairs(docs_df, n_hashes=16, bands=4, k=3).collect()
+    }
+    exact = pairs[(0, 2)]
+    assert exact["n_bands_match"] == 4 and exact["est_jaccard"] == 1.0
+    assert (0, 1) in pairs  # near-dup caught by at least one band
+    assert (0, 3) not in pairs
+
+
+def test_minhash_signature_deterministic(docs_df):
+    s1 = minhash_signature(docs_df, n_hashes=8).orderBy("id").collect()
+    s2 = minhash_signature(docs_df.repartition(5), n_hashes=8).orderBy("id").collect()
+    assert [r["sig"] for r in s1] == [r["sig"] for r in s2]
+
+
+def test_simhash_properties(docs_df):
+    sigs = {r["id"]: r["simhash"] for r in simhash_signature(docs_df).collect()}
+    assert sigs[0] == sigs[2]  # identical docs -> identical signature
+    # near-dups 0/1 within small hamming distance; unrelated 0/3 far
+    ham01 = bin(sigs[0] ^ sigs[1]).count("1")
+    ham03 = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham01 < ham03
+    # python replica of the signature definition
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    counts = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    acc = np.zeros(60, dtype=np.int64)
+    for t, w in counts.items():
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        bits = (h >> np.arange(60)) & 1
+        acc += np.where(bits == 1, w, -w)
+    expected = int(((acc > 0).astype(np.int64) << np.arange(60)).sum())
+    assert sigs[0] == expected
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_matches_numpy(emb_df):
+    pdf = emb_df.toPandas().sort_values("vec_id")
+    mat = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    q = emb_df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = brute_force_topk(emb_df, q, k=5).orderBy("q_id", "rank").collect()
+    for qid in (0, 1):
+        cos = mat @ mat[qid] / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[qid])
+        )
+        cos[qid] = -np.inf  # exclude self
+        order = np.argsort(np.round(-cos, 6), kind="stable")[:5]
+        got_q = [r["vec_id"] for r in got if r["q_id"] == qid]
+        assert got_q == [int(i) for i in order]
+
+
+def test_lsh_topk_subset_of_bucket(emb_df):
+    q = emb_df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    rows = lsh_topk(emb_df, q, k=5, n_bits=4).collect()
+    assert all(r["vec_id"] != r["q_id"] for r in rows)
+    assert len(rows) > 0
+
+
+def test_textstats(docs_df):
+    tc = {r["doc_id"]: r for r in with_token_counts(docs_df).collect()}
+    assert tc[0]["n_ws_tokens"] == 9
+    assert tc[4]["n_ws_tokens"] == 2
+    q = {r["doc_id"]: r for r in with_quality_score(docs_df).collect()}
+    assert q[4]["quality"] < q[0]["quality"]
+    lang = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(docs_df).collect()}
+    # doc 0 has 2 distinct stopword hits ("the", "over") -> maybe_en
+    assert lang[0] == "maybe_en" and lang[4] == "unk"
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs_df).collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[3]
