@@ -1,0 +1,95 @@
+"""spark-submit entry point: build the packed inverted index.
+
+Examples:
+  spark-submit --py-files retriv_spark.zip jobs/build_index.py \
+      --input /data/code_corpus --output /indexes/code --text-col content \
+      --order-cols repo,path,commit --n-shards 4096 --verify-sha256 sha256
+
+  python jobs/build_index.py --synthetic 100000 --output /tmp/idx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet path of the document table")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic source-code rows instead")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--id-col", default=None,
+                    help="unique id column; defaults to path-style composite")
+    ap.add_argument("--order-cols", default=None,
+                    help="comma-separated deterministic enumeration order")
+    ap.add_argument("--min-df", type=float, default=1)
+    ap.add_argument("--n-shards", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--verify-sha256", default=None,
+                    help="column with expected sha256 of the text column")
+    ap.add_argument("--stemmer", default="english")
+    ap.add_argument("--stopwords", default="english")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from retriv_spark.index.packed import build_packed_index
+    from retriv_spark.preprocessing import TextPreprocessor
+    from retriv_spark.session import get_spark
+
+    spark = get_spark(app_name="retriv-build-index")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic:
+        from retriv_spark.corpus import generate_code_corpus
+
+        docs = generate_code_corpus(spark, args.synthetic)
+        id_col = args.id_col or "__uri__"
+        if id_col == "__uri__":
+            docs = docs.withColumn(
+                "__uri__", F.concat_ws("@", "repo", "path", "commit")
+            )
+        order_cols = (
+            args.order_cols.split(",") if args.order_cols
+            else ["repo", "path", "commit"]
+        )
+        verify = args.verify_sha256 or "sha256"
+    else:
+        docs = spark.read.parquet(args.input)
+        id_col = args.id_col or docs.columns[0]
+        order_cols = args.order_cols.split(",") if args.order_cols else [id_col]
+        verify = args.verify_sha256
+
+    min_df = int(args.min_df) if args.min_df >= 1 else args.min_df
+    pre = TextPreprocessor(
+        stemmer=args.stemmer or None, stopwords=args.stopwords or None
+    )
+
+    t0 = time.perf_counter()
+    n_docs = docs.count()
+    idx = build_packed_index(
+        spark, docs, pre, args.output,
+        text_col=args.text_col, id_col=id_col, order_cols=order_cols,
+        min_df=min_df, n_shards=args.n_shards, resume=args.resume,
+        verify_sha256=verify,
+    )
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "docs": n_docs,
+        "seconds": round(dt, 2),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "n_shards": idx.manifest["n_shards"],
+        "output": args.output,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""spark-submit entry point: query a packed index.
+
+Examples:
+  spark-submit jobs/query.py --index /indexes/code --query "hash join" -k 10
+  python jobs/query.py --index /tmp/idx --queries-file qs.jsonl \
+      --kernel bmw --output /tmp/results
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", help="single query text")
+    ap.add_argument("--queries-file", help='JSONL of {"id":..., "text":...}')
+    ap.add_argument("-k", "--cutoff", type=int, default=100)
+    ap.add_argument("--operator", default="OR", choices=["OR", "AND"])
+    ap.add_argument("--model", default="bm25", choices=["bm25", "tf-idf"])
+    ap.add_argument("--kernel", default="taat", choices=["taat", "bmw"])
+    ap.add_argument("--k1", type=float, default=1.2)
+    ap.add_argument("--b", type=float, default=0.75)
+    ap.add_argument("--output", help="write results as JSONL instead of stdout")
+    args = ap.parse_args()
+
+    from retriv_spark.index.packed import load_packed_index
+    from retriv_spark.session import get_spark
+
+    spark = get_spark(app_name="retriv-query")
+    spark.sparkContext.setLogLevel("WARN")
+
+    idx = load_packed_index(spark, args.index)
+
+    if args.query:
+        queries = [{"id": "q0", "text": args.query}]
+    elif args.queries_file:
+        with open(args.queries_file) as f:
+            queries = [json.loads(line) for line in f if line.strip()]
+    else:
+        ap.error("one of --query / --queries-file is required")
+
+    t0 = time.perf_counter()
+    res = idx.msearch_df(
+        queries, cutoff=args.cutoff, operator=args.operator,
+        model=args.model, k1=args.k1, b=args.b, kernel=args.kernel,
+    )
+    if args.output:
+        res.write.mode("overwrite").json(args.output)
+        n = spark.read.json(args.output).count()
+    else:
+        rows = res.orderBy("q_id", "rank").collect()
+        n = len(rows)
+        for r in rows:
+            print(json.dumps({
+                "q_id": r["q_id"], "doc_id": r["doc_id"],
+                "score": r["score"], "rank": r["rank"],
+            }))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "queries": len(queries), "rows": n,
+        "seconds": round(dt, 3), "qps": round(len(queries) / dt, 1),
+    }), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

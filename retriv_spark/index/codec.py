@@ -1,0 +1,168 @@
+"""Posting-list codec: delta-gap + varint, with block metadata.
+
+North-rule format (BASELINE.json): posting lists stored as delta-gap +
+varint-compressed binary columns.  Everything here is pure numpy —
+vectorized encode/decode with no per-byte Python loops — so it runs inside
+Arrow-batched UDFs at full speed.
+
+Layout per (term, shard) segment:
+  doc_gaps  varint(doc_id[0] - shard_base, doc_id[i] - doc_id[i-1])
+  tfs       varint(tf[i])
+  rels      raw little-endian float32 (needed exactly for scoring; ints
+            compress, floats don't)
+  blocks    per 128 postings: first_doc, byte offsets into doc_gaps/tfs,
+            max_tf, min_rel — enough to decode any block independently
+            (block-max WAND skips whole blocks without decoding them).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+BLOCK = 128
+
+
+# -- varint ------------------------------------------------------------------
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint encode (vectorized). Values must be non-negative."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    nb = np.ones(v.shape, dtype=np.int64)
+    threshold = np.uint64(1 << 7)
+    for extra in range(1, 10):
+        nb += (v >= threshold).astype(np.int64)
+        if extra == 9:
+            break
+        threshold = np.uint64(1) << np.uint64(7 * (extra + 1))
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    total = int(ends[-1])
+    out = np.empty(total, dtype=np.uint8)
+    max_nb = int(nb.max())
+    for j in range(max_nb):
+        mask = nb > j
+        pos = starts[mask] + j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nb[mask] - 1) > j
+        out[pos] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Vectorized LEB128 decode -> uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = raw < 0x80
+    # value index for each byte: 0-based, increments after each terminator
+    val_idx = np.concatenate(([0], np.cumsum(is_last)[:-1]))
+    n_vals = int(is_last.sum())
+    starts = np.concatenate(([0], np.nonzero(is_last)[0][:-1] + 1))
+    pos_in_val = np.arange(raw.size, dtype=np.int64) - starts[val_idx]
+    contrib = (raw.astype(np.uint64) & np.uint64(0x7F)) << (
+        np.uint64(7) * pos_in_val.astype(np.uint64)
+    )
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, val_idx, contrib)
+    if count is not None:
+        assert n_vals == count, f"decoded {n_vals}, expected {count}"
+    return out
+
+
+# -- segment encode/decode -----------------------------------------------------
+
+
+def encode_segment(
+    doc_ids: np.ndarray, tfs: np.ndarray, rels: np.ndarray, shard_base: int = 0
+) -> dict:
+    """Encode one (term, shard) posting segment. ``doc_ids`` must be sorted
+    ascending and unique. Returns the column dict for the postings row."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    rels = np.asarray(rels, dtype=np.float32)
+    n = doc_ids.size
+    assert n > 0
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = doc_ids[0] - shard_base
+    gaps[1:] = np.diff(doc_ids)
+    assert (gaps[1:] > 0).all(), "doc_ids must be strictly increasing"
+
+    # per-block byte offsets: encode each block's slice independently is
+    # wasteful; instead encode once and record cumulative byte offsets at
+    # block boundaries (gap encoding restarts at each block with an
+    # absolute-from-base first doc so blocks decode independently).
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    block_first_doc = doc_ids[::BLOCK].copy()
+    # restart gaps at block starts (absolute from shard_base)
+    gaps[::BLOCK] = doc_ids[::BLOCK] - shard_base
+
+    doc_bufs, tf_bufs = [], []
+    doc_offs = np.zeros(n_blocks + 1, dtype=np.int64)
+    tf_offs = np.zeros(n_blocks + 1, dtype=np.int64)
+    block_max_tf = np.zeros(n_blocks, dtype=np.int64)
+    block_min_rel = np.zeros(n_blocks, dtype=np.float32)
+    for bi in range(n_blocks):
+        sl = slice(bi * BLOCK, min((bi + 1) * BLOCK, n))
+        db = varint_encode(gaps[sl])
+        tb = varint_encode(tfs[sl])
+        doc_bufs.append(db)
+        tf_bufs.append(tb)
+        doc_offs[bi + 1] = doc_offs[bi] + len(db)
+        tf_offs[bi + 1] = tf_offs[bi] + len(tb)
+        block_max_tf[bi] = tfs[sl].max()
+        block_min_rel[bi] = rels[sl].min()
+
+    return {
+        "n": int(n),
+        "doc_gaps": b"".join(doc_bufs),
+        "tfs": b"".join(tf_bufs),
+        "rels": rels.tobytes(),
+        "block_first_doc": block_first_doc.tolist(),
+        "block_doc_off": doc_offs.tolist(),
+        "block_tf_off": tf_offs.tolist(),
+        "block_max_tf": block_max_tf.tolist(),
+        "block_min_rel": [float(x) for x in block_min_rel],
+    }
+
+
+def decode_segment(row, shard_base: int = 0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full segment row -> (doc_ids int64, tfs int64, rels f32).
+
+    ``row`` is anything with dict-like access to the encode_segment keys.
+    """
+    n = int(row["n"])
+    gaps = varint_decode(row["doc_gaps"], n).astype(np.int64)
+    tfs = varint_decode(row["tfs"], n).astype(np.int64)
+    rels = np.frombuffer(row["rels"], dtype=np.float32)
+    doc_ids = np.empty(n, dtype=np.int64)
+    # rebuild absolute ids: cumulative sum restarted at block boundaries
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    for bi in range(n_blocks):
+        sl = slice(bi * BLOCK, min((bi + 1) * BLOCK, n))
+        g = gaps[sl].copy()
+        g[0] += shard_base
+        doc_ids[sl] = np.cumsum(g)
+    return doc_ids, tfs, rels
+
+
+def decode_block(row, bi: int, shard_base: int = 0):
+    """Decode a single block without touching the rest of the segment
+    (the I/O shape block-max WAND relies on)."""
+    n = int(row["n"])
+    lo, hi = bi * BLOCK, min((bi + 1) * BLOCK, n)
+    cnt = hi - lo
+    d0, d1 = int(row["block_doc_off"][bi]), int(row["block_doc_off"][bi + 1])
+    t0, t1 = int(row["block_tf_off"][bi]), int(row["block_tf_off"][bi + 1])
+    gaps = varint_decode(bytes(row["doc_gaps"])[d0:d1], cnt).astype(np.int64)
+    tfs = varint_decode(bytes(row["tfs"])[t0:t1], cnt).astype(np.int64)
+    gaps[0] += shard_base
+    doc_ids = np.cumsum(gaps)
+    rels = np.frombuffer(row["rels"], dtype=np.float32)[lo:hi]
+    return doc_ids, tfs, rels

@@ -1,0 +1,372 @@
+"""Persisted, compressed, document-sharded inverted index.
+
+The scale architecture (north rule: 10^12 files, explicit partitioning /
+shuffle / skew handling):
+
+  * Documents get deterministic dense ids (row_number over an explicit
+    order), then a **shard** = doc_id // span.  Shards are uniform by
+    construction — no key skew is possible on the shard axis.
+  * Postings are keyed **(shard, term)**.  A hot term (Zipf head: "the",
+    "import", "0") is automatically split across every shard — this IS the
+    salted shuffle-merge: the salt is the shard id, the merge is the
+    per-(shard, term) groupBy, and no single task ever materializes a full
+    hot-term posting list.
+  * Each (shard, term) segment is delta-gap + varint compressed with
+    per-128-posting block metadata (first_doc, byte offsets, max_tf,
+    min_rel) so query kernels can skip/decode individual blocks
+    (block-max WAND).
+  * Query = broadcast the (tiny) query-term set, scan only matching
+    postings (parquet predicate pushdown on `term`), run the scoring
+    kernel per shard (embarrassingly parallel, Arrow-batched), then one
+    global top-k merge.  This is the Elasticsearch/Lucene document-sharded
+    plan expressed in Spark.
+
+Persistence layout (parquet + JSON manifest; Iceberg would swap in
+transparently — same schemas, the catalog jar just isn't shipped with this
+PySpark build):
+
+    <path>/manifest.json       stats, preproc config, shard geometry,
+                               per-stage checkpoints + per-shard lineage
+    <path>/docs/               source columns + __doc_id__ (frozen ids)
+    <path>/doc_map/            (__doc_id__, <orig id>)
+    <path>/doc_lens/           (__doc_id__, doc_len, rel_dl)
+    <path>/terms/              (term, df) vocabulary
+    <path>/postings/           (shard, term, df, n, doc_gaps, tfs, rels,
+                                block_* arrays)
+
+Build is **checkpoint-resumable**: each stage records completion + row
+counts in the manifest; a re-run with resume=True skips completed stages
+(idempotent overwrite otherwise).  Reference state equivalent:
+sparse_retriever.py:124-174 (single npz pickle) — re-imagined as tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..preprocessing import TextPreprocessor
+from .builder import DOC_ID, SparseIndex, build_index
+from .codec import encode_segment
+
+POSTINGS_SCHEMA = (
+    "shard int, term string, df long, n int, "
+    "doc_gaps binary, tfs binary, rels binary, "
+    "block_first_doc array<long>, block_doc_off array<long>, "
+    "block_tf_off array<long>, block_max_tf array<long>, "
+    "block_min_rel array<float>"
+)
+
+
+def _encode_group(span: int):
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard, term = int(key[0]), key[1]
+        base = shard * span
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        rels = pdf["rel_dl"].to_numpy()[order]
+        seg = encode_segment(doc_ids, tfs, rels, shard_base=base)
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "term": term,
+                    "df": int(pdf["df"].iloc[0]),
+                    **seg,
+                }
+            ]
+        )
+
+    return fn
+
+
+@dataclass
+class PackedIndex:
+    spark: SparkSession
+    path: str
+    manifest: dict
+
+    @property
+    def doc_count(self) -> int:
+        return int(self.manifest["doc_count"])
+
+    @property
+    def avg_doc_len(self) -> float:
+        return float(self.manifest["avg_doc_len"])
+
+    @property
+    def span(self) -> int:
+        return int(self.manifest["span"])
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/postings")
+
+    @property
+    def doc_map(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/doc_map")
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/docs")
+
+    @property
+    def doc_lens(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/doc_lens")
+
+    @property
+    def terms(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/terms")
+
+    def preprocessor(self) -> TextPreprocessor:
+        return TextPreprocessor(**self.manifest["preproc"])
+
+    # -- querying ------------------------------------------------------------
+
+    def msearch_df(
+        self,
+        queries: List[dict],
+        cutoff: int = 100,
+        operator: str = "OR",
+        model: str = "bm25",
+        k1: float = 1.2,
+        b: float = 0.75,
+        kernel: str = "taat",
+    ) -> DataFrame:
+        """Batch search over the packed index.
+
+        queries: [{"id": ..., "text": ...}] — preprocessed with the pipe
+        persisted in the manifest.  Returns (q_id, doc_id, score, rank)
+        where doc_id is the ORIGINAL id column value.
+
+        kernel="taat": vectorized term-at-a-time dense accumulator per
+        shard (reference bm25.py:36-49 semantics, float32-faithful).
+        kernel="bmw":  document-at-a-time block-max WAND with a bounded
+        top-k heap — identical results, skips blocks whose upper bound
+        cannot beat the running k-th score (the 100 TB path where decoding
+        dominates).
+        """
+        from ..search.kernels import make_shard_kernel
+
+        pre = self.preprocessor()
+        qmap: Dict[str, List[tuple]] = {}
+        for q in queries:
+            toks = pre(q["text"])
+            counts: Dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            qmap[str(q["id"])] = list(counts.items())
+
+        all_terms = sorted({t for tl in qmap.values() for t, _ in tl})
+        if not all_terms:
+            return self._empty_results()
+
+        # vocabulary filter (reference sparse_retriever.py:277): OOV terms
+        # are dropped BEFORE the AND-match requirement is counted
+        vocab = {
+            r["term"]
+            for r in self.terms.filter(F.col("term").isin(all_terms))
+            .select("term")
+            .collect()
+        }
+        qmap = {
+            q: [(t, n) for t, n in tl if t in vocab]
+            for q, tl in qmap.items()
+        }
+        qmap = {q: tl for q, tl in qmap.items() if tl}
+        if not qmap:
+            return self._empty_results()
+        all_terms = sorted({t for tl in qmap.values() for t, _ in tl})
+
+        post = self.postings.filter(F.col("term").isin(all_terms))
+
+        kern = make_shard_kernel(
+            qmap=qmap,
+            doc_count=self.doc_count,
+            avg_doc_len=self.avg_doc_len,
+            span=self.span,
+            cutoff=cutoff,
+            operator=operator,
+            model=model,
+            k1=k1,
+            b=b,
+            kernel=kernel,
+        )
+        shard_topk = post.groupBy("shard").applyInPandas(
+            kern, "q_id string, __doc_id__ long, score float"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc(DOC_ID))
+        ranked = (
+            shard_topk.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= cutoff)
+        )
+        id_col = self.manifest["orig_id_col"]
+        return ranked.join(self.doc_map, DOC_ID).select(
+            "q_id", F.col(id_col).alias("doc_id"), "score", "rank"
+        )
+
+    def _empty_results(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "q_id string, doc_id string, score float, rank int"
+        )
+
+
+# -- build ---------------------------------------------------------------------
+
+
+def _stage_done(manifest: dict, stage: str) -> bool:
+    return manifest.get("stages", {}).get(stage, {}).get("completed", False)
+
+
+def _mark_stage(path: str, manifest: dict, stage: str, **info) -> None:
+    manifest.setdefault("stages", {})[stage] = {"completed": True, **info}
+    _write_manifest(path, manifest)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, f"{path}/manifest.json")
+
+
+def _load_manifest(path: str) -> Optional[dict]:
+    try:
+        with open(f"{path}/manifest.json") as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def build_packed_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    pre: TextPreprocessor,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "id",
+    order_cols: Optional[List[str]] = None,
+    min_df: Union[int, float] = 1,
+    n_shards: Optional[int] = None,
+    resume: bool = False,
+    verify_sha256: Optional[str] = None,
+    prebuilt: Optional[SparseIndex] = None,
+) -> PackedIndex:
+    """Build + persist the packed index; resumable per stage.
+
+    verify_sha256: name of a column holding the expected sha256 of
+    ``text_col`` — the build fails if any row's recomputed digest differs
+    (north-rule per-row content-integrity invariant).
+    prebuilt: persist an already-built in-memory SparseIndex (e.g. from
+    SparseRetriever.index) without re-running tokenization.
+    """
+    manifest = (_load_manifest(path) if resume else None) or {
+        "format_version": 1,
+        "preproc": pre.config,
+        "orig_id_col": id_col,
+        "min_df": min_df if isinstance(min_df, int) else float(min_df),
+        "stages": {},
+    }
+
+    # stage 0: integrity gate (cheap full scan, no shuffle)
+    if verify_sha256 and not _stage_done(manifest, "integrity"):
+        bad = docs.filter(
+            F.sha2(F.col(text_col), 256) != F.col(verify_sha256)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"sha256 integrity check failed for {bad} rows of input"
+            )
+        _mark_stage(path, manifest, "integrity", rows_checked=docs.count())
+
+    # stage 1: freeze doc ids + in-memory index relations
+    idx: SparseIndex = prebuilt or build_index(
+        spark, docs, pre,
+        text_col=text_col, id_col=id_col,
+        order_cols=order_cols, min_df=min_df,
+    )
+    if prebuilt is not None:
+        manifest["orig_id_col"] = idx.orig_id_col
+        manifest["preproc"] = idx.pre_config
+
+    if not _stage_done(manifest, "docs"):
+        idx.docs.write.mode("overwrite").parquet(f"{path}/docs")
+        idx.doc_map.write.mode("overwrite").parquet(f"{path}/doc_map")
+        _mark_stage(path, manifest, "docs", rows=idx.doc_count)
+
+    manifest["doc_count"] = idx.stats.doc_count
+    manifest["avg_doc_len"] = idx.stats.avg_doc_len
+    manifest["avg_doc_len_f64"] = idx.stats.avg_doc_len_f64
+
+    if n_shards is None:
+        n_shards = max(1, min(512, idx.doc_count // 4096 or 1))
+    span = (idx.doc_count + n_shards - 1) // n_shards
+    manifest["n_shards"] = int(n_shards)
+    manifest["span"] = int(span)
+
+    if not _stage_done(manifest, "doc_lens"):
+        idx.doc_lens.write.mode("overwrite").parquet(f"{path}/doc_lens")
+        _mark_stage(path, manifest, "doc_lens", rows=idx.doc_count)
+
+    if not _stage_done(manifest, "terms"):
+        idx.terms.write.mode("overwrite").parquet(f"{path}/terms")
+        n_terms = idx.terms.count()
+        _mark_stage(path, manifest, "terms", rows=n_terms)
+
+    if not _stage_done(manifest, "postings"):
+        flat = idx.flat.select(
+            (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
+            F.col("term"),
+            F.col(DOC_ID).alias("doc_id"),
+            F.col("tf"),
+            F.col("rel_dl"),
+            F.col("df"),
+        )
+        packed = flat.groupBy("shard", "term").applyInPandas(
+            _encode_group(span), POSTINGS_SCHEMA
+        )
+        (
+            packed.repartition("shard")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+        # per-shard lineage: segments + postings per shard (audit trail)
+        lineage_rows = (
+            spark.read.parquet(f"{path}/postings")
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("segments"),
+                F.sum("n").alias("postings"),
+            )
+            .collect()
+        )
+        lineage = {
+            str(r["shard"]): {
+                "segments": int(r["segments"]),
+                "postings": int(r["postings"]),
+            }
+            for r in lineage_rows
+        }
+        _mark_stage(path, manifest, "postings", shards=lineage)
+
+    _write_manifest(path, manifest)
+    return PackedIndex(spark=spark, path=path, manifest=manifest)
+
+
+def load_packed_index(spark: SparkSession, path: str) -> PackedIndex:
+    manifest = _load_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    return PackedIndex(spark=spark, path=path, manifest=manifest)

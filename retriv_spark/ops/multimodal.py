@@ -1,0 +1,167 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The Spark-side contract is real and tested — schemas, batch iteration,
+partitioning, output shapes.  The codec step itself is pluggable: the
+image/audio libraries are not installed in this environment, so the
+default decoder is a clearly-marked deterministic stub
+(``fake_decode_*``); pass ``decoder=`` to inject Pillow/torchaudio/ffmpeg
+implementations (tried via import at call time, never at module import).
+
+Why mapInPandas (not a scalar UDF): decode → feature-extract is a
+row-expanding / column-reshaping transformation (video → frames) that
+benefits from batch-level amortization (shared decoder state, pinned
+buffers) and never needs a shuffle — each stage is a narrow map over the
+input splits, which is exactly what scales to 100 TB of media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+IMAGE_META_SCHEMA = (
+    "media_id long, fmt string, width int, height int, n_bytes long"
+)
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, mean_luma float, "
+    "feature array<float>"
+)
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, frame_png binary"
+)
+
+
+def _stub_rng(payload: bytes) -> np.random.Generator:
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+    return np.random.default_rng(seed)
+
+
+def fake_decode_image(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real image decoder: derives a small
+    pseudo-image from the byte content.  Replace with e.g.
+    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))`` in production."""
+    rng = _stub_rng(payload)
+    h, w = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8)
+
+
+def extract_image_metadata(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Optional[Callable[[bytes], np.ndarray]] = None,
+) -> DataFrame:
+    """(id, binary) -> typed metadata row per media object. Narrow map."""
+    decode = decoder or fake_decode_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                img = decode(bytes(payload))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "fmt": "stub" if decode is fake_decode_image else "raw",
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "n_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, IMAGE_META_SCHEMA)
+
+
+def image_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    resize_to: int = 8,
+    decoder: Optional[Callable[[bytes], np.ndarray]] = None,
+) -> DataFrame:
+    """Decode → resize (nearest-neighbor) → flatten to a float feature
+    vector + mean luma.  The resize is real numpy; only decode is stubbed."""
+    decode = decoder or fake_decode_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                img = decode(bytes(payload)).astype(np.float32)
+                h, w = img.shape[:2]
+                ys = (np.arange(resize_to) * h // resize_to).clip(0, h - 1)
+                xs = (np.arange(resize_to) * w // resize_to).clip(0, w - 1)
+                small = img[np.ix_(ys, xs)]
+                luma = (
+                    0.299 * small[..., 0]
+                    + 0.587 * small[..., 1]
+                    + 0.114 * small[..., 2]
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": int(w),
+                        "height": int(h),
+                        "mean_luma": float(luma.mean()),
+                        "feature": (luma.ravel() / 255.0).astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    every_ms: int = 1000,
+    decoder: Optional[Callable[[bytes], list]] = None,
+) -> DataFrame:
+    """Row-expanding stage: one output row per sampled frame.
+
+    ``decoder(payload) -> [(ts_ms, frame_bytes), ...]``.  The stub emits a
+    deterministic frame count derived from the payload; swap in
+    ffmpeg/PyAV for real sampling.  Raises NotImplementedError from the
+    stub if the payload declares a real container format (magic bytes) —
+    silently fabricating frames for real videos would be worse than
+    failing.
+    """
+
+    def stub(payload: bytes) -> list:
+        if payload[:4] in (b"\x00\x00\x00\x18", b"RIFF", b"\x1a\x45\xdf\xa3"):
+            raise NotImplementedError(
+                "real video container detected; install a decoder and pass "
+                "decoder= (stub only fabricates frames for synthetic payloads)"
+            )
+        rng = _stub_rng(payload)
+        n = int(rng.integers(1, 6))
+        return [
+            (i * every_ms, bytes(rng.integers(0, 256, size=64, dtype=np.uint8)))
+            for i in range(n)
+        ]
+
+    decode = decoder or stub
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                for idx, (ts, frame) in enumerate(decode(bytes(payload))):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": idx,
+                            "ts_ms": int(ts),
+                            "frame_png": frame,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, FRAME_SAMPLE_SCHEMA)

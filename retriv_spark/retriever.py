@@ -260,6 +260,32 @@ class SparseRetriever:
         df.write.mode("overwrite").json(path)
         return {}
 
+    # -- persistence (reference save/load/delete, sparse_retriever.py:124-174
+    #    and base_retriever.py:20-26 — npz pickle re-imagined as tables) ------
+
+    def save(self, path: str, n_shards: Optional[int] = None) -> str:
+        """Persist the built index as a packed (compressed, sharded) index."""
+        from .index.packed import build_packed_index
+
+        idx = self._require_index()
+        build_packed_index(
+            self.spark, idx.docs, self.pre, path,
+            id_col=idx.orig_id_col, n_shards=n_shards, prebuilt=idx,
+        )
+        return path
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PackedRetriever":
+        """Load a persisted index; returns a retriever with the same
+        search/msearch surface backed by the packed kernels."""
+        return PackedRetriever(spark, path)
+
+    @staticmethod
+    def delete(spark: SparkSession, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
     # -- id round-trip ---------------------------------------------------------
 
     def _restore_id(self, id_str):
@@ -285,3 +311,44 @@ class SparseRetriever:
             self, queries, qrels, metric=metric, n_trials=n_trials, cutoff=cutoff
         )
         return self.hyperparams
+
+
+class PackedRetriever:
+    """Search surface over a persisted packed index (load path of
+    ``SparseRetriever.save``). Same msearch/search dict outputs as
+    SparseRetriever; scoring runs in the per-shard kernels."""
+
+    def __init__(self, spark: SparkSession, path: str, kernel: str = "taat"):
+        from .index.packed import load_packed_index
+
+        self.spark = spark
+        self.index_data = load_packed_index(spark, path)
+        self.kernel = kernel
+        self.hyperparams = dict(b=0.75, k1=1.2)
+        self.model = "bm25"
+
+    def msearch_df(self, queries, cutoff: int = 100, operator: str = "OR"):
+        return self.index_data.msearch_df(
+            queries, cutoff=cutoff, operator=operator, model=self.model,
+            k1=float(self.hyperparams["k1"]), b=float(self.hyperparams["b"]),
+            kernel=self.kernel,
+        )
+
+    def msearch(self, queries, cutoff: int = 100, operator: str = "OR"):
+        out = self.msearch_df(queries, cutoff=cutoff, operator=operator)
+        results = {q["id"]: {} for q in queries}
+        by_str = {str(q["id"]): q["id"] for q in queries}
+        for row in out.orderBy("q_id", "rank").collect():
+            doc_id = row["doc_id"]
+            if isinstance(doc_id, str):
+                try:
+                    doc_id = int(doc_id)
+                except ValueError:
+                    pass
+            results[by_str[row["q_id"]]][doc_id] = row["score"]
+        return results
+
+    def search(self, query: str, cutoff: int = 100, operator: str = "OR"):
+        return self.msearch(
+            [{"id": "_q", "text": query}], cutoff=cutoff, operator=operator
+        )["_q"]

@@ -1,0 +1,376 @@
+"""Per-shard scoring kernels for the packed index.
+
+Each kernel runs inside ``groupBy(shard).applyInPandas`` — one invocation
+per shard, Arrow-batched, with the (tiny) query set captured in the
+closure.  Output: per-(query, shard) top-k candidates, merged globally by
+one window top-k.  Scores are float32-faithful to the reference TAAT
+kernel (bm25.py:36-49 / tf_idf.py:37-46; see retriv_spark.oracle for the
+numpy replica the tests pin these against).
+
+Two kernels, identical results:
+
+  taat — vectorized term-at-a-time: dense float32 accumulator over the
+         shard's doc range, one fancy-indexed add per term.  Optimal when
+         most postings must be scored anyway (analytics batches, high
+         cutoff, local bench).
+
+  bmw  — document-at-a-time block-max WAND: posting blocks carry
+         (max_tf, min_rel) upper-bound metadata; the kernel keeps a
+         bounded top-k heap and advances a pivot, skipping whole blocks
+         whose upper bound cannot beat the current k-th score.  The win is
+         I/O + decode avoidance on 100 TB-scale postings; results are
+         exactly the TAAT top-k (score-preserving pruning).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+
+from ..index.codec import BLOCK, decode_block, varint_decode
+
+
+def _idf_bm25(doc_count: int, df: float) -> np.float32:
+    df32 = np.float32(df)
+    return np.float32(np.log(1.0 + (((doc_count - df32) + 0.5) / (df32 + 0.5))))
+
+
+def _idf_tfidf(doc_count: int, df: float) -> np.float32:
+    df32 = np.float32(df)
+    return np.float32(np.log((1.0 + doc_count) / (1.0 + df32)) + 1.0)
+
+
+def _decode_segment_row(row) -> tuple:
+    n = int(row["n"])
+    gaps = varint_decode(bytes(row["doc_gaps"]), n).astype(np.int64)
+    tfs = varint_decode(bytes(row["tfs"]), n).astype(np.int64)
+    rels = np.frombuffer(bytes(row["rels"]), dtype=np.float32)
+    # rebuild absolute doc ids: gaps restart at block boundaries with
+    # absolute-from-zero first docs (encode_segment wrote first-of-block as
+    # doc - shard_base; block_first_doc carries the absolute value).
+    doc_ids = np.empty(n, dtype=np.int64)
+    firsts = np.asarray(row["block_first_doc"], dtype=np.int64)
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    for bi in range(n_blocks):
+        sl = slice(bi * BLOCK, min((bi + 1) * BLOCK, n))
+        g = gaps[sl].copy()
+        g[0] = firsts[bi]
+        doc_ids[sl] = np.cumsum(g)
+    return doc_ids, tfs, rels
+
+
+def _partial_scores(
+    tfs: np.ndarray, rels: np.ndarray, idf: np.float32,
+    model: str, k1: float, b: float, avg_doc_len: float,
+) -> np.ndarray:
+    """Per-posting contribution, reference-faithful dtype flow."""
+    if model == "bm25":
+        return idf * (
+            (tfs * (k1 + 1.0))
+            / (tfs + k1 * (1.0 - b + (b * rels)))
+        )
+    # tf-idf: doc_len recovered exactly (doc lens are integers)
+    dls = np.rint(rels.astype(np.float64) * np.float64(np.float32(avg_doc_len)))
+    dls32 = dls.astype(np.float32)
+    return (tfs / dls32) * idf
+
+
+def make_shard_kernel(
+    qmap: Dict[str, List[tuple]],
+    doc_count: int,
+    avg_doc_len: float,
+    span: int,
+    cutoff: int,
+    operator: str = "OR",
+    model: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+    kernel: str = "taat",
+):
+    """Build the applyInPandas function for one msearch batch.
+
+    qmap: {q_id: [(term, n_occ), ...]} — already filtered to the global
+    vocabulary, so ``len(qmap[q])`` is the AND-operator match requirement.
+    """
+    idf_fn = _idf_bm25 if model == "bm25" else _idf_tfidf
+    is_and = operator.upper() == "AND"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"q_id": [], "__doc_id__": [], "score": []})
+        shard = int(pdf["shard"].iloc[0])
+        base = shard * span
+
+        rows_by_term = {}
+        for _, row in pdf.iterrows():
+            rows_by_term[row["term"]] = row
+
+        out_q, out_d, out_s = [], [], []
+
+        if kernel == "taat":
+            segs = {t: _decode_segment_row(r) for t, r in rows_by_term.items()}
+            scores = np.zeros(span, dtype=np.float32)
+            hits = np.zeros(span, dtype=np.int32)
+            for q_id, terms in qmap.items():
+                present = [(t, n) for t, n in terms if t in segs]
+                if not present or (is_and and len(present) < len(terms)):
+                    continue
+                touched = []
+                for term, n_occ in present:
+                    doc_ids, tfs, rels = segs[term]
+                    idf = idf_fn(doc_count, float(rows_by_term[term]["df"]))
+                    part = _partial_scores(
+                        tfs, rels, idf, model, k1, b, avg_doc_len
+                    )
+                    idx = doc_ids - base
+                    if n_occ != 1:
+                        part = part * n_occ
+                    # f32 += f64 rounds on store — the reference's exact
+                    # accumulation semantics (bm25.py:49)
+                    scores[idx] += part
+                    hits[idx] += 1
+                    touched.append(idx)
+                cand = np.unique(np.concatenate(touched))
+                if is_and:
+                    cand = cand[hits[cand] == len(terms)]
+                cs = scores[cand]
+                keep = cs > 0  # reference unsorted_top_k keeps scores > 0
+                cand, cs = cand[keep], cs[keep]
+                if cand.size > cutoff:
+                    sel = np.argpartition(-cs, cutoff - 1)[:cutoff]
+                    cand, cs = cand[sel], cs[sel]
+                order = np.lexsort((cand, -cs.astype(np.float64)))
+                cand, cs = cand[order], cs[order]
+                out_q.extend([q_id] * cand.size)
+                out_d.extend((cand + base).tolist())
+                out_s.extend(cs.tolist())
+                # reset only touched slots (span can be large)
+                all_touched = np.unique(np.concatenate(touched))
+                scores[all_touched] = 0.0
+                hits[all_touched] = 0
+        elif kernel == "bmw":
+            for q_id, terms in qmap.items():
+                present = [(t, n) for t, n in terms if t in rows_by_term]
+                if not present or (is_and and len(present) < len(terms)):
+                    continue
+                res = _bmw_query(
+                    [rows_by_term[t] for t, _ in present],
+                    [n for _, n in present],
+                    idf_fn, doc_count, model, k1, b, avg_doc_len,
+                    cutoff, is_and, len(terms),
+                )
+                for d, s in res:
+                    out_q.append(q_id)
+                    out_d.append(d)
+                    out_s.append(s)
+        else:
+            raise ValueError(f"unknown kernel {kernel!r}")
+
+        return pd.DataFrame(
+            {
+                "q_id": pd.Series(out_q, dtype="object"),
+                "__doc_id__": pd.Series(out_d, dtype="int64"),
+                "score": pd.Series(out_s, dtype="float32"),
+            }
+        )
+
+    return fn
+
+
+class _ListCursor:
+    """Block-aware cursor over one encoded posting segment."""
+
+    __slots__ = (
+        "row", "idf", "n_occ", "n", "n_blocks", "bi", "pos",
+        "doc_ids", "tfs", "rels", "block_ubs", "cur_doc", "exhausted",
+        "order_i",
+    )
+
+    def __init__(self, row, idf, n_occ, k1, b, model, avg_doc_len, order_i=0):
+        self.order_i = order_i
+        self.row = row
+        self.idf = idf
+        self.n_occ = n_occ
+        self.n = int(row["n"])
+        self.n_blocks = (self.n + BLOCK - 1) // BLOCK
+        max_tf = np.asarray(row["block_max_tf"], dtype=np.float64)
+        min_rel = np.asarray(row["block_min_rel"], dtype=np.float64)
+        if model == "bm25":
+            ub = idf * (max_tf * (k1 + 1.0)) / (
+                max_tf + k1 * (1.0 - b + b * min_rel)
+            )
+        else:
+            dls = np.rint(min_rel * float(np.float32(avg_doc_len)))
+            dls = np.maximum(dls, 1.0)
+            ub = (max_tf / dls) * float(idf)
+        self.block_ubs = ub * n_occ
+        self.bi = -1
+        self.pos = 0
+        self.doc_ids = self.tfs = self.rels = None
+        self.exhausted = False
+        self._load_block(0)
+
+    def _load_block(self, bi: int):
+        if bi >= self.n_blocks:
+            self.exhausted = True
+            self.cur_doc = np.int64(2**62)
+            return
+        self.bi = bi
+        self.doc_ids, self.tfs, self.rels = decode_block(self.row, bi)
+        # restore absolute first doc (encode stores first-of-block absolute
+        # minus shard_base; block_first_doc has the absolute value)
+        firsts = self.row["block_first_doc"]
+        delta = int(firsts[bi]) - int(self.doc_ids[0])
+        if delta:
+            self.doc_ids = self.doc_ids + delta
+        self.pos = 0
+        self.cur_doc = self.doc_ids[0]
+
+    def block_ub(self) -> float:
+        return float(self.block_ubs[self.bi]) if not self.exhausted else 0.0
+
+    def max_remaining_ub(self) -> float:
+        if self.exhausted:
+            return 0.0
+        return float(self.block_ubs[self.bi:].max())
+
+    def advance_to(self, target: int):
+        """Move cursor to the first doc >= target (block skip + binary
+        search within the block)."""
+        if self.exhausted:
+            return
+        # skip blocks whose last doc < target
+        bi = self.bi
+        while bi < self.n_blocks:
+            last_doc = self._block_last_doc(bi)
+            if last_doc >= target:
+                break
+            bi += 1
+        if bi >= self.n_blocks:
+            self.exhausted = True
+            self.cur_doc = np.int64(2**62)
+            return
+        if bi != self.bi:
+            self._load_block(bi)
+        pos = int(np.searchsorted(self.doc_ids, target, side="left"))
+        if pos >= self.doc_ids.size:
+            self._load_block(self.bi + 1)
+        else:
+            self.pos = pos
+            self.cur_doc = self.doc_ids[pos]
+
+    def _block_last_doc(self, bi: int) -> int:
+        if bi == self.bi and self.doc_ids is not None:
+            return int(self.doc_ids[-1])
+        if bi + 1 < self.n_blocks:
+            return int(self.row["block_first_doc"][bi + 1]) - 1  # lower bound
+        return 2**62 - 1
+
+    def score_current(self, model, k1, b, avg_doc_len) -> float:
+        tf = float(self.tfs[self.pos])
+        rel = self.rels[self.pos]
+        part = _partial_scores(
+            np.array([tf]), np.array([rel], dtype=np.float32),
+            self.idf, model, k1, b, avg_doc_len,
+        )[0]
+        return float(part) * self.n_occ
+
+    def step(self):
+        self.pos += 1
+        if self.pos >= self.doc_ids.size:
+            self._load_block(self.bi + 1)
+        else:
+            self.cur_doc = self.doc_ids[self.pos]
+
+
+def _bmw_query(
+    rows, n_occs, idf_fn, doc_count, model, k1, b, avg_doc_len,
+    cutoff, is_and, n_req,
+):
+    """Block-max WAND over one query's segments in one shard.
+
+    Exact top-`cutoff` by (-score, doc_id); float32 accumulation like the
+    reference TAAT kernel so scores agree bit-for-bit with kernel="taat".
+    """
+    cursors = [
+        _ListCursor(
+            row, idf_fn(doc_count, float(row["df"])), n_occ,
+            k1, b, model, avg_doc_len, order_i=i,
+        )
+        for i, (row, n_occ) in enumerate(zip(rows, n_occs))
+    ]
+    heap: list = []  # min-heap of (score, -doc_id)
+    threshold = -math.inf
+
+    def push(doc, score):
+        nonlocal threshold
+        if score <= 0:
+            return
+        item = (score, -doc)
+        if len(heap) < cutoff:
+            heapq.heappush(heap, item)
+            if len(heap) == cutoff:
+                threshold = heap[0][0]
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+            threshold = heap[0][0]
+
+    def score_and_step(pivot_doc, live):
+        """Score pivot_doc with float32 accumulation in ORIGINAL query-term
+        order (bit-identical to the TAAT kernel), then advance its
+        cursors."""
+        matching = sorted(
+            (c for c in live if int(c.cur_doc) == pivot_doc),
+            key=lambda c: c.order_i,
+        )
+        if not is_and or len(matching) == n_req:
+            acc = np.float32(0.0)
+            for c in matching:
+                acc = np.float32(
+                    acc + c.score_current(model, k1, b, avg_doc_len)
+                )
+            push(pivot_doc, float(acc))
+        for c in matching:
+            c.step()
+
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live or (is_and and len(live) < n_req):
+            break
+        if is_and:
+            # all lists must align: pivot is the max head; advance laggards
+            pivot_doc = max(int(c.cur_doc) for c in live)
+            laggards = [c for c in live if int(c.cur_doc) < pivot_doc]
+            if laggards:
+                for c in laggards:
+                    c.advance_to(pivot_doc)
+                continue
+            score_and_step(pivot_doc, live)
+            continue
+        live.sort(key=lambda c: int(c.cur_doc))
+        # WAND pivot: smallest doc where the sum of upper bounds of the
+        # lists positioned at-or-before it can still beat the threshold
+        ub_sum = 0.0
+        pivot_idx = None
+        for i, c in enumerate(live):
+            ub_sum += c.max_remaining_ub()
+            if ub_sum > threshold or len(heap) < cutoff:
+                pivot_idx = i
+                break
+        if pivot_idx is None:
+            break  # no doc anywhere can beat the k-th score
+        pivot_doc = int(live[pivot_idx].cur_doc)
+        if all(int(c.cur_doc) == pivot_doc for c in live[: pivot_idx + 1]):
+            score_and_step(pivot_doc, live)
+        else:
+            for c in live[:pivot_idx]:
+                if int(c.cur_doc) < pivot_doc:
+                    c.advance_to(pivot_doc)
+
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out

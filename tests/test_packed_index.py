@@ -1,0 +1,240 @@
+"""Packed (compressed, sharded) index: codec round-trips, build/persist/
+load, golden-score parity, TAAT ≡ BMW, checkpoint resume, parallelism
+invariance."""
+
+import shutil
+from math import isclose
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from retriv_spark.index.codec import (
+    decode_block,
+    decode_segment,
+    encode_segment,
+    varint_decode,
+    varint_encode,
+)
+from retriv_spark.index.packed import build_packed_index, load_packed_index
+from retriv_spark.oracle import NumpyOracle
+from retriv_spark.preprocessing import TextPreprocessor
+
+REL_TOL = 1e-6
+
+
+# -- codec ---------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**60 - 1), max_size=500)
+)
+@settings(max_examples=50, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert (varint_decode(varint_encode(arr)) == arr).all()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=1, max_value=30000),
+            st.floats(min_value=0.0078125, max_value=50.0, width=32),
+        ),
+        min_size=1,
+        max_size=400,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_segment_roundtrip(postings):
+    postings.sort()
+    doc_ids = np.array([p[0] for p in postings], dtype=np.int64)
+    tfs = np.array([p[1] for p in postings], dtype=np.int64)
+    rels = np.array([p[2] for p in postings], dtype=np.float32)
+    seg = encode_segment(doc_ids, tfs, rels, shard_base=0)
+    d, t, r = decode_segment(seg, shard_base=0)
+    assert (d == doc_ids).all() and (t == tfs).all() and (r == rels).all()
+    # per-block decode agrees
+    n_blocks = len(seg["block_first_doc"])
+    for bi in range(n_blocks):
+        db, tb, rb = decode_block(seg, bi, shard_base=0)
+        lo = bi * 128
+        hi = min(lo + 128, len(doc_ids))
+        assert (db == doc_ids[lo:hi]).all()
+        assert (tb == tfs[lo:hi]).all()
+        assert (rb == rels[lo:hi]).all()
+    # blocks carry valid bounds
+    for bi in range(n_blocks):
+        lo, hi = bi * 128, min((bi + 1) * 128, len(doc_ids))
+        assert seg["block_max_tf"][bi] == tfs[lo:hi].max()
+        assert seg["block_min_rel"][bi] == rels[lo:hi].min()
+
+
+# -- packed index end-to-end ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    weights = 1.0 / np.arange(1, 61)
+    weights /= weights.sum()
+    docs = []
+    for i in range(300):
+        n = int(rng.integers(5, 60))
+        toks = rng.choice(vocab, size=n, p=weights)
+        docs.append({"id": i, "text": " ".join(toks)})
+    return docs
+
+
+@pytest.fixture(scope="module")
+def packed(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pidx") / "idx")
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    df = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in corpus], "id long, text string"
+    )
+    idx = build_packed_index(
+        spark, df, pre, path, text_col="text", id_col="id",
+        order_cols=["id"], n_shards=7,
+    )
+    return idx
+
+
+def _as_dict(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], {})[r["doc_id"]] = r["score"]
+    return out
+
+
+QUERY_SET = [
+    {"id": "a", "text": "w0 w3 w17"},
+    {"id": "b", "text": "w1"},
+    {"id": "c", "text": "w40 w55 w59"},
+    {"id": "d", "text": "w2 w2 w5"},     # repeated term
+    {"id": "e", "text": "zzz_not_in_vocab"},
+]
+
+
+@pytest.mark.parametrize("kernel", ["taat", "bmw"])
+def test_packed_matches_oracle(packed, corpus, kernel):
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    oracle = NumpyOracle(corpus, pre=pre)
+    got = _as_dict(packed.msearch_df(QUERY_SET, cutoff=20, kernel=kernel))
+    for q in QUERY_SET:
+        exp = oracle.search(q["text"], cutoff=20)
+        g = got.get(q["id"], {})
+        assert set(g) == set(exp), (q["id"], kernel)
+        for doc_id, score in exp.items():
+            assert isclose(g[doc_id], score, rel_tol=REL_TOL)
+
+
+def test_taat_equals_bmw_exactly(packed):
+    a = _as_dict(packed.msearch_df(QUERY_SET, cutoff=15, kernel="taat"))
+    b = _as_dict(packed.msearch_df(QUERY_SET, cutoff=15, kernel="bmw"))
+    assert a == b  # bit-identical scores and doc sets
+
+
+@pytest.mark.parametrize("kernel", ["taat", "bmw"])
+def test_and_operator(packed, corpus, kernel):
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    oracle = NumpyOracle(corpus, pre=pre)
+    queries = [{"id": "x", "text": "w0 w1 w2"}]
+    got = _as_dict(
+        packed.msearch_df(queries, cutoff=50, operator="AND", kernel=kernel)
+    )
+    exp = oracle.search("w0 w1 w2", cutoff=50, operator="AND")
+    g = got.get("x", {})
+    assert set(g) == set(exp)
+    for doc_id, score in exp.items():
+        assert isclose(g[doc_id], score, rel_tol=REL_TOL)
+
+
+def test_tfidf_model(packed, corpus):
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    oracle = NumpyOracle(corpus, pre=pre)
+    got = _as_dict(
+        packed.msearch_df([{"id": "t", "text": "w0 w9"}], cutoff=20, model="tf-idf")
+    )
+    exp = oracle.search("w0 w9", cutoff=20, model="tf-idf")
+    g = got["t"]
+    assert set(g) == set(exp)
+    for doc_id, score in exp.items():
+        assert isclose(g[doc_id], score, rel_tol=REL_TOL)
+
+
+def test_load_roundtrip(spark, packed):
+    idx2 = load_packed_index(spark, packed.path)
+    a = _as_dict(packed.msearch_df(QUERY_SET, cutoff=10))
+    b = _as_dict(idx2.msearch_df(QUERY_SET, cutoff=10))
+    assert a == b
+    assert idx2.doc_count == packed.doc_count
+
+
+def test_resume_skips_completed_stages(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx2")
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    df = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in corpus[:50]], "id long, text string"
+    )
+    idx = build_packed_index(
+        spark, df, pre, path, id_col="id", order_cols=["id"], n_shards=3
+    )
+    stages = dict(idx.manifest["stages"])
+    # delete postings dir to prove resume does NOT rebuild marked stages
+    shutil.rmtree(f"{path}/postings")
+    idx2 = build_packed_index(
+        spark, df, pre, path, id_col="id", order_cols=["id"], n_shards=3,
+        resume=True,
+    )
+    assert idx2.manifest["stages"].keys() == stages.keys()
+    import os
+    assert not os.path.exists(f"{path}/postings")  # skipped, as marked
+
+
+def test_sha256_integrity_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    good = spark.createDataFrame(
+        [(1, "hello world")], "id long, text string"
+    ).withColumn("sha256", F.sha2(F.col("text"), 256))
+    build_packed_index(
+        spark, good, pre, str(tmp_path / "ok"), id_col="id",
+        verify_sha256="sha256",
+    )
+    bad = spark.createDataFrame(
+        [(1, "hello world", "deadbeef")], "id long, text string, sha256 string"
+    )
+    with pytest.raises(ValueError, match="integrity"):
+        build_packed_index(
+            spark, bad, pre, str(tmp_path / "bad"), id_col="id",
+            verify_sha256="sha256",
+        )
+
+
+def test_partitioning_invariance(spark, corpus, tmp_path):
+    """A differently-partitioned input and different shard count produce
+    identical results — the in-process stand-in for N vs 4N executor
+    rank-identity (the cross-process variant runs in jobs/scaling_bench.py
+    at local[8] vs local[32])."""
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    df = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in corpus], "id long, text string"
+    ).repartition(13)
+    idx = build_packed_index(
+        spark, df, pre, str(tmp_path / "idx_p2"), id_col="id",
+        order_cols=["id"], n_shards=3,
+    )
+    got = _as_dict(idx.msearch_df(QUERY_SET, cutoff=20))
+    oracle = NumpyOracle(corpus, pre=pre)
+    for q in QUERY_SET:
+        exp = oracle.search(q["text"], cutoff=20)
+        g = got.get(q["id"], {})
+        assert set(g) == set(exp)
+        for doc_id, score in exp.items():
+            assert isclose(g[doc_id], score, rel_tol=REL_TOL)

@@ -1,0 +1,29 @@
+"""SparseRetriever.save / load / delete round-trip (reference API parity:
+sparse_retriever.py:124-174, base_retriever.py:20-26)."""
+
+import os
+from math import isclose
+
+from retriv_spark.retriever import SparseRetriever
+
+REL_TOL = 1e-6
+
+
+def test_save_load_roundtrip(spark, shane_collection, tmp_path):
+    path = str(tmp_path / "shane_idx")
+    sr = SparseRetriever(spark, hyperparams=dict(b=0.5, k1=0))
+    sr.index(shane_collection)
+    before = sr.search("shane connelly", return_docs=False)
+
+    sr.save(path)
+    assert os.path.exists(f"{path}/manifest.json")
+
+    loaded = SparseRetriever.load(spark, path)
+    loaded.hyperparams = dict(b=0.5, k1=0)
+    after = loaded.search("shane connelly")
+    assert set(before) == set(after)
+    for doc_id, score in before.items():
+        assert isclose(after[doc_id], score, rel_tol=REL_TOL)
+
+    SparseRetriever.delete(spark, path)
+    assert not os.path.exists(path)
