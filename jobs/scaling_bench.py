@@ -1,68 +1,186 @@
-"""Two-parallelism scaling bench (sandbox stand-in for N vs 4N executors).
+"""Two-parallelism scaling bench — the sandbox stand-in for the north
+rule's "N vs 4N executors, throughput scaling efficiency >= 0.8, results
+rank-identical" criterion (no real cluster here: same job, same input,
+local[N] vs local[4N] in separate JVMs).
 
-Runs bench.py as subprocesses at local[N] and local[4N] on the SAME input
-and reports throughput at both plus scaling efficiency, appending the
-result table to BENCH/BASELINE.md (the north rule's >= 0.8 criterion,
-evidenced per the sandbox protocol — no real cluster available).
+Protocol:
+  1. generate the deterministic synthetic source-code table (corpus.py,
+     seed 42) once, to parquet — the SAME input for every run;
+  2. at each parallelism: build the packed index (timed -> files/s), then
+     run a fixed 1024-query batch over it (timed -> qps);
+  3. assert the two result sets are IDENTICAL (rank-identity across
+     cluster sizes), compute efficiency = (T_4N / T_N) / 4, and append the
+     table to BENCH/BASELINE.md.
 
-Usage: python jobs/scaling_bench.py [sf_dir] [N]
+Usage: python jobs/scaling_bench.py [--docs 40000] [--n 8] [--queries 1024]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import subprocess
 import sys
+import tempfile
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["RETRIV_REPO"])
+from retriv_spark.session import get_spark
+from retriv_spark.preprocessing import TextPreprocessor
+from retriv_spark.index.packed import build_packed_index, load_packed_index
 
-def run_bench(sf_dir: str, cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1800,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+cpus = int(os.environ["RETRIV_CPUS"])
+input_path = os.environ["RETRIV_INPUT"]
+index_path = os.environ["RETRIV_INDEX"]
+queries_path = os.environ["RETRIV_QUERIES"]
+results_path = os.environ["RETRIV_RESULTS"]
+
+spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet(input_path)
+n_docs = docs.count()
+pre = TextPreprocessor(stemmer="english", stopwords="english")
+
+t0 = time.perf_counter()
+idx = build_packed_index(
+    spark, docs, pre, index_path,
+    text_col="content", id_col="__uri__",
+    order_cols=["repo", "path", "commit"],
+    n_shards=64, verify_sha256="sha256",
+)
+build_sec = time.perf_counter() - t0
+
+with open(queries_path) as f:
+    queries = [json.loads(l) for l in f]
+
+# warm-up (JIT/codegen/Arrow init) then timed run
+idx.msearch_df(queries[:8], cutoff=100).count()
+t0 = time.perf_counter()
+res = idx.msearch_df(queries, cutoff=100)
+rows = res.orderBy("q_id", "rank").collect()
+query_sec = time.perf_counter() - t0
+
+with open(results_path, "w") as f:
+    for r in rows:
+        f.write(json.dumps([r["q_id"], r["doc_id"], round(r["score"], 4), r["rank"]]) + "\n")
+
+print(json.dumps({
+    "cpus": cpus, "n_docs": n_docs,
+    "build_sec": round(build_sec, 2),
+    "build_docs_per_sec": round(n_docs / build_sec, 1),
+    "query_sec": round(query_sec, 2),
+    "qps": round(len(queries) / query_sec, 1),
+    "result_rows": len(rows),
+}))
+"""
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=40000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--queries", type=int, default=1024)
+    args = ap.parse_args()
 
-    lo = run_bench(sf_dir, n)
-    hi = run_bench(sf_dir, 4 * n)
+    work = tempfile.mkdtemp(prefix="retriv_scaling_")
+    input_path = f"{work}/corpus"
+    queries_path = f"{work}/queries.jsonl"
 
-    rows = []
-    for metric in ("index_build_docs_per_sec", "query_qps"):
-        t_lo, t_hi = lo[metric], hi[metric]
-        eff = (t_hi / t_lo) / 4.0
-        rows.append((metric, t_lo, t_hi, round(t_hi / t_lo, 2), round(eff, 3)))
+    # 1. deterministic input, generated once
+    gen = subprocess.run(
+        [sys.executable, "-c", f"""
+import sys, json, random
+sys.path.insert(0, {REPO!r})
+from pyspark.sql import functions as F
+from retriv_spark.session import get_spark
+from retriv_spark.corpus import generate_code_corpus, _vocab
+spark = get_spark(app_name="gen", master="local[16]")
+spark.sparkContext.setLogLevel("ERROR")
+df = generate_code_corpus(spark, {args.docs}).withColumn(
+    "__uri__", F.concat_ws("@", "repo", "path", "commit"))
+df.write.mode("overwrite").parquet({input_path!r})
+rng = random.Random(7)
+vocab = [t for t in _vocab() if t.isalnum()]
+with open({queries_path!r}, "w") as f:
+    for i in range({args.queries}):
+        terms = rng.sample(vocab, rng.randint(1, 4))
+        f.write(json.dumps(dict(id=f"q{{i}}", text=" ".join(terms))) + "\\n")
+print("generated")
+"""],
+        capture_output=True, text=True, timeout=1200,
+    )
+    if "generated" not in gen.stdout:
+        print(gen.stdout, gen.stderr)
+        sys.exit(1)
+
+    # 2. run at N and 4N in separate JVMs
+    runs = {}
+    for cpus in (args.n, 4 * args.n):
+        env = dict(
+            os.environ,
+            RETRIV_REPO=REPO,
+            RETRIV_CPUS=str(cpus),
+            RETRIV_INPUT=input_path,
+            RETRIV_INDEX=f"{work}/index_{cpus}",
+            RETRIV_QUERIES=queries_path,
+            RETRIV_RESULTS=f"{work}/results_{cpus}.jsonl",
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", WORKER], env=env,
+            capture_output=True, text=True, timeout=3600,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            print(out.stdout[-3000:], out.stderr[-3000:])
+            sys.exit(1)
+        runs[cpus] = json.loads(lines[-1])
+        print(f"local[{cpus}]: {runs[cpus]}")
+
+    # 3. rank-identity across parallelism levels
+    with open(f"{work}/results_{args.n}.jsonl") as f:
+        a = f.read()
+    with open(f"{work}/results_{4*args.n}.jsonl") as f:
+        b = f.read()
+    identical = a == b
+    lo, hi = runs[args.n], runs[4 * args.n]
+    eff_build = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / 4
+    eff_query = (hi["qps"] / lo["qps"]) / 4
 
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
     lines = [
         "",
-        f"## Scaling run {stamp} — {sf_dir}, local[{n}] vs local[{4*n}]",
+        f"## Scaling run {stamp} — {args.docs} synthetic docs, "
+        f"{args.queries} queries, local[{args.n}] vs local[{4*args.n}] "
+        f"(separate JVMs, same input)",
         "",
-        "| metric | local[{}] | local[{}] | speedup | efficiency (speedup/4) |".format(n, 4 * n),
+        f"| metric | local[{args.n}] | local[{4*args.n}] | speedup | efficiency |",
         "|---|---:|---:|---:|---:|",
+        f"| index build (docs/s) | {lo['build_docs_per_sec']} | "
+        f"{hi['build_docs_per_sec']} | "
+        f"{round(hi['build_docs_per_sec']/lo['build_docs_per_sec'], 2)}x | "
+        f"{round(eff_build, 3)} |",
+        f"| query throughput (qps, 1024-query batch, cutoff 100) | "
+        f"{lo['qps']} | {hi['qps']} | "
+        f"{round(hi['qps']/lo['qps'], 2)}x | {round(eff_query, 3)} |",
+        "",
+        f"rank-identity across parallelism levels: "
+        f"**{'IDENTICAL' if identical else 'MISMATCH'}** "
+        f"({lo['result_rows']} result rows compared byte-for-byte)",
+        "",
     ]
-    for metric, a, b, sp, eff in rows:
-        lines.append(f"| {metric} | {a} | {b} | {sp}x | {eff} |")
-    lines.append("")
-    lines.append(f"per-query seconds at local[{n}]: `{json.dumps(lo['queries'])}`")
-    lines.append(f"per-query seconds at local[{4*n}]: `{json.dumps(hi['queries'])}`")
-    lines.append("")
-
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(path, "a") as f:
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "a") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))
-    print(f"\nwritten to {path}")
+    if not identical:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,195 @@
+"""AdvancedRetriever: multi-field schema + metadata-filtered search.
+
+Reference: /root/reference/retriv/experimental/advanced_retriever.py —
+field kinds {id, text, number, bool, keyword, keywords}
+(:29,162-181), filter clauses {must, must_not} with operators
+{eq, gt, gte, lt, lte, between, and, or} (:27-28, 384-476), filters-only
+queries scoring 1.0 (:563-569).
+
+The reference builds posting-style metadata indexes (per-value doc-id
+lists, :222-267) because it must intersect sorted arrays itself.  On
+Spark those structures are unnecessary: every filter compiles to a
+columnar ``WHERE`` predicate on the docs table — Catalyst pushes it into
+the scan, and the candidate restriction reaches the scorer as a
+``left_semi`` join (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index.builder import DOC_ID
+from .retriever import SparseRetriever
+
+KINDS = {"id", "text", "number", "bool", "keyword", "keywords"}
+
+_KIND_SPARK_TYPES = {
+    "number": {"int", "bigint", "double", "float", "smallint", "tinyint"},
+    "bool": {"boolean"},
+    "keyword": {"string"},
+    "keywords": {"array<string>"},
+    "id": {"string", "int", "bigint"},
+    "text": {"string"},
+}
+
+
+def validate_schema(schema: Dict[str, str], df: DataFrame) -> None:
+    """Reference validation (advanced_retriever.py:162-181): kind
+    whitelist, exactly one text field, one id field; plus Spark dtype
+    enforcement replacing the reference's per-document type checks
+    (:183-220)."""
+    kinds = list(schema.values())
+    unknown = set(kinds) - KINDS
+    if unknown:
+        raise ValueError(f"unknown field kinds: {sorted(unknown)}")
+    if kinds.count("text") != 1:
+        raise ValueError("schema must declare exactly one `text` field")
+    if kinds.count("id") != 1:
+        raise ValueError("schema must declare exactly one `id` field")
+    dtypes = dict(df.dtypes)
+    for field, kind in schema.items():
+        if field not in dtypes:
+            raise ValueError(f"field {field!r} missing from collection")
+        if dtypes[field] not in _KIND_SPARK_TYPES[kind]:
+            raise ValueError(
+                f"field {field!r}: kind {kind!r} incompatible with column "
+                f"type {dtypes[field]!r}"
+            )
+
+
+def _compile_one(field: str, kind: str, spec) -> Column:
+    """One field's must-clause predicate (advanced_retriever.py:384-476)."""
+    col = F.col(field)
+    if kind in ("id", "keyword"):
+        if isinstance(spec, (list, tuple)) and not _is_op(spec):
+            return col.isin(list(spec))
+        if _is_op(spec) and spec[0] == "or":
+            return col.isin(list(spec[1]))
+        return col == F.lit(spec)
+    if kind == "bool":
+        return col == F.lit(bool(spec))
+    if kind == "number":
+        if _is_op(spec):
+            op, *args = spec
+            if op == "eq":
+                return col == F.lit(args[0])
+            if op == "gt":
+                return col > F.lit(args[0])
+            if op == "gte":
+                return col >= F.lit(args[0])
+            if op == "lt":
+                return col < F.lit(args[0])
+            if op == "lte":
+                return col <= F.lit(args[0])
+            if op == "between":  # inclusive (reference :471-476)
+                return col.between(F.lit(args[0]), F.lit(args[1]))
+            raise ValueError(f"unknown number operator {op!r}")
+        return col == F.lit(spec)
+    if kind == "keywords":
+        if _is_op(spec):
+            op, values = spec[0], list(spec[1])
+            if op == "and":  # intersection of per-value lists (:416-431)
+                pred = F.array_contains(col, values[0])
+                for v in values[1:]:
+                    pred = pred & F.array_contains(col, v)
+                return pred
+            if op == "or":  # union (:433-445)
+                return F.arrays_overlap(
+                    col, F.array(*[F.lit(v) for v in values])
+                )
+            raise ValueError(f"unknown keywords operator {op!r}")
+        if isinstance(spec, (list, tuple)):
+            return F.arrays_overlap(col, F.array(*[F.lit(v) for v in spec]))
+        return F.array_contains(col, spec)
+    raise ValueError(f"field kind {kind!r} is not filterable")
+
+
+def _is_op(spec) -> bool:
+    return (
+        isinstance(spec, tuple)
+        and len(spec) >= 2
+        and isinstance(spec[0], str)
+        and spec[0] in {"eq", "gt", "gte", "lt", "lte", "between", "and", "or"}
+    )
+
+
+def compile_filters(
+    schema: Dict[str, str],
+    where: Optional[dict] = None,
+    where_not: Optional[dict] = None,
+) -> Optional[Column]:
+    """{field: spec} clauses -> one conjunctive Spark predicate.
+
+    ``where`` = must clauses, ``where_not`` = must-not (negated;
+    reference diff_sorted :446-453 ↦ boolean NOT)."""
+    preds: List[Column] = []
+    for field, spec in (where or {}).items():
+        preds.append(_compile_one(field, schema[field], spec))
+    for field, spec in (where_not or {}).items():
+        preds.append(~_compile_one(field, schema[field], spec))
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+class AdvancedRetriever(SparseRetriever):
+    """SparseRetriever + declared schema + metadata filters."""
+
+    def __init__(self, spark: SparkSession, schema: Dict[str, str], **kwargs):
+        super().__init__(spark, **kwargs)
+        self.schema = dict(schema)
+        self.text_field = next(f for f, k in schema.items() if k == "text")
+        self.id_field = next(f for f, k in schema.items() if k == "id")
+
+    def index(self, collection: Union[DataFrame, list], **kwargs):
+        if not isinstance(collection, DataFrame):
+            collection = self.spark.createDataFrame(collection)
+        validate_schema(self.schema, collection)
+        return super().index(
+            collection,
+            text_col=self.text_field,
+            id_col=self.id_field,
+            order_cols=kwargs.pop("order_cols", [self.id_field]),
+            **kwargs,
+        )
+
+    def search_advanced(
+        self,
+        text: Optional[str] = None,
+        where: Optional[dict] = None,
+        where_not: Optional[dict] = None,
+        cutoff: int = 100,
+        operator: str = "OR",
+    ) -> Dict:
+        """Filtered search. With no text: all matching docs at score 1.0
+        (reference advanced_retriever.py:563-569)."""
+        idx = self._require_index()
+        pred = compile_filters(self.schema, where, where_not)
+        subset = idx.docs.filter(pred).select(DOC_ID) if pred is not None else None
+
+        if not text:
+            docs = idx.docs if subset is None else idx.docs.join(
+                subset, DOC_ID, "left_semi"
+            )
+            rows = docs.select(self.id_field).orderBy(self.id_field).collect()
+            return {
+                self._restore_id(r[self.id_field]): 1.0
+                for r in rows[:cutoff]
+            }
+
+        out = self.msearch_df(
+            [{"id": "_q", "text": text}],
+            cutoff=cutoff,
+            operator=operator,
+            subset_doc_ids=subset,
+        )
+        return {
+            self._restore_id(r["id"]): r["score"]
+            for r in out.orderBy("rank").collect()
+        }

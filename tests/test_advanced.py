@@ -1,0 +1,101 @@
+"""AdvancedRetriever: schema validation, every filter kind × clause ×
+operator, filters-only queries, AND/OR text ops — modeled on the
+reference behavioral suite
+(/root/reference/tests/advanced_retriever/advanced_retriever_test.py)."""
+
+import pytest
+
+from retriv_spark.advanced import AdvancedRetriever, compile_filters, validate_schema
+
+SCHEMA = {
+    "id": "id",
+    "text": "text",
+    "lang": "keyword",
+    "tags": "keywords",
+    "year": "number",
+    "active": "bool",
+}
+
+COLLECTION = [
+    {"id": "d1", "text": "spark shuffle join", "lang": "en",
+     "tags": ["db", "olap"], "year": 2019, "active": True},
+    {"id": "d2", "text": "spark broadcast join", "lang": "en",
+     "tags": ["db"], "year": 2021, "active": False},
+    {"id": "d3", "text": "flink streaming join", "lang": "de",
+     "tags": ["stream", "db"], "year": 2022, "active": True},
+    {"id": "d4", "text": "duck db vectorized scan", "lang": "en",
+     "tags": ["olap"], "year": 2023, "active": True},
+]
+
+
+@pytest.fixture(scope="module")
+def ar(spark):
+    r = AdvancedRetriever(
+        spark, SCHEMA, stemmer=None, stopwords=None
+    )
+    r.index(COLLECTION)
+    return r
+
+
+def _ids(res):
+    return set(res.keys())
+
+
+def test_schema_validation(spark):
+    df = spark.createDataFrame(COLLECTION)
+    validate_schema(SCHEMA, df)
+    with pytest.raises(ValueError, match="exactly one `text`"):
+        validate_schema({"id": "id", "a": "keyword"}, df)
+    with pytest.raises(ValueError, match="unknown field kinds"):
+        validate_schema({"id": "id", "text": "text", "x": "blob"}, df)
+    with pytest.raises(ValueError, match="missing from collection"):
+        validate_schema(dict(SCHEMA, extra="number"), df)
+    with pytest.raises(ValueError, match="incompatible"):
+        validate_schema(dict(SCHEMA, lang="number"), df)
+
+
+def test_keyword_filters(ar):
+    assert _ids(ar.search_advanced("join", where={"lang": "en"})) == {"d1", "d2"}
+    assert _ids(ar.search_advanced("join", where_not={"lang": "en"})) == {"d3"}
+    assert _ids(ar.search_advanced(where={"lang": ["en", "de"]})) == {
+        "d1", "d2", "d3", "d4"}
+
+
+def test_number_filters(ar):
+    assert _ids(ar.search_advanced(where={"year": ("gte", 2022)})) == {"d3", "d4"}
+    assert _ids(ar.search_advanced(where={"year": ("lt", 2021)})) == {"d1"}
+    assert _ids(ar.search_advanced(where={"year": ("between", 2021, 2022)})) == {
+        "d2", "d3"}
+    assert _ids(ar.search_advanced(where={"year": 2021})) == {"d2"}
+
+
+def test_bool_and_keywords_filters(ar):
+    assert _ids(ar.search_advanced(where={"active": True})) == {"d1", "d3", "d4"}
+    assert _ids(ar.search_advanced(where={"tags": "db"})) == {"d1", "d2", "d3"}
+    assert _ids(ar.search_advanced(where={"tags": ("and", ["db", "olap"])})) == {"d1"}
+    assert _ids(ar.search_advanced(where={"tags": ("or", ["olap", "stream"])})) == {
+        "d1", "d3", "d4"}
+    assert _ids(ar.search_advanced(where_not={"tags": "db"})) == {"d4"}
+
+
+def test_combined_clauses(ar):
+    res = ar.search_advanced(
+        "join",
+        where={"tags": "db", "year": ("gte", 2020)},
+        where_not={"lang": "de"},
+    )
+    assert _ids(res) == {"d2"}
+
+
+def test_filters_only_scores_one(ar):
+    res = ar.search_advanced(where={"lang": "en", "active": True})
+    assert res == {"d1": 1.0, "d4": 1.0}
+
+
+def test_and_operator_with_filter(ar):
+    res = ar.search_advanced("spark join", operator="AND", where={"active": True})
+    assert _ids(res) == {"d1"}
+
+
+def test_compile_filters_none():
+    assert compile_filters(SCHEMA) is None
