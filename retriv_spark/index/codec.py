@@ -79,13 +79,18 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
 
 
 def encode_segment(
-    doc_ids: np.ndarray, tfs: np.ndarray, rels: np.ndarray, shard_base: int = 0
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, shard_base: int = 0
 ) -> dict:
     """Encode one (term, shard) posting segment. ``doc_ids`` must be sorted
-    ascending and unique. Returns the column dict for the postings row."""
+    ascending and unique; ``dls`` are the integer doc lengths (token
+    counts), varint-compressed like the tfs.  Storing doc_len instead of a
+    build-time relative length keeps appended segments permanently valid:
+    df and avgdl are resolved at QUERY time from live stats, so streaming
+    appends never invalidate old segments.  Returns the column dict for
+    the postings row."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
-    rels = np.asarray(rels, dtype=np.float32)
+    dls = np.asarray(np.rint(np.asarray(dls, dtype=np.float64)), dtype=np.int64)
     n = doc_ids.size
     assert n > 0
 
@@ -103,44 +108,49 @@ def encode_segment(
     # restart gaps at block starts (absolute from shard_base)
     gaps[::BLOCK] = doc_ids[::BLOCK] - shard_base
 
-    doc_bufs, tf_bufs = [], []
+    doc_bufs, tf_bufs, dl_bufs = [], [], []
     doc_offs = np.zeros(n_blocks + 1, dtype=np.int64)
     tf_offs = np.zeros(n_blocks + 1, dtype=np.int64)
+    dl_offs = np.zeros(n_blocks + 1, dtype=np.int64)
     block_max_tf = np.zeros(n_blocks, dtype=np.int64)
-    block_min_rel = np.zeros(n_blocks, dtype=np.float32)
+    block_min_dl = np.zeros(n_blocks, dtype=np.int64)
     for bi in range(n_blocks):
         sl = slice(bi * BLOCK, min((bi + 1) * BLOCK, n))
         db = varint_encode(gaps[sl])
         tb = varint_encode(tfs[sl])
+        lb = varint_encode(dls[sl])
         doc_bufs.append(db)
         tf_bufs.append(tb)
+        dl_bufs.append(lb)
         doc_offs[bi + 1] = doc_offs[bi] + len(db)
         tf_offs[bi + 1] = tf_offs[bi] + len(tb)
+        dl_offs[bi + 1] = dl_offs[bi] + len(lb)
         block_max_tf[bi] = tfs[sl].max()
-        block_min_rel[bi] = rels[sl].min()
+        block_min_dl[bi] = dls[sl].min()
 
     return {
         "n": int(n),
         "doc_gaps": b"".join(doc_bufs),
         "tfs": b"".join(tf_bufs),
-        "rels": rels.tobytes(),
+        "dls": b"".join(dl_bufs),
         "block_first_doc": block_first_doc.tolist(),
         "block_doc_off": doc_offs.tolist(),
         "block_tf_off": tf_offs.tolist(),
+        "block_dl_off": dl_offs.tolist(),
         "block_max_tf": block_max_tf.tolist(),
-        "block_min_rel": [float(x) for x in block_min_rel],
+        "block_min_dl": block_min_dl.tolist(),
     }
 
 
 def decode_segment(row, shard_base: int = 0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a full segment row -> (doc_ids int64, tfs int64, rels f32).
+    """Decode a full segment row -> (doc_ids, tfs, dls), all int64.
 
     ``row`` is anything with dict-like access to the encode_segment keys.
     """
     n = int(row["n"])
     gaps = varint_decode(row["doc_gaps"], n).astype(np.int64)
     tfs = varint_decode(row["tfs"], n).astype(np.int64)
-    rels = np.frombuffer(row["rels"], dtype=np.float32)
+    dls = varint_decode(row["dls"], n).astype(np.int64)
     doc_ids = np.empty(n, dtype=np.int64)
     # rebuild absolute ids: cumulative sum restarted at block boundaries
     n_blocks = (n + BLOCK - 1) // BLOCK
@@ -149,7 +159,7 @@ def decode_segment(row, shard_base: int = 0) -> Tuple[np.ndarray, np.ndarray, np
         g = gaps[sl].copy()
         g[0] += shard_base
         doc_ids[sl] = np.cumsum(g)
-    return doc_ids, tfs, rels
+    return doc_ids, tfs, dls
 
 
 def decode_block(row, bi: int, shard_base: int = 0):
@@ -160,9 +170,10 @@ def decode_block(row, bi: int, shard_base: int = 0):
     cnt = hi - lo
     d0, d1 = int(row["block_doc_off"][bi]), int(row["block_doc_off"][bi + 1])
     t0, t1 = int(row["block_tf_off"][bi]), int(row["block_tf_off"][bi + 1])
+    l0, l1 = int(row["block_dl_off"][bi]), int(row["block_dl_off"][bi + 1])
     gaps = varint_decode(bytes(row["doc_gaps"])[d0:d1], cnt).astype(np.int64)
     tfs = varint_decode(bytes(row["tfs"])[t0:t1], cnt).astype(np.int64)
+    dls = varint_decode(bytes(row["dls"])[l0:l1], cnt).astype(np.int64)
     gaps[0] += shard_base
     doc_ids = np.cumsum(gaps)
-    rels = np.frombuffer(row["rels"], dtype=np.float32)[lo:hi]
-    return doc_ids, tfs, rels
+    return doc_ids, tfs, dls

@@ -58,22 +58,22 @@ from .codec import encode_segment
 
 POSTINGS_SCHEMA = (
     "shard int, term string, df long, n int, "
-    "doc_gaps binary, tfs binary, rels binary, "
+    "doc_gaps binary, tfs binary, dls binary, "
     "block_first_doc array<long>, block_doc_off array<long>, "
-    "block_tf_off array<long>, block_max_tf array<long>, "
-    "block_min_rel array<float>"
+    "block_tf_off array<long>, block_dl_off array<long>, "
+    "block_max_tf array<long>, block_min_dl array<long>"
 )
 
 
 def _encode_group(span: int):
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         shard, term = int(key[0]), key[1]
         base = shard * span
         order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
         doc_ids = pdf["doc_id"].to_numpy()[order]
         tfs = pdf["tf"].to_numpy()[order]
-        rels = pdf["rel_dl"].to_numpy()[order]
-        seg = encode_segment(doc_ids, tfs, rels, shard_base=base)
+        dls = pdf["doc_len"].to_numpy()[order]
+        seg = encode_segment(doc_ids, tfs, dls, shard_base=base)
         return pd.DataFrame(
             [
                 {
@@ -188,8 +188,17 @@ class PackedIndex:
 
         post = self.postings.filter(F.col("term").isin(all_terms))
 
+        # live document frequencies: df(term) = Σ segment n across shards.
+        # Computed at query time (a tiny agg over only the query's terms)
+        # so streaming-appended segments never serve stale idf.
+        df_by_term = {
+            r["term"]: int(r["df"])
+            for r in post.groupBy("term").agg(F.sum("n").alias("df")).collect()
+        }
+
         kern = make_shard_kernel(
             qmap=qmap,
+            df_by_term=df_by_term,
             doc_count=self.doc_count,
             avg_doc_len=self.avg_doc_len,
             span=self.span,
@@ -275,6 +284,7 @@ def build_packed_index(
         "format_version": 1,
         "preproc": pre.config,
         "orig_id_col": id_col,
+        "text_col": text_col,
         "min_df": min_df if isinstance(min_df, int) else float(min_df),
         "stages": {},
     }
@@ -308,6 +318,12 @@ def build_packed_index(
     manifest["doc_count"] = idx.stats.doc_count
     manifest["avg_doc_len"] = idx.stats.avg_doc_len
     manifest["avg_doc_len_f64"] = idx.stats.avg_doc_len_f64
+    # exact Σ doc_len so streaming appends can update avgdl incrementally
+    # with no drift (ingest.py)
+    total_row = idx.doc_lens.agg(
+        F.sum(F.col("doc_len").cast("long")).alias("t")
+    ).collect()[0]
+    manifest["total_doc_len"] = int(total_row["t"] or 0)
 
     if n_shards is None:
         n_shards = max(1, min(512, idx.doc_count // 4096 or 1))
@@ -330,7 +346,7 @@ def build_packed_index(
             F.col("term"),
             F.col(DOC_ID).alias("doc_id"),
             F.col("tf"),
-            F.col("rel_dl"),
+            F.col("doc_len"),
             F.col("df"),
         )
         packed = flat.groupBy("shard", "term").applyInPandas(

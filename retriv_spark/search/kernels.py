@@ -48,7 +48,7 @@ def _decode_segment_row(row) -> tuple:
     n = int(row["n"])
     gaps = varint_decode(bytes(row["doc_gaps"]), n).astype(np.int64)
     tfs = varint_decode(bytes(row["tfs"]), n).astype(np.int64)
-    rels = np.frombuffer(bytes(row["rels"]), dtype=np.float32)
+    dls = varint_decode(bytes(row["dls"]), n).astype(np.int64)
     # rebuild absolute doc ids: gaps restart at block boundaries with
     # absolute-from-zero first docs (encode_segment wrote first-of-block as
     # doc - shard_base; block_first_doc carries the absolute value).
@@ -60,27 +60,32 @@ def _decode_segment_row(row) -> tuple:
         g = gaps[sl].copy()
         g[0] = firsts[bi]
         doc_ids[sl] = np.cumsum(g)
-    return doc_ids, tfs, rels
+    return doc_ids, tfs, dls
 
 
 def _partial_scores(
-    tfs: np.ndarray, rels: np.ndarray, idf: np.float32,
+    tfs: np.ndarray, dls: np.ndarray, idf: np.float32,
     model: str, k1: float, b: float, avg_doc_len: float,
 ) -> np.ndarray:
-    """Per-posting contribution, reference-faithful dtype flow."""
+    """Per-posting contribution, reference-faithful dtype flow.
+
+    rel_dl is derived as float32(dl) / float32(avgdl) — elementwise f32
+    division, exactly the oracle's relative_doc_lens math
+    (build_inverted_index.py:64)."""
     if model == "bm25":
+        rels = dls.astype(np.float32) / np.float32(avg_doc_len)
         return idf * (
             (tfs * (k1 + 1.0))
             / (tfs + k1 * (1.0 - b + (b * rels)))
         )
-    # tf-idf: doc_len recovered exactly (doc lens are integers)
-    dls = np.rint(rels.astype(np.float64) * np.float64(np.float32(avg_doc_len)))
+    # tf-idf: tf / doc_len in float32 (tf_idf.py:42)
     dls32 = dls.astype(np.float32)
     return (tfs / dls32) * idf
 
 
 def make_shard_kernel(
     qmap: Dict[str, List[tuple]],
+    df_by_term: Dict[str, int],
     doc_count: int,
     avg_doc_len: float,
     span: int,
@@ -95,8 +100,13 @@ def make_shard_kernel(
 
     qmap: {q_id: [(term, n_occ), ...]} — already filtered to the global
     vocabulary, so ``len(qmap[q])`` is the AND-operator match requirement.
+    df_by_term: live global document frequencies (query-time aggregate, so
+    streaming appends are always consistently scored).
     """
     idf_fn = _idf_bm25 if model == "bm25" else _idf_tfidf
+    idf_by_term = {
+        t: idf_fn(doc_count, float(df)) for t, df in df_by_term.items()
+    }
     is_and = operator.upper() == "AND"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -105,14 +115,26 @@ def make_shard_kernel(
         shard = int(pdf["shard"].iloc[0])
         base = shard * span
 
-        rows_by_term = {}
+        # a term may have SEVERAL segments in one shard (streaming appends
+        # add new segments without rewriting old ones) — doc ranges are
+        # disjoint, so they simply concatenate
+        rows_by_term: dict = {}
         for _, row in pdf.iterrows():
-            rows_by_term[row["term"]] = row
+            rows_by_term.setdefault(row["term"], []).append(row)
 
         out_q, out_d, out_s = [], [], []
 
         if kernel == "taat":
-            segs = {t: _decode_segment_row(r) for t, r in rows_by_term.items()}
+            segs = {}
+            for t, rws in rows_by_term.items():
+                parts = [_decode_segment_row(r) for r in rws]
+                if len(parts) == 1:
+                    segs[t] = parts[0]
+                else:
+                    segs[t] = tuple(
+                        np.concatenate([p[i] for p in parts])
+                        for i in range(3)
+                    )
             scores = np.zeros(span, dtype=np.float32)
             hits = np.zeros(span, dtype=np.int32)
             for q_id, terms in qmap.items():
@@ -121,10 +143,10 @@ def make_shard_kernel(
                     continue
                 touched = []
                 for term, n_occ in present:
-                    doc_ids, tfs, rels = segs[term]
-                    idf = idf_fn(doc_count, float(rows_by_term[term]["df"]))
+                    doc_ids, tfs, dls = segs[term]
+                    idf = idf_by_term[term]
                     part = _partial_scores(
-                        tfs, rels, idf, model, k1, b, avg_doc_len
+                        tfs, dls, idf, model, k1, b, avg_doc_len
                     )
                     idx = doc_ids - base
                     if n_occ != 1:
@@ -157,10 +179,18 @@ def make_shard_kernel(
                 present = [(t, n) for t, n in terms if t in rows_by_term]
                 if not present or (is_and and len(present) < len(terms)):
                     continue
+                # one cursor per SEGMENT; a doc lives in exactly one
+                # segment of a term, so AND's distinct-match count and
+                # OR's accumulation both stay correct
+                rows_flat, occs_flat, idfs_flat = [], [], []
+                for t, n in present:
+                    for r in rows_by_term[t]:
+                        rows_flat.append(r)
+                        occs_flat.append(n)
+                        idfs_flat.append(idf_by_term[t])
                 res = _bmw_query(
-                    [rows_by_term[t] for t, _ in present],
-                    [n for _, n in present],
-                    idf_fn, doc_count, model, k1, b, avg_doc_len,
+                    rows_flat, occs_flat, idfs_flat,
+                    model, k1, b, avg_doc_len,
                     cutoff, is_and, len(terms),
                 )
                 for d, s in res:
@@ -186,7 +216,7 @@ class _ListCursor:
 
     __slots__ = (
         "row", "idf", "n_occ", "n", "n_blocks", "bi", "pos",
-        "doc_ids", "tfs", "rels", "block_ubs", "cur_doc", "exhausted",
+        "doc_ids", "tfs", "dls", "block_ubs", "cur_doc", "exhausted",
         "order_i",
     )
 
@@ -198,19 +228,22 @@ class _ListCursor:
         self.n = int(row["n"])
         self.n_blocks = (self.n + BLOCK - 1) // BLOCK
         max_tf = np.asarray(row["block_max_tf"], dtype=np.float64)
-        min_rel = np.asarray(row["block_min_rel"], dtype=np.float64)
+        min_dl = np.maximum(
+            np.asarray(row["block_min_dl"], dtype=np.float64), 1.0
+        )
         if model == "bm25":
+            min_rel = min_dl / float(np.float32(avg_doc_len))
             ub = idf * (max_tf * (k1 + 1.0)) / (
                 max_tf + k1 * (1.0 - b + b * min_rel)
             )
         else:
-            dls = np.rint(min_rel * float(np.float32(avg_doc_len)))
-            dls = np.maximum(dls, 1.0)
-            ub = (max_tf / dls) * float(idf)
-        self.block_ubs = ub * n_occ
+            ub = (max_tf / min_dl) * float(idf)
+        # widen by 1 ulp-ish so float32 rounding in the exact scorer can
+        # never exceed the float64 bound
+        self.block_ubs = ub * n_occ * (1.0 + 1e-6)
         self.bi = -1
         self.pos = 0
-        self.doc_ids = self.tfs = self.rels = None
+        self.doc_ids = self.tfs = self.dls = None
         self.exhausted = False
         self._load_block(0)
 
@@ -220,7 +253,7 @@ class _ListCursor:
             self.cur_doc = np.int64(2**62)
             return
         self.bi = bi
-        self.doc_ids, self.tfs, self.rels = decode_block(self.row, bi)
+        self.doc_ids, self.tfs, self.dls = decode_block(self.row, bi)
         # restore absolute first doc (encode stores first-of-block absolute
         # minus shard_base; block_first_doc has the absolute value)
         firsts = self.row["block_first_doc"]
@@ -271,10 +304,9 @@ class _ListCursor:
         return 2**62 - 1
 
     def score_current(self, model, k1, b, avg_doc_len) -> float:
-        tf = float(self.tfs[self.pos])
-        rel = self.rels[self.pos]
         part = _partial_scores(
-            np.array([tf]), np.array([rel], dtype=np.float32),
+            self.tfs[self.pos : self.pos + 1],
+            self.dls[self.pos : self.pos + 1],
             self.idf, model, k1, b, avg_doc_len,
         )[0]
         return float(part) * self.n_occ
@@ -288,7 +320,7 @@ class _ListCursor:
 
 
 def _bmw_query(
-    rows, n_occs, idf_fn, doc_count, model, k1, b, avg_doc_len,
+    rows, n_occs, idfs, model, k1, b, avg_doc_len,
     cutoff, is_and, n_req,
 ):
     """Block-max WAND over one query's segments in one shard.
@@ -298,10 +330,10 @@ def _bmw_query(
     """
     cursors = [
         _ListCursor(
-            row, idf_fn(doc_count, float(row["df"])), n_occ,
+            row, idf, n_occ,
             k1, b, model, avg_doc_len, order_i=i,
         )
-        for i, (row, n_occ) in enumerate(zip(rows, n_occs))
+        for i, (row, n_occ, idf) in enumerate(zip(rows, n_occs, idfs))
     ]
     heap: list = []  # min-heap of (score, -doc_id)
     threshold = -math.inf

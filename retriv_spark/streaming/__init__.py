@@ -1,0 +1,3 @@
+"""Structured-Streaming ingest for the packed index."""
+
+from .ingest import append_batch, stream_index  # noqa: F401

@@ -1,0 +1,177 @@
+"""Incremental (streaming) index ingest.
+
+The reference index is immutable — every ``index()`` call rebuilds from
+scratch (sparse_retriever.py:201-226).  The packed format here was
+designed so appends are EXACT, not approximate:
+
+  * segments store raw integer doc lengths (not build-time relative
+    lengths), and document frequencies are aggregated at query time from
+    live segment counts — so new segments never invalidate old ones;
+  * avgdl/doc_count live in the manifest and are updated incrementally
+    from exact integer totals;
+  * a doc's postings land in shard ``doc_id // span``; appended docs get
+    ids starting at the previous ``doc_count``, so a shard receives
+    additional (term, segment) rows whose doc ranges are disjoint from
+    existing ones — the kernels concatenate multi-segment terms.
+
+Net effect (tested): an index built by N streamed appends answers every
+query IDENTICALLY to a batch rebuild over the union of the batches.
+
+``append_batch`` is the exactly-once core (idempotent per batch_id,
+recorded in the manifest); ``stream_index`` wires it into
+``writeStream.foreachBatch`` for Structured Streaming sources.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..index.builder import DOC_ID, make_term_counts_udf
+from ..index.packed import (
+    POSTINGS_SCHEMA,
+    PackedIndex,
+    _encode_group,
+    _load_manifest,
+    _write_manifest,
+)
+from ..preprocessing import TextPreprocessor
+
+
+def append_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    batch_id: Optional[int] = None,
+    order_cols: Optional[List[str]] = None,
+) -> PackedIndex:
+    """Append one micro-batch of documents to an existing packed index.
+
+    Exactly-once: a ``batch_id`` already recorded in the manifest is
+    skipped (Structured Streaming redelivers batches on recovery).
+    Doc ids continue the existing dense enumeration; within a batch the
+    order is ``order_cols`` (default: the original id column) so a
+    replayed batch produces identical ids.
+    """
+    manifest = _load_manifest(index_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no index manifest at {index_path}")
+    done = manifest.setdefault("stream_batches", {})
+    key = str(batch_id) if batch_id is not None else None
+    if key is not None and key in done:
+        return PackedIndex(spark=spark, path=index_path, manifest=manifest)
+
+    pre = TextPreprocessor(**manifest["preproc"])
+    id_col = manifest["orig_id_col"]
+    text_col = manifest.get("text_col", "text")
+    order_cols = order_cols or [id_col]
+    offset = int(manifest["doc_count"])
+    span = int(manifest["span"])
+
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    base = batch.withColumn(
+        DOC_ID, F.row_number().over(w) - F.lit(1) + F.lit(offset)
+    )
+
+    term_counts = make_term_counts_udf(pre)
+    with_terms = base.select(
+        F.col(DOC_ID),
+        term_counts(F.col(text_col)).alias("__tcs__"),
+    ).withColumn(
+        "doc_len",
+        F.aggregate("__tcs__", F.lit(0), lambda acc, x: acc + x["tf"]),
+    )
+    with_terms = with_terms.persist()
+
+    agg = with_terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("doc_len").cast("long")).alias("t"),
+    ).collect()[0]
+    n_new, len_new = int(agg["n"]), int(agg["t"] or 0)
+    if n_new == 0:
+        with_terms.unpersist()
+        return PackedIndex(spark=spark, path=index_path, manifest=manifest)
+
+    flat = with_terms.select(
+        (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
+        F.explode("__tcs__").alias("tc"),
+        F.col(DOC_ID).alias("doc_id"),
+        F.col("doc_len").cast("float").alias("doc_len"),
+    ).select(
+        "shard",
+        F.col("tc.term").alias("term"),
+        "doc_id",
+        F.col("tc.tf").alias("tf"),
+        "doc_len",
+        F.lit(0).cast("long").alias("df"),  # audit column; live df wins
+    )
+    packed = flat.groupBy("shard", "term").applyInPandas(
+        _encode_group(span), POSTINGS_SCHEMA
+    )
+    packed.repartition("shard").sortWithinPartitions("term").write.mode(
+        "append"
+    ).parquet(f"{index_path}/postings")
+
+    base.write.mode("append").parquet(f"{index_path}/docs")
+    base.select(DOC_ID, F.col(id_col)).write.mode("append").parquet(
+        f"{index_path}/doc_map"
+    )
+
+    import numpy as np
+
+    total = int(manifest["total_doc_len"]) + len_new
+    count = offset + n_new
+    avg_f64 = total / count
+    with_terms.select(
+        DOC_ID,
+        F.col("doc_len").cast("float").alias("doc_len"),
+        (F.col("doc_len") / F.lit(avg_f64)).cast("float").alias("rel_dl"),
+    ).write.mode("append").parquet(f"{index_path}/doc_lens")
+    # terms table: append (term, df) deltas; vocabulary reads use the
+    # distinct term set, live df comes from postings at query time
+    delta_terms = flat.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    delta_terms.write.mode("append").parquet(f"{index_path}/terms")
+    with_terms.unpersist()
+
+    manifest["doc_count"] = count
+    manifest["total_doc_len"] = total
+    manifest["avg_doc_len_f64"] = avg_f64
+    manifest["avg_doc_len"] = float(np.float32(avg_f64))
+    if key is not None:
+        done[key] = {"rows": n_new, "first_doc_id": offset}
+    _write_manifest(index_path, manifest)
+    return PackedIndex(spark=spark, path=index_path, manifest=manifest)
+
+
+def stream_index(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    order_cols: Optional[List[str]] = None,
+    trigger: Optional[dict] = None,
+):
+    """Wire ``append_batch`` into a Structured Streaming sink.
+
+    ``stream`` is a streaming DataFrame (e.g. ``spark.readStream.schema(…)
+    .parquet(dir)``); checkpointing + the manifest batch registry give
+    end-to-end exactly-once.  Returns the StreamingQuery.
+    """
+    spark = stream.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        append_batch(
+            spark, index_path, batch_df, batch_id=batch_id,
+            order_cols=order_cols,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

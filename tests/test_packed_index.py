@@ -41,7 +41,7 @@ def test_varint_roundtrip(values):
         st.tuples(
             st.integers(min_value=0, max_value=10**9),
             st.integers(min_value=1, max_value=30000),
-            st.floats(min_value=0.0078125, max_value=50.0, width=32),
+            st.integers(min_value=1, max_value=10**6),
         ),
         min_size=1,
         max_size=400,
@@ -53,24 +53,24 @@ def test_segment_roundtrip(postings):
     postings.sort()
     doc_ids = np.array([p[0] for p in postings], dtype=np.int64)
     tfs = np.array([p[1] for p in postings], dtype=np.int64)
-    rels = np.array([p[2] for p in postings], dtype=np.float32)
-    seg = encode_segment(doc_ids, tfs, rels, shard_base=0)
-    d, t, r = decode_segment(seg, shard_base=0)
-    assert (d == doc_ids).all() and (t == tfs).all() and (r == rels).all()
+    dls = np.array([p[2] for p in postings], dtype=np.int64)
+    seg = encode_segment(doc_ids, tfs, dls, shard_base=0)
+    d, t, l = decode_segment(seg, shard_base=0)
+    assert (d == doc_ids).all() and (t == tfs).all() and (l == dls).all()
     # per-block decode agrees
     n_blocks = len(seg["block_first_doc"])
     for bi in range(n_blocks):
-        db, tb, rb = decode_block(seg, bi, shard_base=0)
+        db, tb, lb = decode_block(seg, bi, shard_base=0)
         lo = bi * 128
         hi = min(lo + 128, len(doc_ids))
         assert (db == doc_ids[lo:hi]).all()
         assert (tb == tfs[lo:hi]).all()
-        assert (rb == rels[lo:hi]).all()
+        assert (lb == dls[lo:hi]).all()
     # blocks carry valid bounds
     for bi in range(n_blocks):
         lo, hi = bi * 128, min((bi + 1) * 128, len(doc_ids))
         assert seg["block_max_tf"][bi] == tfs[lo:hi].max()
-        assert seg["block_min_rel"][bi] == rels[lo:hi].min()
+        assert seg["block_min_dl"][bi] == dls[lo:hi].min()
 
 
 # -- packed index end-to-end ------------------------------------------------

@@ -1,0 +1,148 @@
+"""Streaming ingest: appended index ≡ batch-rebuilt index, exactly-once
+batch registry, and a real Structured Streaming end-to-end run."""
+
+import time
+from math import isclose
+
+import pytest
+
+from retriv_spark.index.packed import build_packed_index, load_packed_index
+from retriv_spark.preprocessing import TextPreprocessor
+from retriv_spark.streaming.ingest import append_batch
+
+REL_TOL = 1e-6
+
+
+def _docs(i0, i1):
+    return [
+        {"id": i, "text": " ".join(f"w{(i * 7 + j) % 25}" for j in range(12))}
+        for i in range(i0, i1)
+    ]
+
+
+def _pre():
+    return TextPreprocessor(stemmer=None, stopwords=None)
+
+
+QUERIES = [
+    {"id": "a", "text": "w0 w3"},
+    {"id": "b", "text": "w11 w24 w7"},
+    {"id": "c", "text": "w5"},
+]
+
+
+def _res(idx, **kw):
+    out = {}
+    for r in idx.msearch_df(QUERIES, cutoff=30, **kw).collect():
+        out.setdefault(r["q_id"], {})[r["doc_id"]] = r["score"]
+    return out
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    df0 = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in _docs(0, 60)], "id long, text string"
+    )
+    inc_path = str(tmp_path / "inc")
+    idx = build_packed_index(
+        spark, df0, _pre(), inc_path, id_col="id", order_cols=["id"],
+        n_shards=4,
+    )
+
+    df1 = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in _docs(60, 95)], "id long, text string"
+    )
+    idx = append_batch(spark, inc_path, df1, batch_id=1)
+    df2 = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in _docs(95, 130)], "id long, text string"
+    )
+    idx = append_batch(spark, inc_path, df2, batch_id=2)
+
+    full = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in _docs(0, 130)], "id long, text string"
+    )
+    ref = build_packed_index(
+        spark, full, _pre(), str(tmp_path / "full"), id_col="id",
+        order_cols=["id"], n_shards=4,
+    )
+
+    got, exp = _res(idx), _res(ref)
+    assert set(got) == set(exp)
+    for q in exp:
+        assert set(got[q]) == set(exp[q]), q
+        for d, s in exp[q].items():
+            assert isclose(got[q][d], s, rel_tol=REL_TOL)
+
+    # multi-segment shards answer identically under both kernels
+    got_bmw = _res(idx, kernel="bmw")
+    assert got == got_bmw
+
+
+def test_append_idempotent(spark, tmp_path):
+    df0 = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in _docs(0, 30)], "id long, text string"
+    )
+    path = str(tmp_path / "idem")
+    build_packed_index(
+        spark, df0, _pre(), path, id_col="id", order_cols=["id"], n_shards=2
+    )
+    df1 = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in _docs(30, 50)], "id long, text string"
+    )
+    idx = append_batch(spark, path, df1, batch_id=7)
+    n1 = idx.doc_count
+    idx = append_batch(spark, path, df1, batch_id=7)  # redelivered batch
+    assert idx.doc_count == n1 == 50
+
+
+def test_structured_streaming_end_to_end(spark, tmp_path):
+    from retriv_spark.streaming.ingest import stream_index
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "sidx")
+    df0 = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in _docs(0, 40)], "id long, text string"
+    )
+    build_packed_index(
+        spark, df0, _pre(), path, id_col="id", order_cols=["id"], n_shards=2
+    )
+
+    # drop two files into the watched directory, then run the stream
+    for lo, hi, name in [(40, 70, "a"), (70, 100, "b")]:
+        spark.createDataFrame(
+            [(d["id"], d["text"]) for d in _docs(lo, hi)],
+            "id long, text string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema("id long, text string")
+        .option("maxFilesPerTrigger", "4")
+        .parquet(f"{src}/*")
+    )
+    q = stream_index(stream, path, str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            idx = load_packed_index(spark, path)
+            if idx.doc_count >= 100:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    idx = load_packed_index(spark, path)
+    assert idx.doc_count == 100
+    ref = build_packed_index(
+        spark,
+        spark.createDataFrame(
+            [(d["id"], d["text"]) for d in _docs(0, 100)],
+            "id long, text string",
+        ),
+        _pre(), str(tmp_path / "sfull"), id_col="id", order_cols=["id"],
+        n_shards=2,
+    )
+    got, exp = _res(idx), _res(ref)
+    for q_id in exp:
+        assert set(got[q_id]) == set(exp[q_id])
+        for d, s in exp[q_id].items():
+            assert isclose(got[q_id][d], s, rel_tol=REL_TOL)
