@@ -7,6 +7,7 @@ the surrounding large-scale training-data operators (dedup, similarity
 search, text statistics).
 """
 
+from .dense import DenseRetriever, HybridRetriever, hashing_encoder
 from .retriever import SparseRetriever
 from .session import get_spark
 

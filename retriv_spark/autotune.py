@@ -67,6 +67,36 @@ def eval_run(run: DataFrame, qrels: DataFrame, metric: str = "ndcg", k: int = 10
     return float(row["avg"] or 0.0)
 
 
+def tune_merger(
+    runs: List[DataFrame],
+    qrels: DataFrame,
+    metric: str = "ndcg",
+    n_trials: int = 24,
+    cutoff: int = 100,
+    seed: int = 42,
+) -> Dict:
+    """Grid over the 3 norms × seeded random weight vectors (reference:
+    autotune/merger_autotune.py:4-33 — 3 norms × optuna weight search).
+    ``runs`` are (q_id, id, score) DataFrames; returns
+    {"norm": ..., "weights": [...], "score": ...}."""
+    from .merger import _NORMS, fuse
+
+    rng = random.Random(seed)
+    trials = [[1.0 / len(runs)] * len(runs)] + [
+        [rng.randint(0, 10) / 10.0 for _ in runs] for _ in range(n_trials - 1)
+    ]
+    best = {"norm": None, "weights": None, "score": -1.0}
+    for norm in sorted(_NORMS):
+        for weights in trials:
+            if sum(weights) == 0:
+                continue
+            fused = fuse(runs, norm=norm, weights=weights, cutoff=cutoff)
+            score = eval_run(fused, qrels, metric=metric, k=cutoff)
+            if score > best["score"]:
+                best = {"norm": norm, "weights": list(weights), "score": score}
+    return best
+
+
 def tune_bm25(
     retriever,
     queries: List[Dict[str, str]],

@@ -1,0 +1,310 @@
+"""DenseRetriever + HybridRetriever — embedding search and sparse+dense fusion.
+
+Reference surface: /root/reference/retriv/dense_retriever/dense_retriever.py
+(index/search/msearch over transformer embeddings + faiss ANN) and
+/root/reference/retriv/hybrid_retriever.py:254-287 (sparse@N + dense@N →
+Merger.fuse → cutoff).  Re-designed Spark-first, NOT a port:
+
+  * The corpus embedding table is a plain DataFrame ``(id, embedding:
+    array<float>)`` — at 100 TB this is a parquet/Iceberg table partitioned
+    on id ranges; inference runs upstream or through a user-supplied
+    Arrow-batched encoder UDF.
+  * Exact search = broadcast the (tiny) query vectors against the corpus
+    scan — one narrow pass, no corpus shuffle, then a per-query top-k
+    (`ops.similarity.brute_force_topk`).  This is the reference's
+    `compute_scores` matmul (dense_retriever.py:373-380) as a distributed
+    scan instead of an in-RAM matrix product.
+  * ANN = sign-bit LSH bucket join (`ops.similarity.lsh_topk`) — the
+    bucketed shape an IVF/faiss coarse quantizer would also take
+    (ann_searcher.py:26-48); corpus hash-partitioned by bucket, each query
+    probes one slice.
+  * The reference's HF transformer encoder (encoder.py:88-130: mean-pool +
+    optional L2 norm) needs torch/transformers, absent here.  The encoder
+    slot accepts any ``pd.Series[str] -> pd.Series[list[float]]`` callable;
+    the built-in default is a deterministic feature-hashing encoder (signed
+    token-hash buckets, L2-normalized) so the full pipeline — including
+    HybridRetriever fusion — runs and is testable without model weights.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+from .merger import fuse
+from .ops.similarity import brute_force_topk, lsh_topk
+
+
+def hashing_encoder(dim: int = 64, seed: int = 42) -> Callable:
+    """Deterministic feature-hashing text encoder (the classic 'hashing
+    trick'): each whitespace token hashes to a bucket in [0, dim) with a
+    ±1 sign from a second hash; the bucket-count vector is L2-normalized.
+
+    Stands in for the reference's transformer encoder (encoder.py:88-130)
+    — same output contract (fixed-dim L2-normalized float32), zero model
+    weights, reproducible across partitions/cluster sizes.
+    """
+    import hashlib
+
+    def _enc_one(text: str) -> list:
+        v = np.zeros(dim, dtype=np.float64)
+        for tok in text.lower().split():
+            h = hashlib.blake2b(
+                tok.encode("utf-8"), digest_size=8, key=str(seed).encode()
+            ).digest()
+            x = int.from_bytes(h, "little")
+            v[x % dim] += 1.0 if (x >> 40) & 1 else -1.0
+        n = float(np.sqrt((v * v).sum()))
+        if n > 0:
+            v /= n
+        return [float(x) for x in v.astype(np.float32)]
+
+    def encode(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _enc_one(t or ""))
+
+    encode.dim = dim  # type: ignore[attr-defined]
+    return encode
+
+
+def transformer_encoder(model_name: str):  # pragma: no cover - env-gated
+    """Reference-parity encoder slot (encoder.py:36-130). Requires
+    torch+transformers, which this environment does not ship."""
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformer encoding needs torch+transformers (not installed); "
+            "pass a custom encoder callable or precomputed embeddings"
+        ) from e
+    raise NotImplementedError("wire HF mean-pooling here when libs exist")
+
+
+class DenseRetriever:
+    """Embedding retrieval over ``(id, embedding: array<float>)``.
+
+    ``index`` accepts either a precomputed embedding column (the scale
+    path) or a text column + encoder callable (Arrow-batched pandas UDF).
+    Results mirror SparseRetriever: ``msearch_df`` → DataFrame
+    ``(q_id, id, score, rank)``, ``search``/``msearch`` → {id: score}.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_name: str = "new-index-dense",
+        encoder: Optional[Callable] = None,
+        normalize: bool = True,
+        use_ann: bool = True,
+        n_bits: int = 8,
+    ):
+        self.spark = spark
+        self.index_name = index_name
+        self.encoder = encoder or hashing_encoder()
+        self.normalize = normalize
+        self.use_ann = use_ann
+        self.n_bits = n_bits
+        self.embeddings: Optional[DataFrame] = None
+
+    # -- indexing ------------------------------------------------------------
+
+    def _encode_col(self, text_col: str) -> F.Column:
+        enc = F.pandas_udf(self.encoder, ArrayType(FloatType()))
+        return enc(F.col(text_col))
+
+    def index(
+        self,
+        collection: Union[DataFrame, Sequence[dict]],
+        id_col: str = "id",
+        text_col: str = "text",
+        embeddings_col: Optional[str] = None,
+    ) -> "DenseRetriever":
+        if not isinstance(collection, DataFrame):
+            collection = self.spark.createDataFrame(
+                pd.DataFrame(list(collection))
+            )
+        if embeddings_col is not None:
+            emb = collection.select(
+                F.col(id_col).alias("id"),
+                F.col(embeddings_col).cast("array<float>").alias("embedding"),
+            )
+        else:
+            emb = collection.select(
+                F.col(id_col).alias("id"),
+                self._encode_col(text_col).alias("embedding"),
+            )
+        if self.normalize and embeddings_col is not None:
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda a, v: a + v.cast("double") * v.cast("double"),
+                )
+            )
+            emb = emb.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda v: (v.cast("double") / F.greatest(nrm, F.lit(1e-12))).cast(
+                        "float"
+                    ),
+                ),
+            )
+        self.embeddings = emb.cache()
+        self.embeddings.count()
+        return self
+
+    # -- persistence (reference save/load, dense_retriever.py:83-139) --------
+
+    def save(self, path: str) -> str:
+        assert self.embeddings is not None, "index() first"
+        self.embeddings.write.mode("overwrite").parquet(f"{path}/embeddings")
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "kind": "dense",
+                    "normalize": self.normalize,
+                    "use_ann": self.use_ann,
+                    "n_bits": self.n_bits,
+                },
+                f,
+            )
+        return path
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "DenseRetriever":
+        with open(os.path.join(path, "manifest.json")) as f:
+            m = json.load(f)
+        r = cls(
+            spark,
+            normalize=m["normalize"],
+            use_ann=m["use_ann"],
+            n_bits=m["n_bits"],
+        )
+        r.embeddings = spark.read.parquet(f"{path}/embeddings")
+        return r
+
+    # -- search ----------------------------------------------------------------
+
+    def _queries_df(
+        self, queries: Sequence[Tuple[str, Union[str, Sequence[float]]]]
+    ) -> DataFrame:
+        rows = list(queries)
+        if rows and isinstance(rows[0][1], str):
+            pdf = pd.DataFrame(rows, columns=["q_id", "text"])
+            pdf["q_vec"] = self.encoder(pdf["text"])
+            pdf = pdf[["q_id", "q_vec"]]
+        else:
+            pdf = pd.DataFrame(
+                [(q, [float(x) for x in v]) for q, v in rows],
+                columns=["q_id", "q_vec"],
+            )
+        return self.spark.createDataFrame(
+            pdf, "q_id string, q_vec array<float>"
+        )
+
+    def msearch_df(
+        self,
+        queries: Union[DataFrame, Sequence[tuple]],
+        cutoff: int = 100,
+        use_ann: Optional[bool] = None,
+    ) -> DataFrame:
+        """queries: DataFrame (q_id, q_vec) or [(q_id, text-or-vector)].
+        Returns (q_id, id, score, rank); score = cosine similarity."""
+        assert self.embeddings is not None, "index() first"
+        qdf = (
+            queries
+            if isinstance(queries, DataFrame)
+            else self._queries_df(queries)
+        )
+        ann = self.use_ann if use_ann is None else use_ann
+        fn = lsh_topk if ann else brute_force_topk
+        kwargs = dict(n_bits=self.n_bits) if ann else {}
+        res = fn(
+            self.embeddings,
+            qdf,
+            k=cutoff,
+            id_col="id",
+            vec_col="embedding",
+            exclude_self=False,
+            **kwargs,
+        )
+        return res.select(
+            "q_id",
+            F.col("vec_id").alias("id"),
+            F.col("cos").alias("score"),
+            "rank",
+        )
+
+    def msearch(self, queries, cutoff: int = 100, use_ann=None) -> Dict:
+        out: Dict[str, Dict] = {str(q): {} for q, _ in queries}
+        for r in self.msearch_df(queries, cutoff, use_ann).collect():
+            out.setdefault(str(r["q_id"]), {})[r["id"]] = float(r["score"])
+        return out
+
+    def search(self, query, cutoff: int = 100, use_ann=None) -> Dict:
+        return self.msearch([("q_0", query)], cutoff, use_ann).get("q_0", {})
+
+
+class HybridRetriever:
+    """sparse@prefetch + dense@prefetch → normalize/weighted-fuse → cutoff.
+
+    Reference: hybrid_retriever.py:254-264 (search) / :266-287 (msearch):
+    both runs at cutoff 1000, then Merger.fuse.  Here both runs are lazy
+    DataFrames and fusion is one (q_id, id) shuffle (`merger.fuse`), so an
+    msearch over a million queries is a single Spark job.
+    """
+
+    def __init__(
+        self,
+        sparse_retriever,
+        dense_retriever: DenseRetriever,
+        norm: str = "min-max",
+        weights: Optional[List[float]] = None,
+        prefetch: int = 1000,
+    ):
+        self.sparse = sparse_retriever
+        self.dense = dense_retriever
+        self.norm = norm
+        self.weights = weights or [0.5, 0.5]
+        self.prefetch = prefetch
+
+    def msearch_df(
+        self,
+        queries: Sequence[Tuple[str, str]],
+        cutoff: int = 100,
+        dense_queries: Optional[Sequence[tuple]] = None,
+    ) -> DataFrame:
+        """Text queries drive the sparse run; ``dense_queries`` (same
+        q_ids, vectors or text) drive the dense run — defaults to encoding
+        the same text."""
+        sparse_run = self.sparse.msearch_df(
+            [{"id": q, "text": t} for q, t in queries], cutoff=self.prefetch
+        ).select("q_id", F.col("id").cast("string").alias("id"), "score")
+        dense_run = self.dense.msearch_df(
+            dense_queries if dense_queries is not None else queries,
+            cutoff=self.prefetch,
+        ).select("q_id", F.col("id").cast("string").alias("id"), "score")
+        return fuse(
+            [sparse_run, dense_run],
+            norm=self.norm,
+            weights=self.weights,
+            cutoff=cutoff,
+        )
+
+    def msearch(self, queries, cutoff: int = 100, dense_queries=None) -> Dict:
+        out: Dict[str, Dict] = {str(q): {} for q, _ in queries}
+        rows = self.msearch_df(queries, cutoff, dense_queries).collect()
+        for r in rows:
+            out.setdefault(str(r["q_id"]), {})[r["id"]] = float(r["score"])
+        return out
+
+    def search(self, query: str, cutoff: int = 100) -> Dict:
+        return self.msearch([("q_0", query)], cutoff).get("q_0", {})

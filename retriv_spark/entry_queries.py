@@ -286,6 +286,41 @@ def q_fusion_minmax(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def q_hybrid_fusion(spark, sf_dir):
+    """HybridRetriever plan (reference hybrid_retriever.py:254-264): BM25
+    sparse run over ``documents`` + dense cosine run over ``embeddings``
+    (query vectors = embeddings of vec_id 0..4, one per BM25 query id),
+    min-max normalized and weighted-sum fused."""
+    docs = _docs(spark, sf_dir)
+    idx = _build(spark, docs)
+    qt = _query_terms(spark, BM25_QUERIES)
+    sparse = score_query_terms(
+        idx, qt, model="bm25", k1=K1, b=B, cutoff=20, precision="float64"
+    )
+    sparse_run = sparse.join(idx.doc_map, DOC_ID).select(
+        "q_id", F.col("doc_id").alias("id"), "score"
+    )
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.concat(F.lit("q"), (F.col("vec_id") + 1).cast("string")).alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    dense = brute_force_topk(emb, queries, k=20, exclude_self=False)
+    dense_run = dense.select(
+        "q_id", F.col("vec_id").alias("id"), F.col("cos").alias("score")
+    )
+    fused = fuse(
+        [sparse_run, dense_run], norm="min-max", weights=[0.5, 0.5],
+        cutoff=CUTOFF,
+    )
+    return fused.select(
+        "q_id",
+        F.col("id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
 def q_dedup_exact(spark, sf_dir):
     groups = exact_dedup_groups(_docs(spark, sf_dir))
     return groups.select("content_hash", "keep_id", "n_members").orderBy(
@@ -397,6 +432,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_min_df": q_vocab_min_df,
     "metadata_filter": q_metadata_filter,
     "fusion_minmax": q_fusion_minmax,
+    "hybrid_fusion": q_hybrid_fusion,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -727,6 +763,92 @@ n1 AS (
 n2 AS (
   SELECT q_id, doc_id,
          0.3 * (score - min(score) OVER (PARTITION BY q_id))
+           / greatest(max(score) OVER (PARTITION BY q_id)
+                      - min(score) OVER (PARTITION BY q_id), 1e-9) AS score
+  FROM run2 WHERE rank <= 20
+),
+fused AS (
+  SELECT q_id, doc_id, sum(score) AS score
+  FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM fused
+)
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+"""
+
+ORACLE_SQL["hybrid_fusion"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(q_id, term) AS (VALUES {_sql_values(BM25_QUERIES)}),
+base AS (
+  SELECT q.q_id, tf.doc_id, tf.tf, d.df, dl.dl, s.n, s.avgdl
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT q_id, doc_id,
+         sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf * ({K1} + 1.0))
+             / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score
+  FROM base GROUP BY 1, 2
+),
+run1 AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM bm25
+),
+fe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fe GROUP BY 1),
+qv AS (SELECT * FROM fe WHERE vec_id < 5),
+dots AS (
+  SELECT q.vec_id AS qvid, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+  FROM qv q JOIN fe e ON e.i = q.i
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT 'q' || CAST(d.qvid + 1 AS VARCHAR) AS q_id, d.vec_id AS doc_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS score
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.qvid
+  JOIN nrm nb ON nb.vec_id = d.vec_id
+),
+run2 AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM cosd
+),
+n1 AS (
+  SELECT q_id, doc_id,
+         0.5 * (score - min(score) OVER (PARTITION BY q_id))
+           / greatest(max(score) OVER (PARTITION BY q_id)
+                      - min(score) OVER (PARTITION BY q_id), 1e-9) AS score
+  FROM run1 WHERE rank <= 20
+),
+n2 AS (
+  SELECT q_id, doc_id,
+         0.5 * (score - min(score) OVER (PARTITION BY q_id))
            / greatest(max(score) OVER (PARTITION BY q_id)
                       - min(score) OVER (PARTITION BY q_id), 1e-9) AS score
   FROM run2 WHERE rank <= 20

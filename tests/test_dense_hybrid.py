@@ -1,0 +1,130 @@
+"""DenseRetriever / HybridRetriever / tune_merger.
+
+Oracle: numpy cosine similarity over the same deterministic hashing
+encoder — exact-search results must match brute-force numpy to 1e-5, the
+hybrid fusion must equal merger.fuse of the two runs (which the merger
+suite already validates against the reference formulas).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.autotune import tune_merger
+from retriv_spark.dense import DenseRetriever, HybridRetriever, hashing_encoder
+from retriv_spark.retriever import SparseRetriever
+
+DOCS = [
+    {"id": "d1", "text": "spark join window functions"},
+    {"id": "d2", "text": "hash join broadcast shuffle"},
+    {"id": "d3", "text": "window aggregation watermark streaming"},
+    {"id": "d4", "text": "sort merge join skew salting"},
+    {"id": "d5", "text": "columnar parquet scan pushdown"},
+    {"id": "d6", "text": "spark spark spark join"},
+]
+
+
+def _np_cosine_topk(queries, docs, enc, k):
+    dvecs = {d["id"]: np.array(enc(_ser([d["text"]]))[0]) for d in docs}
+    out = {}
+    for q_id, text in queries:
+        qv = np.array(enc(_ser([text]))[0])
+        scored = []
+        for did, dv in dvecs.items():
+            denom = np.linalg.norm(qv) * np.linalg.norm(dv)
+            cos = float(qv @ dv / denom) if denom > 0 else 0.0
+            scored.append((did, round(cos, 6)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        out[q_id] = scored[:k]
+    return out
+
+
+def _ser(xs):
+    import pandas as pd
+
+    return pd.Series(xs)
+
+
+def test_dense_exact_matches_numpy(spark):
+    enc = hashing_encoder(dim=32)
+    dr = DenseRetriever(spark, encoder=enc, use_ann=False).index(DOCS)
+    queries = [("q1", "spark join"), ("q2", "parquet scan")]
+    got = dr.msearch(queries, cutoff=3)
+    want = _np_cosine_topk(queries, DOCS, enc, 3)
+    for q_id, pairs in want.items():
+        assert list(got[q_id].keys()) == [d for d, _ in pairs]
+        for (did, cos) in pairs:
+            assert got[q_id][did] == pytest.approx(cos, abs=1e-5)
+
+
+def test_dense_ann_subset_of_exact_space(spark):
+    enc = hashing_encoder(dim=32)
+    dr = DenseRetriever(spark, encoder=enc, use_ann=True, n_bits=4).index(DOCS)
+    res = dr.msearch([("q1", "spark join")], cutoff=10)
+    exact = DenseRetriever(spark, encoder=enc, use_ann=False).index(DOCS).msearch(
+        [("q1", "spark join")], cutoff=10
+    )
+    # ANN candidates are a subset of the corpus with identical scores where
+    # present (same-bucket filter, exact cosine within bucket).
+    for did, score in res["q1"].items():
+        assert exact["q1"][did] == pytest.approx(score, abs=1e-6)
+
+
+def test_dense_precomputed_embeddings_and_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.6, 0.8]), ("c", [0.0, 1.0])],
+        "id string, vec array<float>",
+    )
+    dr = DenseRetriever(spark, use_ann=False).index(
+        df, id_col="id", embeddings_col="vec"
+    )
+    got = dr.msearch([("q", [1.0, 0.0])], cutoff=3)["q"]
+    assert got["a"] == pytest.approx(1.0, abs=1e-6)
+    assert got["b"] == pytest.approx(0.6, abs=1e-6)
+    assert got["c"] == pytest.approx(0.0, abs=1e-6)
+
+    path = str(tmp_path / "dense_idx")
+    dr.save(path)
+    dr2 = DenseRetriever.load(spark, path)
+    got2 = dr2.msearch([("q", [1.0, 0.0])], cutoff=3, use_ann=False)["q"]
+    assert got == got2
+
+
+def test_hybrid_fuses_sparse_and_dense(spark):
+    sr = SparseRetriever(spark, stemmer=None, stopwords=None)
+    sr.index(DOCS)
+    dr = DenseRetriever(
+        spark, encoder=hashing_encoder(dim=32), use_ann=False
+    ).index(DOCS)
+    hr = HybridRetriever(sr, dr, weights=[0.5, 0.5])
+    queries = [("q1", "spark join"), ("q2", "watermark streaming")]
+    res = hr.msearch(queries, cutoff=4)
+    assert set(res) == {"q1", "q2"}
+    assert 0 < len(res["q1"]) <= 4
+    # d6 repeats "spark" and "join" — must rank first for q1 in both runs.
+    top_q1 = max(res["q1"], key=lambda d: res["q1"][d])
+    assert top_q1 == "d6"
+    # fused scores are normalized weighted sums -> within [0, 1].
+    for scores in res.values():
+        for s in scores.values():
+            assert -1e-9 <= s <= 1.0 + 1e-9
+
+
+def test_tune_merger_picks_scored_combo(spark):
+    run1 = spark.createDataFrame(
+        [("q1", "d1", 10.0), ("q1", "d2", 5.0), ("q1", "d3", 1.0)],
+        "q_id string, id string, score double",
+    )
+    run2 = spark.createDataFrame(
+        [("q1", "d3", 9.0), ("q1", "d2", 8.0), ("q1", "d1", 1.0)],
+        "q_id string, id string, score double",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d3", 1.0)], "q_id string, id string, rel double"
+    )
+    best = tune_merger([run1, run2], qrels, metric="mrr", n_trials=8)
+    assert best["norm"] in {"min-max", "max", "sum"}
+    assert len(best["weights"]) == 2
+    # d3 is the only relevant doc and run2 ranks it first: the winning
+    # combo must weight run2 enough that d3 ranks first -> MRR == 1.
+    assert best["score"] == pytest.approx(1.0)
