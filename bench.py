@@ -24,6 +24,7 @@ HEADLINE = [
     "bm25_topk",
     "tfidf_topk",
     "fusion_minmax",
+    "hybrid_fusion",
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash",

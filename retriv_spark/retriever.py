@@ -257,6 +257,23 @@ class SparseRetriever:
         if path is None:
             return self.msearch(queries, cutoff=cutoff)
         df = self.msearch_df(queries, cutoff=cutoff)
+        if qrels is not None:
+            # Reference merges graded relevance into the spilled run
+            # (sparse_retriever.py:414-433); here it is a left join.
+            qrel_rows = [
+                (str(q), str(d), float(r))
+                for q, docs in qrels.items()
+                for d, r in docs.items()
+            ]
+            qrels_df = self.spark.createDataFrame(
+                qrel_rows, "q_id string, __qid_str__ string, rel double"
+            )
+            df = df.join(
+                qrels_df,
+                (df["q_id"] == qrels_df["q_id"])
+                & (df["id"].cast("string") == qrels_df["__qid_str__"]),
+                "left",
+            ).select(df["q_id"], df["id"], "score", "rank", "rel")
         df.write.mode("overwrite").json(path)
         return {}
 

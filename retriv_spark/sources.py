@@ -1,0 +1,40 @@
+"""Collection sources — reference ``collection_generator`` re-expressed.
+
+Reference: /root/reference/retriv/base_retriever.py:28-45 reads JSONL /
+CSV / TSV (header required) row-by-row with an optional per-row callback.
+Spark-first: format dispatch to ``spark.read`` (distributed, pushdown-
+capable scans), and the callback becomes a ``DataFrame -> DataFrame`` hook
+applied lazily — it stays inside the plan, so column pruning/pushdown
+still reach the file scan when the hook is built-in expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_collection(
+    spark: SparkSession,
+    path: str,
+    callback: Optional[Callable[[DataFrame], DataFrame]] = None,
+) -> DataFrame:
+    """Load a document collection from jsonl/json/csv/tsv/parquet by
+    extension (reference asserts the same kinds, base_retriever.py:30-34;
+    parquet added as the scale-native format)."""
+    lower = path.lower()
+    if lower.endswith((".jsonl", ".json")):
+        df = spark.read.json(path)
+    elif lower.endswith(".csv"):
+        df = spark.read.option("header", True).csv(path)
+    elif lower.endswith(".tsv"):
+        df = spark.read.option("header", True).option("sep", "\t").csv(path)
+    elif lower.endswith(".parquet") or not lower.rsplit("/", 1)[-1].count("."):
+        df = spark.read.parquet(path)
+    else:
+        raise ValueError(
+            f"Cannot infer collection kind from {path!r} "
+            "(jsonl/json/csv/tsv/parquet supported)"
+        )
+    return callback(df) if callback is not None else df

@@ -68,12 +68,16 @@ def test_ngram_jaccard(docs_df):
 
 
 def test_minhash_lsh_finds_neardups(docs_df):
+    # bands=8 -> r=2 rows per band: for true jaccard 0.75 the probability
+    # of missing every band is (1 - 0.75^2)^8 ≈ 0.1% — the deterministic
+    # hash family is expected to catch the near-dup; r=4 would make the
+    # same assertion a 78%-probability coin flip.
     pairs = {
         (r["id_a"], r["id_b"]): r
-        for r in minhash_lsh_pairs(docs_df, n_hashes=16, bands=4, k=3).collect()
+        for r in minhash_lsh_pairs(docs_df, n_hashes=16, bands=8, k=3).collect()
     }
     exact = pairs[(0, 2)]
-    assert exact["n_bands_match"] == 4 and exact["est_jaccard"] == 1.0
+    assert exact["n_bands_match"] == 8 and exact["est_jaccard"] == 1.0
     assert (0, 1) in pairs  # near-dup caught by at least one band
     assert (0, 3) not in pairs
 

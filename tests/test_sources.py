@@ -1,0 +1,78 @@
+"""Collection readers (reference collection_generator parity) + bsearch
+JSONL sink with qrels merge."""
+
+import json
+import os
+
+from retriv_spark.retriever import SparseRetriever
+from retriv_spark.sources import read_collection
+
+ROWS = [
+    {"id": "a", "text": "spark join window"},
+    {"id": "b", "text": "hash group order"},
+]
+
+
+def _write(tmp_path, name, content):
+    p = str(tmp_path / name)
+    with open(p, "w") as f:
+        f.write(content)
+    return p
+
+
+def test_read_jsonl_csv_tsv(spark, tmp_path):
+    pj = _write(
+        tmp_path, "c.jsonl", "\n".join(json.dumps(r) for r in ROWS) + "\n"
+    )
+    pc = _write(
+        tmp_path, "c.csv", "id,text\n" + "\n".join(f"{r['id']},{r['text']}" for r in ROWS)
+    )
+    pt = _write(
+        tmp_path, "c.tsv", "id\ttext\n" + "\n".join(f"{r['id']}\t{r['text']}" for r in ROWS)
+    )
+    for p in (pj, pc, pt):
+        got = {
+            r["id"]: r["text"]
+            for r in read_collection(spark, p).select("id", "text").collect()
+        }
+        assert got == {r["id"]: r["text"] for r in ROWS}, p
+
+
+def test_read_collection_callback(spark, tmp_path):
+    p = _write(
+        tmp_path, "c.jsonl", "\n".join(json.dumps(r) for r in ROWS) + "\n"
+    )
+    from pyspark.sql import functions as F
+
+    df = read_collection(
+        spark, p, callback=lambda d: d.withColumn("text", F.upper("text"))
+    )
+    assert df.filter(df.id == "a").first()["text"] == "SPARK JOIN WINDOW"
+
+
+def test_read_collection_unknown_kind(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_collection(spark, str(tmp_path / "c.xml"))
+
+
+def test_bsearch_jsonl_sink_with_qrels(spark, tmp_path):
+    se = SparseRetriever(spark, stemmer=None, stopwords=None)
+    se.index([{"id": i + 1, "text": t["text"]} for i, t in enumerate(ROWS)])
+    out = str(tmp_path / "run")
+    se.bsearch(
+        [{"id": "q1", "text": "spark join"}],
+        cutoff=5,
+        path=out,
+        qrels={"q1": {"1": 2.0}},
+    )
+    rows = []
+    for fn in os.listdir(out):
+        if fn.endswith(".json"):
+            with open(os.path.join(out, fn)) as f:
+                rows += [json.loads(l) for l in f if l.strip()]
+    assert rows, "no spilled results"
+    by_id = {str(r["id"]): r for r in rows}
+    assert by_id["1"]["rel"] == 2.0
+    assert "rel" not in by_id.get("2", {}) or by_id["2"]["rel"] is None
