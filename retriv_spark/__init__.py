@@ -7,10 +7,30 @@ the surrounding large-scale training-data operators (dedup, similarity
 search, text statistics).
 """
 
+from .advanced import AdvancedRetriever
+from .autotune import eval_run, tune_bm25, tune_merger
 from .dense import DenseRetriever, HybridRetriever, hashing_encoder
-from .retriever import SparseRetriever
+from .merger import fuse, max_norm, min_max_norm, sum_norm
+from .retriever import PackedRetriever, SparseRetriever
 from .session import get_spark
+from .sources import read_collection
 
 __version__ = "0.1.0"
 
-__all__ = ["SparseRetriever", "get_spark"]
+__all__ = [
+    "AdvancedRetriever",
+    "DenseRetriever",
+    "HybridRetriever",
+    "PackedRetriever",
+    "SparseRetriever",
+    "eval_run",
+    "fuse",
+    "get_spark",
+    "hashing_encoder",
+    "max_norm",
+    "min_max_norm",
+    "read_collection",
+    "sum_norm",
+    "tune_bm25",
+    "tune_merger",
+]

@@ -42,28 +42,39 @@ DOC_ID = "__doc_id__"
 
 
 def make_term_counts_udf(pre: TextPreprocessor):
-    """string -> array<struct<term,tf,pos>>: tokenize + per-doc term counts.
+    """string -> struct<terms:array<string>, tfs:array<int>>: tokenize +
+    per-doc term counts.
 
     Counting inside the Arrow batch removes the (doc_id, term) shuffle a
-    naive explode+groupBy would need.  ``pos`` is the first-occurrence
-    index of the term in the token stream (used nowhere by BM25 but kept
-    cheap and useful for phrase-ish extensions).
-    """
+    naive explode+groupBy would need.  The two parallel flat arrays are
+    re-paired JVM-side with ``arrays_zip`` — returning ``array<struct>``
+    directly goes through pandas' slow python-object struct conversion
+    (measured ~10x the cost of two primitive list arrays)."""
 
-    @pandas_udf("array<struct<term:string,tf:int>>")
-    def term_counts(texts: pd.Series) -> pd.Series:
-        out = []
+    @pandas_udf("terms array<string>, tfs array<int>")
+    def term_counts(texts: pd.Series) -> pd.DataFrame:
+        terms_out, tfs_out = [], []
         for x in texts:
             if x is None:
-                out.append([])
+                terms_out.append([])
+                tfs_out.append([])
                 continue
             counts: dict = {}
             for t in pre(x):
                 counts[t] = counts.get(t, 0) + 1
-            out.append(list(counts.items()))
-        return pd.Series(out)
+            terms_out.append(list(counts.keys()))
+            tfs_out.append(list(counts.values()))
+        return pd.DataFrame({"terms": terms_out, "tfs": tfs_out})
 
     return term_counts
+
+
+def term_counts_col(term_counts_udf, text_col):
+    """array<struct<term,tf>> column from the two-array UDF (JVM-side zip)."""
+    tc = term_counts_udf(text_col)
+    return F.arrays_zip(
+        tc["terms"].alias("term"), tc["tfs"].alias("tf")
+    )
 
 
 @dataclass
@@ -71,6 +82,7 @@ class IndexStats:
     doc_count: int
     avg_doc_len: float       # float32-faithful value (reference parity)
     avg_doc_len_f64: float   # full-precision value (float64 scoring mode)
+    total_doc_len: int = 0   # exact Σ doc_len (streaming avgdl updates)
 
 
 @dataclass
@@ -94,6 +106,11 @@ class SparseIndex:
     pre_config: dict
     min_df: Union[int, float]
     packed: Optional[DataFrame] = None   # (term, df, doc_ids bin, tfs bin, …)
+    tokenized: Optional[DataFrame] = None  # (__doc_id__, terms arr, tfs arr,
+    #                                        doc_len) — array-packed per-doc
+    #                                        counts; feeds the shard-local
+    #                                        postings encode without the
+    #                                        exploded-row shuffle
 
     @property
     def doc_count(self) -> int:
@@ -116,22 +133,90 @@ class SparseIndex:
 
 
 def assign_doc_ids(
-    df: DataFrame, order_cols: List[str], doc_id_col: str = DOC_ID
+    df: DataFrame,
+    order_cols: List[str],
+    doc_id_col: str = DOC_ID,
+    n_partitions: Optional[int] = None,
 ) -> DataFrame:
-    """Deterministic dense doc ids 0..N-1.
+    """Deterministic dense doc ids 0..N-1 = global rank over ``order_cols``.
 
     The reference enumerates the collection file (base_retriever.py:56-62);
     a distributed engine must NOT use partition-dependent ids
     (monotonically_increasing_id) or results differ across cluster sizes.
-    ``row_number`` over an explicit total order is deterministic at any
-    parallelism — this is what makes local[8] ≡ local[32] rank-identity
-    hold.  A global window sort is a known single-reducer pinch point; it
-    is acceptable because it runs once at build and only moves (order_cols)
-    — at true 10^12-file scale, replace with rangepartition+row_number per
-    partition + offset cumsum (same deterministic result).
+
+    A bare ``Window.orderBy`` row_number would be a single-reducer global
+    sort — and, worse, everything downstream (tokenize UDF, explode, aggs)
+    would inherit its ONE partition, serializing the whole build.  Instead:
+
+      1. range-partition + sort within partitions on ``order_cols``
+         (keys are globally ordered across partition indexes);
+      2. one tiny count-per-partition job -> prefix-sum offsets on the
+         driver (n_partitions rows);
+      3. a mapInPandas pass stamps doc_id = offset[pid] + local position.
+
+    The assigned id equals the global rank regardless of where the range
+    boundaries fall, so results are identical at any parallelism.  The
+    intermediate is persisted to pin partition boundaries between the two
+    jobs (at true 10^12-file scale: write the partitioned table to
+    parquet/Iceberg instead — the staged-checkpoint path in packed.py).
+
+    Only the (narrow) ``order_cols`` projection moves through the range
+    shuffle and the id stamp — the document bodies never shuffle: the
+    stamped ids join back onto the source relation by key (broadcast when
+    the id table is small enough, sort-merge otherwise).  Keys must be
+    unique per row (they are the enumeration identity, exactly as in the
+    reference).
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(doc_id_col, F.row_number().over(w) - F.lit(1))
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.select(*order_cols)
+        .repartitionByRange(n_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid__", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid__"]: r["cnt"]
+        for r in part.groupBy("__pid__").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    total_rows = acc
+    boff = spark.sparkContext.broadcast(offsets)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in part.schema.fields if f.name != "__pid__"]
+        + [StructField(doc_id_col, LongType(), False)]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def stamp(batches):
+        import numpy as np
+
+        seq = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid__"].iloc[0])
+            start = boff.value[pid] + seq
+            pdf = pdf.drop(columns=["__pid__"])
+            pdf[doc_id_col] = np.arange(start, start + len(pdf), dtype="int64")
+            seq += len(pdf)
+            yield pdf[out_cols]
+
+    ids = part.mapInPandas(stamp, out_schema)
+    # ~5M narrow rows ≈ low hundreds of MB: past that, let AQE pick the
+    # join strategy instead of forcing a driver-memory-sized broadcast.
+    if total_rows <= 5_000_000:
+        ids = F.broadcast(ids)
+    return df.join(ids, order_cols)
 
 
 def build_index(
@@ -155,13 +240,23 @@ def build_index(
     if doc_id_col_precomputed:
         base = docs.withColumn(DOC_ID, F.col(doc_id_col_precomputed).cast("long"))
     else:
+        # The id table is persisted (narrow) inside assign_doc_ids;
+        # re-deriving `base` per action is a scan + broadcast-hash probe,
+        # deliberately NOT a full-row cache (document bodies are the 100 TB
+        # column — caching them buys one scan and costs GC + memory).
         base = assign_doc_ids(docs, order_cols)
 
     term_counts = make_term_counts_udf(pre)
     with_terms = base.select(
         F.col(DOC_ID),
         F.col(id_col).alias("__orig_id__"),
-        term_counts(F.col(text_col)).alias("__tcs__"),
+        term_counts(F.col(text_col)).alias("__tc__"),
+    ).withColumn(
+        "__tcs__",
+        F.arrays_zip(
+            F.col("__tc__.terms").alias("term"),
+            F.col("__tc__.tfs").alias("tf"),
+        ),
     )
 
     doc_map = base.select(DOC_ID, F.col(id_col))
@@ -174,17 +269,21 @@ def build_index(
         # doc_len = token count, computable per-row without any shuffle.
         with_lens = with_terms.withColumn(
             "doc_len",
-            F.aggregate("__tcs__", F.lit(0), lambda acc, x: acc + x["tf"]),
+            F.aggregate(F.col("__tc__.tfs"), F.lit(0), lambda acc, x: acc + x),
         )
         with_lens = with_lens.persist()
         row = with_lens.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(F.col("doc_len").cast("float")).alias("avgdl"),
+            F.sum(F.col("doc_len").cast("long")).alias("total"),
         ).collect()[0]
         import numpy as np
 
         avgdl_f64 = float(row["avgdl"] or 0.0)
-        stats = IndexStats(int(row["n"]), float(np.float32(avgdl_f64)), avgdl_f64)
+        stats = IndexStats(
+            int(row["n"]), float(np.float32(avgdl_f64)), avgdl_f64,
+            int(row["total"] or 0),
+        )
 
         flat0 = with_lens.select(
             DOC_ID,
@@ -201,7 +300,10 @@ def build_index(
             "rel_dl",
         )
 
-        dfreq = flat0.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # The vocabulary is touched by several downstream consumers (terms
+        # table write, stage counts, the broadcast df map) — persist it so
+        # the 10-100x-larger explode+agg computing it runs ONCE.
+        dfreq = flat0.groupBy("term").agg(F.count(F.lit(1)).alias("df")).persist()
         flat = flat0.join(dfreq, "term")
 
         doc_lens = with_lens.select(
@@ -246,11 +348,15 @@ def build_index(
         row = lens.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(F.col("doc_len").cast("float")).alias("avgdl"),
+            F.sum(F.col("doc_len").cast("long")).alias("total"),
         ).collect()[0]
         import numpy as np
 
         avgdl_f64 = float(row["avgdl"] or 0.0)
-        stats = IndexStats(int(row["n"]), float(np.float32(avgdl_f64)), avgdl_f64)
+        stats = IndexStats(
+            int(row["n"]), float(np.float32(avgdl_f64)), avgdl_f64,
+            int(row["total"] or 0),
+        )
         doc_lens = lens.select(
             DOC_ID,
             F.col("doc_len").cast("float").alias("doc_len"),
@@ -259,6 +365,15 @@ def build_index(
             ).cast("float").alias("rel_dl"),
         )
         flat = pruned.join(doc_lens.select(DOC_ID, "doc_len", "rel_dl"), DOC_ID)
+
+    tokenized = None
+    if not is_pruning:
+        tokenized = with_lens.select(
+            DOC_ID,
+            F.col("__tc__.terms").alias("terms"),
+            F.col("__tc__.tfs").alias("tfs"),
+            F.col("doc_len"),
+        )
 
     return SparseIndex(
         spark=spark,
@@ -271,4 +386,5 @@ def build_index(
         orig_id_col=id_col,
         pre_config=pre.config,
         min_df=min_df,
+        tokenized=tokenized,
     )

@@ -66,24 +66,101 @@ POSTINGS_SCHEMA = (
 
 
 def _encode_group(span: int):
+    """Encode ALL of one shard's segments in a single applyInPandas call.
+
+    Grouping by bare ``shard`` (not ``(shard, term)``) matters: a corpus
+    with V in-shard terms would otherwise pay the per-group pandas
+    overhead V times per shard (measured ~3 ms/group — dominates encode
+    time for small segments).  One group per shard = one sort + one
+    vectorized boundary scan + V cheap numpy-slice encodes.  Per-task
+    memory is the shard's postings — bounded by span/n_shards choice, not
+    by any term's global df (the hot-term split guarantee is unchanged)."""
+
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        shard, term = int(key[0]), key[1]
+        shard = int(key[0])
         base = shard * span
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dls = pdf["doc_len"].to_numpy()[order]
-        seg = encode_segment(doc_ids, tfs, dls, shard_base=base)
-        return pd.DataFrame(
-            [
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["doc_len"].to_numpy()
+        dfs = pdf["df"].to_numpy()
+        n = len(pdf)
+        change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        recs = []
+        for s, e in zip(starts, ends):
+            seg = encode_segment(
+                doc_ids[s:e], tfs[s:e], dls[s:e], shard_base=base
+            )
+            recs.append(
+                {"shard": shard, "term": terms[s], "df": int(dfs[s]), **seg}
+            )
+        return pd.DataFrame(recs)
+
+    return fn
+
+
+def _encode_shard_packed(span: int, df_bc):
+    """Shard-local index construction from ARRAY-PACKED rows.
+
+    Input rows are (shard, doc_id, terms array<string>, tfs array<int>,
+    doc_len) — one row per document, straight from the tokenize UDF.  The
+    alternative (explode to one row per posting, shuffle 10-100x more
+    rows through UnsafeRow + Arrow) measured ~3x the wall time of the
+    kernel itself.  Inside the task everything is numpy: flatten, factorize
+    terms, one stable lexsort by (term, doc), slice segments.
+
+    ``df_bc`` is a broadcast {term: global df} map (the vocabulary is a
+    broadcastable dimension; for corpora where it is not, store df=0 and
+    rely on the query-time live-df aggregation the kernels already use —
+    streaming appends do exactly that)."""
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        shard = int(key[0])
+        base = shard * span
+        lens = np.fromiter((len(t) for t in pdf["terms"]), dtype=np.int64)
+        n = int(lens.sum())
+        if n == 0:
+            return pd.DataFrame(
+                {k.split()[0]: [] for k in POSTINGS_SCHEMA.split(", ")}
+            )
+        doc_rep = np.repeat(pdf["doc_id"].to_numpy(), lens)
+        dl_rep = np.repeat(pdf["doc_len"].to_numpy(), lens)
+        terms_flat = np.fromiter(
+            chain.from_iterable(pdf["terms"]), dtype=object, count=n
+        )
+        tfs_flat = np.fromiter(
+            chain.from_iterable(pdf["tfs"]), dtype=np.int64, count=n
+        )
+        codes, uniques = pd.factorize(terms_flat, sort=True)
+        order = np.lexsort((doc_rep, codes))
+        codes = codes[order]
+        doc_rep = doc_rep[order]
+        tfs_flat = tfs_flat[order]
+        dl_rep = dl_rep[order]
+        change = np.nonzero(codes[1:] != codes[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        dfmap = df_bc.value
+        recs = []
+        for s, e in zip(starts, ends):
+            term = uniques[codes[s]]
+            seg = encode_segment(
+                doc_rep[s:e], tfs_flat[s:e], dl_rep[s:e], shard_base=base
+            )
+            recs.append(
                 {
                     "shard": shard,
                     "term": term,
-                    "df": int(pdf["df"].iloc[0]),
+                    "df": int(dfmap.get(term, 0)),
                     **seg,
                 }
-            ]
-        )
+            )
+        return pd.DataFrame(recs)
 
     return fn
 
@@ -169,32 +246,24 @@ class PackedIndex:
         if not all_terms:
             return self._empty_results()
 
-        # vocabulary filter (reference sparse_retriever.py:277): OOV terms
-        # are dropped BEFORE the AND-match requirement is counted
-        vocab = {
-            r["term"]
-            for r in self.terms.filter(F.col("term").isin(all_terms))
-            .select("term")
-            .collect()
+        post = self.postings.filter(F.col("term").isin(all_terms))
+
+        # ONE tiny job gives both the live document frequencies (df(term) =
+        # Σ segment n across shards — never stale under streaming appends)
+        # AND the vocabulary filter (reference sparse_retriever.py:277: OOV
+        # terms are dropped BEFORE the AND-match requirement is counted —
+        # a term has postings iff it is in the vocabulary).
+        df_by_term = {
+            r["term"]: int(r["df"])
+            for r in post.groupBy("term").agg(F.sum("n").alias("df")).collect()
         }
         qmap = {
-            q: [(t, n) for t, n in tl if t in vocab]
+            q: [(t, n) for t, n in tl if t in df_by_term]
             for q, tl in qmap.items()
         }
         qmap = {q: tl for q, tl in qmap.items() if tl}
         if not qmap:
             return self._empty_results()
-        all_terms = sorted({t for tl in qmap.values() for t, _ in tl})
-
-        post = self.postings.filter(F.col("term").isin(all_terms))
-
-        # live document frequencies: df(term) = Σ segment n across shards.
-        # Computed at query time (a tiny agg over only the query's terms)
-        # so streaming-appended segments never serve stale idf.
-        df_by_term = {
-            r["term"]: int(r["df"])
-            for r in post.groupBy("term").agg(F.sum("n").alias("df")).collect()
-        }
 
         kern = make_shard_kernel(
             qmap=qmap,
@@ -300,58 +369,175 @@ def build_packed_index(
             )
         _mark_stage(path, manifest, "integrity", rows_checked=docs.count())
 
-    # stage 1: freeze doc ids + in-memory index relations
-    idx: SparseIndex = prebuilt or build_index(
-        spark, docs, pre,
-        text_col=text_col, id_col=id_col,
-        order_cols=order_cols, min_df=min_df,
-    )
-    if prebuilt is not None:
-        manifest["orig_id_col"] = idx.orig_id_col
-        manifest["preproc"] = idx.pre_config
+    is_pruning = (
+        isinstance(min_df, float) and min_df > 0.0 and min_df != 1
+    ) or (isinstance(min_df, int) and min_df > 1)
+    staged = prebuilt is None and not is_pruning
 
-    if not _stage_done(manifest, "docs"):
-        idx.docs.write.mode("overwrite").parquet(f"{path}/docs")
-        idx.doc_map.write.mode("overwrite").parquet(f"{path}/doc_map")
-        _mark_stage(path, manifest, "docs", rows=idx.doc_count)
+    if staged:
+        # ---- staged-checkpoint path (the production/scale flow) ---------
+        # The ONE pass over document content (ids + tokenize) lands in a
+        # parquet stage `tokenized/`; every later stage re-reads that
+        # compact columnar table instead of a JVM cache.  Off-heap, GC-free
+        # (RAM caches of 10^n-doc corpora stall every task thread during
+        # full GC), and resume=True genuinely skips tokenization.
+        from .builder import assign_doc_ids, make_term_counts_udf
 
-    manifest["doc_count"] = idx.stats.doc_count
-    manifest["avg_doc_len"] = idx.stats.avg_doc_len
-    manifest["avg_doc_len_f64"] = idx.stats.avg_doc_len_f64
-    # exact Σ doc_len so streaming appends can update avgdl incrementally
-    # with no drift (ingest.py)
-    total_row = idx.doc_lens.agg(
-        F.sum(F.col("doc_len").cast("long")).alias("t")
-    ).collect()[0]
-    manifest["total_doc_len"] = int(total_row["t"] or 0)
+        need_tok = not _stage_done(manifest, "tokenized")
+        need_docs = not _stage_done(manifest, "docs")
+        if need_tok or need_docs:
+            base = assign_doc_ids(docs, order_cols or [id_col])
+        if need_docs:
+            base.write.mode("overwrite").parquet(f"{path}/docs")
+            _mark_stage(path, manifest, "docs")
+        if need_tok:
+            tc = make_term_counts_udf(pre)(F.col(text_col))
+            tok_out = base.select(
+                F.col(DOC_ID),
+                F.col(id_col),
+                tc.alias("__tc__"),
+            ).select(
+                DOC_ID,
+                id_col,
+                F.col("__tc__.terms").alias("terms"),
+                F.col("__tc__.tfs").alias("tfs"),
+                F.aggregate(
+                    F.col("__tc__.tfs"), F.lit(0), lambda a, x: a + x
+                ).alias("doc_len"),
+            )
+            tok_out.write.mode("overwrite").parquet(f"{path}/tokenized")
+            _mark_stage(path, manifest, "tokenized")
 
-    if n_shards is None:
-        n_shards = max(1, min(512, idx.doc_count // 4096 or 1))
-    span = (idx.doc_count + n_shards - 1) // n_shards
-    manifest["n_shards"] = int(n_shards)
-    manifest["span"] = int(span)
+        tok = spark.read.parquet(f"{path}/tokenized")
 
-    if not _stage_done(manifest, "doc_lens"):
-        idx.doc_lens.write.mode("overwrite").parquet(f"{path}/doc_lens")
-        _mark_stage(path, manifest, "doc_lens", rows=idx.doc_count)
+        import numpy as np
 
-    if not _stage_done(manifest, "terms"):
-        idx.terms.write.mode("overwrite").parquet(f"{path}/terms")
-        n_terms = idx.terms.count()
-        _mark_stage(path, manifest, "terms", rows=n_terms)
+        row = tok.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("doc_len").cast("float")).alias("avgdl"),
+            F.sum(F.col("doc_len").cast("long")).alias("total"),
+        ).collect()[0]
+        avgdl_f64 = float(row["avgdl"] or 0.0)
+        avgdl_f32 = float(np.float32(avgdl_f64))
+        doc_count = int(row["n"])
+        manifest["doc_count"] = doc_count
+        manifest["avg_doc_len"] = avgdl_f32
+        manifest["avg_doc_len_f64"] = avgdl_f64
+        manifest["total_doc_len"] = int(row["total"] or 0)
+
+        if n_shards is None:
+            n_shards = max(1, min(512, doc_count // 4096 or 1))
+        span = (doc_count + n_shards - 1) // n_shards
+        manifest["n_shards"] = int(n_shards)
+        manifest["span"] = int(span)
+
+        if not _stage_done(manifest, "doc_map"):
+            tok.select(DOC_ID, id_col).write.mode("overwrite").parquet(
+                f"{path}/doc_map"
+            )
+            _mark_stage(path, manifest, "doc_map", rows=doc_count)
+
+        if not _stage_done(manifest, "doc_lens"):
+            tok.select(
+                DOC_ID,
+                F.col("doc_len").cast("float").alias("doc_len"),
+                (
+                    F.col("doc_len").cast("float")
+                    / F.lit(avgdl_f32).cast("float")
+                ).cast("float").alias("rel_dl"),
+            ).write.mode("overwrite").parquet(f"{path}/doc_lens")
+            _mark_stage(path, manifest, "doc_lens", rows=doc_count)
+
+        if not _stage_done(manifest, "terms"):
+            (
+                tok.select(F.explode("terms").alias("term"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .write.mode("overwrite")
+                .parquet(f"{path}/terms")
+            )
+            _mark_stage(path, manifest, "terms")
+
+        idx = None
+    else:
+        # ---- prebuilt / min_df-pruned path (reuses builder relations) ---
+        idx = prebuilt or build_index(
+            spark, docs, pre,
+            text_col=text_col, id_col=id_col,
+            order_cols=order_cols, min_df=min_df,
+        )
+        if prebuilt is not None:
+            manifest["orig_id_col"] = idx.orig_id_col
+            manifest["preproc"] = idx.pre_config
+
+        if not _stage_done(manifest, "docs"):
+            idx.docs.write.mode("overwrite").parquet(f"{path}/docs")
+            idx.doc_map.write.mode("overwrite").parquet(f"{path}/doc_map")
+            _mark_stage(path, manifest, "docs", rows=idx.doc_count)
+
+        manifest["doc_count"] = idx.stats.doc_count
+        manifest["avg_doc_len"] = idx.stats.avg_doc_len
+        manifest["avg_doc_len_f64"] = idx.stats.avg_doc_len_f64
+        # exact Σ doc_len so streaming appends can update avgdl
+        # incrementally with no drift (ingest.py)
+        manifest["total_doc_len"] = int(idx.stats.total_doc_len)
+
+        if n_shards is None:
+            n_shards = max(1, min(512, idx.doc_count // 4096 or 1))
+        span = (idx.doc_count + n_shards - 1) // n_shards
+        manifest["n_shards"] = int(n_shards)
+        manifest["span"] = int(span)
+
+        if not _stage_done(manifest, "doc_lens"):
+            idx.doc_lens.write.mode("overwrite").parquet(f"{path}/doc_lens")
+            _mark_stage(path, manifest, "doc_lens", rows=idx.doc_count)
+
+        if not _stage_done(manifest, "terms"):
+            idx.terms.write.mode("overwrite").parquet(f"{path}/terms")
+            _mark_stage(path, manifest, "terms")
 
     if not _stage_done(manifest, "postings"):
-        flat = idx.flat.select(
-            (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
-            F.col("term"),
-            F.col(DOC_ID).alias("doc_id"),
-            F.col("tf"),
-            F.col("doc_len"),
-            F.col("df"),
-        )
-        packed = flat.groupBy("shard", "term").applyInPandas(
-            _encode_group(span), POSTINGS_SCHEMA
-        )
+        dfmap = {
+            r["term"]: int(r["df"])
+            for r in spark.read.parquet(f"{path}/terms").collect()
+        }
+        df_bc = spark.sparkContext.broadcast(dfmap)
+        if staged:
+            src = spark.read.parquet(f"{path}/tokenized").select(
+                (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
+                F.col(DOC_ID).alias("doc_id"),
+                "terms",
+                "tfs",
+                "doc_len",
+            )
+            packed = src.groupBy("shard").applyInPandas(
+                _encode_shard_packed(span, df_bc), POSTINGS_SCHEMA
+            )
+        elif idx.tokenized is not None:
+            # shard-local construction from array-packed rows (one row per
+            # DOC moves through the shuffle, not one per posting)
+            src = idx.tokenized.select(
+                (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
+                F.col(DOC_ID).alias("doc_id"),
+                "terms",
+                "tfs",
+                "doc_len",
+            )
+            packed = src.groupBy("shard").applyInPandas(
+                _encode_shard_packed(span, df_bc), POSTINGS_SCHEMA
+            )
+        else:  # min_df-pruned build: the pruned flat relation is the source
+            flat = idx.flat.select(
+                (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
+                F.col("term"),
+                F.col(DOC_ID).alias("doc_id"),
+                F.col("tf"),
+                F.col("doc_len"),
+                F.col("df"),
+            )
+            packed = flat.groupBy("shard").applyInPandas(
+                _encode_group(span), POSTINGS_SCHEMA
+            )
         (
             packed.repartition("shard")
             .sortWithinPartitions("term")

@@ -181,13 +181,13 @@ class SparseRetriever:
         """(q_id, text) DataFrame -> (q_id, term, n_occ) via the same
         Arrow-batched pipeline used at index time (for large query sets the
         preprocessing itself is distributed)."""
-        from .index.builder import make_term_counts_udf
+        from .index.builder import make_term_counts_udf, term_counts_col
 
         term_counts = make_term_counts_udf(self.pre)
         return (
             queries.select(
                 F.col("q_id").cast("string").alias("q_id"),
-                term_counts(F.col("text")).alias("__tcs__"),
+                term_counts_col(term_counts, F.col("text")).alias("__tcs__"),
             )
             .select("q_id", F.explode("__tcs__").alias("tc"))
             .select(

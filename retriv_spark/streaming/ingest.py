@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..index.builder import DOC_ID, make_term_counts_udf
+from ..index.builder import DOC_ID, make_term_counts_udf, term_counts_col
 from ..index.packed import (
     POSTINGS_SCHEMA,
     PackedIndex,
@@ -71,15 +71,20 @@ def append_batch(
     offset = int(manifest["doc_count"])
     span = int(manifest["span"])
 
+    # Micro-batches are small (bounded by the trigger interval), so a
+    # plain global row_number is fine here; cast to long to match the
+    # batch builder's id type exactly (mixed int/long parquet segments in
+    # one directory fail on read).
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     base = batch.withColumn(
-        DOC_ID, F.row_number().over(w) - F.lit(1) + F.lit(offset)
+        DOC_ID,
+        (F.row_number().over(w) - F.lit(1) + F.lit(offset)).cast("long"),
     )
 
     term_counts = make_term_counts_udf(pre)
     with_terms = base.select(
         F.col(DOC_ID),
-        term_counts(F.col(text_col)).alias("__tcs__"),
+        term_counts_col(term_counts, F.col(text_col)).alias("__tcs__"),
     ).withColumn(
         "doc_len",
         F.aggregate("__tcs__", F.lit(0), lambda acc, x: acc + x["tf"]),
@@ -108,7 +113,7 @@ def append_batch(
         "doc_len",
         F.lit(0).cast("long").alias("df"),  # audit column; live df wins
     )
-    packed = flat.groupBy("shard", "term").applyInPandas(
+    packed = flat.groupBy("shard").applyInPandas(
         _encode_group(span), POSTINGS_SCHEMA
     )
     packed.repartition("shard").sortWithinPartitions("term").write.mode(
