@@ -245,7 +245,7 @@ print("generated")
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
     lines = [
         "",
-        f"## Scaling run {stamp} — {args.docs} synthetic docs, "
+        f"## Scaling run {stamp} — {lo['n_docs']} synthetic docs, "
         f"{args.queries} queries, local[{args.n}] vs local[{4*args.n}] "
         f"(separate JVMs, same input)",
         "",
