@@ -193,6 +193,15 @@ class PackedIndex:
 
     @property
     def docs(self) -> DataFrame:
+        if self.manifest.get("docs_in_tokenized"):
+            base = self.spark.read.parquet(f"{self.path}/tokenized").drop(
+                "terms", "tfs", "doc_len"
+            )
+            # streaming appends (ingest.py) write additional rows to docs/
+            if os.path.isdir(f"{self.path}/docs"):
+                appended = self.spark.read.parquet(f"{self.path}/docs")
+                return base.unionByName(appended, allowMissingColumns=True)
+            return base
         return self.spark.read.parquet(f"{self.path}/docs")
 
     @property
@@ -248,14 +257,24 @@ class PackedIndex:
 
         post = self.postings.filter(F.col("term").isin(all_terms))
 
-        # ONE tiny job gives both the live document frequencies (df(term) =
-        # Σ segment n across shards — never stale under streaming appends)
-        # AND the vocabulary filter (reference sparse_retriever.py:277: OOV
-        # terms are dropped BEFORE the AND-match requirement is counted —
-        # a term has postings iff it is in the vocabulary).
+        # Document frequencies + the vocabulary filter come from the
+        # vocabulary table, NOT a postings scan: the batch build writes
+        # exact (term, df) rows and streaming appends (ingest.py:140-141)
+        # append per-batch df DELTAS, so Σ df grouped by term is exact at
+        # any point in the append history.  The terms table is
+        # vocabulary-sized (thousands of times smaller than postings), so
+        # the pre-query driver job costs ~a row-group scan instead of a
+        # full postings pass — the postings file is then read exactly ONCE
+        # per batch, by the scoring kernel itself.  (Reference
+        # sparse_retriever.py:277: OOV terms are dropped BEFORE the
+        # AND-match requirement is counted — a term is in the vocabulary
+        # iff it has postings.)
         df_by_term = {
             r["term"]: int(r["df"])
-            for r in post.groupBy("term").agg(F.sum("n").alias("df")).collect()
+            for r in self.terms.filter(F.col("term").isin(all_terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
         }
         qmap = {
             q: [(t, n) for t, n in tl if t in df_by_term]
@@ -289,7 +308,11 @@ class PackedIndex:
             .filter(F.col("rank") <= cutoff)
         )
         id_col = self.manifest["orig_id_col"]
-        return ranked.join(self.doc_map, DOC_ID).select(
+        # Broadcast the RESULTS side: it is bounded at n_queries × cutoff
+        # rows whatever the corpus size, while doc_map scales with the
+        # corpus (10^12 rows at target scale) — so this join must stream
+        # doc_map and build on results, never shuffle-sort doc_map.
+        return self.doc_map.join(F.broadcast(ranked), DOC_ID).select(
             "q_id", F.col(id_col).alias("doc_id"), "score", "rank"
         )
 
@@ -358,16 +381,22 @@ def build_packed_index(
         "stages": {},
     }
 
-    # stage 0: integrity gate (cheap full scan, no shuffle)
+    # stage 0: integrity gate (ONE full scan, no shuffle: mismatch count
+    # and row count come out of the same pass)
     if verify_sha256 and not _stage_done(manifest, "integrity"):
-        bad = docs.filter(
-            F.sha2(F.col(text_col), 256) != F.col(verify_sha256)
-        ).count()
-        if bad:
+        row = docs.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                (
+                    F.sha2(F.col(text_col), 256) != F.col(verify_sha256)
+                ).cast("long")
+            ).alias("bad"),
+        ).collect()[0]
+        if int(row["bad"] or 0):
             raise ValueError(
-                f"sha256 integrity check failed for {bad} rows of input"
+                f"sha256 integrity check failed for {row['bad']} rows of input"
             )
-        _mark_stage(path, manifest, "integrity", rows_checked=docs.count())
+        _mark_stage(path, manifest, "integrity", rows_checked=int(row["total"]))
 
     is_pruning = (
         isinstance(min_df, float) and min_df > 0.0 and min_df != 1
@@ -384,21 +413,25 @@ def build_packed_index(
         from .builder import assign_doc_ids, make_term_counts_udf
 
         need_tok = not _stage_done(manifest, "tokenized")
-        need_docs = not _stage_done(manifest, "docs")
-        if need_tok or need_docs:
-            base = assign_doc_ids(docs, order_cols or [id_col])
-        if need_docs:
-            base.write.mode("overwrite").parquet(f"{path}/docs")
-            _mark_stage(path, manifest, "docs")
         if need_tok:
+            base = assign_doc_ids(docs, order_cols or [id_col])
+            # ONE pass over document content: the tokenized stage carries
+            # every source column alongside the token arrays, and the
+            # "docs" table is a column-pruned view of it.  (The previous
+            # layout wrote docs/ and tokenized/ as two separate
+            # scan+write passes over the full corpus — at 100 TB that is
+            # 100 TB of duplicate write amplification.)  Parquet column
+            # pruning makes later token-only reads skip the content
+            # bytes entirely.
             tc = make_term_counts_udf(pre)(F.col(text_col))
+            src_cols = [c for c in base.columns if c != DOC_ID]
             tok_out = base.select(
                 F.col(DOC_ID),
-                F.col(id_col),
+                *[F.col(c) for c in src_cols],
                 tc.alias("__tc__"),
             ).select(
-                DOC_ID,
-                id_col,
+                F.col(DOC_ID),
+                *[F.col(c) for c in src_cols],
                 F.col("__tc__.terms").alias("terms"),
                 F.col("__tc__.tfs").alias("tfs"),
                 F.aggregate(
@@ -406,7 +439,9 @@ def build_packed_index(
                 ).alias("doc_len"),
             )
             tok_out.write.mode("overwrite").parquet(f"{path}/tokenized")
+            manifest["docs_in_tokenized"] = True
             _mark_stage(path, manifest, "tokenized")
+            _mark_stage(path, manifest, "docs", layout="tokenized")
 
         tok = spark.read.parquet(f"{path}/tokenized")
 

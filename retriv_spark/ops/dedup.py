@@ -96,10 +96,15 @@ def ngram_jaccard_pairs(
     at scale, drop shingles with document frequency above a cap first
     (they contribute pairs that minhash would find anyway).
     """
+    # persisted: the a×b self-join otherwise evaluates the shingle
+    # generation (interpreted higher-order functions — the costly stage)
+    # once per join side.
     sh = df.select(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col), k).alias("sh"),
-    ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    ).select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    ).persist()
 
     a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
@@ -183,7 +188,11 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, n_hashes, k)
+    # The banded self-join consumes its input twice; without a persist the
+    # whole shingle→md5→min-agg signature pipeline (the expensive part)
+    # executes twice.  Signatures are n_hashes longs per doc — the persist
+    # is doc_count × ~150 B, negligible next to the corpus.
+    sigs = minhash_signature(df, text_col, id_col, n_hashes, k).persist()
 
     banded = sigs.select(
         "id",

@@ -117,9 +117,11 @@ def make_shard_kernel(
 
         # a term may have SEVERAL segments in one shard (streaming appends
         # add new segments without rewriting old ones) — doc ranges are
-        # disjoint, so they simply concatenate
+        # disjoint, so they simply concatenate.  (to_dict("records"), not
+        # iterrows: per-row Series construction measured ~10x the cost of
+        # plain dicts at 10^3-10^4 matched segments per shard.)
         rows_by_term: dict = {}
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict("records"):
             rows_by_term.setdefault(row["term"], []).append(row)
 
         out_q, out_d, out_s = [], [], []
@@ -135,45 +137,98 @@ def make_shard_kernel(
                         np.concatenate([p[i] for p in parts])
                         for i in range(3)
                     )
-            scores = np.zeros(span, dtype=np.float32)
+
+            # Per-term DENSE partial-score vectors, computed once per
+            # shard.  The naive loop recomputes partials and scatters per
+            # (query, term); in a batch every term is typically shared by
+            # many queries, so hoisting the scatter out of the query loop
+            # turns the per-query work into a few dense SIMD adds.  The
+            # vectors are float64 so the accumulate below ("f32 += f64"
+            # with round-on-store) is bit-identical to the reference TAAT
+            # loop (bm25.py:49).  Budget-capped: past ~256 MB of dense
+            # vectors (huge query batches over huge shards) fall back to
+            # per-query scatter — same results, just not hoisted.
+            dense_ok = len(segs) * span * 8 <= 256 * 1024 * 1024
+            if dense_ok:
+                vecs = {}
+                for t, (doc_ids, tfs, dls) in segs.items():
+                    v = np.zeros(span, dtype=np.float64)
+                    v[doc_ids - base] = _partial_scores(
+                        tfs, dls, idf_by_term[t], model, k1, b, avg_doc_len
+                    )
+                    vecs[t] = v
+            acc = np.zeros(span, dtype=np.float32)
             hits = np.zeros(span, dtype=np.int32)
+            q_ids_out: list = []
+            q_counts: list = []
+            d_chunks: list = []
+            s_chunks: list = []
             for q_id, terms in qmap.items():
                 present = [(t, n) for t, n in terms if t in segs]
                 if not present or (is_and and len(present) < len(terms)):
                     continue
-                touched = []
-                for term, n_occ in present:
-                    doc_ids, tfs, dls = segs[term]
-                    idf = idf_by_term[term]
-                    part = _partial_scores(
-                        tfs, dls, idf, model, k1, b, avg_doc_len
-                    )
-                    idx = doc_ids - base
-                    if n_occ != 1:
-                        part = part * n_occ
-                    # f32 += f64 rounds on store — the reference's exact
-                    # accumulation semantics (bm25.py:49)
-                    scores[idx] += part
-                    hits[idx] += 1
-                    touched.append(idx)
-                cand = np.unique(np.concatenate(touched))
-                if is_and:
-                    cand = cand[hits[cand] == len(terms)]
-                cs = scores[cand]
-                keep = cs > 0  # reference unsorted_top_k keeps scores > 0
-                cand, cs = cand[keep], cs[keep]
+                if dense_ok:
+                    acc[:] = 0.0
+                    for term, n_occ in present:
+                        v = vecs[term]
+                        if n_occ != 1:
+                            v = v * n_occ
+                        # f32 += f64 rounds on store — the reference's
+                        # exact accumulation semantics (bm25.py:49)
+                        np.add(acc, v, out=acc, casting="unsafe")
+                    if is_and:
+                        hits[:] = 0
+                        for term, _ in present:
+                            np.add(
+                                hits, vecs[term] > 0, out=hits,
+                                casting="unsafe",
+                            )
+                        cand = np.flatnonzero(
+                            (acc > 0) & (hits == len(terms))
+                        )
+                    else:
+                        # reference unsorted_top_k keeps scores > 0
+                        cand = np.flatnonzero(acc > 0)
+                    cs = acc[cand]
+                else:
+                    touched = []
+                    for term, n_occ in present:
+                        doc_ids, tfs, dls = segs[term]
+                        part = _partial_scores(
+                            tfs, dls, idf_by_term[term],
+                            model, k1, b, avg_doc_len,
+                        )
+                        idx = doc_ids - base
+                        if n_occ != 1:
+                            part = part * n_occ
+                        acc[idx] += part
+                        hits[idx] += 1
+                        touched.append(idx)
+                    cand = np.unique(np.concatenate(touched))
+                    if is_and:
+                        cand = cand[hits[cand] == len(terms)]
+                    cs = acc[cand]
+                    keep = cs > 0
+                    cand, cs = cand[keep], cs[keep]
+                    all_touched = np.unique(np.concatenate(touched))
+                    acc[all_touched] = 0.0
+                    hits[all_touched] = 0
                 if cand.size > cutoff:
                     sel = np.argpartition(-cs, cutoff - 1)[:cutoff]
                     cand, cs = cand[sel], cs[sel]
                 order = np.lexsort((cand, -cs.astype(np.float64)))
                 cand, cs = cand[order], cs[order]
-                out_q.extend([q_id] * cand.size)
-                out_d.extend((cand + base).tolist())
-                out_s.extend(cs.tolist())
-                # reset only touched slots (span can be large)
-                all_touched = np.unique(np.concatenate(touched))
-                scores[all_touched] = 0.0
-                hits[all_touched] = 0
+                q_ids_out.append(q_id)
+                q_counts.append(cand.size)
+                d_chunks.append(cand + base)
+                s_chunks.append(cs)
+            if q_ids_out:
+                out_q = np.repeat(
+                    np.asarray(q_ids_out, dtype=object),
+                    np.asarray(q_counts, dtype=np.int64),
+                )
+                out_d = np.concatenate(d_chunks)
+                out_s = np.concatenate(s_chunks)
         elif kernel == "bmw":
             for q_id, terms in qmap.items():
                 present = [(t, n) for t, n in terms if t in rows_by_term]

@@ -34,6 +34,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Postings/terms parquet is laid out sorted by term, so pushing
+        # even large query-term In-sets down to parquet row-group stats
+        # skips most of the index per query batch; the default threshold
+        # (10) forfeits that for any multi-query batch.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+        # Tokenization/encode stages are CPU-bound Python-UDF work, where
+        # scan parallelism == split count.  The 128 MB default yields ~12
+        # splits for a single-GB corpus and strands most cores; 16 MB
+        # keeps every core fed locally and at cluster scale gives AQE
+        # finer units to balance (override via extra_conf if scanning
+        # UDF-free columnar-only workloads).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
