@@ -81,6 +81,7 @@ def main():
     idx = build_packed_index(
         spark, docs, _plain_pre(), idx_path,
         text_col="text", id_col="doc_id", order_cols=["doc_id"],
+        doc_id_col_precomputed="doc_id",
     )
     build_sec = time.perf_counter() - t0
     timings["index_build"] = round(build_sec, 3)

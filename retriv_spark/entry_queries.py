@@ -96,10 +96,14 @@ def _build(spark: SparkSession, docs: DataFrame, min_df=1, cache_key=None):
     key = (cache_key, min_df)
     if cache_key is not None and key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
+    # The testdata documents table ships dense 0..N-1 doc ids, so the
+    # deterministic-enumeration stage (range shuffle + offset stamp) is
+    # skippable — ids are already the enumeration.
     idx = build_index(
         spark, docs, _plain_pre(),
         text_col="text", id_col="doc_id",
         order_cols=["doc_id"], min_df=min_df,
+        doc_id_col_precomputed="doc_id",
     )
     if cache_key is not None:
         _INDEX_CACHE[key] = idx.materialize()
@@ -440,6 +444,37 @@ def q_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-bit LSH bucket self-join,
+    exact cosine verify within the bucket (ops/similarity.py —
+    embedding_neardup_pairs).  The bucket function is axis-aligned sign
+    bits, so the oracle reproduces BOTH the candidate generation and the
+    verification."""
+    from .ops.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.35, n_bits=4
+    ).orderBy("id_a", "id_b")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: documents' text bytes as an opaque binary
+    payload column → Arrow-batched mapInPandas decode/metadata stage
+    (ops/multimodal.py).  Only the SQL-reproducible columns (media_id,
+    n_bytes) are emitted for the oracle; width/height come from the
+    stubbed decoder and are covered by tests/test_multimodal.py."""
+    from .ops.multimodal import extract_image_metadata
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return extract_image_metadata(media).select(
+        "media_id", "n_bytes"
+    ).orderBy("media_id")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -461,6 +496,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "dedup_embedding": q_dedup_embedding,
+    "multimodal_meta": q_multimodal_meta,
 }
 
 
@@ -728,6 +765,42 @@ sh AS (
 )
 SELECT doc_id, min({_PH64.format(x="shingle")}) AS fingerprint
 FROM sh GROUP BY doc_id ORDER BY doc_id
+""",
+    # Reproduces BOTH stages of the LSH near-dup plan: the axis-aligned
+    # sign-bit bucket (candidate generation) and the exact-cosine verify.
+    "dedup_embedding": """
+WITH fe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fe GROUP BY 1),
+bkt AS (
+  SELECT vec_id,
+         8 * (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + 4 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)
+       + 2 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)
+       + 1 * (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM fe a
+  JOIN fe b ON a.i = b.i AND a.vec_id < b.vec_id
+  JOIN bkt ba ON ba.vec_id = a.vec_id
+  JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+FROM d
+JOIN nrm na ON na.vec_id = d.id_a
+JOIN nrm nb ON nb.vec_id = d.id_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.35
+ORDER BY id_a, id_b
+""",
+    "multimodal_meta": """
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+FROM documents ORDER BY media_id
 """,
 }
 

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..preprocessing import TextPreprocessor
+from ..tableio import TableIO
 from .builder import DOC_ID, SparseIndex, build_index
 from .codec import encode_segment
 
@@ -170,6 +171,14 @@ class PackedIndex:
     spark: SparkSession
     path: str
     manifest: dict
+    # Iceberg-or-parquet facade; defaults to the path layout rooted at
+    # ``path``.  Pass an Iceberg-mode TableIO to keep every index table
+    # in a lakehouse catalog instead (same schemas, same query code).
+    io: Optional[TableIO] = None
+
+    def __post_init__(self):
+        if self.io is None:
+            self.io = TableIO(self.spark, self.path)
 
     @property
     def doc_count(self) -> int:
@@ -185,35 +194,66 @@ class PackedIndex:
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/postings")
+        return self.io.read("postings")
 
     @property
     def doc_map(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/doc_map")
+        return self.io.read("doc_map")
 
     @property
     def docs(self) -> DataFrame:
         if self.manifest.get("docs_in_tokenized"):
-            base = self.spark.read.parquet(f"{self.path}/tokenized").drop(
+            base = self.io.read("tokenized").drop(
                 "terms", "tfs", "doc_len"
             )
             # streaming appends (ingest.py) write additional rows to docs/
-            if os.path.isdir(f"{self.path}/docs"):
-                appended = self.spark.read.parquet(f"{self.path}/docs")
+            if self.io.exists("docs"):
+                appended = self.io.read("docs")
                 return base.unionByName(appended, allowMissingColumns=True)
             return base
-        return self.spark.read.parquet(f"{self.path}/docs")
+        return self.io.read("docs")
 
     @property
     def doc_lens(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/doc_lens")
+        return self.io.read("doc_lens")
 
     @property
     def terms(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/terms")
+        return self.io.read("terms")
 
     def preprocessor(self) -> TextPreprocessor:
         return TextPreprocessor(**self.manifest["preproc"])
+
+    def _df_for_terms(self, terms: List[str]) -> Dict[str, int]:
+        """Exact document frequencies for a term set, driver-cached.
+
+        The vocabulary table holds exact (term, df) rows — streaming
+        appends (ingest.py) add per-batch DELTAS, so Σ df per term is
+        exact at any point in the append history.  Lookups hit the tiny
+        terms table (never the postings), and resolved terms — including
+        OOV misses, cached as 0 — are memoized per index version so
+        repeated batches over a warm index pay no driver job at all.
+        (Reference sparse_retriever.py:277: OOV terms are dropped before
+        the AND-match requirement is counted — a term is in the
+        vocabulary iff it has postings.)
+        """
+        version = int(self.manifest.get("doc_count", 0))
+        if self.__dict__.get("_df_cache_version") != version:
+            self.__dict__["_df_cache"] = {}
+            self.__dict__["_df_cache_version"] = version
+        cache: Dict[str, int] = self.__dict__["_df_cache"]
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            found = {
+                r["term"]: int(r["df"])
+                for r in self.terms.filter(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            }
+            for t in missing:
+                cache[t] = found.get(t, 0)
+        return {t: cache[t] for t in terms if cache[t] > 0}
 
     # -- querying ------------------------------------------------------------
 
@@ -257,25 +297,7 @@ class PackedIndex:
 
         post = self.postings.filter(F.col("term").isin(all_terms))
 
-        # Document frequencies + the vocabulary filter come from the
-        # vocabulary table, NOT a postings scan: the batch build writes
-        # exact (term, df) rows and streaming appends (ingest.py:140-141)
-        # append per-batch df DELTAS, so Σ df grouped by term is exact at
-        # any point in the append history.  The terms table is
-        # vocabulary-sized (thousands of times smaller than postings), so
-        # the pre-query driver job costs ~a row-group scan instead of a
-        # full postings pass — the postings file is then read exactly ONCE
-        # per batch, by the scoring kernel itself.  (Reference
-        # sparse_retriever.py:277: OOV terms are dropped BEFORE the
-        # AND-match requirement is counted — a term is in the vocabulary
-        # iff it has postings.)
-        df_by_term = {
-            r["term"]: int(r["df"])
-            for r in self.terms.filter(F.col("term").isin(all_terms))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        }
+        df_by_term = self._df_for_terms(all_terms)
         qmap = {
             q: [(t, n) for t, n in tl if t in df_by_term]
             for q, tl in qmap.items()
@@ -284,6 +306,50 @@ class PackedIndex:
         if not qmap:
             return self._empty_results()
 
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc(DOC_ID))
+        has_maps = self.manifest.get("stages", {}).get("shard_maps", {}).get(
+            "completed", False
+        )
+        if has_maps:
+            # The shard's own id-map segment (Lucene stored-fields style)
+            # resolves internal ids to original ids INSIDE the kernel via
+            # a cogroup — the query path has no corpus-sized join and no
+            # driver round-trip, so the whole pipeline after the two tiny
+            # driver lookups is executor-parallel (this is what keeps
+            # N→4N query scaling efficiency high).
+            kern = make_shard_kernel(
+                qmap=qmap, df_by_term=df_by_term,
+                doc_count=self.doc_count, avg_doc_len=self.avg_doc_len,
+                span=self.span, cutoff=cutoff, operator=operator,
+                model=model, k1=k1, b=b, kernel=kernel, id_map=True,
+            )
+            maps = self.io.read("shard_maps")
+            shard_topk = (
+                post.groupby("shard")
+                .cogroup(maps.groupby("shard"))
+                .applyInPandas(
+                    kern,
+                    "q_id string, __doc_id__ long, score float, "
+                    "orig_id string",
+                )
+            )
+            ranked = (
+                shard_topk.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= cutoff)
+            )
+            t = self.manifest.get("orig_id_sql_type", "string")
+            return ranked.select(
+                "q_id",
+                F.col("orig_id").cast(t).alias("doc_id"),
+                "score",
+                "rank",
+            )
+
+        # legacy layout (index built before shard_maps existed): join
+        # doc_map, broadcasting the bounded results side — never
+        # shuffle-sort the corpus-sized doc_map.
         kern = make_shard_kernel(
             qmap=qmap,
             df_by_term=df_by_term,
@@ -300,18 +366,11 @@ class PackedIndex:
         shard_topk = post.groupBy("shard").applyInPandas(
             kern, "q_id string, __doc_id__ long, score float"
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc(DOC_ID))
         ranked = (
             shard_topk.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= cutoff)
         )
         id_col = self.manifest["orig_id_col"]
-        # Broadcast the RESULTS side: it is bounded at n_queries × cutoff
-        # rows whatever the corpus size, while doc_map scales with the
-        # corpus (10^12 rows at target scale) — so this join must stream
-        # doc_map and build on results, never shuffle-sort doc_map.
         return self.doc_map.join(F.broadcast(ranked), DOC_ID).select(
             "q_id", F.col(id_col).alias("doc_id"), "score", "rank"
         )
@@ -363,6 +422,7 @@ def build_packed_index(
     resume: bool = False,
     verify_sha256: Optional[str] = None,
     prebuilt: Optional[SparseIndex] = None,
+    doc_id_col_precomputed: Optional[str] = None,
 ) -> PackedIndex:
     """Build + persist the packed index; resumable per stage.
 
@@ -372,6 +432,7 @@ def build_packed_index(
     prebuilt: persist an already-built in-memory SparseIndex (e.g. from
     SparseRetriever.index) without re-running tokenization.
     """
+    io = TableIO(spark, path)
     manifest = (_load_manifest(path) if resume else None) or {
         "format_version": 1,
         "preproc": pre.config,
@@ -414,7 +475,12 @@ def build_packed_index(
 
         need_tok = not _stage_done(manifest, "tokenized")
         if need_tok:
-            base = assign_doc_ids(docs, order_cols or [id_col])
+            if doc_id_col_precomputed:
+                base = docs.withColumn(
+                    DOC_ID, F.col(doc_id_col_precomputed).cast("long")
+                )
+            else:
+                base = assign_doc_ids(docs, order_cols or [id_col])
             # ONE pass over document content: the tokenized stage carries
             # every source column alongside the token arrays, and the
             # "docs" table is a column-pruned view of it.  (The previous
@@ -438,12 +504,12 @@ def build_packed_index(
                     F.col("__tc__.tfs"), F.lit(0), lambda a, x: a + x
                 ).alias("doc_len"),
             )
-            tok_out.write.mode("overwrite").parquet(f"{path}/tokenized")
+            io.write(tok_out, "tokenized")
             manifest["docs_in_tokenized"] = True
             _mark_stage(path, manifest, "tokenized")
             _mark_stage(path, manifest, "docs", layout="tokenized")
 
-        tok = spark.read.parquet(f"{path}/tokenized")
+        tok = io.read("tokenized")
 
         import numpy as np
 
@@ -467,29 +533,29 @@ def build_packed_index(
         manifest["span"] = int(span)
 
         if not _stage_done(manifest, "doc_map"):
-            tok.select(DOC_ID, id_col).write.mode("overwrite").parquet(
-                f"{path}/doc_map"
-            )
+            io.write(tok.select(DOC_ID, id_col), "doc_map")
             _mark_stage(path, manifest, "doc_map", rows=doc_count)
 
         if not _stage_done(manifest, "doc_lens"):
-            tok.select(
-                DOC_ID,
-                F.col("doc_len").cast("float").alias("doc_len"),
-                (
-                    F.col("doc_len").cast("float")
-                    / F.lit(avgdl_f32).cast("float")
-                ).cast("float").alias("rel_dl"),
-            ).write.mode("overwrite").parquet(f"{path}/doc_lens")
+            io.write(
+                tok.select(
+                    DOC_ID,
+                    F.col("doc_len").cast("float").alias("doc_len"),
+                    (
+                        F.col("doc_len").cast("float")
+                        / F.lit(avgdl_f32).cast("float")
+                    ).cast("float").alias("rel_dl"),
+                ),
+                "doc_lens",
+            )
             _mark_stage(path, manifest, "doc_lens", rows=doc_count)
 
         if not _stage_done(manifest, "terms"):
-            (
+            io.write(
                 tok.select(F.explode("terms").alias("term"))
                 .groupBy("term")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .write.mode("overwrite")
-                .parquet(f"{path}/terms")
+                .agg(F.count(F.lit(1)).alias("df")),
+                "terms",
             )
             _mark_stage(path, manifest, "terms")
 
@@ -506,8 +572,8 @@ def build_packed_index(
             manifest["preproc"] = idx.pre_config
 
         if not _stage_done(manifest, "docs"):
-            idx.docs.write.mode("overwrite").parquet(f"{path}/docs")
-            idx.doc_map.write.mode("overwrite").parquet(f"{path}/doc_map")
+            io.write(idx.docs, "docs")
+            io.write(idx.doc_map, "doc_map")
             _mark_stage(path, manifest, "docs", rows=idx.doc_count)
 
         manifest["doc_count"] = idx.stats.doc_count
@@ -524,21 +590,48 @@ def build_packed_index(
         manifest["span"] = int(span)
 
         if not _stage_done(manifest, "doc_lens"):
-            idx.doc_lens.write.mode("overwrite").parquet(f"{path}/doc_lens")
+            io.write(idx.doc_lens, "doc_lens")
             _mark_stage(path, manifest, "doc_lens", rows=idx.doc_count)
 
         if not _stage_done(manifest, "terms"):
-            idx.terms.write.mode("overwrite").parquet(f"{path}/terms")
+            io.write(idx.terms, "terms")
             _mark_stage(path, manifest, "terms")
+
+    # Per-shard id-map segments (Lucene stored-fields style): shard s
+    # owns the contiguous dense-id range [s*span, s*span+len), so one
+    # array of original ids per shard, indexed by (doc_id - first_doc),
+    # resolves results inside the query kernel — the query path never
+    # joins the corpus-sized doc_map.
+    if not _stage_done(manifest, "shard_maps"):
+        dmap = io.read("doc_map")
+        orig_col = [c for c in dmap.columns if c != DOC_ID][0]
+        manifest["orig_id_sql_type"] = dict(dmap.dtypes)[orig_col]
+        maps = (
+            dmap.select(
+                (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
+                F.col(DOC_ID).alias("d"),
+                F.col(orig_col).cast("string").alias("u"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.min("d").alias("first_doc"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "u"))),
+                    lambda x: x["u"],
+                ).alias("uris"),
+            )
+        )
+        io.write(maps, "shard_maps")
+        _mark_stage(path, manifest, "shard_maps")
 
     if not _stage_done(manifest, "postings"):
         dfmap = {
             r["term"]: int(r["df"])
-            for r in spark.read.parquet(f"{path}/terms").collect()
+            for r in io.read("terms").collect()
         }
         df_bc = spark.sparkContext.broadcast(dfmap)
         if staged:
-            src = spark.read.parquet(f"{path}/tokenized").select(
+            src = io.read("tokenized").select(
                 (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
                 F.col(DOC_ID).alias("doc_id"),
                 "terms",
@@ -573,15 +666,13 @@ def build_packed_index(
             packed = flat.groupBy("shard").applyInPandas(
                 _encode_group(span), POSTINGS_SCHEMA
             )
-        (
-            packed.repartition("shard")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(f"{path}/postings")
+        io.write(
+            packed.repartition("shard").sortWithinPartitions("term"),
+            "postings",
         )
         # per-shard lineage: segments + postings per shard (audit trail)
         lineage_rows = (
-            spark.read.parquet(f"{path}/postings")
+            io.read("postings")
             .groupBy("shard")
             .agg(
                 F.count(F.lit(1)).alias("segments"),
@@ -599,7 +690,7 @@ def build_packed_index(
         _mark_stage(path, manifest, "postings", shards=lineage)
 
     _write_manifest(path, manifest)
-    return PackedIndex(spark=spark, path=path, manifest=manifest)
+    return PackedIndex(spark=spark, path=path, manifest=manifest, io=io)
 
 
 def load_packed_index(spark: SparkSession, path: str) -> PackedIndex:

@@ -95,6 +95,7 @@ def make_shard_kernel(
     k1: float = 1.2,
     b: float = 0.75,
     kernel: str = "taat",
+    id_map: bool = False,
 ):
     """Build the applyInPandas function for one msearch batch.
 
@@ -102,6 +103,10 @@ def make_shard_kernel(
     vocabulary, so ``len(qmap[q])`` is the AND-operator match requirement.
     df_by_term: live global document frequencies (query-time aggregate, so
     streaming appends are always consistently scored).
+    id_map=True returns a COGROUP function ``fn(key, postings_pdf,
+    shard_map_pdf)`` that also resolves internal doc ids to original ids
+    from the shard's stored id-map segments (Lucene stored-fields style) —
+    no corpus-sized join and no driver round-trip on the query path.
     """
     idf_fn = _idf_bm25 if model == "bm25" else _idf_tfidf
     idf_by_term = {
@@ -263,7 +268,28 @@ def make_shard_kernel(
             }
         )
 
-    return fn
+    if not id_map:
+        return fn
+
+    def fn_cogroup(key: tuple, left: pd.DataFrame, right: pd.DataFrame):
+        out = fn(left)
+        if len(out) == 0:
+            out["orig_id"] = pd.Series([], dtype="object")
+            return out
+        # right: this shard's id-map segments (first_doc, uris[]) — one
+        # per build/append; doc ranges are contiguous per segment.
+        d = out["__doc_id__"].to_numpy()
+        orig = np.empty(d.size, dtype=object)
+        for fd, uris in zip(right["first_doc"], right["uris"]):
+            arr = np.asarray(uris, dtype=object)
+            lo = int(fd)
+            m = (d >= lo) & (d < lo + arr.size)
+            if m.any():
+                orig[m] = arr[d[m] - lo]
+        out["orig_id"] = orig
+        return out
+
+    return fn_cogroup
 
 
 class _ListCursor:

@@ -39,6 +39,7 @@ from ..index.packed import (
     _write_manifest,
 )
 from ..preprocessing import TextPreprocessor
+from ..tableio import TableIO
 
 
 def append_batch(
@@ -116,29 +117,54 @@ def append_batch(
     packed = flat.groupBy("shard").applyInPandas(
         _encode_group(span), POSTINGS_SCHEMA
     )
-    packed.repartition("shard").sortWithinPartitions("term").write.mode(
-        "append"
-    ).parquet(f"{index_path}/postings")
-
-    base.write.mode("append").parquet(f"{index_path}/docs")
-    base.select(DOC_ID, F.col(id_col)).write.mode("append").parquet(
-        f"{index_path}/doc_map"
+    io = TableIO(spark, index_path)
+    io.write(
+        packed.repartition("shard").sortWithinPartitions("term"),
+        "postings", mode="append",
     )
+
+    io.write(base, "docs", mode="append")
+    io.write(base.select(DOC_ID, F.col(id_col)), "doc_map", mode="append")
+
+    # new-layout indexes carry per-shard id-map segments for kernel-side
+    # id resolution; an append contributes one more contiguous segment
+    # per touched shard (the kernels concatenate segments by range)
+    if manifest.get("stages", {}).get("shard_maps", {}).get("completed"):
+        io.write(
+            base.select(
+                (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
+                F.col(DOC_ID).alias("d"),
+                F.col(id_col).cast("string").alias("u"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.min("d").alias("first_doc"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "u"))),
+                    lambda x: x["u"],
+                ).alias("uris"),
+            ),
+            "shard_maps",
+            mode="append",
+        )
 
     import numpy as np
 
     total = int(manifest["total_doc_len"]) + len_new
     count = offset + n_new
     avg_f64 = total / count
-    with_terms.select(
-        DOC_ID,
-        F.col("doc_len").cast("float").alias("doc_len"),
-        (F.col("doc_len") / F.lit(avg_f64)).cast("float").alias("rel_dl"),
-    ).write.mode("append").parquet(f"{index_path}/doc_lens")
+    io.write(
+        with_terms.select(
+            DOC_ID,
+            F.col("doc_len").cast("float").alias("doc_len"),
+            (F.col("doc_len") / F.lit(avg_f64)).cast("float").alias("rel_dl"),
+        ),
+        "doc_lens", mode="append",
+    )
     # terms table: append (term, df) deltas; vocabulary reads use the
     # distinct term set, live df comes from postings at query time
     delta_terms = flat.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    delta_terms.write.mode("append").parquet(f"{index_path}/terms")
+    io.write(delta_terms, "terms", mode="append")
     with_terms.unpersist()
 
     manifest["doc_count"] = count
