@@ -21,18 +21,24 @@ shuffle / skew handling):
     global top-k merge.  This is the Elasticsearch/Lucene document-sharded
     plan expressed in Spark.
 
-Persistence layout (parquet + JSON manifest; Iceberg would swap in
-transparently — same schemas, the catalog jar just isn't shipped with this
-PySpark build):
+Persistence layout (every table goes through ``tableio.TableIO``:
+parquet paths here, an Iceberg catalog when configured — same schemas):
 
     <path>/manifest.json       stats, preproc config, shard geometry,
                                per-stage checkpoints + per-shard lineage
-    <path>/docs/               source columns + __doc_id__ (frozen ids)
+    <path>/tokenized/          source columns + __doc_id__ + token arrays
+                               (ONE content pass; the "docs" table is a
+                               column-pruned view of this)
     <path>/doc_map/            (__doc_id__, <orig id>)
     <path>/doc_lens/           (__doc_id__, doc_len, rel_dl)
-    <path>/terms/              (term, df) vocabulary
-    <path>/postings/           (shard, term, df, n, doc_gaps, tfs, rels,
+    <path>/terms/              (term, df) vocabulary (appends add deltas)
+    <path>/shard_maps/         (shard, first_doc, uris[]) — per-shard
+                               original-id segments, resolved inside the
+                               query kernel (stored-fields style)
+    <path>/postings/           (shard, term, df, n, doc_gaps, tfs, dls,
                                 block_* arrays)
+    <path>/docs/               append-only rows from streaming ingest
+                               (legacy full-build layout also used this)
 
 Build is **checkpoint-resumable**: each stage records completion + row
 counts in the manifest; a re-run with resume=True skips completed stages

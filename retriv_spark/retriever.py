@@ -243,6 +243,35 @@ class SparseRetriever:
             out.append(d)
         return out
 
+    def get_doc(self, doc_id) -> Optional[dict]:
+        """Random-access document fetch by original id (reference
+        base_retriever.py:64-66: Indxr line-offset lookup — here a
+        predicate on the docs table, which parquet/Iceberg row-group
+        stats turn into a point-ish read)."""
+        docs = self.get_docs([doc_id])
+        return docs[0] if docs else None
+
+    def get_docs(self, doc_ids: list) -> list:
+        """Batch document fetch by original ids (reference
+        base_retriever.py:67-68), returned in request order."""
+        idx = self._require_index()
+        rows = {
+            self._restore_id(r[idx.orig_id_col]): r.asDict()
+            for r in idx.docs.filter(
+                F.col(idx.orig_id_col).isin([str(i) for i in doc_ids])
+            ).collect()
+        }
+        out = []
+        for i in doc_ids:
+            if i not in rows:
+                continue
+            d = dict(rows[i])
+            for internal in (DOC_ID, "__enum__"):
+                d.pop(internal, None)
+            d["id"] = i
+            out.append(d)
+        return out
+
     def bsearch(
         self,
         queries: List[Dict[str, str]],

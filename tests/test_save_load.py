@@ -27,3 +27,19 @@ def test_save_load_roundtrip(spark, shane_collection, tmp_path):
 
     SparseRetriever.delete(spark, path)
     assert not os.path.exists(path)
+
+
+def test_get_doc_and_get_docs(spark, shane_collection):
+    """Random-access doc fetch (reference base_retriever.py:64-68)."""
+    sr = SparseRetriever(spark)
+    sr.index(shane_collection)
+
+    one = sr.get_doc(3)
+    assert one is not None and one["id"] == 3
+    assert one["text"] == "Shane P Connelly"
+
+    many = sr.get_docs([5, 1])
+    assert [d["id"] for d in many] == [5, 1]
+    assert many[1]["text"] == "Shane"
+
+    assert sr.get_doc("missing-id") is None
