@@ -32,6 +32,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "token_count",
     "fingerprint",
+    "dedup_embedding",
+    "multimodal_meta",
 ]
 
 

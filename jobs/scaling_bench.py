@@ -59,19 +59,25 @@ pre = TextPreprocessor(stemmer="english", stopwords="english")
 # machine's deliverable number at each parallelism level
 import shutil
 build_sec = None
-for _rep in range(2):
-    if os.path.isdir(index_path):
-        shutil.rmtree(index_path)
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    idx = build_packed_index(
-        spark, docs, pre, index_path,
-        text_col="content", id_col="__uri__",
-        order_cols=["repo", "path", "commit"],
-        n_shards=64, verify_sha256="sha256",
-    )
-    dt = time.perf_counter() - t0
-    build_sec = dt if build_sec is None else min(build_sec, dt)
+if os.environ.get("RETRIV_SKIP_BUILD") == "1" and os.path.isfile(
+    f"{index_path}/manifest.json"
+):
+    from retriv_spark.index.packed import load_packed_index as _lpi
+    idx = _lpi(spark, index_path)
+else:
+    for _rep in range(2):
+        if os.path.isdir(index_path):
+            shutil.rmtree(index_path)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        idx = build_packed_index(
+            spark, docs, pre, index_path,
+            text_col="content", id_col="__uri__",
+            order_cols=["repo", "path", "commit"],
+            n_shards=64, verify_sha256="sha256",
+        )
+        dt = time.perf_counter() - t0
+        build_sec = dt if build_sec is None else min(build_sec, dt)
 
 with open(queries_path) as f:
     queries = [json.loads(l) for l in f]
@@ -106,8 +112,10 @@ with open(results_path, "w") as f:
 
 print(json.dumps({
     "cpus": cpus, "n_docs": n_docs,
-    "build_sec": round(build_sec, 2),
-    "build_docs_per_sec": round(n_docs / build_sec, 1),
+    "build_sec": round(build_sec, 2) if build_sec else None,
+    "build_docs_per_sec": (
+        round(n_docs / build_sec, 1) if build_sec else None
+    ),
     "query_sec": round(query_sec, 2),
     "qps": round(len(queries) / query_sec, 1),
     "result_rows": len(rows),
@@ -153,13 +161,24 @@ def main():
     ap.add_argument("--input", default=None,
                     help="reuse an existing generated corpus parquet dir "
                          "(skips generation; --docs is ignored)")
+    ap.add_argument("--reuse-work", default=None,
+                    help="an earlier run's work dir: reuse its corpus, "
+                         "queries AND built index_{N}/index_{4N} dirs, "
+                         "measuring the QUERY legs only (cheap rerun for "
+                         "sampling quiet hypervisor windows)")
     args = ap.parse_args()
 
-    work = tempfile.mkdtemp(prefix="retriv_scaling_")
+    if args.reuse_work:
+        work = args.reuse_work.rstrip("/")
+        args.input = f"{work}/corpus"
+    else:
+        work = tempfile.mkdtemp(prefix="retriv_scaling_")
     input_path = args.input or f"{work}/corpus"
     queries_path = f"{work}/queries.jsonl"
 
-    if args.input:
+    if args.reuse_work:
+        gen = None
+    elif args.input:
         import json as _json
         import random as _random
 
@@ -208,6 +227,7 @@ print("generated")
     for cpus in (args.n, 4 * args.n):
         env = dict(
             os.environ,
+            RETRIV_SKIP_BUILD="1" if args.reuse_work else "0",
             RETRIV_REPO=REPO,
             # same heap at both levels: local-mode tasks share the driver
             # JVM, and an 8g default heap GC-thrashes under 32 concurrent
@@ -237,7 +257,11 @@ print("generated")
         b = f.read()
     identical = a == b
     lo, hi = runs[args.n], runs[4 * args.n]
-    eff_build = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / 4
+    eff_build = (
+        (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / 4
+        if lo.get("build_docs_per_sec")
+        else None
+    )
     eff_query = (hi["qps"] / lo["qps"]) / 4
     ceiling_speedup = _machine_ceiling(args.n)
     ceiling = ceiling_speedup / 4
@@ -251,10 +275,16 @@ print("generated")
         "",
         f"| metric | local[{args.n}] | local[{4*args.n}] | speedup | efficiency |",
         "|---|---:|---:|---:|---:|",
-        f"| index build (docs/s) | {lo['build_docs_per_sec']} | "
-        f"{hi['build_docs_per_sec']} | "
-        f"{round(hi['build_docs_per_sec']/lo['build_docs_per_sec'], 2)}x | "
-        f"{round(eff_build, 3)} |",
+        *(
+            [
+                f"| index build (docs/s) | {lo['build_docs_per_sec']} | "
+                f"{hi['build_docs_per_sec']} | "
+                f"{round(hi['build_docs_per_sec']/lo['build_docs_per_sec'], 2)}x | "
+                f"{round(eff_build, 3)} |"
+            ]
+            if eff_build is not None
+            else ["| index build | (reused prebuilt indexes — query-only rerun) | | | |"]
+        ),
         f"| query throughput (qps, {args.queries}-query batch, cutoff 100) | "
         f"{lo['qps']} | {hi['qps']} | "
         f"{round(hi['qps']/lo['qps'], 2)}x | {round(eff_query, 3)} |",
@@ -262,7 +292,8 @@ print("generated")
         f"{round(ceiling_speedup, 2)}x | {round(ceiling, 3)} |",
         "",
         f"relative efficiency (engine / machine ceiling): "
-        f"build {round(eff_build / ceiling, 3)}, "
+        + (f"build {round(eff_build / ceiling, 3)}, " if eff_build is not None else "")
+        + 
         f"query {round(eff_query / ceiling, 3)} — this single-VM sandbox "
         f"shares clock/bandwidth across threads, so the pure-CPU control is "
         f"the honest 100% mark for an N→4N comparison on ONE box (a real "

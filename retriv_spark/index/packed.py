@@ -295,7 +295,14 @@ class PackedIndex:
             counts: Dict[str, int] = {}
             for t in toks:
                 counts[t] = counts.get(t, 0) + 1
-            qmap[str(q["id"])] = list(counts.items())
+            # canonical (sorted) per-query term order: BOTH kernels
+            # accumulate float32 contributions in this order, so
+            # taat ≡ bmw stays bit-identical and the term-major tiled
+            # accumulation in the taat kernel is order-preserving.
+            # (The reference accumulates in query-occurrence order —
+            # bm25.py:36-49 — a float32 sum-order difference bounded by
+            # its own test tolerance, search_engine_test.py:7.)
+            qmap[str(q["id"])] = sorted(counts.items())
 
         all_terms = sorted({t for tl in qmap.values() for t, _ in tl})
         if not all_terms:
@@ -314,50 +321,14 @@ class PackedIndex:
 
         from pyspark.sql import Window
 
-        w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc(DOC_ID))
-        has_maps = self.manifest.get("stages", {}).get("shard_maps", {}).get(
-            "completed", False
-        )
-        if has_maps:
-            # The shard's own id-map segment (Lucene stored-fields style)
-            # resolves internal ids to original ids INSIDE the kernel via
-            # a cogroup — the query path has no corpus-sized join and no
-            # driver round-trip, so the whole pipeline after the two tiny
-            # driver lookups is executor-parallel (this is what keeps
-            # N→4N query scaling efficiency high).
-            kern = make_shard_kernel(
-                qmap=qmap, df_by_term=df_by_term,
-                doc_count=self.doc_count, avg_doc_len=self.avg_doc_len,
-                span=self.span, cutoff=cutoff, operator=operator,
-                model=model, k1=k1, b=b, kernel=kernel, id_map=True,
-            )
-            maps = self.io.read("shard_maps")
-            shard_topk = (
-                post.groupby("shard")
-                .cogroup(maps.groupby("shard"))
-                .applyInPandas(
-                    kern,
-                    "q_id string, __doc_id__ long, score float, "
-                    "orig_id string",
-                )
-            )
-            ranked = (
-                shard_topk.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= cutoff)
-            )
-            t = self.manifest.get("orig_id_sql_type", "string")
-            return ranked.select(
-                "q_id",
-                F.col("orig_id").cast(t).alias("doc_id"),
-                "score",
-                "rank",
-            )
+        # Dense int query indexes on the (wide) pre-merge stream: at
+        # n_queries × cutoff × n_shards rows, per-row Python strings
+        # through Arrow dominate kernel output cost; ints are near-free.
+        q_ids = list(qmap)
+        qmap_idx = {i: qmap[q] for i, q in enumerate(q_ids)}
 
-        # legacy layout (index built before shard_maps existed): join
-        # doc_map, broadcasting the bounded results side — never
-        # shuffle-sort the corpus-sized doc_map.
         kern = make_shard_kernel(
-            qmap=qmap,
+            qmap=qmap_idx,
             df_by_term=df_by_term,
             doc_count=self.doc_count,
             avg_doc_len=self.avg_doc_len,
@@ -370,11 +341,52 @@ class PackedIndex:
             kernel=kernel,
         )
         shard_topk = post.groupBy("shard").applyInPandas(
-            kern, "q_id string, __doc_id__ long, score float"
+            kern, "q_idx int, __doc_id__ long, score float"
         )
+        w = Window.partitionBy("q_idx").orderBy(F.desc("score"), F.asc(DOC_ID))
         ranked = (
             shard_topk.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= cutoff)
+        )
+
+        has_maps = self.manifest.get("stages", {}).get("shard_maps", {}).get(
+            "completed", False
+        )
+        if has_maps:
+            # Post-merge id resolution: re-key the SURVIVING rows (only
+            # n_queries × cutoff of them) by shard and cogroup with the
+            # stored per-shard id-map segments (Lucene stored-fields
+            # style).  Fully executor-parallel — no corpus-sized join, no
+            # driver round-trip — which is what keeps N→4N query scaling
+            # efficiency high.
+            from ..search.kernels import make_id_resolver
+
+            maps = self.io.read("shard_maps")
+            resolver = make_id_resolver(q_ids, self.span)
+            resolved = (
+                ranked.withColumn(
+                    "shard",
+                    (F.col(DOC_ID) / F.lit(self.span)).cast("int"),
+                )
+                .groupby("shard")
+                .cogroup(maps.groupby("shard"))
+                .applyInPandas(
+                    resolver,
+                    "q_id string, doc_id string, score float, rank int",
+                )
+            )
+            t = self.manifest.get("orig_id_sql_type", "string")
+            return resolved.select(
+                "q_id", F.col("doc_id").cast(t).alias("doc_id"),
+                "score", "rank",
+            )
+
+        # legacy layout (index built before shard_maps existed): join
+        # doc_map, broadcasting the bounded results side — never
+        # shuffle-sort the corpus-sized doc_map.
+        qarr = F.array(*[F.lit(q) for q in q_ids])
+        ranked = ranked.select(
+            qarr[F.col("q_idx")].alias("q_id"), DOC_ID, "score", "rank"
         )
         id_col = self.manifest["orig_id_col"]
         return self.doc_map.join(F.broadcast(ranked), DOC_ID).select(

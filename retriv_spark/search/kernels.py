@@ -95,18 +95,17 @@ def make_shard_kernel(
     k1: float = 1.2,
     b: float = 0.75,
     kernel: str = "taat",
-    id_map: bool = False,
 ):
     """Build the applyInPandas function for one msearch batch.
 
-    qmap: {q_id: [(term, n_occ), ...]} — already filtered to the global
+    qmap: {q_idx: [(term, n_occ), ...]} — keys are DENSE INT indexes into
+    the caller's query list (string q_ids would put millions of Python
+    string objects through Arrow on the wide pre-merge stream; the int
+    index is resolved back to the real q_id after the global top-k by
+    ``make_id_resolver``).  Term lists are already filtered to the global
     vocabulary, so ``len(qmap[q])`` is the AND-operator match requirement.
     df_by_term: live global document frequencies (query-time aggregate, so
     streaming appends are always consistently scored).
-    id_map=True returns a COGROUP function ``fn(key, postings_pdf,
-    shard_map_pdf)`` that also resolves internal doc ids to original ids
-    from the shard's stored id-map segments (Lucene stored-fields style) —
-    no corpus-sized join and no driver round-trip on the query path.
     """
     idf_fn = _idf_bm25 if model == "bm25" else _idf_tfidf
     idf_by_term = {
@@ -116,7 +115,13 @@ def make_shard_kernel(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame({"q_id": [], "__doc_id__": [], "score": []})
+            return pd.DataFrame(
+                {
+                    "q_idx": pd.Series([], dtype="int32"),
+                    "__doc_id__": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float32"),
+                }
+            )
         shard = int(pdf["shard"].iloc[0])
         base = shard * span
 
@@ -162,40 +167,100 @@ def make_shard_kernel(
                         tfs, dls, idf_by_term[t], model, k1, b, avg_doc_len
                     )
                     vecs[t] = v
-            acc = np.zeros(span, dtype=np.float32)
-            hits = np.zeros(span, dtype=np.int32)
             q_ids_out: list = []
             q_counts: list = []
             d_chunks: list = []
             s_chunks: list = []
-            for q_id, terms in qmap.items():
-                present = [(t, n) for t, n in terms if t in segs]
-                if not present or (is_and and len(present) < len(terms)):
-                    continue
-                if dense_ok:
-                    acc[:] = 0.0
-                    for term, n_occ in present:
-                        v = vecs[term]
-                        if n_occ != 1:
-                            v = v * n_occ
-                        # f32 += f64 rounds on store — the reference's
-                        # exact accumulation semantics (bm25.py:49)
-                        np.add(acc, v, out=acc, casting="unsafe")
-                    if is_and:
-                        hits[:] = 0
-                        for term, _ in present:
-                            np.add(
-                                hits, vecs[term] > 0, out=hits,
-                                casting="unsafe",
+
+            def _select_topk(q_id, cand, cs):
+                if cand.size > cutoff:
+                    sel = np.argpartition(-cs, cutoff - 1)[:cutoff]
+                    cand, cs = cand[sel], cs[sel]
+                order = np.lexsort((cand, -cs.astype(np.float64)))
+                cand, cs = cand[order], cs[order]
+                q_ids_out.append(q_id)
+                q_counts.append(cand.size)
+                d_chunks.append(cand + base)
+                s_chunks.append(cs)
+
+            # live queries: the ones with at least one in-shard term (and
+            # all of them, under AND)
+            live = [
+                (q_id, [(t, n) for t, n in terms if t in segs], len(terms))
+                for q_id, terms in qmap.items()
+            ]
+            live = [
+                (q, p, nt) for q, p, nt in live
+                if p and not (is_and and len(p) < nt)
+            ]
+
+            if dense_ok:
+                # TERM-MAJOR, doc-TILED accumulation over query chunks.
+                # The batch workload streams ~(n_queries × terms × span)
+                # accumulator+vector bytes; query-major order re-reads
+                # every term vector once per query and evicts accumulator
+                # rows between terms — at large batches the kernel is
+                # DRAM-bandwidth-bound, which caps N→4N scaling well
+                # below the machine's compute ceiling.  Processing a
+                # chunk of queries term-by-term over one doc TILE at a
+                # time keeps the accumulator slab cache-resident while
+                # each term's vector slice is read once per chunk.
+                # Order-preservation: every (query, doc) slot still
+                # receives its term contributions in the query's
+                # canonical sorted-term order (tiling splits docs, not
+                # the order), with the same "f32 += f64, round on store"
+                # semantics (reference bm25.py:49) — results are
+                # bit-identical to the untiled loop.
+                # slab = CHUNK × TILE × 4 B ≈ 2 MB: small enough that
+                # every concurrent worker's slab stays resident in its
+                # shared-LLC slice while the term loop runs over a tile
+                CHUNK = 128
+                TILE = 4096
+                for c0 in range(0, len(live), CHUNK):
+                    chunk = live[c0:c0 + CHUNK]
+                    users: dict = {}
+                    for r, (q_id, present, nt) in enumerate(chunk):
+                        for t, n in present:
+                            users.setdefault(t, []).append((r, n))
+                    terms_sorted = sorted(users)
+                    acc2 = np.zeros((len(chunk), span), dtype=np.float32)
+                    hits2 = (
+                        np.zeros((len(chunk), span), dtype=np.int16)
+                        if is_and
+                        else None
+                    )
+                    for lo in range(0, span, TILE):
+                        sl = slice(lo, min(lo + TILE, span))
+                        for t in terms_sorted:
+                            v = vecs[t][sl]
+                            ind = (v > 0) if is_and else None
+                            for r, n_occ in users[t]:
+                                a = acc2[r, sl]
+                                np.add(
+                                    a,
+                                    v if n_occ == 1 else v * n_occ,
+                                    out=a,
+                                    casting="unsafe",
+                                )
+                                if is_and:
+                                    h = hits2[r, sl]
+                                    np.add(
+                                        h, ind, out=h, casting="unsafe"
+                                    )
+                    for r, (q_id, present, nt) in enumerate(chunk):
+                        row = acc2[r]
+                        if is_and:
+                            cand = np.flatnonzero(
+                                (row > 0) & (hits2[r] == nt)
                             )
-                        cand = np.flatnonzero(
-                            (acc > 0) & (hits == len(terms))
-                        )
-                    else:
-                        # reference unsorted_top_k keeps scores > 0
-                        cand = np.flatnonzero(acc > 0)
-                    cs = acc[cand]
-                else:
+                        else:
+                            # reference unsorted_top_k keeps scores > 0
+                            cand = np.flatnonzero(row > 0)
+                        _select_topk(q_id, cand, row[cand])
+            else:
+                acc = np.zeros(span, dtype=np.float32)
+                hits = np.zeros(span, dtype=np.int32)
+                for q_id, present, nt in live:
                     touched = []
                     for term, n_occ in present:
                         doc_ids, tfs, dls = segs[term]
@@ -211,25 +276,17 @@ def make_shard_kernel(
                         touched.append(idx)
                     cand = np.unique(np.concatenate(touched))
                     if is_and:
-                        cand = cand[hits[cand] == len(terms)]
+                        cand = cand[hits[cand] == nt]
                     cs = acc[cand]
                     keep = cs > 0
                     cand, cs = cand[keep], cs[keep]
+                    _select_topk(q_id, cand, cs)
                     all_touched = np.unique(np.concatenate(touched))
                     acc[all_touched] = 0.0
                     hits[all_touched] = 0
-                if cand.size > cutoff:
-                    sel = np.argpartition(-cs, cutoff - 1)[:cutoff]
-                    cand, cs = cand[sel], cs[sel]
-                order = np.lexsort((cand, -cs.astype(np.float64)))
-                cand, cs = cand[order], cs[order]
-                q_ids_out.append(q_id)
-                q_counts.append(cand.size)
-                d_chunks.append(cand + base)
-                s_chunks.append(cs)
             if q_ids_out:
                 out_q = np.repeat(
-                    np.asarray(q_ids_out, dtype=object),
+                    np.asarray(q_ids_out, dtype=np.int32),
                     np.asarray(q_counts, dtype=np.int64),
                 )
                 out_d = np.concatenate(d_chunks)
@@ -262,23 +319,40 @@ def make_shard_kernel(
 
         return pd.DataFrame(
             {
-                "q_id": pd.Series(out_q, dtype="object"),
+                "q_idx": pd.Series(out_q, dtype="int32"),
                 "__doc_id__": pd.Series(out_d, dtype="int64"),
                 "score": pd.Series(out_s, dtype="float32"),
             }
         )
 
-    if not id_map:
-        return fn
+    return fn
 
-    def fn_cogroup(key: tuple, left: pd.DataFrame, right: pd.DataFrame):
-        out = fn(left)
-        if len(out) == 0:
-            out["orig_id"] = pd.Series([], dtype="object")
+
+def make_id_resolver(q_ids: List[str], span: int):
+    """Cogroup function resolving merged top-k rows to original ids.
+
+    Left: globally-ranked rows (q_idx, __doc_id__, score, rank, shard).
+    Right: the shard's stored id-map segments (first_doc, uris[]) —
+    contiguous dense-id ranges, so lookup is array indexing.  This runs
+    AFTER the global top-k, so it touches only n_queries × cutoff rows —
+    the big scoring stream upstream stays pure-numeric (no per-row Python
+    string objects through Arrow)."""
+    qarr = np.asarray(q_ids, dtype=object)
+
+    def fn(key: tuple, left: pd.DataFrame, right: pd.DataFrame):
+        out = pd.DataFrame(
+            {
+                "q_id": qarr[left["q_idx"].to_numpy()]
+                if len(left)
+                else pd.Series([], dtype="object"),
+                "doc_id": pd.Series([None] * len(left), dtype="object"),
+                "score": left["score"].to_numpy(),
+                "rank": left["rank"].to_numpy(),
+            }
+        )
+        if len(left) == 0:
             return out
-        # right: this shard's id-map segments (first_doc, uris[]) — one
-        # per build/append; doc ranges are contiguous per segment.
-        d = out["__doc_id__"].to_numpy()
+        d = left["__doc_id__"].to_numpy()
         orig = np.empty(d.size, dtype=object)
         for fd, uris in zip(right["first_doc"], right["uris"]):
             arr = np.asarray(uris, dtype=object)
@@ -286,10 +360,10 @@ def make_shard_kernel(
             m = (d >= lo) & (d < lo + arr.size)
             if m.any():
                 orig[m] = arr[d[m] - lo]
-        out["orig_id"] = orig
+        out["doc_id"] = orig
         return out
 
-    return fn_cogroup
+    return fn
 
 
 class _ListCursor:
