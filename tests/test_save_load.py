@@ -43,3 +43,16 @@ def test_get_doc_and_get_docs(spark, shane_collection):
     assert many[1]["text"] == "Shane"
 
     assert sr.get_doc("missing-id") is None
+
+
+def test_tune_bm25_returns_grid_point(spark, shane_collection):
+    """Autotune end-to-end (reference autotune/bm25_autotune.py:10-38:
+    seeded search over b in [0,1] step .01, k1 in [0,10] step .1)."""
+    sr = SparseRetriever(spark)
+    sr.index(shane_collection)
+    queries = [{"id": "q1", "text": "shane connelly"}]
+    qrels = {"q1": {"5": 1.0, "6": 1.0}}
+    best = sr.autotune(queries, qrels, metric="mrr", n_trials=3)
+    assert set(best) == {"b", "k1"}
+    assert 0.0 <= best["b"] <= 1.0 and 0.0 <= best["k1"] <= 10.0
+    assert sr.hyperparams == best
