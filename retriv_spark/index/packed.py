@@ -272,6 +272,7 @@ class PackedIndex:
         k1: float = 1.2,
         b: float = 0.75,
         kernel: str = "taat",
+        subset_doc_ids=None,
     ) -> DataFrame:
         """Batch search over the packed index.
 
@@ -339,6 +340,7 @@ class PackedIndex:
             k1=k1,
             b=b,
             kernel=kernel,
+            subset_doc_ids=subset_doc_ids,
         )
         shard_topk = post.groupBy("shard").applyInPandas(
             kern, "q_idx int, __doc_id__ long, score float"

@@ -95,6 +95,7 @@ def make_shard_kernel(
     k1: float = 1.2,
     b: float = 0.75,
     kernel: str = "taat",
+    subset_doc_ids=None,
 ):
     """Build the applyInPandas function for one msearch batch.
 
@@ -112,6 +113,14 @@ def make_shard_kernel(
         t: idf_fn(doc_count, float(df)) for t, df in df_by_term.items()
     }
     is_and = operator.upper() == "AND"
+    # caller-supplied candidate restriction (reference bm25.py:33-34:
+    # intersect with a sorted internal-id subset) — an in-memory id array
+    # exactly as in the reference; each shard slices its own range
+    subset = (
+        np.unique(np.asarray(list(subset_doc_ids), dtype=np.int64))
+        if subset_doc_ids is not None
+        else None
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -124,6 +133,12 @@ def make_shard_kernel(
             )
         shard = int(pdf["shard"].iloc[0])
         base = shard * span
+        sub_mask = None
+        if subset is not None:
+            sl_lo = np.searchsorted(subset, base)
+            sl_hi = np.searchsorted(subset, base + span)
+            sub_mask = np.zeros(span, dtype=bool)
+            sub_mask[subset[sl_lo:sl_hi] - base] = True
 
         # a term may have SEVERAL segments in one shard (streaming appends
         # add new segments without rewriting old ones) — doc ranges are
@@ -173,6 +188,9 @@ def make_shard_kernel(
             s_chunks: list = []
 
             def _select_topk(q_id, cand, cs):
+                if sub_mask is not None:
+                    keep = sub_mask[cand]
+                    cand, cs = cand[keep], cs[keep]
                 if cand.size > cutoff:
                     sel = np.argpartition(-cs, cutoff - 1)[:cutoff]
                     cand, cs = cand[sel], cs[sel]
@@ -309,6 +327,7 @@ def make_shard_kernel(
                     rows_flat, occs_flat, idfs_flat,
                     model, k1, b, avg_doc_len,
                     cutoff, is_and, len(terms),
+                    sub_mask=sub_mask, base=base,
                 )
                 for d, s in res:
                     out_q.append(q_id)
@@ -477,6 +496,7 @@ class _ListCursor:
 def _bmw_query(
     rows, n_occs, idfs, model, k1, b, avg_doc_len,
     cutoff, is_and, n_req,
+    sub_mask=None, base=0,
 ):
     """Block-max WAND over one query's segments in one shard.
 
@@ -496,6 +516,10 @@ def _bmw_query(
     def push(doc, score):
         nonlocal threshold
         if score <= 0:
+            return
+        # subset restriction: excluded docs never enter the heap (and so
+        # never tighten the WAND threshold — pruning stays score-safe)
+        if sub_mask is not None and not sub_mask[doc - base]:
             return
         item = (score, -doc)
         if len(heap) < cutoff:

@@ -238,3 +238,27 @@ def test_partitioning_invariance(spark, corpus, tmp_path):
         assert set(g) == set(exp)
         for doc_id, score in exp.items():
             assert isclose(g[doc_id], score, rel_tol=REL_TOL)
+
+
+@pytest.mark.parametrize("kernel", ["taat", "bmw"])
+def test_subset_doc_ids_restriction(spark, packed, kernel):
+    """Packed-path subset restriction (reference bm25.py:33-34): results
+    are exactly the full results intersected with the subset, scores
+    unchanged."""
+    dm = {int(r["__doc_id__"]): r[packed.manifest["orig_id_col"]]
+          for r in packed.doc_map.collect()}
+    subset_internal = sorted(dm)[:: 2]  # every other doc
+    allowed = {dm[i] for i in subset_internal}
+
+    full = _as_dict(packed.msearch_df(QUERY_SET, cutoff=1000, kernel=kernel))
+    got = _as_dict(
+        packed.msearch_df(
+            QUERY_SET, cutoff=1000, kernel=kernel,
+            subset_doc_ids=subset_internal,
+        )
+    )
+    for qid, docs in full.items():
+        exp = {d: s for d, s in docs.items() if d in allowed}
+        assert got.get(qid, {}) == exp, (qid, kernel)
+    for qid in got:
+        assert set(got[qid]) <= allowed
