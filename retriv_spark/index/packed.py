@@ -33,8 +33,9 @@ parquet paths here, an Iceberg catalog when configured — same schemas):
     <path>/doc_lens/           (__doc_id__, doc_len, rel_dl)
     <path>/terms/              (term, df) vocabulary (appends add deltas)
     <path>/shard_maps/         (shard, first_doc, uris[]) — per-shard
-                               original-id segments, resolved inside the
-                               query kernel (stored-fields style)
+                               original-id segments (stored-fields style),
+                               cogrouped with the merged top-k to resolve
+                               result ids without a corpus-sized join
     <path>/postings/           (shard, term, df, n, doc_gaps, tfs, dls,
                                 block_* arrays)
     <path>/docs/               append-only rows from streaming ingest
@@ -396,8 +397,9 @@ class PackedIndex:
         )
 
     def _empty_results(self) -> DataFrame:
+        t = self.manifest.get("orig_id_sql_type", "string")
         return self.spark.createDataFrame(
-            [], "q_id string, doc_id string, score float, rank int"
+            [], f"q_id string, doc_id {t}, score float, rank int"
         )
 
 
