@@ -7,7 +7,7 @@ from math import isclose
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from retriv_spark.index.codec import (
@@ -262,3 +262,31 @@ def test_subset_doc_ids_restriction(spark, packed, kernel):
         assert got.get(qid, {}) == exp, (qid, kernel)
     for qid in got:
         assert set(got[qid]) <= allowed
+
+
+@given(
+    words=st.lists(
+        st.sampled_from([f"w{i}" for i in range(70)]),  # incl. OOV w60-69
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_query_differential(spark, packed, corpus, words):
+    """Hypothesis-driven differential test: arbitrary queries (repeats and
+    OOV terms included) against the numpy oracle replicating the
+    reference kernels."""
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    oracle = NumpyOracle(corpus, pre=pre)
+    text = " ".join(words)
+    got = _as_dict(
+        packed.msearch_df([{"id": "h", "text": text}], cutoff=25)
+    ).get("h", {})
+    exp = oracle.search(text, cutoff=25)
+    assert set(got) == set(exp), text
+    for doc_id, score in exp.items():
+        assert isclose(got[doc_id], score, rel_tol=REL_TOL), (text, doc_id)
