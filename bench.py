@@ -98,6 +98,7 @@ def main():
         {"id": f"bq{i}", "text": " ".join(rng.sample(vocab, min(3, len(vocab))))}
         for i in range(n_queries)
     ]
+    idx.msearch_df(batch[:4], cutoff=100).count()  # warm index caches
     t0 = time.perf_counter()
     res = idx.msearch_df(batch, cutoff=100)
     n_res = res.count()

@@ -264,6 +264,118 @@ class PackedIndex:
 
     # -- querying ------------------------------------------------------------
 
+    def _total_postings(self) -> int:
+        """Stored postings count from build lineage (no Spark job);
+        streamed appends are estimated from their row counts at the
+        build's postings-per-doc ratio.  Unknown lineage counts as huge
+        (disables the small-index fast path, never the reverse)."""
+        shards = (
+            self.manifest.get("stages", {})
+            .get("postings", {})
+            .get("shards")
+        )
+        if not shards:
+            return 1 << 62
+        total = sum(int(v.get("postings", 0)) for v in shards.values())
+        appended = sum(
+            int(v.get("rows", 0))
+            for v in self.manifest.get("stream_batches", {}).values()
+        )
+        if appended:
+            built_docs = max(1, self.doc_count - appended)
+            total += int(appended * (total / built_docs)) + appended
+        return total
+
+    def _msearch_local(
+        self, qmap_idx, q_ids, df_by_term, cutoff, operator, model,
+        k1, b, kernel, subset_doc_ids,
+    ) -> Optional[DataFrame]:
+        """Driver-side execution of the SAME per-shard kernels over
+        collected segments (small indexes only — dispatch in msearch_df).
+        One postings collect is cached per index version; after that a
+        batch costs no Spark job until the result DataFrame is consumed.
+        Results are bit-identical to the distributed path: same kernel
+        code, same merge order (-score, internal id)."""
+        from ..search.kernels import make_shard_kernel
+
+        cache = self.__dict__.setdefault("_local_cache", {})
+        ver = int(self.manifest.get("doc_count", 0))
+        if cache.get("ver") != ver:
+            cache.clear()
+            cache["ver"] = ver
+        if "post" not in cache:
+            cache["post"] = self.postings.toPandas()
+            cache["maps"] = self.io.read("shard_maps").toPandas()
+        post = cache["post"]
+        maps = cache["maps"]
+
+        terms_needed = sorted(
+            {t for tl in qmap_idx.values() for t, _ in tl}
+        )
+        sel = post[post["term"].isin(terms_needed)]
+        kern = make_shard_kernel(
+            qmap=qmap_idx, df_by_term=df_by_term,
+            doc_count=self.doc_count, avg_doc_len=self.avg_doc_len,
+            span=self.span, cutoff=cutoff, operator=operator,
+            model=model, k1=k1, b=b, kernel=kernel,
+            subset_doc_ids=subset_doc_ids,
+        )
+        parts = [kern(g) for _, g in sel.groupby("shard", sort=True)]
+        t = self.manifest.get("orig_id_sql_type", "string")
+        schema = f"q_id string, doc_id {t}, score float, rank int"
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        allr = pd.concat(parts, ignore_index=True)
+
+        firsts = maps["first_doc"].to_numpy()
+        order = np.argsort(firsts)
+        firsts = firsts[order]
+        uri_list = [
+            np.asarray(maps["uris"].iloc[i], dtype=object) for i in order
+        ]
+        to_int = ("int" in t) or t in ("long", "bigint")
+
+        q_arr = allr["q_idx"].to_numpy()
+        d_arr = allr["__doc_id__"].to_numpy()
+        s_arr = allr["score"].to_numpy()
+        q_chunks, d_chunks, s_chunks, r_chunks = [], [], [], []
+        for qi in np.unique(q_arr):
+            m = q_arr == qi
+            d, s = d_arr[m], s_arr[m]
+            # global merge, same order as the window: (-score, doc_id)
+            o = np.lexsort((d, -s.astype(np.float64)))[:cutoff]
+            d, s = d[o], s[o]
+            seg_i = np.searchsorted(firsts, d, side="right") - 1
+            orig = np.array(
+                [
+                    uri_list[si][int(dd) - int(firsts[si])]
+                    for dd, si in zip(d, seg_i)
+                ],
+                dtype=object,
+            )
+            q_chunks.append(np.repeat(q_ids[int(qi)], d.size))
+            d_chunks.append(orig)
+            s_chunks.append(s)
+            r_chunks.append(np.arange(1, d.size + 1, dtype=np.int32))
+        docs_col = np.concatenate(d_chunks) if d_chunks else np.array([], dtype=object)
+        pdf = pd.DataFrame(
+            {
+                "q_id": np.concatenate(q_chunks) if q_chunks else [],
+                "doc_id": pd.Series(docs_col.astype(np.int64))
+                if to_int
+                else pd.Series(docs_col, dtype="object"),
+                "score": np.concatenate(s_chunks)
+                if s_chunks
+                else np.array([], dtype=np.float32),
+                "rank": np.concatenate(r_chunks)
+                if r_chunks
+                else np.array([], dtype=np.int32),
+            }
+        )
+        # Arrow-backed conversion: tuples through the pickle path cost
+        # ~10x at n_queries × cutoff rows
+        return self.spark.createDataFrame(pdf, schema)
+
     def msearch_df(
         self,
         queries: List[dict],
@@ -328,6 +440,24 @@ class PackedIndex:
         # through Arrow dominate kernel output cost; ints are near-free.
         q_ids = list(qmap)
         qmap_idx = {i: qmap[q] for i, q in enumerate(q_ids)}
+
+        # Small-index fast path: below ~2M stored postings (known from
+        # the build lineage, no job needed) a Spark stage launch costs
+        # orders of magnitude more than scoring, so run the SAME kernels
+        # driver-side on the collected segments — results are
+        # bit-identical by construction (shared code), and per-batch
+        # latency drops from seconds to milliseconds, matching the
+        # reference's single-node behavior at small corpus sizes.
+        if self._total_postings() <= 2_000_000 and self.manifest.get(
+            "stages", {}
+        ).get("shard_maps", {}).get("completed", False):
+            local = self._msearch_local(
+                qmap_idx, q_ids, df_by_term, cutoff=cutoff,
+                operator=operator, model=model, k1=k1, b=b,
+                kernel=kernel, subset_doc_ids=subset_doc_ids,
+            )
+            if local is not None:
+                return local
 
         kern = make_shard_kernel(
             qmap=qmap_idx,

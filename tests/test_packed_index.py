@@ -290,3 +290,15 @@ def test_random_query_differential(spark, packed, corpus, words):
     assert set(got) == set(exp), text
     for doc_id, score in exp.items():
         assert isclose(got[doc_id], score, rel_tol=REL_TOL), (text, doc_id)
+
+
+def test_local_fast_path_equals_distributed(packed, monkeypatch):
+    """The driver-local small-index fast path must return exactly what the
+    distributed plan returns (same kernels, same merge order)."""
+    local = _as_dict(packed.msearch_df(QUERY_SET, cutoff=20))
+    # force the distributed plan by making the index look huge
+    monkeypatch.setattr(
+        type(packed), "_total_postings", lambda self: 1 << 62
+    )
+    dist = _as_dict(packed.msearch_df(QUERY_SET, cutoff=20))
+    assert local == dist
