@@ -58,6 +58,11 @@ def main():
     # Arrow/pandas worker fork) are per-JVM constants, not per-query work —
     # pay them once here so per-query timings measure the engine.
     spark.range(10_000).selectExpr("sum(id)").collect()
+    from retriv_spark.index.builder import make_term_counts_udf
+
+    spark.createDataFrame([("a b c",)], "t string").select(
+        make_term_counts_udf(_plain_pre())("t")
+    ).count()  # fork Arrow python workers
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     timings = {}
