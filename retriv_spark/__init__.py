@@ -14,6 +14,7 @@ from .merger import fuse, max_norm, min_max_norm, sum_norm
 from .retriever import PackedRetriever, SparseRetriever
 from .session import get_spark
 from .sources import read_collection
+from .tableio import TableIO
 
 __version__ = "0.1.0"
 
@@ -23,6 +24,7 @@ __all__ = [
     "HybridRetriever",
     "PackedRetriever",
     "SparseRetriever",
+    "TableIO",
     "eval_run",
     "fuse",
     "get_spark",
