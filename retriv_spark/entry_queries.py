@@ -444,6 +444,22 @@ def q_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (8 lowest-id vectors),
+    2-probe search, exact cosine within the probed inverted lists —
+    ops/similarity.py ivf_topk.  Every stage (assignment argmax, probe
+    selection, verification) is reproduced by the SQL oracle."""
+    from .ops.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=2
+    ).select("q_id", "vec_id", "cos", "rank").orderBy("q_id", "rank")
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-bit LSH bucket self-join,
     exact cosine verify within the bucket (ops/similarity.py —
@@ -496,6 +512,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
     "multimodal_meta": q_multimodal_meta,
 }
@@ -765,6 +782,72 @@ sh AS (
 )
 SELECT doc_id, min({_PH64.format(x="shingle")}) AS fingerprint
 FROM sh GROUP BY doc_id ORDER BY doc_id
+""",
+    # Reproduces every IVF stage: deterministic coarse quantizer
+    # (centroids = 8 lowest-id vectors), argmax assignment with
+    # (round(cos,6) DESC, centroid id ASC) tie-break, 2-probe selection,
+    # exact-cosine verification within the probed lists.
+    "ann_ivf_topk": """
+WITH fe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fe GROUP BY 1),
+cent AS (SELECT * FROM fe WHERE vec_id < 8),
+vc AS (
+  SELECT f.vec_id, c.vec_id AS cent_id,
+         round(sum(f.v * c.v) / (nf.nrm * nc.nrm), 6) AS cc
+  FROM fe f
+  JOIN cent c ON c.i = f.i
+  JOIN nrm nf ON nf.vec_id = f.vec_id
+  JOIN nrm nc ON nc.vec_id = c.vec_id
+  GROUP BY f.vec_id, c.vec_id, nf.nrm, nc.nrm
+),
+assign AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC
+           ) AS r
+    FROM vc
+  ) WHERE r = 1
+),
+probe AS (
+  SELECT vec_id AS q_id, cent_id AS list_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC
+           ) AS r
+    FROM vc WHERE vec_id < 5
+  ) WHERE r <= 2
+),
+cand AS (
+  SELECT DISTINCT p.q_id, a.vec_id
+  FROM probe p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.q_id
+),
+dots AS (
+  SELECT cd.q_id, cd.vec_id, sum(qf.v * ef.v) AS dot
+  FROM cand cd
+  JOIN fe qf ON qf.vec_id = cd.q_id
+  JOIN fe ef ON ef.vec_id = cd.vec_id AND ef.i = qf.i
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT d.q_id, d.vec_id, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.q_id
+  JOIN nrm nb ON nb.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank
+  FROM cosd
+)
+SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
 """,
     # Reproduces BOTH stages of the LSH near-dup plan: the axis-aligned
     # sign-bit bucket (candidate generation) and the exact-cosine verify.

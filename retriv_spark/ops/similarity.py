@@ -8,8 +8,9 @@ linearly in corpus size, shuffle-free except the final per-query top-k.
 The scale path buckets vectors with a sign-bit LSH (axis projections here;
 swap the projection matrix for seeded random hyperplanes in production —
 same plan), probes only matching buckets, and falls back to brute force
-within the bucket.  An IVF variant (k-means coarse quantizer) would slot
-into the same bucket-join shape.
+within the bucket.  ``ivf_topk`` is the IVF variant: a coarse quantizer
+partitions the corpus into inverted lists and queries probe the nearest
+n_probe lists — same bucket-join shape with a learned-ish partitioner.
 
 Embedding near-dup dedup = same machinery with a distance threshold
 instead of top-k.
@@ -200,3 +201,80 @@ def embedding_neardup_pairs(
         "id_b",
         F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
     ).filter(F.col("cos") >= threshold)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
+    only the ``n_probe`` nearest lists per query, exact cosine inside.
+
+    The coarse quantizer here is DETERMINISTIC — the ``n_centroids``
+    lowest-id vectors serve as centroids (swap in seeded k-means
+    centroids in production; the plan shape is identical).  Assignment =
+    argmax cosine to a centroid with (cos rounded to 6, lowest centroid
+    id) tie-break, so an ANSI-SQL oracle reproduces candidate generation
+    AND verification exactly.
+
+    Scale shape: centroids broadcast (tiny); assignment is a narrow map
+    over the corpus; the probe is a join on the list id — each query
+    touches n_probe inverted lists instead of the full corpus, exactly
+    the bucket-join plan of ``lsh_topk`` with a learned-ish partitioner.
+    """
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+        )
+    )
+
+    def _assign(df, idc, vecc, out):
+        scored = df.crossJoin(cents).select(
+            "*",
+            F.round(cosine_sim(F.col(vecc), F.col("cent_vec")), 6).alias(
+                "__cc__"
+            ),
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.desc("__cc__"), F.asc("cent_id")
+        )
+        return (
+            scored.withColumn("__r__", F.row_number().over(w))
+            .filter(F.col("__r__") <= out)
+            .select(df.columns + [F.col("cent_id").alias("list_id")])
+        )
+
+    c = _assign(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
+        ),
+        "vec_id", "emb", 1,
+    )
+    q = _assign(
+        queries.select(
+            F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
+        ),
+        "q_id", "q_vec", n_probe,
+    )
+    joined = c.join(F.broadcast(q), "list_id")
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("q_id"))
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_sim(F.col("emb"), F.col("q_vec")), 6).alias("cos"),
+    ).dropDuplicates(["q_id", "vec_id"])
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

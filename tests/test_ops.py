@@ -154,3 +154,24 @@ def test_textstats(docs_df):
     fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs_df).collect()}
     assert fp[0] == fp[2]
     assert fp[0] != fp[3]
+
+
+def test_ivf_topk_probed_lists_and_cos_values(emb_df):
+    from retriv_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    q = emb_df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = ivf_topk(emb_df, q, k=5, n_centroids=4, n_probe=2).collect()
+    assert len(got) > 0
+    assert all(r["vec_id"] != r["q_id"] for r in got)
+    # cosine values agree with the exact scorer for every returned pair
+    exact = {
+        (r["q_id"], r["vec_id"]): r["cos"]
+        for r in brute_force_topk(emb_df, q, k=40).collect()
+    }
+    for r in got:
+        assert exact[(r["q_id"], r["vec_id"])] == r["cos"]
+    # deterministic
+    again = ivf_topk(emb_df, q, k=5, n_centroids=4, n_probe=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
