@@ -79,11 +79,21 @@ def _plain_pre() -> TextPreprocessor:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .index.builder import ensure_min_partitions
+
+    # The testdata parquet ships as one row group -> ONE input split; widen
+    # so the Arrow-UDF stages (tokenize, minhash, sha256) use every core.
+    return ensure_min_partitions(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .index.builder import ensure_min_partitions
+
+    return ensure_min_partitions(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 # One catalog run touches the same sf_dir index from several queries

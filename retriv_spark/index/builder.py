@@ -42,29 +42,38 @@ DOC_ID = "__doc_id__"
 
 
 def make_term_counts_udf(pre: TextPreprocessor):
-    """string -> struct<terms:array<string>, tfs:array<int>>: tokenize +
-    per-doc term counts.
+    """string -> struct<terms:array<string>, tfs:array<int>, doc_len:int>:
+    tokenize + per-doc term counts + token count.
 
     Counting inside the Arrow batch removes the (doc_id, term) shuffle a
     naive explode+groupBy would need.  The two parallel flat arrays are
     re-paired JVM-side with ``arrays_zip`` — returning ``array<struct>``
     directly goes through pandas' slow python-object struct conversion
-    (measured ~10x the cost of two primitive list arrays)."""
+    (measured ~10x the cost of two primitive list arrays).  ``doc_len``
+    (Σtf) rides along for free: summing here beats a JVM higher-order
+    ``F.aggregate`` over the array, whose per-element interpreted lambda
+    measured ~2.6 µs/element — hours of overhead at 10^12 tokens."""
 
-    @pandas_udf("terms array<string>, tfs array<int>")
+    @pandas_udf("terms array<string>, tfs array<int>, doc_len int")
     def term_counts(texts: pd.Series) -> pd.DataFrame:
-        terms_out, tfs_out = [], []
+        terms_out, tfs_out, lens_out = [], [], []
         for x in texts:
             if x is None:
                 terms_out.append([])
                 tfs_out.append([])
+                lens_out.append(0)
                 continue
             counts: dict = {}
+            n = 0
             for t in pre(x):
                 counts[t] = counts.get(t, 0) + 1
+                n += 1
             terms_out.append(list(counts.keys()))
             tfs_out.append(list(counts.values()))
-        return pd.DataFrame({"terms": terms_out, "tfs": tfs_out})
+            lens_out.append(n)
+        return pd.DataFrame(
+            {"terms": terms_out, "tfs": tfs_out, "doc_len": lens_out}
+        )
 
     return term_counts
 
@@ -130,6 +139,26 @@ class SparseIndex:
         self.terms = self.terms.persist()
         self.flat.count()  # force
         return self
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: Optional[int] = None) -> DataFrame:
+    """Widen under-split inputs before CPU-heavy narrow stages.
+
+    A parquet source with one file / one row group arrives as ONE input
+    split, which would serialize everything narrow downstream of the scan
+    (tokenize UDF, sha256 integrity gate) on a single core.  A real corpus
+    at scale has thousands of splits, so this is a no-op there — it only
+    pays the one extra round-robin shuffle when the scan yields fewer
+    splits than the cluster has slots.  Spark's round-robin repartition
+    local-sorts each partition first (SPARK-23207), so the redistribution
+    is deterministic for a deterministic input.
+    """
+    spark = df.sparkSession
+    if min_parts is None:
+        min_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
 
 
 def assign_doc_ids(
@@ -245,6 +274,7 @@ def build_index(
         # deliberately NOT a full-row cache (document bodies are the 100 TB
         # column — caching them buys one scan and costs GC + memory).
         base = assign_doc_ids(docs, order_cols)
+    base = ensure_min_partitions(base)
 
     term_counts = make_term_counts_udf(pre)
     with_terms = base.select(
@@ -266,11 +296,9 @@ def build_index(
     )
 
     if not is_pruning:
-        # doc_len = token count, computable per-row without any shuffle.
-        with_lens = with_terms.withColumn(
-            "doc_len",
-            F.aggregate(F.col("__tc__.tfs"), F.lit(0), lambda acc, x: acc + x),
-        )
+        # doc_len = token count, computed inside the Arrow batch (no
+        # shuffle, no per-element JVM lambda).
+        with_lens = with_terms.withColumn("doc_len", F.col("__tc__.doc_len"))
         with_lens = with_lens.persist()
         row = with_lens.agg(
             F.count(F.lit(1)).alias("n"),

@@ -584,6 +584,12 @@ def build_packed_index(
     prebuilt: persist an already-built in-memory SparseIndex (e.g. from
     SparseRetriever.index) without re-running tokenization.
     """
+    from .builder import ensure_min_partitions
+
+    # Under-split sources (one file / one row group) would serialize the
+    # integrity scan and tokenize UDF on one core; no-op for real corpora.
+    docs = ensure_min_partitions(docs)
+
     io = TableIO(spark, path)
     manifest = (_load_manifest(path) if resume else None) or {
         "format_version": 1,
@@ -652,9 +658,7 @@ def build_packed_index(
                 *[F.col(c) for c in src_cols],
                 F.col("__tc__.terms").alias("terms"),
                 F.col("__tc__.tfs").alias("tfs"),
-                F.aggregate(
-                    F.col("__tc__.tfs"), F.lit(0), lambda a, x: a + x
-                ).alias("doc_len"),
+                F.col("__tc__.doc_len").alias("doc_len"),
             )
             io.write(tok_out, "tokenized")
             manifest["docs_in_tokenized"] = True

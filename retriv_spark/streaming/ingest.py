@@ -83,12 +83,13 @@ def append_batch(
     )
 
     term_counts = make_term_counts_udf(pre)
+    tc = term_counts(F.col(text_col))
     with_terms = base.select(
         F.col(DOC_ID),
-        term_counts_col(term_counts, F.col(text_col)).alias("__tcs__"),
-    ).withColumn(
-        "doc_len",
-        F.aggregate("__tcs__", F.lit(0), lambda acc, x: acc + x["tf"]),
+        F.arrays_zip(
+            tc["terms"].alias("term"), tc["tfs"].alias("tf")
+        ).alias("__tcs__"),
+        tc["doc_len"].alias("doc_len"),
     )
     with_terms = with_terms.persist()
 
