@@ -2,11 +2,13 @@ from .normalization import (
     lowercasing,
     normalize_acronyms,
     normalize_ampersand,
+    normalize_diacritics,
     normalize_special_chars,
     remove_punctuation,
     strip_whitespaces,
 )
 from .pipeline import TextPreprocessor, make_tokenize_udf
+from .porter import porter_stem
 from .porter2 import porter2_stem
 from .stemmer import get_stemmer
 from .stopwords import ENGLISH_STOPWORDS, get_stopwords
@@ -16,11 +18,13 @@ __all__ = [
     "lowercasing",
     "normalize_acronyms",
     "normalize_ampersand",
+    "normalize_diacritics",
     "normalize_special_chars",
     "remove_punctuation",
     "strip_whitespaces",
     "TextPreprocessor",
     "make_tokenize_udf",
+    "porter_stem",
     "porter2_stem",
     "get_stemmer",
     "get_stopwords",

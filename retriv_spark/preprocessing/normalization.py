@@ -59,6 +59,25 @@ def strip_whitespaces(x: str) -> str:
     return _WS_RUN_RE.sub(" ", x.strip())
 
 
+def normalize_diacritics(x: str) -> str:
+    """ASCII-fold diacritics (café -> cafe).
+
+    The reference defines this via unidecode but never wires it into the
+    pipeline (reference normalization.py:15-16; absent from
+    preprocessing/__init__.py:42-59) — provided here with the same
+    unwired status for API parity.  Implemented with NFKD decomposition +
+    combining-mark removal; unlike unidecode it leaves non-Latin scripts
+    (CJK, Cyrillic) in place rather than transliterating them.
+    """
+    import unicodedata
+
+    return "".join(
+        ch
+        for ch in unicodedata.normalize("NFKD", x)
+        if not unicodedata.combining(ch)
+    )
+
+
 # -- Spark column expressions ------------------------------------------------
 
 _SPECIAL_SRC = "‘’´“”–-"

@@ -11,11 +11,13 @@ from __future__ import annotations
 
 from typing import Callable, Union
 
+from .porter import porter_stem
 from .porter2 import porter2_stem
 from .tokenizer import identity_function
 
 stemmers_dict = {
     "english": porter2_stem,
+    "porter": porter_stem,
 }
 
 

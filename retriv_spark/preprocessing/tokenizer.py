@@ -4,9 +4,14 @@ Mirrors the reference factory contract
 (/root/reference/retriv/sparse_retriever/preprocessing/tokenizer.py:7-30):
 a tokenizer spec may be a name, a user callable, or ``None`` (identity).
 
-``whitespace`` (the default, ``str.split``) is implemented natively.  The
-nltk-backed ``word``/``sent`` tokenizers are unavailable here; ``wordpunct``
-is re-implemented with the equivalent public regex ``\\w+|[^\\w\\s]+``.
+``whitespace`` (the default, ``str.split``) is implemented natively.
+``wordpunct`` is re-implemented with the equivalent public regex
+``\\w+|[^\\w\\s]+``.  ``word`` re-implements the Penn Treebank tokenizer
+(the published sed-script rules nltk's ``word_tokenize`` applies per
+sentence); ``sent`` is a regex sentence splitter standing in for nltk's
+trained Punkt model, which cannot be reproduced without its pickled
+parameters — divergence is possible on abbreviation-heavy prose and is
+documented here rather than hidden.
 """
 
 from __future__ import annotations
@@ -26,12 +31,105 @@ def wordpunct_tokenize(x: str) -> list:
     return _WORDPUNCT_RE.findall(x)
 
 
+# -- Penn Treebank word tokenizer (public rule set) --------------------------
+
+_TB_RULES = [
+    # starting quotes
+    (re.compile(r'^\"'), r"``"),
+    (re.compile(r"(``)"), r" \1 "),
+    (re.compile(r"([ \(\[{<])(\"|\'{2})"), r"\1 `` "),
+    # punctuation
+    (re.compile(r"([:,])([^\d])"), r" \1 \2"),
+    (re.compile(r"([:,])$"), r" \1 "),
+    (re.compile(r"\.\.\."), r" ... "),
+    (re.compile(r"[;@#$%&]"), r" \g<0> "),
+    (re.compile(r'([^\.])(\.)([\]\)}>"\']*)\s*$'), r"\1 \2\3 "),
+    (re.compile(r"[?!]"), r" \g<0> "),
+    (re.compile(r"([^'])' "), r"\1 ' "),
+    # parens / brackets
+    (re.compile(r"[\]\[\(\)\{\}<>]"), r" \g<0> "),
+    (re.compile(r"--"), r" -- "),
+    # ending quotes
+    (re.compile(r'"'), " '' "),
+    (re.compile(r"(\S)(\'\')"), r"\1 \2 "),
+    (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
+    (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r"\1 \2 "),
+]
+
+_TB_CONTRACTIONS = [
+    re.compile(r"(?i)\b(can)(not)\b"),
+    re.compile(r"(?i)\b(d)('ye)\b"),
+    re.compile(r"(?i)\b(gim)(me)\b"),
+    re.compile(r"(?i)\b(gon)(na)\b"),
+    re.compile(r"(?i)\b(got)(ta)\b"),
+    re.compile(r"(?i)\b(lem)(me)\b"),
+    re.compile(r"(?i)\b(mor)('n)\b"),
+    re.compile(r"(?i)\b(wan)(na)\s"),
+    re.compile(r"(?i) ('t)(is)\b"),
+    re.compile(r"(?i) ('t)(was)\b"),
+]
+
+
+def _treebank_tokenize_sentence(text: str) -> list:
+    for pattern, repl in _TB_RULES[:3]:
+        text = pattern.sub(repl, text)
+    for pattern, repl in _TB_RULES[3:12]:
+        text = pattern.sub(repl, text)
+    text = " " + text + " "
+    for pattern, repl in _TB_RULES[12:]:
+        text = pattern.sub(repl, text)
+    for pattern in _TB_CONTRACTIONS:
+        text = pattern.sub(r" \1 \2 ", text)
+    return text.split()
+
+
+def treebank_word_tokenize(x: str) -> list:
+    # nltk's word_tokenize sentence-splits first, then applies the
+    # Treebank rules per sentence (the end-of-sentence period rule only
+    # detaches the FINAL period of its input).
+    return [t for s in sent_tokenize(x) for t in _treebank_tokenize_sentence(s)]
+
+
+# -- sentence splitter (Punkt stand-in) --------------------------------------
+
+_SENT_BOUNDARY_RE = re.compile(
+    # terminator run + optional closing quotes/brackets, then whitespace,
+    # then something that looks like a sentence start
+    r"(?<=[.!?])[\"'\)\]]*\s+(?=[\"'\(\[]?[A-Z0-9])"
+)
+
+_COMMON_ABBREVS = frozenset(
+    {
+        "mr.", "mrs.", "ms.", "dr.", "prof.", "sr.", "jr.", "st.", "vs.",
+        "e.g.", "i.e.", "etc.", "fig.", "no.", "vol.", "inc.", "ltd.",
+        "co.", "u.s.", "u.k.",
+    }
+)
+
+
+def sent_tokenize(x: str) -> list:
+    parts = _SENT_BOUNDARY_RE.split(x)
+    # re-join splits after common abbreviations (heuristic Punkt stand-in)
+    out: list = []
+    for p in parts:
+        p = p.strip()
+        if not p:
+            continue
+        if out and out[-1].rsplit(None, 1)[-1].lower() in _COMMON_ABBREVS:
+            out[-1] = out[-1] + " " + p
+        else:
+            out.append(p)
+    return out
+
+
 # ``whitespace`` must be ``str.split`` itself: the pipeline checks
 # ``tokenizer == str.split`` to decide where punctuation removal happens
 # (reference preprocessing/__init__.py:50-59).
 tokenizers_dict = {
     "whitespace": str.split,
     "wordpunct": wordpunct_tokenize,
+    "word": treebank_word_tokenize,
+    "sent": sent_tokenize,
 }
 
 

@@ -72,3 +72,64 @@ def test_column_expressions_match_python(spark, text):
         )
     )
     assert got == want
+
+
+# -- diacritics folding (defined-but-unwired, reference parity) --------------
+
+from retriv_spark.preprocessing import normalize_diacritics  # noqa: E402
+
+
+def test_normalize_diacritics():
+    assert normalize_diacritics("café") == "cafe"
+    assert normalize_diacritics("naïve Ünïcode") == "naive Unicode"
+    assert normalize_diacritics("çàéîõü") == "caeiou"
+    # non-Latin scripts pass through un-transliterated
+    assert normalize_diacritics("日本語") == "日本語"
+
+
+def test_diacritics_not_in_pipeline():
+    """The reference defines but never applies diacritics folding
+    (normalization.py:15-16 vs preprocessing/__init__.py:42-59); the
+    default pipeline must preserve that behavior."""
+    from retriv_spark.preprocessing import TextPreprocessor
+
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    assert pre("café") == ["café"]
+
+
+# -- word / sent tokenizers --------------------------------------------------
+
+from retriv_spark.preprocessing.tokenizer import (  # noqa: E402
+    sent_tokenize,
+    treebank_word_tokenize,
+)
+
+
+def test_treebank_word_tokenizer():
+    assert treebank_word_tokenize("Good muffins cost $3.88 in New York.") == [
+        "Good", "muffins", "cost", "$", "3.88", "in", "New", "York", ".",
+    ]
+    assert treebank_word_tokenize("They'll save and can't complain.") == [
+        "They", "'ll", "save", "and", "ca", "n't", "complain", ".",
+    ]
+    assert treebank_word_tokenize('"We beat him," she said.') == [
+        "``", "We", "beat", "him", ",", "''", "she", "said", ".",
+    ]
+
+
+def test_sent_tokenizer():
+    text = "Spark is fast. It scales! Does it? Yes."
+    assert sent_tokenize(text) == [
+        "Spark is fast.", "It scales!", "Does it?", "Yes.",
+    ]
+    # common abbreviations do not split
+    assert sent_tokenize("Dr. Smith arrived. He left.") == [
+        "Dr. Smith arrived.", "He left.",
+    ]
+
+
+def test_tokenizer_factory_word_sent():
+    from retriv_spark.preprocessing import get_tokenizer
+
+    assert get_tokenizer("word") is treebank_word_tokenize
+    assert get_tokenizer("sent") is sent_tokenize

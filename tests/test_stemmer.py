@@ -66,3 +66,53 @@ def test_idempotent_on_own_output_sample():
     # common stems are fixed points — guards accidental over-stemming.
     for w in ("run", "file", "connelli", "witch", "mass", "shane"):
         assert porter2_stem(porter2_stem(w)) == porter2_stem(w)
+
+
+# -- classic Porter (1980) ---------------------------------------------------
+
+from retriv_spark.preprocessing.porter import porter_stem  # noqa: E402
+
+PORTER_VECTORS = {
+    # step 1a (paper examples)
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat",
+    # step 1b (+ step 5a on the final e)
+    "feed": "feed", "agreed": "agre", "plastered": "plaster", "bled": "bled",
+    "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file",
+    # step 1c
+    "happy": "happi", "sky": "sky",
+    # step 2 (paper examples, after later steps)
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic", "differentli": "differ",
+    "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    # step 3
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good",
+    # step 4
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
+    "defensible": "defens", "irritant": "irrit", "replacement": "replac",
+    "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+    "communism": "commun", "activate": "activ", "angulariti": "angular",
+    "homologous": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+    # step 5
+    "probate": "probat", "rate": "rate", "controll": "control",
+    "roll": "roll",
+}
+
+
+def test_porter_classic_vectors():
+    for word, want in PORTER_VECTORS.items():
+        assert porter_stem(word) == want, (word, porter_stem(word), want)
+
+
+def test_porter_factory():
+    assert get_stemmer("porter") is porter_stem
