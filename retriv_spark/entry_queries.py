@@ -501,6 +501,56 @@ def q_multimodal_meta(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_streaming_ingest(spark, sf_dir):
+    """Incremental (streaming) ingest: packed index built over the first
+    half of the documents table, then TWO exactly-once micro-batch appends
+    (streaming/ingest.py append_batch — the foreachBatch core) covering
+    the rest.  Segments append exact df DELTAS to the vocabulary table, so
+    Σ df per term over the live segments equals a batch rebuild's df
+    (reference rebuilds from scratch on every index() call,
+    sparse_retriever.py:201-226; the exact-append invariant is this
+    engine's improvement).  Output: global (term, df) for frequent terms
+    plus the manifest's incrementally-maintained doc_count."""
+    import os
+    import shutil
+    import tempfile
+
+    from .index.packed import build_packed_index
+    from .streaming.ingest import append_batch
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    c1, c2 = n // 2, (3 * n) // 4
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"retriv_stream_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    idx = build_packed_index(
+        spark, docs.filter(F.col("doc_id") < c1), _plain_pre(), path,
+        text_col="text", id_col="doc_id", order_cols=["doc_id"],
+        doc_id_col_precomputed="doc_id",
+    )
+    append_batch(
+        spark, path,
+        docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        batch_id=1, order_cols=["doc_id"],
+    )
+    idx = append_batch(
+        spark, path, docs.filter(F.col("doc_id") >= c2),
+        batch_id=2, order_cols=["doc_id"],
+    )
+    doc_count = int(idx.manifest["doc_count"])
+    threshold = max(doc_count // 10, 1)
+    return (
+        idx.terms.groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") >= F.lit(threshold))
+        .withColumn("doc_count", F.lit(doc_count).cast("long"))
+        .orderBy("term")
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -525,6 +575,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
     "multimodal_meta": q_multimodal_meta,
+    "streaming_ingest": q_streaming_ingest,
 }
 
 
@@ -533,6 +584,16 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _EN_STOP) + "]"
 
 ORACLE_SQL: Dict[str, str] = {
+    "streaming_ingest": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS doc_count FROM documents)
+SELECT d.term, d.df, n.doc_count
+FROM dfreq d CROSS JOIN n
+WHERE d.df >= greatest(n.doc_count // 10, 1)
+ORDER BY d.term
+""",
     "bm25_topk": _bm25_sql(BM25_QUERIES, "bm25"),
     "bm25_and": _bm25_sql(AND_QUERIES, "bm25", operator="AND"),
     "tfidf_topk": _bm25_sql(BM25_QUERIES, "tf-idf"),
