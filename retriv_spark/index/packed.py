@@ -201,7 +201,38 @@ class PackedIndex:
 
     @property
     def postings(self) -> DataFrame:
+        cached = self.__dict__.get("_postings_cached")
+        if cached is not None:
+            return cached
         return self.io.read("postings")
+
+    def cache(self) -> "PackedIndex":
+        """Pin the postings relation in executor memory (query-serving mode).
+
+        The reference answers queries from an index held entirely in RAM
+        (sparse_retriever.py:199 rebuilds the dict on load); the Spark
+        analog is an InMemoryRelation over the postings table.  Per-batch
+        term pruning still works: cached batches carry min/max column
+        stats and the postings files are term-sorted within shards, so
+        InMemoryTableScan skips non-matching batches the same way parquet
+        row-group pushdown does.  MEMORY_AND_DISK: an index larger than
+        executor storage spills instead of failing — and at true cluster
+        scale the cache is partitioned across executors, exactly the
+        regime the reference's single-RAM design cannot reach.
+        """
+        if self.__dict__.get("_postings_cached") is None:
+            from pyspark import StorageLevel
+
+            p = self.io.read("postings").persist(StorageLevel.MEMORY_AND_DISK)
+            p.count()
+            self.__dict__["_postings_cached"] = p
+        return self
+
+    def uncache(self) -> "PackedIndex":
+        cached = self.__dict__.pop("_postings_cached", None)
+        if cached is not None:
+            cached.unpersist()
+        return self
 
     @property
     def doc_map(self) -> DataFrame:

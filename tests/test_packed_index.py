@@ -302,3 +302,28 @@ def test_local_fast_path_equals_distributed(packed, monkeypatch):
     )
     dist = _as_dict(packed.msearch_df(QUERY_SET, cutoff=20))
     assert local == dist
+
+
+def test_cache_query_serving_mode(packed, monkeypatch):
+    """cache() pins postings in executor memory; the distributed query
+    path must consume the InMemoryRelation and return identical results,
+    and uncache() must release it."""
+    baseline = _as_dict(packed.msearch_df(QUERY_SET, cutoff=20))
+    try:
+        packed.cache()
+        assert packed.postings.storageLevel.useMemory
+        # force the distributed plan so the cached relation is exercised
+        monkeypatch.setattr(
+            type(packed), "_total_postings", lambda self: 1 << 62
+        )
+        plan = packed.postings._jdf.queryExecution().executedPlan().toString()
+        assert "InMemory" in plan
+        cached = _as_dict(packed.msearch_df(QUERY_SET, cutoff=20))
+        assert cached == baseline
+        # cache() is idempotent — second call reuses the pinned relation
+        p1 = packed.postings
+        packed.cache()
+        assert packed.postings is p1
+    finally:
+        packed.uncache()
+    assert not packed.postings.storageLevel.useMemory
