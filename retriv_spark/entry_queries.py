@@ -127,17 +127,21 @@ def _query_terms(spark: SparkSession, queries) -> DataFrame:
 
 def _ranked_search(
     spark: SparkSession, sf_dir: str, queries, model: str,
-    operator: str = "OR", subset_filter=None,
+    operator: str = "OR", subset_filter=None, exclude_filter=None,
 ) -> DataFrame:
     docs = _docs(spark, sf_dir)
     idx = _build(spark, docs, cache_key=sf_dir)
     subset = None
     if subset_filter is not None:
         subset = idx.docs.filter(subset_filter).select(DOC_ID)
+    exclude = None
+    if exclude_filter is not None:
+        exclude = idx.docs.filter(exclude_filter).select(DOC_ID)
     scored = score_query_terms(
         idx, _query_terms(spark, queries),
         model=model, k1=K1, b=B, cutoff=CUTOFF,
         operator=operator, subset_doc_ids=subset,
+        exclude_doc_ids=exclude,
         precision="float64",
     )
     return (
@@ -501,6 +505,87 @@ def q_multimodal_meta(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_bm25_must_not(spark, sf_dir):
+    """Must-not metadata clause (AdvancedRetriever where_not → set
+    difference, reference diff_sorted numba_utils.py:81-104): candidates
+    with lang='de' are anti-joined out of the scored set."""
+    return _ranked_search(
+        spark, sf_dir, BM25_QUERIES, "bm25",
+        exclude_filter=F.col("lang") == "de",
+    )
+
+
+def q_filters_only(spark, sf_dir):
+    """Filters-only query (no text): every doc matching the metadata
+    predicate at score 1.0, ranked by doc_id (reference
+    advanced_retriever.py:563-569)."""
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy(F.asc("doc_id"))
+    return (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id", F.lit(1.0).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .orderBy("rank")
+    )
+
+
+def _fusion_variant(spark, sf_dir, norm: str, weights) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    idx = _build(spark, docs, cache_key=sf_dir)
+    qt = _query_terms(spark, BM25_QUERIES)
+    runs = []
+    for model in ("bm25", "tf-idf"):
+        scored = score_query_terms(
+            idx, qt, model=model, k1=K1, b=B, cutoff=20, precision="float64"
+        )
+        runs.append(
+            scored.join(idx.doc_map, DOC_ID).select(
+                "q_id", F.col("doc_id").alias("id"), "score"
+            )
+        )
+    fused = fuse(runs, norm=norm, weights=list(weights), cutoff=CUTOFF)
+    return fused.select(
+        "q_id",
+        F.col("id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
+def q_fusion_maxnorm(spark, sf_dir):
+    """Merger max-norm fusion (reference normalization.py:39-54)."""
+    return _fusion_variant(spark, sf_dir, "max", (0.6, 0.4))
+
+
+def q_fusion_sumnorm(spark, sf_dir):
+    """Merger sum-norm fusion (reference normalization.py:57-74)."""
+    return _fusion_variant(spark, sf_dir, "sum", (0.5, 0.5))
+
+
+def q_search_fetch_docs(spark, sf_dir):
+    """Result materialization: top-k hits joined back to the docs table
+    for the original text (reference get_docs / prepare_results,
+    base_retriever.py:64-77)."""
+    docs = _docs(spark, sf_dir)
+    idx = _build(spark, docs, cache_key=sf_dir)
+    scored = score_query_terms(
+        idx, _query_terms(spark, BM25_QUERIES),
+        model="bm25", k1=K1, b=B, cutoff=5, precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .join(docs.select("doc_id", "text", "lang"), "doc_id")
+        .select(
+            "q_id", "doc_id", "rank",
+            F.round("score", 4).alias("score"),
+            "lang",
+            F.md5(F.col("text")).alias("text_md5"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def q_streaming_ingest(spark, sf_dir):
     """Incremental (streaming) ingest: packed index built over the first
     half of the documents table, then TWO exactly-once micro-batch appends
@@ -576,6 +661,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "multimodal_meta": q_multimodal_meta,
     "streaming_ingest": q_streaming_ingest,
+    "bm25_must_not": q_bm25_must_not,
+    "filters_only": q_filters_only,
+    "fusion_maxnorm": q_fusion_maxnorm,
+    "fusion_sumnorm": q_fusion_sumnorm,
+    "search_fetch_docs": q_search_fetch_docs,
 }
 
 
@@ -957,6 +1047,147 @@ SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
 FROM documents ORDER BY media_id
 """,
 }
+
+ORACLE_SQL["bm25_must_not"] = _bm25_sql(
+    BM25_QUERIES, "bm25", extra_candidate_pred="doc.lang <> 'de'"
+)
+
+ORACLE_SQL["filters_only"] = """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
+       row_number() OVER (ORDER BY doc_id ASC) AS rank
+FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+ORDER BY rank LIMIT 25
+"""
+
+ORACLE_SQL["search_fetch_docs"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(q_id, term) AS (VALUES {_sql_values(BM25_QUERIES)}),
+scored AS (
+  SELECT q.q_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT r.q_id, r.doc_id, r.rank, round(r.score, 4) AS score,
+       doc.lang, md5(doc.text) AS text_md5
+FROM ranked r JOIN documents doc ON doc.doc_id = r.doc_id
+WHERE r.rank <= 5
+ORDER BY r.q_id, r.rank
+"""
+
+
+def _fusion_variant_sql(norm: str, w1: float, w2: float) -> str:
+    if norm == "max":
+        expr1 = f"{w1} * score / greatest(mx, 1e-9)"
+        expr2 = f"{w2} * score / greatest(mx, 1e-9)"
+    elif norm == "sum":
+        expr1 = (
+            f"{w1} * (score - mn) / greatest("
+            "sum(score - mn) OVER (PARTITION BY q_id), 1e-9)"
+        )
+        expr2 = (
+            f"{w2} * (score - mn) / greatest("
+            "sum(score - mn) OVER (PARTITION BY q_id), 1e-9)"
+        )
+    else:
+        raise ValueError(norm)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(q_id, term) AS (VALUES {_sql_values(BM25_QUERIES)}),
+base AS (
+  SELECT q.q_id, tf.doc_id, tf.tf, d.df, dl.dl, s.n, s.avgdl
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT q_id, doc_id,
+         sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf * ({K1} + 1.0))
+             / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score
+  FROM base GROUP BY 1, 2
+),
+tfidf AS (
+  SELECT q_id, doc_id,
+         sum((tf / dl) * (ln((1.0 + n) / (1.0 + df)) + 1.0)) AS score
+  FROM base GROUP BY 1, 2
+),
+run1 AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM bm25
+),
+run2 AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM tfidf
+),
+n1a AS (
+  SELECT q_id, doc_id, score,
+         min(score) OVER (PARTITION BY q_id) AS mn,
+         max(score) OVER (PARTITION BY q_id) AS mx
+  FROM run1 WHERE rank <= 20
+),
+n2a AS (
+  SELECT q_id, doc_id, score,
+         min(score) OVER (PARTITION BY q_id) AS mn,
+         max(score) OVER (PARTITION BY q_id) AS mx
+  FROM run2 WHERE rank <= 20
+),
+n1 AS (SELECT q_id, doc_id, {expr1} AS score FROM n1a),
+n2 AS (SELECT q_id, doc_id, {expr2} AS score FROM n2a),
+fused AS (
+  SELECT q_id, doc_id, sum(score) AS score
+  FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM fused
+)
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+"""
+
+
+ORACLE_SQL["fusion_maxnorm"] = _fusion_variant_sql("max", 0.6, 0.4)
+ORACLE_SQL["fusion_sumnorm"] = _fusion_variant_sql("sum", 0.5, 0.5)
 
 ORACLE_SQL["fusion_minmax"] = f"""
 WITH tok AS (

@@ -96,6 +96,7 @@ def score_query_terms(
     cutoff: int = 100,
     operator: str = "OR",
     subset_doc_ids: Optional[DataFrame] = None,
+    exclude_doc_ids: Optional[DataFrame] = None,
     precision: str = "float32",
     rank_output: bool = True,
 ) -> DataFrame:
@@ -159,6 +160,12 @@ def score_query_terms(
 
     if subset_doc_ids is not None:
         scored = scored.join(subset_doc_ids.select(DOC_ID), DOC_ID, "left_semi")
+
+    if exclude_doc_ids is not None:
+        # Must-not set difference (reference diff_sorted numba_utils.py:81-104,
+        # applied to candidates at advanced_retriever.py:446-453) — an anti
+        # join keeps the exclusion distributed and broadcast-able.
+        scored = scored.join(exclude_doc_ids.select(DOC_ID), DOC_ID, "left_anti")
 
     score = F.col("__score_d__")
     if precision == "float32":

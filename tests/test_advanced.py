@@ -99,3 +99,29 @@ def test_and_operator_with_filter(ar):
 
 def test_compile_filters_none():
     assert compile_filters(SCHEMA) is None
+
+
+def test_exclude_doc_ids_set_difference(ar):
+    """score_query_terms(exclude_doc_ids=...) is the reference's must-not
+    set difference (diff_sorted, numba_utils.py:81-104): excluding a doc
+    set must equal restricting to its complement."""
+    from pyspark.sql import functions as F
+
+    from retriv_spark.index.builder import DOC_ID
+    from retriv_spark.search.scorer import score_query_terms
+
+    idx = ar._require_index()
+    qt = ar.spark.createDataFrame(
+        [("q", "spark", 1), ("q", "join", 1)],
+        "q_id string, term string, n_occ int",
+    )
+    de_ids = idx.docs.filter(F.col("lang") == "de").select(DOC_ID)
+    en_ids = idx.docs.filter(F.col("lang") != "de").select(DOC_ID)
+    excl = score_query_terms(idx, qt, cutoff=10, exclude_doc_ids=de_ids)
+    compl = score_query_terms(idx, qt, cutoff=10, subset_doc_ids=en_ids)
+    assert sorted(map(tuple, excl.collect())) == sorted(
+        map(tuple, compl.collect())
+    )
+    # and the excluded doc really is gone
+    full = score_query_terms(idx, qt, cutoff=10)
+    assert full.count() == excl.count() + 1
