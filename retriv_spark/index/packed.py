@@ -369,26 +369,31 @@ class PackedIndex:
         q_arr = allr["q_idx"].to_numpy()
         d_arr = allr["__doc_id__"].to_numpy()
         s_arr = allr["score"].to_numpy()
-        q_chunks, d_chunks, s_chunks, r_chunks = [], [], [], []
-        for qi in np.unique(q_arr):
-            m = q_arr == qi
-            d, s = d_arr[m], s_arr[m]
-            # global merge, same order as the window: (-score, doc_id)
-            o = np.lexsort((d, -s.astype(np.float64)))[:cutoff]
-            d, s = d[o], s[o]
-            seg_i = np.searchsorted(firsts, d, side="right") - 1
-            orig = np.array(
-                [
-                    uri_list[si][int(dd) - int(firsts[si])]
-                    for dd, si in zip(d, seg_i)
-                ],
-                dtype=object,
-            )
-            q_chunks.append(np.repeat(q_ids[int(qi)], d.size))
-            d_chunks.append(orig)
-            s_chunks.append(s)
-            r_chunks.append(np.arange(1, d.size + 1, dtype=np.int32))
-        docs_col = np.concatenate(d_chunks) if d_chunks else np.array([], dtype=object)
+        # One vectorized global merge over every query at once, same order
+        # as the distributed window: q_id, then (-score, doc_id).
+        o = np.lexsort((d_arr, -s_arr.astype(np.float64), q_arr))
+        q_s, d_s, s_s = q_arr[o], d_arr[o], s_arr[o]
+        if q_s.size:
+            # rank within each q group = position - group start
+            new_g = np.r_[True, q_s[1:] != q_s[:-1]]
+            starts = np.flatnonzero(new_g)
+            group_of = np.cumsum(new_g) - 1
+            ranks = np.arange(q_s.size, dtype=np.int64) - starts[group_of] + 1
+        else:
+            ranks = np.empty(0, dtype=np.int64)
+        keep = ranks <= cutoff
+        q_s, d_s, s_s, ranks = q_s[keep], d_s[keep], s_s[keep], ranks[keep]
+        # id resolution: vectorized fancy-index per touched segment
+        seg_i = np.searchsorted(firsts, d_s, side="right") - 1
+        docs_col = np.empty(d_s.size, dtype=object)
+        for si in np.unique(seg_i):
+            m = seg_i == si
+            docs_col[m] = uri_list[si][(d_s[m] - firsts[si]).astype(np.int64)]
+        q_names = np.asarray(q_ids, dtype=object)
+        q_chunks = [q_names[q_s.astype(np.int64)]]
+        d_chunks = [docs_col]
+        s_chunks = [s_s]
+        r_chunks = [ranks.astype(np.int32)]
         pdf = pd.DataFrame(
             {
                 "q_id": np.concatenate(q_chunks) if q_chunks else [],
@@ -453,8 +458,6 @@ class PackedIndex:
         if not all_terms:
             return self._empty_results()
 
-        post = self.postings.filter(F.col("term").isin(all_terms))
-
         df_by_term = self._df_for_terms(all_terms)
         qmap = {
             q: [(t, n) for t, n in tl if t in df_by_term]
@@ -489,6 +492,10 @@ class PackedIndex:
             )
             if local is not None:
                 return local
+
+        # Built only on the distributed path — on the fast path the plan
+        # construction alone costs ~0.1 s of JVM roundtrips per batch.
+        post = self.postings.filter(F.col("term").isin(all_terms))
 
         kern = make_shard_kernel(
             qmap=qmap_idx,
