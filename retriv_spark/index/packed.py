@@ -279,8 +279,27 @@ class PackedIndex:
         if self.__dict__.get("_df_cache_version") != version:
             self.__dict__["_df_cache"] = {}
             self.__dict__["_df_cache_version"] = version
+            self.__dict__["_df_cache_full"] = False
         cache: Dict[str, int] = self.__dict__["_df_cache"]
         missing = [t for t in terms if t not in cache]
+        if missing and self.__dict__.get("_df_cache_full"):
+            # Whole vocabulary is loaded — anything absent is OOV.
+            for t in missing:
+                cache[t] = 0
+            missing = []
+        if missing and self._total_postings() <= 2_000_000:
+            # Small index (the driver-local query regime): one collect of
+            # the whole vocabulary beats a driver job per fresh term set.
+            for r in (
+                self.terms.groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            ):
+                cache[r["term"]] = int(r["df"])
+            self.__dict__["_df_cache_full"] = True
+            for t in missing:
+                cache.setdefault(t, 0)
+            missing = []
         if missing:
             found = {
                 r["term"]: int(r["df"])
