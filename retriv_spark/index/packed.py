@@ -236,6 +236,14 @@ class PackedIndex:
 
     @property
     def doc_map(self) -> DataFrame:
+        if self.manifest.get("docmeta_in_tokenized"):
+            base = self.io.read("tokenized").select(
+                DOC_ID, self.manifest["orig_id_col"]
+            )
+            # streaming appends (ingest.py) land in doc_map/
+            if self.io.exists("doc_map"):
+                return base.unionByName(self.io.read("doc_map"))
+            return base
         return self.io.read("doc_map")
 
     @property
@@ -253,6 +261,26 @@ class PackedIndex:
 
     @property
     def doc_lens(self) -> DataFrame:
+        if self.manifest.get("docmeta_in_tokenized"):
+            # rel_dl computed at read with the batch-build float32 avgdl —
+            # the exact expression the old physical table stored, so the
+            # view is value-identical to the legacy layout.
+            avgdl = float(
+                self.manifest.get(
+                    "avg_doc_len_batch", self.manifest["avg_doc_len"]
+                )
+            )
+            base = self.io.read("tokenized").select(
+                DOC_ID,
+                F.col("doc_len").cast("float").alias("doc_len"),
+                (
+                    F.col("doc_len").cast("float")
+                    / F.lit(avgdl).cast("float")
+                ).cast("float").alias("rel_dl"),
+            )
+            if self.io.exists("doc_lens"):
+                return base.unionByName(self.io.read("doc_lens"))
+            return base
         return self.io.read("doc_lens")
 
     @property
@@ -721,27 +749,59 @@ def build_packed_index(
                 F.col("__tc__.tfs").alias("tfs"),
                 F.col("__tc__.doc_len").alias("doc_len"),
             )
+            # Corpus stats ride the write job as an Observation — no
+            # separate full-scan agg afterwards (at 10^12 docs that agg
+            # is a whole extra pass over the doc_len column).
+            from pyspark.sql import Observation
+
+            obs = Observation("corpus_stats")
+            tok_out = tok_out.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.col("doc_len").cast("float")).alias("avgdl"),
+                F.sum(F.col("doc_len").cast("long")).alias("total"),
+            )
             io.write(tok_out, "tokenized")
+            stats_row = obs.get
             manifest["docs_in_tokenized"] = True
-            _mark_stage(path, manifest, "tokenized")
+            # doc_map + doc_lens are column-pruned VIEWS of tokenized/
+            # (PackedIndex properties) — writing them as tables again
+            # would be two corpus-sized duplicate writes.
+            manifest["docmeta_in_tokenized"] = True
+            _mark_stage(
+                path, manifest, "tokenized",
+                n=int(stats_row["n"]),
+                avgdl=float(stats_row["avgdl"] or 0.0),
+                total=int(stats_row["total"] or 0),
+            )
             _mark_stage(path, manifest, "docs", layout="tokenized")
+            _mark_stage(path, manifest, "doc_map", layout="tokenized")
+            _mark_stage(path, manifest, "doc_lens", layout="tokenized")
 
         tok = io.read("tokenized")
 
         import numpy as np
 
-        row = tok.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(F.col("doc_len").cast("float")).alias("avgdl"),
-            F.sum(F.col("doc_len").cast("long")).alias("total"),
-        ).collect()[0]
-        avgdl_f64 = float(row["avgdl"] or 0.0)
+        st = manifest.get("stages", {}).get("tokenized", {})
+        if "n" in st:
+            doc_count = int(st["n"])
+            avgdl_f64 = float(st["avgdl"])
+            total_len = int(st["total"])
+        else:  # resume of an index tokenized before stats rode the write
+            row = tok.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.col("doc_len").cast("float")).alias("avgdl"),
+                F.sum(F.col("doc_len").cast("long")).alias("total"),
+            ).collect()[0]
+            doc_count = int(row["n"])
+            avgdl_f64 = float(row["avgdl"] or 0.0)
+            total_len = int(row["total"] or 0)
         avgdl_f32 = float(np.float32(avgdl_f64))
-        doc_count = int(row["n"])
         manifest["doc_count"] = doc_count
         manifest["avg_doc_len"] = avgdl_f32
+        manifest["avg_doc_len_batch"] = avgdl_f32
         manifest["avg_doc_len_f64"] = avgdl_f64
-        manifest["total_doc_len"] = int(row["total"] or 0)
+        manifest["total_doc_len"] = total_len
 
         if n_shards is None:
             n_shards = max(1, min(512, doc_count // 4096 or 1))
@@ -749,6 +809,9 @@ def build_packed_index(
         manifest["n_shards"] = int(n_shards)
         manifest["span"] = int(span)
 
+        # doc_map / doc_lens: views of tokenized/ on the current layout
+        # (stages marked done above); physical writes only run when
+        # resuming a legacy-layout partial build.
         if not _stage_done(manifest, "doc_map"):
             io.write(tok.select(DOC_ID, id_col), "doc_map")
             _mark_stage(path, manifest, "doc_map", rows=doc_count)
@@ -820,8 +883,11 @@ def build_packed_index(
     # resolves results inside the query kernel — the query path never
     # joins the corpus-sized doc_map.
     if not _stage_done(manifest, "shard_maps"):
-        dmap = io.read("doc_map")
-        orig_col = [c for c in dmap.columns if c != DOC_ID][0]
+        orig_col = manifest["orig_id_col"]
+        if manifest.get("docmeta_in_tokenized"):
+            dmap = io.read("tokenized").select(DOC_ID, orig_col)
+        else:
+            dmap = io.read("doc_map")
         manifest["orig_id_sql_type"] = dict(dmap.dtypes)[orig_col]
         maps = (
             dmap.select(
