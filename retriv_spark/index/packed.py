@@ -908,10 +908,19 @@ def build_packed_index(
         _mark_stage(path, manifest, "shard_maps")
 
     if not _stage_done(manifest, "postings"):
-        dfmap = {
-            r["term"]: int(r["df"])
-            for r in io.read("terms").collect()
-        }
+        # Stamping global df into segments needs the vocabulary on the
+        # driver — fine up to a few million terms, a driver OOM at
+        # web-scale vocabularies.  Above the threshold stamp df=0: the
+        # query path never reads segment df (live df comes from the
+        # terms table via _df_for_terms), so only the stamp is lost.
+        terms_tbl = io.read("terms")
+        vocab_size = terms_tbl.count()
+        if vocab_size <= 2_000_000:
+            dfmap = {
+                r["term"]: int(r["df"]) for r in terms_tbl.collect()
+            }
+        else:
+            dfmap = {}
         df_bc = spark.sparkContext.broadcast(dfmap)
         if staged:
             src = io.read("tokenized").select(
