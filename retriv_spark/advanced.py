@@ -177,10 +177,17 @@ class AdvancedRetriever(SparseRetriever):
             docs = idx.docs if subset is None else idx.docs.join(
                 subset, DOC_ID, "left_semi"
             )
-            rows = docs.select(self.id_field).orderBy(self.id_field).collect()
+            # limit() under the orderBy becomes TakeOrderedAndProject:
+            # only cutoff rows ever reach the driver, however weak the
+            # filter predicate is.
+            rows = (
+                docs.select(self.id_field)
+                .orderBy(self.id_field)
+                .limit(cutoff)
+                .collect()
+            )
             return {
-                self._restore_id(r[self.id_field]): 1.0
-                for r in rows[:cutoff]
+                self._restore_id(r[self.id_field]): 1.0 for r in rows
             }
 
         out = self.msearch_df(

@@ -19,6 +19,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def per_query_metrics(run: DataFrame, qrels: DataFrame, k: int = 100) -> DataFrame:
+    """ndcg@k / mrr@k / recall@k per query, as one distributed plan.
+
+    run:   (q_id, id, score, rank); qrels: (q_id, id, rel) graded.
+    Returns (q_id, ndcg, mrr, recall), one row per query in the run.
+    All three metrics share the single run⋈qrels join; denominators
+    (idcg, |relevant|) come from qrels-only aggregations — nothing here
+    scales beyond n_queries × k except the qrels scan itself.
+    """
+    run = run.filter(F.col("rank") <= k)
+    joined = run.join(qrels, ["q_id", "id"], "left").withColumn(
+        "rel", F.coalesce(F.col("rel").cast("double"), F.lit(0.0))
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("rank") + 1.0)
+    agg = joined.groupBy("q_id").agg(
+        F.sum(gain).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("fr"),
+        F.count(F.when(F.col("rel") > 0, True)).alias("hits"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("id"))
+    ideal = (
+        qrels.withColumn("irank", F.row_number().over(wq))
+        .filter(F.col("irank") <= k)
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0)
+                / F.log2(F.col("irank") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    total = qrels.filter(F.col("rel") > 0).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    return (
+        agg.join(ideal, "q_id", "left")
+        .join(total, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)).alias("ndcg"),
+            F.coalesce(F.lit(1.0) / F.col("fr"), F.lit(0.0)).alias("mrr"),
+            F.coalesce(F.col("hits") / F.col("t"), F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
 def eval_run(run: DataFrame, qrels: DataFrame, metric: str = "ndcg", k: int = 100) -> float:
     """Mean ranking metric over queries.
 

@@ -163,10 +163,12 @@ def _sql_values(queries) -> str:
     )
 
 
-def _bm25_sql(
+def _bm25_ctes(
     queries, model: str = "bm25", operator: str = "OR",
     extra_candidate_pred: str = "TRUE",
 ) -> str:
+    """The shared WITH-clause chain ending in `ranked` (no final SELECT),
+    so derived oracles (qrels merge, metric eval) can append CTEs."""
     if model == "bm25":
         partial = (
             "ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) "
@@ -212,11 +214,29 @@ ranked AS (
            ORDER BY scored.score DESC, scored.doc_id ASC
          ) AS rank
   FROM scored {and_filter}
-)
+)"""
+
+
+def _bm25_sql(
+    queries, model: str = "bm25", operator: str = "OR",
+    extra_candidate_pred: str = "TRUE",
+) -> str:
+    ctes = _bm25_ctes(queries, model, operator, extra_candidate_pred)
+    return f"""{ctes}
 SELECT q_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= {CUTOFF}
 ORDER BY q_id, rank
 """
+
+
+# Deterministic graded qrels shared by the bsearch/eval pairs: every doc
+# with doc_id % 5 == 0 is relevant to every query, grade 1 + doc_id % 2.
+# References the `q` CTE from _bm25_ctes for the query-id set.
+_QRELS_CTE = """qrels AS (
+  SELECT qq.q_id, d.doc_id, 1 + (d.doc_id % 2) AS rel
+  FROM (SELECT DISTINCT q_id FROM q) qq
+  CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+)"""
 
 
 _TOK_SQL = (
@@ -586,6 +606,73 @@ def q_search_fetch_docs(spark, sf_dir):
     )
 
 
+def _qrels_df(docs: DataFrame, queries) -> DataFrame:
+    """Deterministic graded qrels mirroring _QRELS_CTE: every doc with
+    doc_id % 5 == 0 is relevant to every query, grade 1 + doc_id % 2."""
+    spark = docs.sparkSession
+    q_ids = spark.createDataFrame([(qid,) for qid, _ in queries], "q_id string")
+    rel_docs = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % 2).alias("rel")
+    )
+    return q_ids.crossJoin(rel_docs)
+
+
+def q_collection_stats(spark, sf_dir):
+    """Global index statistics (reference keeps doc_count / avg_doc_len /
+    vocabulary in the npz state, sparse_retriever.py:196-199): doc count,
+    vocabulary size, total postings, average doc length."""
+    idx = _build(spark, _docs(spark, sf_dir), cache_key=sf_dir)
+    lens = idx.doc_lens.agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.round(F.avg(F.col("doc_len").cast("double")), 4).alias("avgdl"),
+    )
+    vocab = idx.terms.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("df").alias("postings"),
+    )
+    return lens.crossJoin(vocab).select(
+        "doc_count", "vocab_size", "postings", "avgdl"
+    )
+
+
+def q_bsearch_qrels(spark, sf_dir):
+    """bsearch results sink with qrels merge (reference
+    sparse_retriever.py:380-451 streams the run to JSONL and attaches
+    relevance judgements): ranked BM25 run left-joined with graded qrels."""
+    run = _ranked_search(spark, sf_dir, BM25_QUERIES, "bm25")
+    qrels = _qrels_df(_docs(spark, sf_dir), BM25_QUERIES)
+    return (
+        run.join(qrels, ["q_id", "doc_id"], "left")
+        .select(
+            "q_id", "doc_id", "score", "rank",
+            F.coalesce("rel", F.lit(0)).alias("rel"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def q_eval_ndcg(spark, sf_dir):
+    """Distributed ranking-metric evaluation — the autotune objective
+    (reference autotune/bm25_autotune.py:10-38 maximizes ndcg@k via ranx):
+    per-query ndcg@10 / mrr@10 / recall@10 of the BM25 run vs graded
+    qrels, computed as joins + window aggs, never a driver loop."""
+    from .autotune import per_query_metrics
+
+    run = _ranked_search(spark, sf_dir, BM25_QUERIES, "bm25").withColumnRenamed(
+        "doc_id", "id"
+    )
+    qrels = _qrels_df(_docs(spark, sf_dir), BM25_QUERIES).withColumnRenamed(
+        "doc_id", "id"
+    )
+    m = per_query_metrics(run, qrels, k=CUTOFF)
+    return m.select(
+        "q_id",
+        F.round("ndcg", 4).alias("ndcg"),
+        F.round("mrr", 4).alias("mrr"),
+        F.round("recall", 4).alias("recall"),
+    ).orderBy("q_id")
+
+
 def q_streaming_ingest(spark, sf_dir):
     """Incremental (streaming) ingest: packed index built over the first
     half of the documents table, then TWO exactly-once micro-batch appends
@@ -666,6 +753,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fusion_maxnorm": q_fusion_maxnorm,
     "fusion_sumnorm": q_fusion_sumnorm,
     "search_fetch_docs": q_search_fetch_docs,
+    "collection_stats": q_collection_stats,
+    "bsearch_qrels": q_bsearch_qrels,
+    "eval_ndcg": q_eval_ndcg,
 }
 
 
@@ -1047,6 +1137,66 @@ SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
 FROM documents ORDER BY media_id
 """,
 }
+
+ORACLE_SQL["collection_stats"] = f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1)
+SELECT (SELECT count(*) FROM dl)::BIGINT AS doc_count,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS vocab_size,
+       (SELECT count(*) FROM tf)::BIGINT AS postings,
+       (SELECT round(avg(dl), 4) FROM dl) AS avgdl
+"""
+
+ORACLE_SQL["bsearch_qrels"] = f"""{_bm25_ctes(BM25_QUERIES)},
+run AS (
+  SELECT q_id, doc_id, round(score, 4) AS score, rank
+  FROM ranked WHERE rank <= {CUTOFF}
+),
+{_QRELS_CTE}
+SELECT run.q_id, run.doc_id, run.score, run.rank,
+       coalesce(qrels.rel, 0) AS rel
+FROM run
+LEFT JOIN qrels ON qrels.q_id = run.q_id AND qrels.doc_id = run.doc_id
+ORDER BY run.q_id, run.rank
+"""
+
+ORACLE_SQL["eval_ndcg"] = f"""{_bm25_ctes(BM25_QUERIES)},
+run AS (SELECT q_id, doc_id, rank FROM ranked WHERE rank <= {CUTOFF}),
+{_QRELS_CTE},
+j AS (
+  SELECT run.q_id, run.rank, coalesce(qrels.rel, 0)::DOUBLE AS rel
+  FROM run
+  LEFT JOIN qrels ON qrels.q_id = run.q_id AND qrels.doc_id = run.doc_id
+),
+pq AS (
+  SELECT q_id,
+         sum((pow(2.0, rel) - 1) / log2(rank + 1.0)) AS dcg,
+         min(CASE WHEN rel > 0 THEN rank END) AS fr,
+         count(CASE WHEN rel > 0 THEN 1 END) AS hits
+  FROM j GROUP BY 1
+),
+ideal AS (
+  SELECT q_id, sum((pow(2.0, rel) - 1) / log2(irank + 1.0)) AS idcg
+  FROM (
+    SELECT q_id, rel::DOUBLE AS rel,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY rel DESC, doc_id ASC
+           ) AS irank
+    FROM qrels
+  )
+  WHERE irank <= {CUTOFF} GROUP BY 1
+),
+total AS (SELECT q_id, count(*) AS t FROM qrels WHERE rel > 0 GROUP BY 1)
+SELECT pq.q_id,
+       round(coalesce(pq.dcg / ideal.idcg, 0), 4) AS ndcg,
+       round(coalesce(1.0 / pq.fr, 0), 4) AS mrr,
+       round(coalesce(pq.hits::DOUBLE / total.t, 0), 4) AS recall
+FROM pq
+LEFT JOIN ideal ON ideal.q_id = pq.q_id
+LEFT JOIN total ON total.q_id = pq.q_id
+ORDER BY pq.q_id
+"""
 
 ORACLE_SQL["bm25_must_not"] = _bm25_sql(
     BM25_QUERIES, "bm25", extra_candidate_pred="doc.lang <> 'de'"
