@@ -384,8 +384,17 @@ class PackedIndex:
         if "post" not in cache:
             cache["post"] = self.postings.toPandas()
             cache["maps"] = self.io.read("shard_maps").toPandas()
+            cache["decoded"] = {}
+            cache["vecs"] = {}
         post = cache["post"]
         maps = cache["maps"]
+        # Decoded postings and dense partial-score vectors are immutable
+        # per index version — reusing them across batches removes the
+        # decode + vector build from every batch after the first.  Bounded:
+        # past ~256 MB of dense vectors, drop and rebuild lazily.
+        if len(cache["vecs"]) * self.span * 8 > 256 * 1024 * 1024:
+            cache["vecs"].clear()
+            cache["decoded"].clear()
 
         terms_needed = sorted(
             {t for tl in qmap_idx.values() for t, _ in tl}
@@ -397,6 +406,7 @@ class PackedIndex:
             span=self.span, cutoff=cutoff, operator=operator,
             model=model, k1=k1, b=b, kernel=kernel,
             subset_doc_ids=subset_doc_ids,
+            decoded_cache=cache["decoded"], vec_cache=cache["vecs"],
         )
         parts = [kern(g) for _, g in sel.groupby("shard", sort=True)]
         t = self.manifest.get("orig_id_sql_type", "string")

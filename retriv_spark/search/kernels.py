@@ -96,6 +96,8 @@ def make_shard_kernel(
     b: float = 0.75,
     kernel: str = "taat",
     subset_doc_ids=None,
+    decoded_cache=None,
+    vec_cache=None,
 ):
     """Build the applyInPandas function for one msearch batch.
 
@@ -107,6 +109,12 @@ def make_shard_kernel(
     vocabulary, so ``len(qmap[q])`` is the AND-operator match requirement.
     df_by_term: live global document frequencies (query-time aggregate, so
     streaming appends are always consistently scored).
+    decoded_cache / vec_cache: OPTIONAL driver-side dicts reused across
+    msearch batches on the small-index local path (the index is immutable
+    per version, so decoded postings and per-term dense partial-score
+    vectors are batch-invariant).  The distributed path passes None —
+    executor closures are re-pickled per job, so a dict would never
+    persist there anyway.
     """
     idf_fn = _idf_bm25 if model == "bm25" else _idf_tfidf
     idf_by_term = {
@@ -154,6 +162,10 @@ def make_shard_kernel(
         if kernel == "taat":
             segs = {}
             for t, rws in rows_by_term.items():
+                ck = (shard, t)
+                if decoded_cache is not None and ck in decoded_cache:
+                    segs[t] = decoded_cache[ck]
+                    continue
                 parts = [_decode_segment_row(r) for r in rws]
                 if len(parts) == 1:
                     segs[t] = parts[0]
@@ -162,6 +174,8 @@ def make_shard_kernel(
                         np.concatenate([p[i] for p in parts])
                         for i in range(3)
                     )
+                if decoded_cache is not None:
+                    decoded_cache[ck] = segs[t]
 
             # Per-term DENSE partial-score vectors, computed once per
             # shard.  The naive loop recomputes partials and scatters per
@@ -177,11 +191,17 @@ def make_shard_kernel(
             if dense_ok:
                 vecs = {}
                 for t, (doc_ids, tfs, dls) in segs.items():
+                    vk = (shard, t, model, k1, b)
+                    if vec_cache is not None and vk in vec_cache:
+                        vecs[t] = vec_cache[vk]
+                        continue
                     v = np.zeros(span, dtype=np.float64)
                     v[doc_ids - base] = _partial_scores(
                         tfs, dls, idf_by_term[t], model, k1, b, avg_doc_len
                     )
                     vecs[t] = v
+                    if vec_cache is not None:
+                        vec_cache[vk] = v
             q_ids_out: list = []
             q_counts: list = []
             d_chunks: list = []
