@@ -128,3 +128,45 @@ def test_tune_merger_picks_scored_combo(spark):
     # d3 is the only relevant doc and run2 ranks it first: the winning
     # combo must weight run2 enough that d3 ranks first -> MRR == 1.
     assert best["score"] == pytest.approx(1.0)
+
+
+def test_per_query_metrics_hand_computed(spark):
+    """per_query_metrics vs hand-computed ndcg/mrr/recall on a tiny run.
+
+    q1: ranks 1..3 = (d1 rel 2, d2 rel 0, d3 rel 1); qrels also hold d4
+    rel 3 (unretrieved).  q2: no relevant retrieved.
+    """
+    import math
+
+    from retriv_spark.autotune import eval_run, per_query_metrics
+
+    run = spark.createDataFrame(
+        [
+            ("q1", "d1", 0.9, 1), ("q1", "d2", 0.8, 2), ("q1", "d3", 0.7, 3),
+            ("q2", "d9", 0.5, 1),
+        ],
+        "q_id string, id string, score double, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 2), ("q1", "d3", 1), ("q1", "d4", 3), ("q2", "d1", 1)],
+        "q_id string, id string, rel int",
+    )
+    got = {
+        r["q_id"]: r.asDict()
+        for r in per_query_metrics(run, qrels, k=3).collect()
+    }
+    # q1 dcg = (2^2-1)/log2(2) + 0 + (2^1-1)/log2(4) = 3 + 0.5
+    dcg = 3.0 + 1.0 / math.log2(4.0)
+    # ideal order by (rel desc, id asc): d4(3), d1(2), d3(1)
+    idcg = 7.0 / math.log2(2.0) + 3.0 / math.log2(3.0) + 1.0 / math.log2(4.0)
+    assert got["q1"]["ndcg"] == pytest.approx(dcg / idcg, rel=1e-9)
+    assert got["q1"]["mrr"] == pytest.approx(1.0, rel=1e-9)
+    assert got["q1"]["recall"] == pytest.approx(2.0 / 3.0, rel=1e-9)
+    assert got["q2"]["ndcg"] == 0.0
+    assert got["q2"]["mrr"] == 0.0
+    assert got["q2"]["recall"] == 0.0
+    # eval_run's scalar ndcg agrees with the per-query mean
+    mean_ndcg = (got["q1"]["ndcg"] + got["q2"]["ndcg"]) / 2.0
+    assert eval_run(run, qrels, metric="ndcg", k=3) == pytest.approx(
+        mean_ndcg, rel=1e-9
+    )
