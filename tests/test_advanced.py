@@ -125,3 +125,13 @@ def test_exclude_doc_ids_set_difference(ar):
     # and the excluded doc really is gone
     full = score_query_terms(idx, qt, cutoff=10)
     assert full.count() == excl.count() + 1
+
+
+def test_filters_only_respects_cutoff(ar):
+    """Filters-only search truncates to cutoff IN THE PLAN (limit under
+    the orderBy), keeping id order: only the first `cutoff` matching ids
+    by ascending id field come back."""
+    res = ar.search_advanced(where={"active": True}, cutoff=1)
+    assert len(res) == 1
+    full = ar.search_advanced(where={"active": True})
+    assert list(res) == sorted(full)[:1]
