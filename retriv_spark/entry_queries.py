@@ -165,10 +165,11 @@ def _sql_values(queries) -> str:
 
 def _bm25_ctes(
     queries, model: str = "bm25", operator: str = "OR",
-    extra_candidate_pred: str = "TRUE",
+    extra_candidate_pred: str = "TRUE", tok_sql: str = None,
 ) -> str:
     """The shared WITH-clause chain ending in `ranked` (no final SELECT),
-    so derived oracles (qrels merge, metric eval) can append CTEs."""
+    so derived oracles (qrels merge, metric eval, alternate tokenizers)
+    can append CTEs or swap the tokenize step."""
     if model == "bm25":
         partial = (
             "ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) "
@@ -182,11 +183,16 @@ def _bm25_ctes(
         if operator == "AND"
         else ""
     )
+    if tok_sql is None:
+        tok_sql = (
+            "SELECT doc_id, t.term\n"
+            "  FROM documents, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS t(term)\n"
+            "  WHERE t.term <> ''"
+        )
     return f"""
 WITH tok AS (
-  SELECT doc_id, t.term
-  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
-  WHERE t.term <> ''
+  {tok_sql}
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
@@ -606,6 +612,58 @@ def q_search_fetch_docs(spark, sf_dir):
     )
 
 
+WORDPUNCT_QUERIES = [
+    ("q1", "spark , join"),
+    ("q2", ", hash group"),
+    ("q3", "merge sort ,"),
+]
+
+
+def q_bm25_wordpunct(spark, sf_dir):
+    """BM25 over a wordpunct-tokenized view of the corpus (reference
+    tokenizer.py:8: nltk wordpunct ≡ the public regex \\w+|[^\\w\\s]+).
+    Punctuation removal is OFF, so the synthesized ',' separators (text
+    with ' ' -> ', ') become real index terms with df = doc_count — the
+    queries score that pathological high-df term alongside normal ones,
+    exercising the non-whitespace branch of the reference pipeline order
+    (tokenize first, per-token punct handling after,
+    preprocessing/__init__.py:44-59)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " ", ", ")
+    )
+    pre = TextPreprocessor(
+        tokenizer="wordpunct",
+        stemmer=None,
+        stopwords=None,
+        do_lowercasing=True,
+        do_ampersand_normalization=False,
+        do_special_chars_normalization=False,
+        do_acronyms_normalization=False,
+        do_punctuation_removal=False,
+    )
+    idx = build_index(
+        spark, docs, pre,
+        text_col="text", id_col="doc_id",
+        order_cols=["doc_id"], min_df=1,
+        doc_id_col_precomputed="doc_id",
+    )
+    scored = score_query_terms(
+        idx, _query_terms(spark, WORDPUNCT_QUERIES),
+        model="bm25", k1=K1, b=B, cutoff=CUTOFF,
+        precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .select(
+            "q_id",
+            F.col("doc_id"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def _qrels_df(docs: DataFrame, queries) -> DataFrame:
     """Deterministic graded qrels mirroring _QRELS_CTE: every doc with
     doc_id % 5 == 0 is relevant to every query, grade 1 + doc_id % 2."""
@@ -756,6 +814,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_stats": q_collection_stats,
     "bsearch_qrels": q_bsearch_qrels,
     "eval_ndcg": q_eval_ndcg,
+    "bm25_wordpunct": q_bm25_wordpunct,
 }
 
 
@@ -1196,6 +1255,21 @@ FROM pq
 LEFT JOIN ideal ON ideal.q_id = pq.q_id
 LEFT JOIN total ON total.q_id = pq.q_id
 ORDER BY pq.q_id
+"""
+
+_WORDPUNCT_TOK_SQL = (
+    "SELECT doc_id, t.term\n"
+    "  FROM documents, unnest(regexp_extract_all("
+    "lower(replace(text, ' ', ', ')), '\\w+|[^\\w\\s]+')) AS t(term)\n"
+    "  WHERE t.term <> ''"
+)
+
+ORACLE_SQL["bm25_wordpunct"] = f"""{
+    _bm25_ctes(WORDPUNCT_QUERIES, "bm25", tok_sql=_WORDPUNCT_TOK_SQL)
+}
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
 """
 
 ORACLE_SQL["bm25_must_not"] = _bm25_sql(
