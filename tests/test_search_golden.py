@@ -93,3 +93,34 @@ def test_search_return_docs(retriever):
     assert all({"id", "text", "score"} <= set(d) for d in out)
     scores = [d["score"] for d in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_empty_whitespace_unicode_docs(spark):
+    """Edge-case documents index reference-faithfully: empty and
+    whitespace-only docs enter doc_count/avgdl at length 0 (reference
+    build_inverted_index.py:63-64 sums over ALL rows), never match; and
+    unicode terms round-trip the Arrow pipeline.  Scores pinned to the
+    numpy oracle replicating the reference kernels."""
+    from math import isclose
+
+    from retriv_spark.oracle import NumpyOracle
+    from retriv_spark.preprocessing import TextPreprocessor
+
+    docs = [
+        {"id": "e1", "text": ""},
+        {"id": "w1", "text": "   "},
+        {"id": "u1", "text": "café naïve résumé"},
+        {"id": "n1", "text": "plain spark join"},
+    ]
+    se = SparseRetriever(spark)
+    se.index(docs)
+    oracle = NumpyOracle(docs, pre=TextPreprocessor())
+    for q in ("café", "join", "résumé naïve"):
+        got = se.search(q, return_docs=False)
+        exp = oracle.search(q, cutoff=10)
+        assert set(got) == set(exp), q
+        for d, s in exp.items():
+            assert isclose(got[d], s, rel_tol=REL_TOL), (q, d)
+    # empty docs never surface
+    all_hits = {d for q in ("café", "join") for d in se.search(q, return_docs=False)}
+    assert not ({"e1", "w1"} & all_hits)
