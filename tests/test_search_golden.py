@@ -124,3 +124,16 @@ def test_empty_whitespace_unicode_docs(spark):
     # empty docs never surface
     all_hits = {d for q in ("café", "join") for d in se.search(q, return_docs=False)}
     assert not ({"e1", "w1"} & all_hits)
+
+
+def test_tf_above_int16_no_overflow(spark):
+    """tf > 32767 stays positive: the reference stores tfs as int16
+    (build_inverted_index.py:39) and would wrap 40,000 -> -25,536; this
+    engine uses int32+ throughout (documented divergence, SURVEY.md §1.2)
+    so pathological source files with >32k repeats of one token score
+    sanely."""
+    big = ("token " * 40000).strip()
+    se = SparseRetriever(spark, stemmer=None, stopwords=None)
+    se.index([{"id": "big", "text": big}, {"id": "small", "text": "token other"}])
+    res = se.search("token", return_docs=False)
+    assert res["big"] > res["small"] > 0
