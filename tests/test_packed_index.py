@@ -327,3 +327,46 @@ def test_cache_query_serving_mode(packed, monkeypatch):
     finally:
         packed.uncache()
     assert not packed.postings.storageLevel.useMemory
+
+
+@pytest.mark.parametrize(
+    "operator,model,use_subset",
+    [
+        ("AND", "bm25", False),
+        ("OR", "tf-idf", False),
+        ("OR", "bm25", True),
+        ("AND", "bm25", True),
+        ("AND", "tf-idf", False),
+    ],
+)
+def test_mode_matrix_differential(spark, packed, corpus, operator, model, use_subset):
+    """Operator × model × subset matrix against the numpy oracle, both
+    kernels — the modes the single-mode differential tests don't cross."""
+    import random
+
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    oracle = NumpyOracle(corpus, pre=pre)
+    qrng = random.Random(97)
+    vocab = [f"w{i}" for i in range(72)]  # incl. OOV
+    qs = [
+        {"id": f"q{j}", "text": " ".join(qrng.choices(vocab, k=qrng.randint(1, 5)))}
+        for j in range(6)
+    ]
+    subset = sorted(qrng.sample(range(300), 120)) if use_subset else None
+    for kern in ("taat", "bmw"):
+        res = packed.msearch_df(
+            qs, cutoff=25, operator=operator, model=model,
+            kernel=kern, subset_doc_ids=subset,
+        )
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["q_id"], {})[r["doc_id"]] = r["score"]
+        for q in qs:
+            exp = oracle.search(
+                q["text"], cutoff=25, operator=operator,
+                model=model, subset_ids=subset,
+            )
+            g = got.get(q["id"], {})
+            assert set(g) == set(exp), (kern, q["text"])
+            for d, s in exp.items():
+                assert isclose(g[d], s, rel_tol=REL_TOL), (kern, q["text"], d)
