@@ -69,8 +69,13 @@ def main():
         verify = args.verify_sha256
 
     min_df = int(args.min_df) if args.min_df >= 1 else args.min_df
+    # "--stemmer none" / "--stopwords none" mean the Python None spec
+    # (reference stemmer.py:215-223 accepts None), not a stemmer name.
+    def _spec(v):
+        return None if (not v or v.lower() == "none") else v
+
     pre = TextPreprocessor(
-        stemmer=args.stemmer or None, stopwords=args.stopwords or None
+        stemmer=_spec(args.stemmer), stopwords=_spec(args.stopwords)
     )
 
     t0 = time.perf_counter()
