@@ -8,7 +8,7 @@ search, text statistics).
 """
 
 from .advanced import AdvancedRetriever
-from .autotune import eval_run, tune_bm25, tune_merger
+from .autotune import eval_run, per_query_metrics, tune_bm25, tune_merger
 from .dense import DenseRetriever, HybridRetriever, hashing_encoder
 from .merger import fuse, max_norm, min_max_norm, sum_norm
 from .retriever import PackedRetriever, SparseRetriever
@@ -26,6 +26,7 @@ __all__ = [
     "SparseRetriever",
     "TableIO",
     "eval_run",
+    "per_query_metrics",
     "fuse",
     "get_spark",
     "hashing_encoder",
