@@ -31,6 +31,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "token_count",
+    "quality_features",
+    "lang_id",
     "fingerprint",
     "dedup_embedding",
     "multimodal_meta",
