@@ -674,6 +674,7 @@ def build_packed_index(
     verify_sha256: Optional[str] = None,
     prebuilt: Optional[SparseIndex] = None,
     doc_id_col_precomputed: Optional[str] = None,
+    hyperparams: Optional[dict] = None,
 ) -> PackedIndex:
     """Build + persist the packed index; resumable per stage.
 
@@ -682,6 +683,10 @@ def build_packed_index(
     (north-rule per-row content-integrity invariant).
     prebuilt: persist an already-built in-memory SparseIndex (e.g. from
     SparseRetriever.index) without re-running tokenization.
+    hyperparams: BM25 (b, k1) to persist with the index — the reference
+    stores hyperparams in the saved state and autotune re-saves them
+    (sparse_retriever.py:124-138,453-...); PackedRetriever restores them
+    on load.
     """
     from .builder import ensure_min_partitions
 
@@ -698,6 +703,10 @@ def build_packed_index(
         "min_df": min_df if isinstance(min_df, int) else float(min_df),
         "stages": {},
     }
+    if hyperparams is not None:
+        manifest["hyperparams"] = {
+            k: float(v) for k, v in dict(hyperparams).items()
+        }
 
     # stage 0: integrity gate (ONE full scan, no shuffle: mismatch count
     # and row count come out of the same pass)

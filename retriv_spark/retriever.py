@@ -317,6 +317,7 @@ class SparseRetriever:
         build_packed_index(
             self.spark, idx.docs, self.pre, path,
             id_col=idx.orig_id_col, n_shards=n_shards, prebuilt=idx,
+            hyperparams=self.hyperparams,
         )
         return path
 
@@ -370,7 +371,12 @@ class PackedRetriever:
         self.spark = spark
         self.index_data = load_packed_index(spark, path)
         self.kernel = kernel
-        self.hyperparams = dict(b=0.75, k1=1.2)
+        # tuned (b, k1) persist with the index (reference autotune applies
+        # the best config to the instance AND saves it to disk)
+        self.hyperparams = dict(
+            dict(b=0.75, k1=1.2),
+            **self.index_data.manifest.get("hyperparams", {}),
+        )
         self.model = "bm25"
 
     def msearch_df(self, queries, cutoff: int = 100, operator: str = "OR"):

@@ -56,3 +56,23 @@ def test_tune_bm25_returns_grid_point(spark, shane_collection):
     assert set(best) == {"b", "k1"}
     assert 0.0 <= best["b"] <= 1.0 and 0.0 <= best["k1"] <= 10.0
     assert sr.hyperparams == best
+
+
+def test_hyperparams_persist_with_saved_index(spark, shane_collection, tmp_path):
+    """Tuned (b, k1) ride the saved index and are restored on load — the
+    reference's autotune applies the best config to the instance AND
+    saves it to disk (sparse_retriever.py autotune docstring)."""
+    from retriv_spark.retriever import PackedRetriever
+
+    path = str(tmp_path / "tuned_idx")
+    sr = SparseRetriever(spark, hyperparams=dict(b=0.31, k1=2.7))
+    sr.index(shane_collection)
+    sr.save(path)
+    pr = PackedRetriever(spark, path)
+    assert pr.hyperparams == {"b": 0.31, "k1": 2.7}
+    # and they are actually used: scores match the in-memory retriever
+    a = sr.msearch([{"id": "q", "text": "shane connelly"}])["q"]
+    b = pr.msearch([{"id": "q", "text": "shane connelly"}])["q"]
+    assert set(a) == set(b)
+    for d, s in a.items():
+        assert isclose(b[d], s, rel_tol=REL_TOL)
