@@ -129,6 +129,23 @@ class SparseRetriever:
             self.index_data.materialize()
         return self
 
+    def index_file(
+        self, path: str, callback=None, **kwargs
+    ) -> "SparseRetriever":
+        """Index the collection in a JSONL/CSV/TSV/parquet file (reference
+        sparse_retriever.py:228-245: collection_generator → index).  The
+        callback here is the reference's per-row hook re-expressed as a
+        ``DataFrame -> DataFrame`` transform (sources.read_collection)."""
+        from .sources import read_collection
+
+        df = read_collection(self.spark, path, callback=callback)
+        return self.index(df, **kwargs)
+
+    def query_preprocessing(self, query: str) -> List[str]:
+        """The exact doc-side pipe applied to a query string (reference
+        sparse_retriever.py:248-250)."""
+        return list(self.pre(query))
+
     # -- query-side helpers ----------------------------------------------------
 
     def _query_terms_df(self, queries: List[Dict[str, str]]) -> DataFrame:

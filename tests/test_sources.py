@@ -76,3 +76,23 @@ def test_bsearch_jsonl_sink_with_qrels(spark, tmp_path):
     by_id = {str(r["id"]): r for r in rows}
     assert by_id["1"]["rel"] == 2.0
     assert "rel" not in by_id.get("2", {}) or by_id["2"]["rel"] is None
+
+
+def test_index_file_end_to_end(spark, tmp_path):
+    """SparseRetriever.index_file: file path -> indexed retriever
+    (reference sparse_retriever.py:228-245)."""
+    import json
+
+    from math import isclose
+
+    from retriv_spark.retriever import SparseRetriever
+
+    p = tmp_path / "coll.jsonl"
+    with open(p, "w") as f:
+        for i, t in enumerate(["spark join window", "hash group order", "spark spark"]):
+            f.write(json.dumps({"id": f"d{i}", "text": t}) + "\n")
+    sr = SparseRetriever(spark, stemmer=None, stopwords=None)
+    sr.index_file(str(p))
+    res = sr.search("spark", return_docs=False)
+    assert set(res) == {"d0", "d2"}
+    assert sr.query_preprocessing("Spark JOIN") == ["spark", "join"]
