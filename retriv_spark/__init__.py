@@ -10,7 +10,7 @@ search, text statistics).
 from .advanced import AdvancedRetriever
 from .autotune import eval_run, per_query_metrics, tune_bm25, tune_merger
 from .dense import DenseRetriever, HybridRetriever, hashing_encoder
-from .merger import fuse, max_norm, min_max_norm, sum_norm
+from .merger import Merger, fuse, max_norm, min_max_norm, sum_norm
 from .retriever import PackedRetriever, SparseRetriever
 from .session import get_spark
 from .sources import read_collection
@@ -22,6 +22,7 @@ __all__ = [
     "AdvancedRetriever",
     "DenseRetriever",
     "HybridRetriever",
+    "Merger",
     "PackedRetriever",
     "SparseRetriever",
     "TableIO",

@@ -83,3 +83,96 @@ def fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cutoff)
     )
+
+
+class Merger:
+    """Reference-shaped dict interface over the DataFrame fusion plan
+    (reference merger/merger.py:11-77): ``fuse`` takes one result-dict
+    per run, ``mfuse`` takes msearch-shaped run dicts; state is
+    (norm, weights) with JSON save/load instead of the npz pickle.
+    The heavy lifting stays in the distributed ``fuse`` above."""
+
+    def __init__(self, spark, norm: str = "min-max", weights=None):
+        self.spark = spark
+        self.norm = norm
+        self.weights = weights  # None -> 1.0 per run (reference default)
+
+    @staticmethod
+    def _restore_id(id_str):
+        try:
+            return int(id_str)
+        except (TypeError, ValueError):
+            return id_str
+
+    def _runs_to_dfs(self, runs) -> List[DataFrame]:
+        dfs = []
+        for run in runs:
+            rows = [
+                (str(q), str(d), float(s))
+                for q, docs in run.items()
+                for d, s in docs.items()
+            ]
+            dfs.append(
+                self.spark.createDataFrame(
+                    rows, "q_id string, id string, score double"
+                )
+            )
+        return dfs
+
+    def mfuse(self, runs, cutoff: int = 100):
+        fused = fuse(
+            self._runs_to_dfs(runs),
+            norm=self.norm,
+            weights=self.weights,
+            cutoff=cutoff,
+        )
+        out = {str(q): {} for run in runs for q in run}
+        for r in fused.orderBy("q_id", "rank").collect():
+            out.setdefault(r["q_id"], {})[self._restore_id(r["id"])] = float(
+                r["score"]
+            )
+        return out
+
+    def fuse(self, results, cutoff: int = 100):
+        """Single-query convenience: list of result dicts -> fused dict
+        (reference merger.py:17-20)."""
+        return self.mfuse([{"q_0": res} for res in results], cutoff)["q_0"]
+
+    def autotune(self, qrels, runs, metric: str = "ndcg", n_trials: int = 24,
+                 cutoff: int = 100):
+        """Tune (norm, weights) against dict qrels + dict runs
+        (reference merger.py:68-77 applies the best config in place)."""
+        from .autotune import tune_merger
+
+        qrels_df = self.spark.createDataFrame(
+            [
+                (str(q), str(d), float(rel))
+                for q, docs in qrels.items()
+                for d, rel in docs.items()
+            ],
+            "q_id string, id string, rel double",
+        )
+        best = tune_merger(
+            self._runs_to_dfs(runs), qrels_df,
+            metric=metric, n_trials=n_trials, cutoff=cutoff,
+        )
+        self.norm = best["norm"]
+        self.weights = best["weights"]
+        return best
+
+    def save(self, path: str) -> str:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"norm": self.norm, "weights": self.weights}, f)
+        return path
+
+    @classmethod
+    def load(cls, spark, path: str) -> "Merger":
+        import json
+
+        with open(path) as f:
+            state = json.load(f)
+        return cls(spark, norm=state["norm"], weights=state["weights"])

@@ -170,3 +170,32 @@ def test_per_query_metrics_hand_computed(spark):
     assert eval_run(run, qrels, metric="ndcg", k=3) == pytest.approx(
         mean_ndcg, rel=1e-9
     )
+
+
+def test_merger_dict_interface(spark, tmp_path):
+    """Merger class parity: mfuse/fuse on reference-shaped dict runs,
+    tiebreak (-score, id), weights, JSON save/load round-trip."""
+    from retriv_spark.merger import Merger
+
+    run1 = {"q1": {"a": 2.0, "b": 1.0}, "q2": {"c": 1.0}}
+    run2 = {"q1": {"b": 4.0, "a": 0.0}, "q2": {"c": 2.0}}
+    m = Merger(spark)  # min-max, weights 1.0
+    fused = m.mfuse([run1, run2], cutoff=10)
+    # q1 min-max: run1 a=1, b=0 ; run2 b=1, a=0 -> a=1.0, b=1.0, tie -> a first
+    assert list(fused["q1"]) == ["a", "b"]
+    assert fused["q1"]["a"] == pytest.approx(1.0)
+    # single-query fuse convenience
+    single = m.fuse([run1["q1"], run2["q1"]], cutoff=1)
+    assert list(single) == ["a"]
+    # autotune applies the best config in place
+    qrels = {"q1": {"a": 1.0}, "q2": {"c": 1.0}}
+    best = m.autotune(qrels, [run1, run2], n_trials=4, cutoff=5)
+    assert m.norm == best["norm"] and m.weights == best["weights"]
+    # save / load
+    p = str(tmp_path / "merger.json")
+    m.save(p)
+    m2 = Merger.load(spark, p)
+    assert (m2.norm, m2.weights) == (m.norm, m.weights)
+    # int ids restore as ints (fresh merger: default weights fit one run)
+    intrun = {"q1": {1: 2.0, 2: 1.0}}
+    assert list(Merger(spark).mfuse([intrun], cutoff=5)["q1"]) == [1, 2]
