@@ -308,3 +308,69 @@ class HybridRetriever:
 
     def search(self, query: str, cutoff: int = 100) -> Dict:
         return self.msearch([("q_0", query)], cutoff).get("q_0", {})
+
+    # -- reference API parity (hybrid_retriever.py:109-198, 289-360, 362-) ---
+
+    def index(self, collection, **kwargs) -> "HybridRetriever":
+        """Index both legs from one collection (reference
+        hybrid_retriever.py:109-160 builds the sparse and dense indexes
+        together)."""
+        self.sparse.index(collection, **kwargs)
+        self.dense.index(collection)
+        return self
+
+    def index_file(self, path: str, callback=None, **kwargs) -> "HybridRetriever":
+        from .sources import read_collection
+
+        df = read_collection(self.sparse.spark, path, callback=callback)
+        return self.index(df, **kwargs)
+
+    def bsearch(self, queries, cutoff: int = 100, path: Optional[str] = None) -> Dict:
+        """Batched search with optional JSONL spill (reference
+        hybrid_retriever.py:289-360; Spark's partitioning is the
+        batching, so this is msearch plus the sink)."""
+        res = self.msearch(queries, cutoff=cutoff)
+        if path:
+            import json as _json
+
+            with open(path, "w") as f:
+                for q_id, docs in res.items():
+                    for doc_id, score in docs.items():
+                        f.write(
+                            _json.dumps(
+                                {"q_id": q_id, "doc_id": doc_id, "score": score}
+                            )
+                            + "\n"
+                        )
+        return res
+
+    def autotune(
+        self, queries, qrels: Dict, metric: str = "ndcg",
+        n_trials: int = 24, cutoff: int = 100,
+    ) -> Dict:
+        """Tune the fusion (norm, weights) on this retriever's own two
+        runs and apply the best config in place (reference
+        hybrid_retriever.py:362-...)."""
+        from .autotune import tune_merger
+
+        sparse_run = self.sparse.msearch_df(
+            [{"id": q, "text": t} for q, t in queries], cutoff=self.prefetch
+        ).select("q_id", F.col("id").cast("string").alias("id"), "score")
+        dense_run = self.dense.msearch_df(queries, cutoff=self.prefetch).select(
+            "q_id", F.col("id").cast("string").alias("id"), "score"
+        )
+        qrels_df = self.sparse.spark.createDataFrame(
+            [
+                (str(q), str(d), float(rel))
+                for q, docs in qrels.items()
+                for d, rel in docs.items()
+            ],
+            "q_id string, id string, rel double",
+        )
+        best = tune_merger(
+            [sparse_run, dense_run], qrels_df,
+            metric=metric, n_trials=n_trials, cutoff=cutoff,
+        )
+        self.norm = best["norm"]
+        self.weights = best["weights"]
+        return best

@@ -199,3 +199,28 @@ def test_merger_dict_interface(spark, tmp_path):
     # int ids restore as ints (fresh merger: default weights fit one run)
     intrun = {"q1": {1: 2.0, 2: 1.0}}
     assert list(Merger(spark).mfuse([intrun], cutoff=5)["q1"]) == [1, 2]
+
+
+def test_hybrid_index_bsearch_autotune(spark, tmp_path):
+    """Hybrid full-surface parity: index both legs from one collection,
+    bsearch JSONL sink, autotune applies (norm, weights) in place."""
+    import json
+
+    from retriv_spark.dense import DenseRetriever, HybridRetriever, hashing_encoder
+    from retriv_spark.retriever import SparseRetriever
+
+    sr = SparseRetriever(spark, stemmer=None, stopwords=None)
+    dr = DenseRetriever(spark, encoder=hashing_encoder(dim=16), use_ann=False)
+    hr = HybridRetriever(sr, dr, prefetch=10)
+    hr.index(DOCS)
+    queries = [("q1", "spark join"), ("q2", "parquet scan")]
+    res = hr.msearch(queries, cutoff=3)
+    assert res["q1"] and res["q2"]
+    p = str(tmp_path / "hybrid_run.jsonl")
+    b = hr.bsearch(queries, cutoff=3, path=p)
+    assert b == res
+    lines = [json.loads(l) for l in open(p)]
+    assert len(lines) == sum(len(v) for v in res.values())
+    qrels = {"q1": {"d1": 1.0}, "q2": {"d5": 1.0}}
+    best = hr.autotune(queries, qrels, n_trials=3, cutoff=3)
+    assert hr.norm == best["norm"] and hr.weights == best["weights"]
