@@ -159,6 +159,37 @@ class AdvancedRetriever(SparseRetriever):
             **kwargs,
         )
 
+    def search(
+        self,
+        query,
+        return_docs: bool = True,
+        cutoff: int = 100,
+        operator: str = "OR",
+    ):
+        """Reference-shaped entry (advanced_retriever.py:503-532): a plain
+        string searches unfiltered (SparseRetriever.search); a query DICT
+        carries ``text`` + ``where`` / ``where_not`` + top-level
+        must-filter sugar (any extra key is a must filter) and returns the
+        filtered {id: score} run."""
+        if isinstance(query, str):
+            return super().search(
+                query, return_docs=return_docs, cutoff=cutoff,
+                operator=operator,
+            )
+        text = query.get("text", "")
+        where = dict(query.get("where", {}) or {})
+        where_not = query.get("where_not", {}) or {}
+        for k, v in query.items():
+            if k not in {"text", "where", "where_not"}:
+                where[k] = v
+        return self.search_advanced(
+            text or None,
+            where=where or None,
+            where_not=where_not or None,
+            cutoff=cutoff,
+            operator=operator,
+        )
+
     def search_advanced(
         self,
         text: Optional[str] = None,

@@ -135,3 +135,23 @@ def test_filters_only_respects_cutoff(ar):
     assert len(res) == 1
     full = ar.search_advanced(where={"active": True})
     assert list(res) == sorted(full)[:1]
+
+
+def test_query_dict_search_entry(ar):
+    """search() accepts the reference query-dict shape: text + where /
+    where_not + top-level must-filter sugar (advanced_retriever.py:503-532)."""
+    # dict with explicit where
+    res = ar.search({"text": "join", "where": {"lang": "en"}})
+    assert _ids(res) == {"d1", "d2"}
+    # top-level sugar key == must filter
+    res2 = ar.search({"text": "join", "lang": "en"})
+    assert res2 == res
+    # where_not + sugar combined
+    res3 = ar.search({"text": "join", "where_not": {"lang": "de"}, "tags": "db"})
+    assert _ids(res3) == {"d1", "d2"}
+    # filters-only dict
+    res4 = ar.search({"where": {"active": True}})
+    assert res4 == {"d1": 1.0, "d3": 1.0, "d4": 1.0}
+    # plain string still unfiltered SparseRetriever.search
+    res5 = ar.search("join", return_docs=False)
+    assert _ids(res5) == {"d1", "d2", "d3"}
