@@ -708,9 +708,22 @@ def build_packed_index(
             k: float(v) for k, v in dict(hyperparams).items()
         }
 
-    # stage 0: integrity gate (ONE full scan, no shuffle: mismatch count
-    # and row count come out of the same pass)
-    if verify_sha256 and not _stage_done(manifest, "integrity"):
+    is_pruning = (
+        isinstance(min_df, float) and min_df > 0.0 and min_df != 1
+    ) or (isinstance(min_df, int) and min_df > 1)
+    staged = prebuilt is None and not is_pruning
+    tokenized_pending = staged and not _stage_done(manifest, "tokenized")
+
+    # stage 0: integrity gate.  When the tokenize write is about to run,
+    # the mismatch count rides that job as an extra Observation metric —
+    # zero additional scans (a standalone gate re-reads the full content
+    # column: 100 TB of duplicate read at target scale).  Standalone scan
+    # only for prebuilt/min_df-pruned builds and legacy resumes where
+    # tokenized/ exists but the gate never ran.
+    integrity_pending = bool(verify_sha256) and not _stage_done(
+        manifest, "integrity"
+    )
+    if integrity_pending and not tokenized_pending:
         row = docs.agg(
             F.count(F.lit(1)).alias("total"),
             F.sum(
@@ -724,11 +737,7 @@ def build_packed_index(
                 f"sha256 integrity check failed for {row['bad']} rows of input"
             )
         _mark_stage(path, manifest, "integrity", rows_checked=int(row["total"]))
-
-    is_pruning = (
-        isinstance(min_df, float) and min_df > 0.0 and min_df != 1
-    ) or (isinstance(min_df, int) and min_df > 1)
-    staged = prebuilt is None and not is_pruning
+        integrity_pending = False
 
     if staged:
         # ---- staged-checkpoint path (the production/scale flow) ---------
@@ -774,14 +783,38 @@ def build_packed_index(
             from pyspark.sql import Observation
 
             obs = Observation("corpus_stats")
-            tok_out = tok_out.observe(
-                obs,
+            obs_metrics = [
                 F.count(F.lit(1)).alias("n"),
                 F.avg(F.col("doc_len").cast("float")).alias("avgdl"),
                 F.sum(F.col("doc_len").cast("long")).alias("total"),
-            )
+            ]
+            if integrity_pending:
+                # sha256 mismatch count rides the same job — the gate
+                # costs zero extra scans of the content column.
+                obs_metrics.append(
+                    F.sum(
+                        (
+                            F.sha2(F.col(text_col), 256)
+                            != F.col(verify_sha256)
+                        ).cast("long")
+                    ).alias("bad")
+                )
+            tok_out = tok_out.observe(obs, *obs_metrics)
             io.write(tok_out, "tokenized")
             stats_row = obs.get
+            if integrity_pending:
+                # Raised BEFORE the tokenized stage is marked done, so a
+                # resume re-runs tokenization over corrected input rather
+                # than trusting the tainted stage output.
+                if int(stats_row["bad"] or 0):
+                    raise ValueError(
+                        "sha256 integrity check failed for "
+                        f"{stats_row['bad']} rows of input"
+                    )
+                _mark_stage(
+                    path, manifest, "integrity",
+                    rows_checked=int(stats_row["n"]),
+                )
             manifest["docs_in_tokenized"] = True
             # doc_map + doc_lens are column-pruned VIEWS of tokenized/
             # (PackedIndex properties) — writing them as tables again
@@ -849,15 +882,11 @@ def build_packed_index(
             )
             _mark_stage(path, manifest, "doc_lens", rows=doc_count)
 
-        if not _stage_done(manifest, "terms"):
-            io.write(
-                tok.select(F.explode("terms").alias("term"))
-                .groupBy("term")
-                .agg(F.count(F.lit(1)).alias("df")),
-                "terms",
-            )
-            _mark_stage(path, manifest, "terms")
-
+        # terms/ (the vocabulary + global df table) is DERIVED from the
+        # postings segments after the encode stage — see below.  The old
+        # layout built it here with explode(terms) over tokenized/: a
+        # second full scan of the token arrays plus a posting-grain
+        # shuffle, both of which the segment encode already pays once.
         idx = None
     else:
         # ---- prebuilt / min_df-pruned path (reuses builder relations) ---
@@ -927,19 +956,23 @@ def build_packed_index(
         _mark_stage(path, manifest, "shard_maps")
 
     if not _stage_done(manifest, "postings"):
-        # Stamping global df into segments needs the vocabulary on the
-        # driver — fine up to a few million terms, a driver OOM at
-        # web-scale vocabularies.  Above the threshold stamp df=0: the
-        # query path never reads segment df (live df comes from the
-        # terms table via _df_for_terms), so only the stamp is lost.
-        terms_tbl = io.read("terms")
-        vocab_size = terms_tbl.count()
-        if vocab_size <= 2_000_000:
-            dfmap = {
-                r["term"]: int(r["df"]) for r in terms_tbl.collect()
-            }
-        else:
+        # Segment df stamp: audit-only (the query path reads live df from
+        # the terms table via _df_for_terms, never the segment column).
+        # The staged path stamps 0 — its terms table is DERIVED from the
+        # segments after this stage, and collecting a vocabulary to the
+        # driver just for the stamp is a driver OOM at web-scale anyway.
+        # The prebuilt path keeps the stamp (its terms table pre-exists
+        # and the in-memory regime is small by construction).
+        if staged:
             dfmap = {}
+        else:
+            terms_tbl = io.read("terms")
+            if terms_tbl.count() <= 2_000_000:
+                dfmap = {
+                    r["term"]: int(r["df"]) for r in terms_tbl.collect()
+                }
+            else:
+                dfmap = {}
         df_bc = spark.sparkContext.broadcast(dfmap)
         if staged:
             src = io.read("tokenized").select(
@@ -999,6 +1032,22 @@ def build_packed_index(
             for r in lineage_rows
         }
         _mark_stage(path, manifest, "postings", shards=lineage)
+
+    if staged and not _stage_done(manifest, "terms"):
+        # terms/ = Σ over shards of each segment's posting count: a doc
+        # lives in exactly one shard (contiguous dense-id ranges) and
+        # appears at most once per (shard, term) segment, so Σ n IS the
+        # global df.  Aggregating the already-term-grained segment table
+        # replaces the old explode(terms)-over-tokenized job: one less
+        # full scan of the token arrays and a vocabulary-sized shuffle
+        # instead of a posting-grain one.
+        io.write(
+            io.read("postings")
+            .groupBy("term")
+            .agg(F.sum("n").cast("long").alias("df")),
+            "terms",
+        )
+        _mark_stage(path, manifest, "terms", derived_from="postings")
 
     _write_manifest(path, manifest)
     return PackedIndex(spark=spark, path=path, manifest=manifest, io=io)
