@@ -9,9 +9,11 @@ search, text statistics).
 
 from .advanced import AdvancedRetriever
 from .autotune import eval_run, per_query_metrics, tune_bm25, tune_merger
-from .dense import DenseRetriever, HybridRetriever, hashing_encoder
+from .dense import ANN_Searcher, DenseRetriever, Encoder, HybridRetriever, hashing_encoder
 from .merger import Merger, fuse, max_norm, min_max_norm, sum_norm
+from .paths import set_base_path
 from .retriever import PackedRetriever, SparseRetriever
+from .retriever import SparseRetriever as SearchEngine  # reference alias (retriv/__init__.py:18)
 from .session import get_spark
 from .sources import read_collection
 from .tableio import TableIO
@@ -19,13 +21,17 @@ from .tableio import TableIO
 __version__ = "0.1.0"
 
 __all__ = [
+    "ANN_Searcher",
     "AdvancedRetriever",
     "DenseRetriever",
+    "Encoder",
     "HybridRetriever",
     "Merger",
     "PackedRetriever",
+    "SearchEngine",
     "SparseRetriever",
     "TableIO",
+    "set_base_path",
     "eval_run",
     "per_query_metrics",
     "fuse",

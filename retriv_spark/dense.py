@@ -374,3 +374,222 @@ class HybridRetriever:
         self.norm = best["norm"]
         self.weights = best["weights"]
         return best
+
+
+class Encoder:
+    """Text → fixed-dim L2-normalizable embedding, reference API parity
+    (encoder.py:36-142: __call__/encode/bencode/save/load/change_device).
+
+    Spark-first redesign: the encoder function itself is a plain
+    ``pd.Series[str] -> pd.Series[list[float]]`` callable — by default the
+    deterministic :func:`hashing_encoder` (the reference's HF transformer
+    needs torch, absent here; pass ``fn=`` to plug one in).  Collection
+    encoding (reference encode_collection, encoder.py:144-198: driver-side
+    batches spilled to npy chunks) becomes :meth:`encode_collection` — an
+    Arrow-batched pandas UDF over the collection DataFrame, i.e. the
+    executors are the batch loop and the sink is a parquet/Iceberg table,
+    not npy files.
+    """
+
+    def __init__(
+        self,
+        index_name: str = "new-index",
+        model: str = "hashing",
+        normalize: bool = True,
+        return_numpy: bool = True,
+        max_length: int = 128,
+        device: str = "cpu",
+        dim: int = 64,
+        fn: Optional[Callable] = None,
+    ):
+        self.index_name = index_name
+        self.model = model
+        self.normalize = normalize
+        self.return_numpy = return_numpy
+        self.max_length = max_length
+        self.device = device
+        self.dim = dim
+        if fn is not None:
+            self.fn = fn
+        elif model == "hashing":
+            self.fn = hashing_encoder(dim=dim)
+        else:
+            self.fn = transformer_encoder(model)  # raises unless libs exist
+        self.embedding_dim = getattr(self.fn, "dim", dim)
+
+    # -- encoding -------------------------------------------------------------
+
+    def __call__(self, x: Union[str, List[str]], batch_size: int = 32):
+        """str → one vector; list → matrix (reference encoder.py:93-102)."""
+        if isinstance(x, str):
+            return self.encode(x)
+        return self.bencode(x, batch_size=batch_size)
+
+    def encode(self, text: str) -> np.ndarray:
+        return self.bencode([text])[0]
+
+    def bencode(self, texts: List[str], batch_size: int = 32) -> np.ndarray:
+        out = self.fn(pd.Series(list(texts)))
+        mat = np.asarray([np.asarray(v, dtype=np.float32) for v in out])
+        return mat if self.return_numpy else mat.tolist()
+
+    def encode_collection(
+        self,
+        collection: DataFrame,
+        text_col: str = "text",
+        id_col: str = "id",
+        out_path: Optional[str] = None,
+    ) -> DataFrame:
+        """Distributed collection encoding: one Arrow UDF pass, optional
+        parquet sink (the npy-chunks analog, encoder.py:144-198)."""
+        enc = F.pandas_udf(self.fn, ArrayType(FloatType()))
+        emb = collection.select(
+            F.col(id_col).alias("id"), enc(F.col(text_col)).alias("embedding")
+        )
+        if out_path:
+            emb.write.mode("overwrite").parquet(out_path)
+            emb = collection.sparkSession.read.parquet(out_path)
+        return emb
+
+    # -- persistence (encoder.py:62-82; JSON instead of npy pickle) -----------
+
+    def save(self) -> str:
+        from .paths import encoder_state_path
+
+        state = dict(
+            index_name=self.index_name, model=self.model,
+            normalize=self.normalize, return_numpy=self.return_numpy,
+            max_length=self.max_length, device=self.device, dim=self.dim,
+        )
+        p = encoder_state_path(self.index_name)
+        with open(p, "w") as f:
+            json.dump(state, f)
+        return str(p)
+
+    @staticmethod
+    def load(index_name: str, device: Optional[str] = None) -> "Encoder":
+        from .paths import encoder_state_path
+
+        with open(encoder_state_path(index_name)) as f:
+            state = json.load(f)
+        if device is not None:
+            state["device"] = device
+        return Encoder(**state)
+
+    def change_device(self, device: str = "cpu") -> None:
+        self.device = device  # no-op without torch; kept for parity
+
+
+class ANN_Searcher:
+    """Approximate-nearest-neighbor searcher, reference API parity
+    (ann_searcher.py:20-64: build/load/search/msearch returning (ids,
+    scores) arrays).
+
+    Spark-first redesign: instead of an autofaiss index file, ``build``
+    bucket-partitions the embedding table (sign-bit LSH by default, IVF
+    inverted lists with ``method="ivf"``) and persists it as parquet under
+    the named index dir — the 1000-executor layout where each query probes
+    one bucket's slice instead of scanning the corpus.
+    """
+
+    def __init__(self, index_name: str = "new-index", method: str = "lsh",
+                 n_bits: int = 8, n_centroids: int = 8, n_probe: int = 2):
+        assert method in ("lsh", "ivf", "exact")
+        self.index_name = index_name
+        self.method = method
+        self.n_bits = n_bits
+        self.n_centroids = n_centroids
+        self.n_probe = n_probe
+        self.embeddings: Optional[DataFrame] = None
+        self.spark: Optional[SparkSession] = None
+
+    def build(
+        self,
+        embeddings: Union[DataFrame, str],
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        spark: Optional[SparkSession] = None,
+    ) -> "ANN_Searcher":
+        """``embeddings``: DataFrame or parquet path of (id, embedding).
+        Persists the bucketed table (reference build → faiss file,
+        ann_searcher.py:26-48)."""
+        from .ops.similarity import signbit_bucket
+        from .paths import ann_index_path
+
+        if isinstance(embeddings, str):
+            assert spark is not None, "pass spark= with a path"
+            embeddings = spark.read.parquet(embeddings)
+        self.spark = embeddings.sparkSession
+        emb = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<float>").alias("embedding"),
+        )
+        if self.method == "lsh":
+            emb = emb.withColumn(
+                "bucket", signbit_bucket(F.col("embedding"), self.n_bits)
+            ).repartition("bucket")
+        path = str(ann_index_path(self.index_name))
+        emb.write.mode("overwrite").parquet(path)
+        with open(f"{path}_meta.json", "w") as f:
+            json.dump(
+                dict(method=self.method, n_bits=self.n_bits,
+                     n_centroids=self.n_centroids, n_probe=self.n_probe),
+                f,
+            )
+        self.embeddings = self.spark.read.parquet(path)
+        return self
+
+    @staticmethod
+    def load(index_name: str = "new-index",
+             spark: Optional[SparkSession] = None) -> "ANN_Searcher":
+        from .paths import ann_index_path
+
+        path = str(ann_index_path(index_name))
+        with open(f"{path}_meta.json") as f:
+            meta = json.load(f)
+        s = ANN_Searcher(index_name, **meta)
+        assert spark is not None, "pass spark= to load"
+        s.spark = spark
+        s.embeddings = spark.read.parquet(path)
+        return s
+
+    # -- search (ann_searcher.py:57-64 array shapes) --------------------------
+
+    def msearch(self, queries: np.ndarray, cutoff: int = 100):
+        """queries: float matrix [n, dim] → (ids [n, cutoff], scores
+        [n, cutoff]) object/float arrays padded with (-1, 0.0) like a
+        faiss result for under-full buckets."""
+        assert self.embeddings is not None, "build() or load() first"
+        from .ops.similarity import brute_force_topk, ivf_topk, lsh_topk
+
+        qmat = np.asarray(queries, dtype=np.float32)
+        qdf = self.spark.createDataFrame(
+            pd.DataFrame(
+                {"q_id": [str(i) for i in range(len(qmat))],
+                 "q_vec": [row.tolist() for row in qmat]}
+            ),
+            "q_id string, q_vec array<float>",
+        )
+        kwargs = dict(id_col="id", vec_col="embedding", exclude_self=False)
+        if self.method == "lsh":
+            res = lsh_topk(self.embeddings, qdf, k=cutoff,
+                           n_bits=self.n_bits, **kwargs)
+        elif self.method == "ivf":
+            res = ivf_topk(self.embeddings, qdf, k=cutoff,
+                           n_centroids=self.n_centroids,
+                           n_probe=self.n_probe, **kwargs)
+        else:
+            res = brute_force_topk(self.embeddings, qdf, k=cutoff, **kwargs)
+        rows = res.select("q_id", "vec_id", "cos", "rank").collect()
+        ids = np.full((len(qmat), cutoff), -1, dtype=object)
+        scores = np.zeros((len(qmat), cutoff), dtype=np.float32)
+        for r in rows:
+            qi, rk = int(r["q_id"]), int(r["rank"]) - 1
+            if rk < cutoff:
+                ids[qi, rk] = r["vec_id"]
+                scores[qi, rk] = float(r["cos"])
+        return ids, scores
+
+    def search(self, query: np.ndarray, cutoff: int = 100):
+        ids, scores = self.msearch(np.asarray(query).reshape(1, -1), cutoff)
+        return ids[0], scores[0]

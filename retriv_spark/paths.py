@@ -1,0 +1,49 @@
+"""On-disk layout for named indexes — reference parity for retriv/paths.py.
+
+The reference roots everything at ``$RETRIV_BASE_PATH`` (default
+``~/.retriv``, set in retriv/__init__.py:22-27) and nests one directory per
+``index_name`` under ``collections/`` (paths.py:5-21).  We keep the same
+shape with our own env var so the two libraries can coexist on one machine;
+the leaves differ because the state is parquet tables + a JSON manifest
+instead of ``.npz`` pickles (paths.py:23-65).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_ENV = "RETRIV_SPARK_BASE_PATH"
+
+
+def set_base_path(path: str) -> None:
+    """Reference parity: retriv/__init__.py:29-30."""
+    os.environ[_ENV] = str(path)
+
+
+def base_path() -> Path:
+    p = Path(os.environ.get(_ENV, str(Path.home() / ".retriv_spark")))
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def collections_path() -> Path:
+    p = base_path() / "collections"
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def index_path(index_name: str) -> Path:
+    p = collections_path() / index_name
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def encoder_state_path(index_name: str) -> Path:
+    """reference paths.py:61-62 (npy pickle there; JSON here)."""
+    return index_path(index_name) / "encoder_state.json"
+
+
+def ann_index_path(index_name: str) -> Path:
+    """reference paths.py:45-46 (faiss index there; parquet dir here)."""
+    return index_path(index_name) / "ann_index"

@@ -224,3 +224,69 @@ def test_hybrid_index_bsearch_autotune(spark, tmp_path):
     qrels = {"q1": {"d1": 1.0}, "q2": {"d5": 1.0}}
     best = hr.autotune(queries, qrels, n_trials=3, cutoff=3)
     assert hr.norm == best["norm"] and hr.weights == best["weights"]
+
+
+def test_encoder_reference_surface(spark, tmp_path, monkeypatch):
+    """Encoder parity (reference encoder.py:36-142): __call__/encode/
+    bencode shapes, save/load round-trip under the named-index base path,
+    and encode_collection ≡ driver-side bencode on the same texts."""
+    import numpy as np
+
+    from retriv_spark import Encoder, set_base_path
+
+    set_base_path(str(tmp_path / "base"))
+    enc = Encoder(index_name="enc-test", dim=16)
+    one = enc.encode("spark join")
+    assert one.shape == (16,) and one.dtype == np.float32
+    mat = enc(["spark join", "parquet scan"])
+    assert mat.shape == (2, 16)
+    assert np.allclose(mat[0], one)
+    p = enc.save()
+    e2 = Encoder.load("enc-test")
+    assert str(tmp_path / "base") in p
+    assert np.allclose(e2.encode("spark join"), one)
+    e2.change_device("cpu")  # parity no-op
+
+    docs = spark.createDataFrame(DOCS)
+    emb = enc.encode_collection(docs, text_col="text", id_col="id")
+    got = {r["id"]: np.array(r["embedding"]) for r in emb.collect()}
+    want = enc.bencode([d["text"] for d in DOCS])
+    for d, w in zip(DOCS, want):
+        assert np.allclose(got[d["id"]], w, atol=1e-6)
+
+
+def test_ann_searcher_reference_surface(spark, tmp_path):
+    """ANN_Searcher parity (reference ann_searcher.py:20-64): build over
+    an embedding table, load by name, (ids, scores) array results; exact
+    method must equal numpy brute force, LSH results ⊆ exact candidates
+    with identical scores."""
+    import numpy as np
+
+    from retriv_spark import ANN_Searcher, Encoder, set_base_path
+
+    set_base_path(str(tmp_path / "base"))
+    enc = Encoder(index_name="ann-test", dim=16)
+    docs = spark.createDataFrame(DOCS)
+    emb = enc.encode_collection(docs, text_col="text", id_col="id")
+
+    exact = ANN_Searcher("ann-test-exact", method="exact").build(emb)
+    q = enc.encode("spark join")
+    ids, scores = exact.search(q, cutoff=3)
+    assert len(ids) == 3
+    # numpy oracle
+    mat = enc.bencode([d["text"] for d in DOCS])
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(DOCS)), key=lambda i: (-round(cos[i], 6), DOCS[i]["id"]))
+    assert list(ids) == [DOCS[i]["id"] for i in order[:3]]
+    assert np.allclose(scores, [cos[i] for i in order[:3]], atol=1e-5)
+
+    lsh = ANN_Searcher("ann-test-lsh", method="lsh", n_bits=4).build(emb)
+    l2 = ANN_Searcher.load("ann-test-lsh", spark=spark)
+    ids1, sc1 = lsh.msearch(np.stack([q, q]), cutoff=3)
+    ids2, sc2 = l2.msearch(np.stack([q, q]), cutoff=3)
+    assert (ids1 == ids2).all() and np.allclose(sc1, sc2)
+    # every LSH hit carries its exact cosine score
+    byid = {DOCS[i]["id"]: cos[i] for i in range(len(DOCS))}
+    for did, s in zip(ids1[0], sc1[0]):
+        if did != -1:
+            assert abs(byid[did] - s) < 1e-5
