@@ -161,6 +161,32 @@ class DenseRetriever:
         self.embeddings.count()
         return self
 
+    def index_file(
+        self,
+        path: str,
+        embeddings_path: Optional[str] = None,
+        callback=None,
+        **kwargs,
+    ) -> "DenseRetriever":
+        """Index a collection file (reference dense_retriever.py:185-221:
+        collection_generator → index).  ``embeddings_path`` loads
+        pre-computed vectors instead of encoding (parquet/table of
+        (id, embedding) — the .npy analog, dense_retriever.py:109-111)."""
+        from .sources import read_collection
+
+        df = read_collection(self.spark, path, callback=callback)
+        if embeddings_path is not None:
+            return self.import_embeddings(embeddings_path)
+        return self.index(df, **kwargs)
+
+    def import_embeddings(self, path: str) -> "DenseRetriever":
+        """Adopt pre-computed embeddings (reference
+        dense_retriever.py:109-111 copies an .npy chunk; here the table
+        IS the index, so this is a scan + optional L2 normalize)."""
+        return self.index(
+            self.spark.read.parquet(path), embeddings_col="embedding"
+        )
+
     # -- persistence (reference save/load, dense_retriever.py:83-139) --------
 
     def save(self, path: str) -> str:
@@ -251,6 +277,26 @@ class DenseRetriever:
 
     def search(self, query, cutoff: int = 100, use_ann=None) -> Dict:
         return self.msearch([("q_0", query)], cutoff, use_ann).get("q_0", {})
+
+    def bsearch(
+        self,
+        queries,
+        cutoff: int = 100,
+        qrels: Optional[Dict] = None,
+        path: Optional[str] = None,
+    ) -> Dict:
+        """Batched search with optional qrels merge + JSONL spill
+        (reference dense_retriever.py:299-371; Spark's partitioning is
+        the batching, so this is msearch plus the sink)."""
+        res = self.msearch(queries, cutoff=cutoff)
+        if path:
+            with open(path, "w") as f:
+                for q_id, docs in res.items():
+                    rec = {"q_id": q_id, "results": docs}
+                    if qrels is not None and q_id in qrels:
+                        rec["qrels"] = qrels[q_id]
+                    f.write(json.dumps(rec) + "\n")
+        return res
 
 
 class HybridRetriever:

@@ -290,3 +290,41 @@ def test_ann_searcher_reference_surface(spark, tmp_path):
     for did, s in zip(ids1[0], sc1[0]):
         if did != -1:
             assert abs(byid[did] - s) < 1e-5
+
+
+def test_dense_index_file_import_embeddings_bsearch(spark, tmp_path):
+    """DenseRetriever file-surface parity (reference dense_retriever.py:
+    109-111 import_embeddings, :185-221 index_file, :299-371 bsearch):
+    indexing from a JSONL file ≡ indexing the in-memory collection;
+    import_embeddings adopts a pre-encoded parquet table and search
+    results stay identical; bsearch spills q_id/results/qrels JSONL."""
+    import json
+
+    coll_path = tmp_path / "coll.jsonl"
+    with open(coll_path, "w") as f:
+        for d in DOCS:
+            f.write(json.dumps(d) + "\n")
+
+    dr = DenseRetriever(spark, use_ann=False).index_file(str(coll_path))
+    base = DenseRetriever(spark, use_ann=False).index(
+        spark.createDataFrame(DOCS)
+    )
+    q = [("q1", "spark join"), ("q2", "parquet scan")]
+    assert dr.msearch(q, cutoff=3) == base.msearch(q, cutoff=3)
+
+    # pre-encoded parquet → import_embeddings (vectors already L2-normed
+    # by the hashing encoder, so re-normalization is a no-op)
+    emb_path = str(tmp_path / "emb.parquet")
+    base.embeddings.write.parquet(emb_path)
+    di = DenseRetriever(spark, use_ann=False).import_embeddings(emb_path)
+    assert di.msearch(q, cutoff=3) == base.msearch(q, cutoff=3)
+
+    out = tmp_path / "run.jsonl"
+    qrels = {"q1": {"d1": 1.0}}
+    res = base.bsearch(q, cutoff=3, qrels=qrels, path=str(out))
+    lines = [json.loads(l) for l in open(out)]
+    assert {l["q_id"] for l in lines} == {"q1", "q2"}
+    for l in lines:
+        assert l["results"] == {k: pytest.approx(v) for k, v in res[l["q_id"]].items()}
+        if l["q_id"] == "q1":
+            assert l["qrels"] == qrels["q1"]
