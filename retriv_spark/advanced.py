@@ -16,6 +16,8 @@ the scan, and the candidate restriction reaches the scorer as a
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Dict, List, Optional, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -146,6 +148,30 @@ class AdvancedRetriever(SparseRetriever):
         self.schema = dict(schema)
         self.text_field = next(f for f, k in schema.items() if k == "text")
         self.id_field = next(f for f, k in schema.items() if k == "id")
+        self._packed = None  # set by load(): persisted-index search path
+
+    # -- persistence (reference advanced_retriever.py:108-160: schema and
+    # metadata ride the pickled state; here schema.json rides the packed
+    # index dir so load() restores the full filtered-search surface) ------
+
+    def save(self, path: str, n_shards: Optional[int] = None) -> str:
+        out = super().save(path, n_shards=n_shards)
+        with open(os.path.join(path, "schema.json"), "w") as f:
+            json.dump(self.schema, f)
+        return out
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "AdvancedRetriever":
+        from .index.packed import load_packed_index
+
+        with open(os.path.join(path, "schema.json")) as f:
+            schema = json.load(f)
+        r = cls(spark, schema)
+        r._packed = load_packed_index(spark, path)
+        r.hyperparams = dict(
+            r.hyperparams, **r._packed.manifest.get("hyperparams", {})
+        )
+        return r
 
     def index(self, collection: Union[DataFrame, list], **kwargs):
         if not isinstance(collection, DataFrame):
@@ -172,6 +198,10 @@ class AdvancedRetriever(SparseRetriever):
         must-filter sugar (any extra key is a must filter) and returns the
         filtered {id: score} run."""
         if isinstance(query, str):
+            if self._packed is not None:
+                return self.search_advanced(
+                    query, cutoff=cutoff, operator=operator
+                )
             return super().search(
                 query, return_docs=return_docs, cutoff=cutoff,
                 operator=operator,
@@ -200,6 +230,11 @@ class AdvancedRetriever(SparseRetriever):
     ) -> Dict:
         """Filtered search. With no text: all matching docs at score 1.0
         (reference advanced_retriever.py:563-569)."""
+        if self._packed is not None:
+            return self._search_packed(
+                text, where=where, where_not=where_not,
+                cutoff=cutoff, operator=operator,
+            )
         idx = self._require_index()
         pred = compile_filters(self.schema, where, where_not)
         subset = idx.docs.filter(pred).select(DOC_ID) if pred is not None else None
@@ -229,5 +264,53 @@ class AdvancedRetriever(SparseRetriever):
         )
         return {
             self._restore_id(r["id"]): r["score"]
+            for r in out.orderBy("rank").collect()
+        }
+
+    def _search_packed(
+        self,
+        text: Optional[str],
+        where: Optional[dict],
+        where_not: Optional[dict],
+        cutoff: int,
+        operator: str,
+    ) -> Dict:
+        """Filtered search over a load()-ed packed index.  The predicate
+        still compiles to a columnar WHERE on the docs table; the
+        surviving internal ids feed the shard kernels' subset mask (the
+        reference's in-RAM filtered id list, advanced_retriever.py:
+        483-487 — selective filters by construction, so the collected
+        subset is bounded like the reference's)."""
+        pred = compile_filters(self.schema, where, where_not)
+        subset = None
+        if pred is not None:
+            subset = [
+                r[DOC_ID]
+                for r in self._packed.docs.filter(pred)
+                .select(DOC_ID)
+                .collect()
+            ]
+        if not text:
+            docs = self._packed.docs
+            if pred is not None:
+                docs = docs.filter(pred)
+            rows = (
+                docs.select(self.id_field)
+                .orderBy(self.id_field)
+                .limit(cutoff)
+                .collect()
+            )
+            return {self._restore_id(r[self.id_field]): 1.0 for r in rows}
+        out = self._packed.msearch_df(
+            [{"id": "_q", "text": text}],
+            cutoff=cutoff,
+            operator=operator,
+            model=self.model,
+            k1=float(self.hyperparams.get("k1", 1.2)),
+            b=float(self.hyperparams.get("b", 0.75)),
+            subset_doc_ids=subset,
+        )
+        return {
+            self._restore_id(r["doc_id"]): r["score"]
             for r in out.orderBy("rank").collect()
         }

@@ -146,6 +146,44 @@ class SparseRetriever:
         sparse_retriever.py:248-250)."""
         return list(self.pre(query))
 
+    def _postings_for_terms(self, query_terms: List[str]) -> dict:
+        """Per-term sorted (doc_ids, tfs) arrays for a term list — the
+        reference's posting fetch (sparse_retriever.py:252-258) as ONE
+        grouped scan over the flat postings relation."""
+        import numpy as np
+
+        idx = self._require_index()
+        rows = (
+            idx.flat.filter(F.col("term").isin(list(query_terms)))
+            .groupBy("term")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(DOC_ID, "tf"))
+                ).alias("post")
+            )
+            .collect()
+        )
+        out = {}
+        for r in rows:
+            out[r["term"]] = (
+                np.asarray([p[DOC_ID] for p in r["post"]], dtype=np.int64),
+                np.asarray([p["tf"] for p in r["post"]], dtype=np.int32),
+            )
+        return out
+
+    def get_term_doc_freqs(self, query_terms: List[str]) -> List:
+        """Per-term tf arrays, aligned with ``query_terms`` (reference
+        sparse_retriever.py:252-254; terms must be in-vocabulary there,
+        same contract here)."""
+        post = self._postings_for_terms(query_terms)
+        return [post[t][1] for t in query_terms]
+
+    def get_doc_ids(self, query_terms: List[str]) -> List:
+        """Per-term sorted internal doc-id arrays (reference
+        sparse_retriever.py:256-258)."""
+        post = self._postings_for_terms(query_terms)
+        return [post[t][0] for t in query_terms]
+
     # -- query-side helpers ----------------------------------------------------
 
     def _query_terms_df(self, queries: List[Dict[str, str]]) -> DataFrame:

@@ -155,3 +155,49 @@ def test_query_dict_search_entry(ar):
     # plain string still unfiltered SparseRetriever.search
     res5 = ar.search("join", return_docs=False)
     assert _ids(res5) == {"d1", "d2", "d3"}
+
+
+def test_save_load_roundtrip_filtered_search(ar, spark, tmp_path):
+    """Persistence parity (reference advanced_retriever.py:108-160:
+    schema + index state survive a save/load round-trip): a load()-ed
+    AdvancedRetriever answers plain, filtered, filters-only, and
+    must-not queries identically to the in-memory builder, with the
+    SAME scores."""
+    path = str(tmp_path / "adv-idx")
+    ar.save(path)
+    r2 = AdvancedRetriever.load(spark, path)
+    assert r2.schema == SCHEMA
+
+    for q in (
+        "spark join",
+        {"text": "join", "where": {"lang": "en"}},
+        {"text": "join", "where_not": {"active": False}},
+        {"where": {"tags": ("or", ["db", "olap"])}},
+        {"text": "join", "year": ("gte", 2021)},
+    ):
+        a = ar.search(q, return_docs=False, cutoff=10)
+        b = r2.search(q, return_docs=False, cutoff=10)
+        assert a.keys() == b.keys(), q
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-6), (q, k)
+
+
+def test_get_term_doc_freqs_and_doc_ids(ar):
+    """Posting-fetch parity (reference sparse_retriever.py:252-258):
+    per-term sorted doc-id arrays + aligned tf arrays, checked against
+    hand-derived postings of the fixture collection."""
+    import numpy as np
+
+    terms = ar.query_preprocessing("spark join")
+    assert terms == ["spark", "join"]
+    doc_ids = ar.get_doc_ids(terms)
+    tfs = ar.get_term_doc_freqs(terms)
+    assert len(doc_ids) == len(tfs) == 2
+    for ids, fs in zip(doc_ids, tfs):
+        assert list(ids) == sorted(ids)
+        assert len(ids) == len(fs)
+    # "spark" appears in d1, d2 once each; "join" in d1, d2, d3
+    assert len(doc_ids[0]) == 2 and set(tfs[0]) == {1}
+    assert len(doc_ids[1]) == 3 and set(tfs[1]) == {1}
+    # doc-id universes agree: "spark" docs are a subset of "join" docs
+    assert set(doc_ids[0]) <= set(np.concatenate(doc_ids))
