@@ -331,9 +331,7 @@ class HybridRetriever:
         """Text queries drive the sparse run; ``dense_queries`` (same
         q_ids, vectors or text) drive the dense run — defaults to encoding
         the same text."""
-        sparse_run = self.sparse.msearch_df(
-            [{"id": q, "text": t} for q, t in queries], cutoff=self.prefetch
-        ).select("q_id", F.col("id").cast("string").alias("id"), "score")
+        sparse_run = self._sparse_run(queries)
         dense_run = self.dense.msearch_df(
             dense_queries if dense_queries is not None else queries,
             cutoff=self.prefetch,
@@ -343,6 +341,18 @@ class HybridRetriever:
             norm=self.norm,
             weights=self.weights,
             cutoff=cutoff,
+        )
+
+    def _sparse_run(self, queries) -> DataFrame:
+        """Sparse leg as (q_id, id, score) — normalizes the id column
+        name across the in-memory (``id``) and packed (``doc_id``)
+        retriever surfaces."""
+        run = self.sparse.msearch_df(
+            [{"id": q, "text": t} for q, t in queries], cutoff=self.prefetch
+        )
+        id_col = "doc_id" if "doc_id" in run.columns else "id"
+        return run.select(
+            "q_id", F.col(id_col).cast("string").alias("id"), "score"
         )
 
     def msearch(self, queries, cutoff: int = 100, dense_queries=None) -> Dict:
@@ -370,6 +380,44 @@ class HybridRetriever:
 
         df = read_collection(self.sparse.spark, path, callback=callback)
         return self.index(df, **kwargs)
+
+    def save(self, path: str) -> str:
+        """Persist both legs + the fusion config under one dir (reference
+        hybrid_retriever.py save: sparse npz + dense faiss + merger state;
+        here sparse packed index + dense embedding table + fusion.json)."""
+        self.sparse.save(os.path.join(path, "sparse"))
+        self.dense.save(os.path.join(path, "dense"))
+        with open(os.path.join(path, "fusion.json"), "w") as f:
+            json.dump(
+                dict(norm=self.norm, weights=self.weights,
+                     prefetch=self.prefetch),
+                f,
+            )
+        return path
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        encoder: Optional[Callable] = None,
+    ) -> "HybridRetriever":
+        """Restore both legs (reference hybrid_retriever.py load).  The
+        sparse leg comes back as a PackedRetriever over the persisted
+        index; ``encoder`` re-plugs a custom query encoder for the dense
+        leg (defaults to the built-in hashing encoder)."""
+        from .retriever import SparseRetriever
+
+        sparse = SparseRetriever.load(spark, os.path.join(path, "sparse"))
+        dense = DenseRetriever.load(spark, os.path.join(path, "dense"))
+        if encoder is not None:
+            dense.encoder = encoder
+        with open(os.path.join(path, "fusion.json")) as f:
+            cfg = json.load(f)
+        return cls(
+            sparse, dense, norm=cfg["norm"], weights=cfg["weights"],
+            prefetch=cfg["prefetch"],
+        )
 
     def bsearch(self, queries, cutoff: int = 100, path: Optional[str] = None) -> Dict:
         """Batched search with optional JSONL spill (reference
@@ -399,9 +447,7 @@ class HybridRetriever:
         hybrid_retriever.py:362-...)."""
         from .autotune import tune_merger
 
-        sparse_run = self.sparse.msearch_df(
-            [{"id": q, "text": t} for q, t in queries], cutoff=self.prefetch
-        ).select("q_id", F.col("id").cast("string").alias("id"), "score")
+        sparse_run = self._sparse_run(queries)
         dense_run = self.dense.msearch_df(queries, cutoff=self.prefetch).select(
             "q_id", F.col("id").cast("string").alias("id"), "score"
         )

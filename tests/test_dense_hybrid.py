@@ -328,3 +328,29 @@ def test_dense_index_file_import_embeddings_bsearch(spark, tmp_path):
         assert l["results"] == {k: pytest.approx(v) for k, v in res[l["q_id"]].items()}
         if l["q_id"] == "q1":
             assert l["qrels"] == qrels["q1"]
+
+
+def test_hybrid_save_load_roundtrip(spark, tmp_path):
+    """HybridRetriever persistence parity (reference hybrid_retriever.py
+    save/load): both legs + fusion config survive the round-trip and the
+    loaded retriever's fused results equal the in-memory ones."""
+    sr = SparseRetriever(spark, stemmer=None, stopwords=None)
+    sr.index([{"id": d["id"], "text": d["text"]} for d in DOCS])
+    dr = DenseRetriever(spark, use_ann=False).index(
+        spark.createDataFrame(DOCS)
+    )
+    hr = HybridRetriever(sr, dr, norm="min-max", weights=[0.7, 0.3])
+
+    q = [("q1", "spark join"), ("q2", "parquet scan")]
+    before = hr.msearch(q, cutoff=4)
+
+    path = str(tmp_path / "hyb")
+    hr.save(path)
+    h2 = HybridRetriever.load(spark, path)
+    assert (h2.norm, h2.weights, h2.prefetch) == ("min-max", [0.7, 0.3], 1000)
+    after = h2.msearch(q, cutoff=4)
+    assert before.keys() == after.keys()
+    for qi in before:
+        assert before[qi].keys() == after[qi].keys()
+        for d in before[qi]:
+            assert before[qi][d] == pytest.approx(after[qi][d], rel=1e-6)
