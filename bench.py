@@ -149,11 +149,19 @@ def main():
     # Warm the serving caches (postings collect, decoded segments, dense
     # term vectors) with one untimed pass — the timed number below is
     # steady-state serving throughput, matching the best-of protocol in
-    # BENCH/BASELINE.md.
-    idx.msearch_df(batch, cutoff=100).count()
+    # BENCH/BASELINE.md.  The timed call is the reference's msearch
+    # protocol (dict results, sparse_retriever.py:365-378): served from
+    # the local kernels at small index sizes, falling back to the
+    # distributed DataFrame plan above the local-path threshold.
+    def _run_batch():
+        d = idx.msearch_dicts(batch, cutoff=100)
+        if d is not None:
+            return sum(len(v) for v in d.values())
+        return idx.msearch_df(batch, cutoff=100).count()
+
+    _run_batch()
     t0 = time.perf_counter()
-    res = idx.msearch_df(batch, cutoff=100)
-    n_res = res.count()
+    n_res = _run_batch()
     query_sec = time.perf_counter() - t0
     timings["msearch_512"] = round(query_sec, 3)
 

@@ -368,12 +368,31 @@ class PackedIndex:
         self, qmap_idx, q_ids, df_by_term, cutoff, operator, model,
         k1, b, kernel, subset_doc_ids,
     ) -> Optional[DataFrame]:
+        """Driver-side local path wrapped as a DataFrame (dispatch in
+        msearch_df); the arrow table itself comes from
+        ``_msearch_local_table``."""
+        tbl = self._msearch_local_table(
+            qmap_idx, q_ids, df_by_term, cutoff, operator, model,
+            k1, b, kernel, subset_doc_ids,
+        )
+        # coalesce(1): the result is bounded (n_queries × cutoff rows);
+        # one task instead of defaultParallelism cuts ~0.1 s of pure
+        # scheduling from every downstream action on this tiny relation.
+        return self.spark.createDataFrame(tbl).coalesce(1)
+
+    def _msearch_local_arrays(
+        self, qmap_idx, q_ids, df_by_term, cutoff, operator, model,
+        k1, b, kernel, subset_doc_ids,
+    ):
         """Driver-side execution of the SAME per-shard kernels over
         collected segments (small indexes only — dispatch in msearch_df).
         One postings collect is cached per index version; after that a
         batch costs no Spark job until the result DataFrame is consumed.
         Results are bit-identical to the distributed path: same kernel
-        code, same merge order (-score, internal id)."""
+        code, same merge order (-score, internal id).  Returns
+        ``(q_s, docs_col, s_s, ranks, to_int)`` — parallel numpy arrays
+        sorted by (query index, rank): query indexes into ``q_ids``,
+        resolved original ids, float32 scores, 1-based ranks."""
         from ..search.kernels import make_shard_kernel
 
         cache = self.__dict__.setdefault("_local_cache", {})
@@ -410,9 +429,11 @@ class PackedIndex:
         )
         parts = [kern(g) for _, g in sel.groupby("shard", sort=True)]
         t = self.manifest.get("orig_id_sql_type", "string")
-        schema = f"q_id string, doc_id {t}, score float, rank int"
+        to_int = ("int" in t) or t in ("long", "bigint")
         if not parts:
-            return self.spark.createDataFrame([], schema)
+            empty = np.empty(0, dtype=np.int64)
+            return empty, np.empty(0, dtype=object), \
+                np.empty(0, dtype=np.float32), empty, to_int
         allr = pd.concat(parts, ignore_index=True)
 
         firsts = maps["first_doc"].to_numpy()
@@ -421,7 +442,6 @@ class PackedIndex:
         uri_list = [
             np.asarray(maps["uris"].iloc[i], dtype=object) for i in order
         ]
-        to_int = ("int" in t) or t in ("long", "bigint")
 
         q_arr = allr["q_idx"].to_numpy()
         d_arr = allr["__doc_id__"].to_numpy()
@@ -446,32 +466,132 @@ class PackedIndex:
         for si in np.unique(seg_i):
             m = seg_i == si
             docs_col[m] = uri_list[si][(d_s[m] - firsts[si]).astype(np.int64)]
-        q_names = np.asarray(q_ids, dtype=object)
-        # Single-batch Arrow table with the exact target types: measured
-        # ~2x cheaper than the pandas conversion path at n_queries ×
-        # cutoff rows, and the types need no JVM-side cast.
+        return q_s, docs_col, s_s, ranks, to_int
+
+    def _msearch_local_table(
+        self, qmap_idx, q_ids, df_by_term, cutoff, operator, model,
+        k1, b, kernel, subset_doc_ids,
+    ):
+        """Local-path results as a single-batch Arrow table (q_id,
+        doc_id, score, rank) with the exact target types: measured ~2x
+        cheaper than the pandas conversion path at n_queries × cutoff
+        rows, and the types need no JVM-side cast."""
         import pyarrow as pa
 
+        q_s, docs_col, s_s, ranks, to_int = self._msearch_local_arrays(
+            qmap_idx, q_ids, df_by_term, cutoff, operator, model,
+            k1, b, kernel, subset_doc_ids,
+        )
+        t = self.manifest.get("orig_id_sql_type", "string")
         int_pa = {
             "tinyint": pa.int8(), "smallint": pa.int16(),
             "int": pa.int32(), "bigint": pa.int64(), "long": pa.int64(),
         }
-        tbl = pa.table(
+        id_type = int_pa.get(t, pa.string() if t == "string" else pa.int64())
+        q_names = np.asarray(q_ids, dtype=object)
+        return pa.table(
             {
                 "q_id": pa.array(q_names[q_s.astype(np.int64)], pa.string()),
-                "doc_id": pa.array(
-                    docs_col.astype(np.int64), int_pa.get(t, pa.int64())
-                )
+                "doc_id": pa.array(docs_col.astype(np.int64), id_type)
                 if to_int
                 else pa.array(docs_col, pa.string()),
                 "score": pa.array(s_s.astype(np.float32), pa.float32()),
                 "rank": pa.array(ranks.astype(np.int32), pa.int32()),
             }
         )
-        # coalesce(1): the result is bounded (n_queries × cutoff rows);
-        # one task instead of defaultParallelism cuts ~0.1 s of pure
-        # scheduling from every downstream action on this tiny relation.
-        return self.spark.createDataFrame(tbl).coalesce(1)
+
+    def _prepare_queries(self, queries: List[dict]):
+        """Preprocess a query batch into the kernel inputs: returns
+        (qmap_idx, q_ids, df_by_term, all_terms) or None when no query
+        has any in-vocabulary term (reference empty-query guards,
+        sparse_retriever.py:275-279, 331-337)."""
+        pre = self.preprocessor()
+        qmap: Dict[str, List[tuple]] = {}
+        for q in queries:
+            toks = pre(q["text"])
+            counts: Dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            # canonical (sorted) per-query term order: BOTH kernels
+            # accumulate float32 contributions in this order, so
+            # taat ≡ bmw stays bit-identical and the term-major tiled
+            # accumulation in the taat kernel is order-preserving.
+            # (The reference accumulates in query-occurrence order —
+            # bm25.py:36-49 — a float32 sum-order difference bounded by
+            # its own test tolerance, search_engine_test.py:7.)
+            qmap[str(q["id"])] = sorted(counts.items())
+
+        all_terms = sorted({t for tl in qmap.values() for t, _ in tl})
+        if not all_terms:
+            return None
+
+        df_by_term = self._df_for_terms(all_terms)
+        qmap = {
+            q: [(t, n) for t, n in tl if t in df_by_term]
+            for q, tl in qmap.items()
+        }
+        qmap = {q: tl for q, tl in qmap.items() if tl}
+        if not qmap:
+            return None
+
+        # Dense int query indexes on the (wide) pre-merge stream: at
+        # n_queries × cutoff × n_shards rows, per-row Python strings
+        # through Arrow dominate kernel output cost; ints are near-free.
+        q_ids = list(qmap)
+        qmap_idx = {i: qmap[q] for i, q in enumerate(q_ids)}
+        return qmap_idx, q_ids, df_by_term, all_terms
+
+    def _local_path_ready(self) -> bool:
+        """True when the small-index driver-side fast path applies."""
+        return self._total_postings() <= 2_000_000 and self.manifest.get(
+            "stages", {}
+        ).get("shard_maps", {}).get("completed", False)
+
+    def msearch_dicts(
+        self,
+        queries: List[dict],
+        cutoff: int = 100,
+        operator: str = "OR",
+        model: str = "bm25",
+        k1: float = 1.2,
+        b: float = 0.75,
+        kernel: str = "taat",
+        subset_doc_ids=None,
+    ) -> Optional[Dict[str, Dict]]:
+        """Reference-protocol batch search: {q_id: {orig_id: score}} with
+        NO JVM round-trip — the local kernels' arrow table is converted
+        driver-side (the reference's msearch also returns plain dicts,
+        sparse_retriever.py:365-378, so this is the apples-to-apples
+        serving surface at small index sizes).  Returns None when the
+        index is too large for the local path (caller falls back to the
+        distributed DataFrame plan); queries with no in-vocabulary terms
+        come back as {} like the reference."""
+        if not self._local_path_ready():
+            return None
+        out: Dict[str, Dict] = {str(q["id"]): {} for q in queries}
+        prep = self._prepare_queries(queries)
+        if prep is None:
+            return out
+        qmap_idx, q_ids, df_by_term, _ = prep
+        q_s, docs_col, s_s, _ranks, to_int = self._msearch_local_arrays(
+            qmap_idx, q_ids, df_by_term, cutoff, operator, model,
+            k1, b, kernel, subset_doc_ids,
+        )
+        if not q_s.size:
+            return out
+        if to_int:
+            docs_col = docs_col.astype(np.int64)
+        doc_list = docs_col.tolist()
+        score_list = s_s.tolist()
+        # rows are sorted (query, rank): slice per query group and build
+        # each dict with one C-level zip — insertion order = rank order
+        starts = np.r_[0, np.flatnonzero(q_s[1:] != q_s[:-1]) + 1, q_s.size]
+        for gi in range(starts.size - 1):
+            lo, hi = int(starts[gi]), int(starts[gi + 1])
+            out[q_ids[int(q_s[lo])]] = dict(
+                zip(doc_list[lo:hi], score_list[lo:hi])
+            )
+        return out
 
     def msearch_df(
         self,
@@ -499,42 +619,12 @@ class PackedIndex:
         """
         from ..search.kernels import make_shard_kernel
 
-        pre = self.preprocessor()
-        qmap: Dict[str, List[tuple]] = {}
-        for q in queries:
-            toks = pre(q["text"])
-            counts: Dict[str, int] = {}
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-            # canonical (sorted) per-query term order: BOTH kernels
-            # accumulate float32 contributions in this order, so
-            # taat ≡ bmw stays bit-identical and the term-major tiled
-            # accumulation in the taat kernel is order-preserving.
-            # (The reference accumulates in query-occurrence order —
-            # bm25.py:36-49 — a float32 sum-order difference bounded by
-            # its own test tolerance, search_engine_test.py:7.)
-            qmap[str(q["id"])] = sorted(counts.items())
-
-        all_terms = sorted({t for tl in qmap.values() for t, _ in tl})
-        if not all_terms:
+        prep = self._prepare_queries(queries)
+        if prep is None:
             return self._empty_results()
-
-        df_by_term = self._df_for_terms(all_terms)
-        qmap = {
-            q: [(t, n) for t, n in tl if t in df_by_term]
-            for q, tl in qmap.items()
-        }
-        qmap = {q: tl for q, tl in qmap.items() if tl}
-        if not qmap:
-            return self._empty_results()
+        qmap_idx, q_ids, df_by_term, all_terms = prep
 
         from pyspark.sql import Window
-
-        # Dense int query indexes on the (wide) pre-merge stream: at
-        # n_queries × cutoff × n_shards rows, per-row Python strings
-        # through Arrow dominate kernel output cost; ints are near-free.
-        q_ids = list(qmap)
-        qmap_idx = {i: qmap[q] for i, q in enumerate(q_ids)}
 
         # Small-index fast path: below ~2M stored postings (known from
         # the build lineage, no job needed) a Spark stage launch costs
@@ -543,9 +633,7 @@ class PackedIndex:
         # bit-identical by construction (shared code), and per-batch
         # latency drops from seconds to milliseconds, matching the
         # reference's single-node behavior at small corpus sizes.
-        if self._total_postings() <= 2_000_000 and self.manifest.get(
-            "stages", {}
-        ).get("shard_maps", {}).get("completed", False):
+        if self._local_path_ready():
             local = self._msearch_local(
                 qmap_idx, q_ids, df_by_term, cutoff=cutoff,
                 operator=operator, model=model, k1=k1, b=b,

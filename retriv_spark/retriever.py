@@ -442,17 +442,34 @@ class PackedRetriever:
         )
 
     def msearch(self, queries, cutoff: int = 100, operator: str = "OR"):
-        out = self.msearch_df(queries, cutoff=cutoff, operator=operator)
         results = {q["id"]: {} for q in queries}
         by_str = {str(q["id"]): q["id"] for q in queries}
-        for row in out.orderBy("q_id", "rank").collect():
-            doc_id = row["doc_id"]
+
+        def _restore(doc_id):
             if isinstance(doc_id, str):
                 try:
-                    doc_id = int(doc_id)
+                    return int(doc_id)
                 except ValueError:
-                    pass
-            results[by_str[row["q_id"]]][doc_id] = row["score"]
+                    return doc_id
+            return doc_id
+
+        # Small-index serving path: dict results straight off the local
+        # kernels, no JVM round-trip (the reference's msearch protocol).
+        local = self.index_data.msearch_dicts(
+            queries, cutoff=cutoff, operator=operator, model=self.model,
+            k1=float(self.hyperparams["k1"]), b=float(self.hyperparams["b"]),
+            kernel=self.kernel,
+        )
+        if local is not None:
+            for q_str, docs in local.items():
+                results[by_str[q_str]] = {
+                    _restore(d): s for d, s in docs.items()
+                }
+            return results
+
+        out = self.msearch_df(queries, cutoff=cutoff, operator=operator)
+        for row in out.orderBy("q_id", "rank").collect():
+            results[by_str[row["q_id"]]][_restore(row["doc_id"])] = row["score"]
         return results
 
     def search(self, query: str, cutoff: int = 100, operator: str = "OR"):

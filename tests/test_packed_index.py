@@ -370,3 +370,26 @@ def test_mode_matrix_differential(spark, packed, corpus, operator, model, use_su
             assert set(g) == set(exp), (kern, q["text"])
             for d, s in exp.items():
                 assert isclose(g[d], s, rel_tol=REL_TOL), (kern, q["text"], d)
+
+
+def test_msearch_dicts_equals_dataframe_path(packed):
+    """The dict-serving protocol (reference msearch shape,
+    sparse_retriever.py:365-378) must return exactly the DataFrame
+    path's results — same docs, same scores, rank-ordered keys — and {}
+    for OOV-only queries; above the local-path threshold it returns
+    None (fallback marker), never a wrong answer."""
+    dicts = packed.msearch_dicts(QUERY_SET, cutoff=20)
+    assert dicts is not None
+    df = _as_dict(packed.msearch_df(QUERY_SET, cutoff=20))
+    assert set(dicts) == {q["id"] for q in QUERY_SET}
+    assert dicts["e"] == {}
+    for q_id, docs in df.items():
+        assert dicts[q_id] == docs
+        # insertion order = rank order (desc score, asc doc_id)
+        scores = list(dicts[q_id].values())
+        assert scores == sorted(scores, reverse=True)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(packed), "_total_postings", lambda self: 1 << 62):
+        assert packed.msearch_dicts(QUERY_SET, cutoff=20) is None
