@@ -393,3 +393,21 @@ def test_msearch_dicts_equals_dataframe_path(packed):
 
     with mock.patch.object(type(packed), "_total_postings", lambda self: 1 << 62):
         assert packed.msearch_dicts(QUERY_SET, cutoff=20) is None
+
+
+def test_local_path_threshold_env_knob(packed, monkeypatch):
+    """$RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS raises the driver-serving
+    threshold; results through the raised-threshold local path equal the
+    distributed plan's (same kernels)."""
+    baseline = _as_dict(packed.msearch_df(QUERY_SET, cutoff=20))
+    monkeypatch.setattr(
+        type(packed), "_total_postings", lambda self: 3_000_000
+    )
+    assert not packed._local_path_ready()
+    assert packed.msearch_dicts(QUERY_SET, cutoff=20) is None
+    monkeypatch.setenv("RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS", "5000000")
+    assert packed._local_path_ready()
+    local = packed.msearch_dicts(QUERY_SET, cutoff=20)
+    assert local is not None
+    for q_id, docs in baseline.items():
+        assert local[q_id] == docs
