@@ -171,6 +171,7 @@ class AdvancedRetriever(SparseRetriever):
         r.hyperparams = dict(
             r.hyperparams, **r._packed.manifest.get("hyperparams", {})
         )
+        r.model = r._packed.manifest.get("model", "bm25")
         return r
 
     def index(self, collection: Union[DataFrame, list], **kwargs):
@@ -199,9 +200,12 @@ class AdvancedRetriever(SparseRetriever):
         filtered {id: score} run."""
         if isinstance(query, str):
             if self._packed is not None:
-                return self.search_advanced(
+                res = self.search_advanced(
                     query, cutoff=cutoff, operator=operator
                 )
+                if not return_docs:
+                    return res
+                return self._attach_docs_packed(res)
             return super().search(
                 query, return_docs=return_docs, cutoff=cutoff,
                 operator=operator,
@@ -282,15 +286,10 @@ class AdvancedRetriever(SparseRetriever):
         483-487 — selective filters by construction, so the collected
         subset is bounded like the reference's)."""
         pred = compile_filters(self.schema, where, where_not)
-        subset = None
-        if pred is not None:
-            subset = [
-                r[DOC_ID]
-                for r in self._packed.docs.filter(pred)
-                .select(DOC_ID)
-                .collect()
-            ]
         if not text:
+            # filters-only: stay lazy — limit(cutoff) under the orderBy
+            # is TakeOrderedAndProject, so only cutoff rows ever reach
+            # the driver however weak the predicate is
             docs = self._packed.docs
             if pred is not None:
                 docs = docs.filter(pred)
@@ -301,6 +300,14 @@ class AdvancedRetriever(SparseRetriever):
                 .collect()
             )
             return {self._restore_id(r[self.id_field]): 1.0 for r in rows}
+        subset = None
+        if pred is not None:
+            subset = [
+                r[DOC_ID]
+                for r in self._packed.docs.filter(pred)
+                .select(DOC_ID)
+                .collect()
+            ]
         out = self._packed.msearch_df(
             [{"id": "_q", "text": text}],
             cutoff=cutoff,
@@ -314,3 +321,25 @@ class AdvancedRetriever(SparseRetriever):
             self._restore_id(r["doc_id"]): r["score"]
             for r in out.orderBy("rank").collect()
         }
+
+    def _attach_docs_packed(self, res: Dict) -> List[dict]:
+        """{id: score} → ordered [{**doc, id, score}] off the packed docs
+        table (same shape as SparseRetriever.search return_docs=True)."""
+        if not res:
+            return []
+        ids = list(res.keys())
+        docs = {
+            self._restore_id(r[self.id_field]): r.asDict()
+            for r in self._packed.docs.filter(
+                F.col(self.id_field).isin([str(i) for i in ids])
+            ).collect()
+        }
+        out = []
+        for i in ids:
+            d = dict(docs.get(i, {"id": i}))
+            for internal in (DOC_ID, "__enum__"):
+                d.pop(internal, None)
+            d["id"] = i
+            d["score"] = res[i]
+            out.append(d)
+        return out

@@ -70,6 +70,7 @@ def hashing_encoder(dim: int = 64, seed: int = 42) -> Callable:
         return texts.map(lambda t: _enc_one(t or ""))
 
     encode.dim = dim  # type: ignore[attr-defined]
+    encode.is_hashing_encoder = True  # type: ignore[attr-defined]
     return encode
 
 
@@ -107,6 +108,9 @@ class DenseRetriever:
     ):
         self.spark = spark
         self.index_name = index_name
+        self._default_encoder = encoder is None or getattr(
+            encoder, "is_hashing_encoder", False
+        )
         self.encoder = encoder or hashing_encoder()
         self.normalize = normalize
         self.use_ann = use_ann
@@ -174,9 +178,11 @@ class DenseRetriever:
         (id, embedding) — the .npy analog, dense_retriever.py:109-111)."""
         from .sources import read_collection
 
-        df = read_collection(self.spark, path, callback=callback)
         if embeddings_path is not None:
+            # pre-computed vectors: the collection file is not needed at
+            # all — don't read (or require) it
             return self.import_embeddings(embeddings_path)
+        df = read_collection(self.spark, path, callback=callback)
         return self.index(df, **kwargs)
 
     def import_embeddings(self, path: str) -> "DenseRetriever":
@@ -199,17 +205,40 @@ class DenseRetriever:
                     "normalize": self.normalize,
                     "use_ann": self.use_ann,
                     "n_bits": self.n_bits,
+                    # query encoder geometry: load() must reconstruct an
+                    # encoder in the SAME vector space as the saved corpus
+                    # embeddings, or fail loudly on a custom encoder
+                    "encoder_dim": (
+                        getattr(self.encoder, "dim", None)
+                        if self._default_encoder
+                        else None
+                    ),
                 },
                 f,
             )
         return path
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "DenseRetriever":
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        encoder: Optional[Callable] = None,
+    ) -> "DenseRetriever":
         with open(os.path.join(path, "manifest.json")) as f:
             m = json.load(f)
+        dim = m.get("encoder_dim")
+        if encoder is None:
+            if dim is None:
+                raise ValueError(
+                    "this index was built with a custom encoder; pass "
+                    "encoder= to DenseRetriever.load so queries live in "
+                    "the same vector space as the saved embeddings"
+                )
+            encoder = hashing_encoder(dim=int(dim))
         r = cls(
             spark,
+            encoder=encoder,
             normalize=m["normalize"],
             use_ann=m["use_ann"],
             n_bits=m["n_bits"],
@@ -409,9 +438,9 @@ class HybridRetriever:
         from .retriever import SparseRetriever
 
         sparse = SparseRetriever.load(spark, os.path.join(path, "sparse"))
-        dense = DenseRetriever.load(spark, os.path.join(path, "dense"))
-        if encoder is not None:
-            dense.encoder = encoder
+        dense = DenseRetriever.load(
+            spark, os.path.join(path, "dense"), encoder=encoder
+        )
         with open(os.path.join(path, "fusion.json")) as f:
             cfg = json.load(f)
         return cls(
@@ -501,6 +530,7 @@ class Encoder:
         self.max_length = max_length
         self.device = device
         self.dim = dim
+        self._custom_fn = fn is not None
         if fn is not None:
             self.fn = fn
         elif model == "hashing":
@@ -523,6 +553,12 @@ class Encoder:
     def bencode(self, texts: List[str], batch_size: int = 32) -> np.ndarray:
         out = self.fn(pd.Series(list(texts)))
         mat = np.asarray([np.asarray(v, dtype=np.float32) for v in out])
+        if self.normalize and mat.size:
+            # honor the flag for encoders that do not L2-normalize
+            # themselves (reference encoder.py:129-130); a no-op on
+            # already-unit vectors like the built-in hashing encoder
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = (mat / np.maximum(n, 1e-12)).astype(np.float32)
         return mat if self.return_numpy else mat.tolist()
 
     def encode_collection(
@@ -534,7 +570,21 @@ class Encoder:
     ) -> DataFrame:
         """Distributed collection encoding: one Arrow UDF pass, optional
         parquet sink (the npy-chunks analog, encoder.py:144-198)."""
-        enc = F.pandas_udf(self.fn, ArrayType(FloatType()))
+        base, normalize = self.fn, self.normalize
+
+        def _encode(texts: pd.Series) -> pd.Series:
+            out = base(texts)
+            if not normalize:
+                return out
+
+            def _norm(v):
+                a = np.asarray(v, dtype=np.float32)
+                n = float(np.linalg.norm(a))
+                return (a / max(n, 1e-12)).tolist()
+
+            return out.map(_norm)
+
+        enc = F.pandas_udf(_encode, ArrayType(FloatType()))
         emb = collection.select(
             F.col(id_col).alias("id"), enc(F.col(text_col)).alias("embedding")
         )
@@ -548,6 +598,14 @@ class Encoder:
     def save(self) -> str:
         from .paths import encoder_state_path
 
+        if self._custom_fn:
+            # a user callable cannot be serialized to JSON state; silently
+            # reconstructing the default encoder would put loaded queries
+            # in a different vector space than the saved corpus
+            raise ValueError(
+                "Encoder.save() cannot persist a custom fn= callable; "
+                "re-supply fn= to Encoder(...) instead of load()"
+            )
         state = dict(
             index_name=self.index_name, model=self.model,
             normalize=self.normalize, return_numpy=self.return_numpy,
@@ -578,10 +636,12 @@ class ANN_Searcher:
     scores) arrays).
 
     Spark-first redesign: instead of an autofaiss index file, ``build``
-    bucket-partitions the embedding table (sign-bit LSH by default, IVF
-    inverted lists with ``method="ivf"``) and persists it as parquet under
-    the named index dir — the 1000-executor layout where each query probes
-    one bucket's slice instead of scanning the corpus.
+    persists the embedding table as parquet under the named index dir —
+    bucket-partitioned by sign-bit hash for ``method="lsh"`` (each query
+    probes one bucket's slice instead of scanning the corpus); for
+    ``method="ivf"`` the coarse quantization runs inside ``ivf_topk`` at
+    query time (deterministic lowest-id centroids — swap in k-means lists
+    for production); ``method="exact"`` scans.
     """
 
     def __init__(self, index_name: str = "new-index", method: str = "lsh",

@@ -315,9 +315,11 @@ class PackedIndex:
             for t in missing:
                 cache[t] = 0
             missing = []
-        if missing and self._total_postings() <= 2_000_000:
+        if missing and self._total_postings() <= self._local_limit():
             # Small index (the driver-local query regime): one collect of
             # the whole vocabulary beats a driver job per fresh term set.
+            # Same tunable limit as the serving path, so the env knob
+            # governs ALL driver-side collects.
             for r in (
                 self.terms.groupBy("term")
                 .agg(F.sum("df").alias("df"))
@@ -552,14 +554,19 @@ class PackedIndex:
         through the distributed plan on a 100k-doc corpus) — the
         distributed plan stays the default above the threshold because
         its memory use is bounded per executor, not per driver."""
-        limit = int(
+        return self._total_postings() <= self._local_limit() and (
+            self.manifest.get("stages", {})
+            .get("shard_maps", {})
+            .get("completed", False)
+        )
+
+    @staticmethod
+    def _local_limit() -> int:
+        return int(
             os.environ.get(
                 "RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS", "2000000"
             )
         )
-        return self._total_postings() <= limit and self.manifest.get(
-            "stages", {}
-        ).get("shard_maps", {}).get("completed", False)
 
     def msearch_dicts(
         self,
@@ -777,6 +784,7 @@ def build_packed_index(
     prebuilt: Optional[SparseIndex] = None,
     doc_id_col_precomputed: Optional[str] = None,
     hyperparams: Optional[dict] = None,
+    model: Optional[str] = None,
 ) -> PackedIndex:
     """Build + persist the packed index; resumable per stage.
 
@@ -809,6 +817,11 @@ def build_packed_index(
         manifest["hyperparams"] = {
             k: float(v) for k, v in dict(hyperparams).items()
         }
+    if model is not None:
+        # the reference's saved state carries the retrieval model too
+        # (sparse_retriever.py:124-138 pickles init args); a tf-idf
+        # retriever must come back as tf-idf after load.
+        manifest["model"] = str(model)
 
     is_pruning = (
         isinstance(min_df, float) and min_df > 0.0 and min_df != 1

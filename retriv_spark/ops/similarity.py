@@ -230,8 +230,12 @@ def ivf_topk(
     touches n_probe inverted lists instead of the full corpus, exactly
     the bucket-join plan of ``lsh_topk`` with a learned-ish partitioner.
     """
+    # "lowest-id" via orderBy, not `id < n_centroids`: the comparison
+    # silently casts non-numeric ids to null (string ids -> zero
+    # centroids -> empty results); ordering works for any orderable id
+    # type and coincides with the filter for dense 0-based int ids.
     cents = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
+        corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("cent_vec"),
         )

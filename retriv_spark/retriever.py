@@ -19,6 +19,7 @@ Two input shapes are accepted by ``index``:
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 from typing import Dict, Iterable, List, Optional, Union
 
@@ -149,10 +150,19 @@ class SparseRetriever:
     def _postings_for_terms(self, query_terms: List[str]) -> dict:
         """Per-term sorted (doc_ids, tfs) arrays for a term list — the
         reference's posting fetch (sparse_retriever.py:252-258) as ONE
-        grouped scan over the flat postings relation."""
+        grouped scan over the flat postings relation.  Memoized on the
+        term set so the paired get_doc_ids/get_term_doc_freqs calls run
+        a single Spark job."""
         import numpy as np
 
         idx = self._require_index()
+        key = tuple(sorted(set(query_terms)))
+        cache = self.__dict__.setdefault("_postings_fetch_cache", {})
+        if cache.get("idx") is not idx:
+            cache.clear()
+            cache["idx"] = idx
+        if key in cache:
+            return cache[key]
         rows = (
             idx.flat.filter(F.col("term").isin(list(query_terms)))
             .groupBy("term")
@@ -169,20 +179,33 @@ class SparseRetriever:
                 np.asarray([p[DOC_ID] for p in r["post"]], dtype=np.int64),
                 np.asarray([p["tf"] for p in r["post"]], dtype=np.int32),
             )
+        if len(cache) > 8:  # bounded: idx marker + a few recent term sets
+            cache.clear()
+            cache["idx"] = idx
+        cache[key] = out
         return out
+
+    def _lookup_postings(self, post: dict, term: str):
+        if term not in post:
+            raise KeyError(
+                f"term {term!r} is not in the index vocabulary (OOV or "
+                "pruned by min_df) — filter query terms first, as the "
+                "reference does (sparse_retriever.py:277)"
+            )
+        return post[term]
 
     def get_term_doc_freqs(self, query_terms: List[str]) -> List:
         """Per-term tf arrays, aligned with ``query_terms`` (reference
         sparse_retriever.py:252-254; terms must be in-vocabulary there,
         same contract here)."""
         post = self._postings_for_terms(query_terms)
-        return [post[t][1] for t in query_terms]
+        return [self._lookup_postings(post, t)[1] for t in query_terms]
 
     def get_doc_ids(self, query_terms: List[str]) -> List:
         """Per-term sorted internal doc-id arrays (reference
         sparse_retriever.py:256-258)."""
         post = self._postings_for_terms(query_terms)
-        return [post[t][0] for t in query_terms]
+        return [self._lookup_postings(post, t)[0] for t in query_terms]
 
     # -- query-side helpers ----------------------------------------------------
 
@@ -372,7 +395,7 @@ class SparseRetriever:
         build_packed_index(
             self.spark, idx.docs, self.pre, path,
             id_col=idx.orig_id_col, n_shards=n_shards, prebuilt=idx,
-            hyperparams=self.hyperparams,
+            hyperparams=self.hyperparams, model=self.model,
         )
         return path
 
@@ -423,6 +446,7 @@ class PackedRetriever:
     def __init__(self, spark: SparkSession, path: str, kernel: str = "taat"):
         from .index.packed import load_packed_index
 
+        self.path = path
         self.spark = spark
         self.index_data = load_packed_index(spark, path)
         self.kernel = kernel
@@ -432,7 +456,34 @@ class PackedRetriever:
             dict(b=0.75, k1=1.2),
             **self.index_data.manifest.get("hyperparams", {}),
         )
-        self.model = "bm25"
+        # restore the retrieval model saved with the index (a tf-idf
+        # retriever must come back as tf-idf)
+        self.model = self.index_data.manifest.get("model", "bm25")
+
+    def save(self, path: str, n_shards: Optional[int] = None) -> str:
+        """Re-persist the loaded index at a new location with the
+        CURRENT (possibly retuned) hyperparams and model — makes
+        load → retune → save round-trip (the reference's autotune
+        re-saves the state, sparse_retriever.py:453-...)."""
+        import json as _json
+        import shutil
+
+        if os.path.abspath(path) != os.path.abspath(self.path):
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            shutil.copytree(self.path, path)
+        manifest_path = os.path.join(path, "manifest.json")
+        with open(manifest_path) as f:
+            manifest = _json.load(f)
+        manifest["hyperparams"] = {
+            k: float(v) for k, v in self.hyperparams.items()
+        }
+        manifest["model"] = self.model
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, manifest_path)
+        return path
 
     def msearch_df(self, queries, cutoff: int = 100, operator: str = "OR"):
         return self.index_data.msearch_df(

@@ -201,3 +201,44 @@ def test_get_term_doc_freqs_and_doc_ids(ar):
     assert len(doc_ids[1]) == 3 and set(tfs[1]) == {1}
     # doc-id universes agree: "spark" docs are a subset of "join" docs
     assert set(doc_ids[0]) <= set(np.concatenate(doc_ids))
+
+
+def test_loaded_retriever_return_docs_and_lazy_filters_only(ar, spark, tmp_path):
+    """Review-finding regressions: a load()-ed AdvancedRetriever's plain
+    string search honors return_docs (list of doc dicts, same shape as
+    the in-memory path), and filters-only queries stay lazy (no driver
+    collect of the full matching id set — verified by equality with the
+    in-memory path, shape asserted here)."""
+    path = str(tmp_path / "adv-rt")
+    ar.save(path)
+    r2 = AdvancedRetriever.load(spark, path)
+
+    a = ar.search("spark join", cutoff=3)           # list of dicts
+    b = r2.search("spark join", cutoff=3)
+    assert isinstance(b, list) and isinstance(a, list)
+    assert [d["id"] for d in a] == [d["id"] for d in b]
+    for da, db in zip(a, b):
+        assert da["text"] == db["text"]
+        assert da["score"] == pytest.approx(db["score"], rel=1e-6)
+
+    only = r2.search({"where": {"active": True}}, cutoff=2)
+    assert only == {"d1": 1.0, "d3": 1.0}
+
+
+def test_model_survives_advanced_roundtrip(spark, tmp_path):
+    """tf-idf AdvancedRetriever round-trips as tf-idf (review finding:
+    model was silently reset to bm25 on load)."""
+    r = AdvancedRetriever(spark, SCHEMA, model="tf-idf",
+                          stemmer=None, stopwords=None)
+    r.index(COLLECTION)
+    before = r.search({"text": "join", "where": {"lang": "en"}},
+                      return_docs=False)
+    p = str(tmp_path / "adv-tfidf")
+    r.save(p)
+    r2 = AdvancedRetriever.load(spark, p)
+    assert r2.model == "tf-idf"
+    after = r2.search({"text": "join", "where": {"lang": "en"}},
+                      return_docs=False)
+    assert before.keys() == after.keys()
+    for k in before:
+        assert before[k] == pytest.approx(after[k], rel=1e-6)

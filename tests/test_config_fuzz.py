@@ -59,8 +59,19 @@ def test_random_config_differential(spark, seed):
     for q in queries:
         exp = oracle.search(q["text"], cutoff=cutoff, model=model, k1=k1, b=b)
         g = got.get(q["id"], {})
-        assert set(g) == set(exp), (seed, q["id"])
+        # tolerate float32-tie swaps at the exact cutoff boundary (the
+        # reference leaves tie order unspecified, SURVEY §7): anything in
+        # the symmetric difference must score ~ the k-th score
+        sym = set(g) ^ set(exp)
+        if sym and exp:
+            kth = min(exp.values())
+            for d in sym:
+                s = g[d] if d in g else exp[d]
+                assert math.isclose(s, kth, rel_tol=2e-5, abs_tol=1e-6), (
+                    seed, q["id"], d, s, kth,
+                )
         for d, s in exp.items():
-            assert math.isclose(g[d], s, rel_tol=2e-5, abs_tol=1e-6), (
-                seed, q["id"], d, g[d], s,
-            )
+            if d in g:
+                assert math.isclose(g[d], s, rel_tol=2e-5, abs_tol=1e-6), (
+                    seed, q["id"], d, g[d], s,
+                )

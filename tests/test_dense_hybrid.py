@@ -354,3 +354,73 @@ def test_hybrid_save_load_roundtrip(spark, tmp_path):
         assert before[qi].keys() == after[qi].keys()
         for d in before[qi]:
             assert before[qi][d] == pytest.approx(after[qi][d], rel=1e-6)
+
+
+def test_review_fixes_dense_surfaces(spark, tmp_path):
+    """Regression pack for review findings: (1) tf-idf model survives a
+    save/load round-trip; (2) ANN ivf works with string ids; (3)
+    Encoder.save refuses an unserializable custom fn; (4) normalize=True
+    L2-normalizes a custom encoder's output; (5) DenseRetriever.load
+    restores the encoder dim (or demands one for custom encoders)."""
+    import json
+
+    import numpy as np
+
+    from retriv_spark import ANN_Searcher, Encoder, set_base_path
+
+    set_base_path(str(tmp_path / "base"))
+
+    # (1) model round-trip
+    sr = SparseRetriever(spark, model="tf-idf", stemmer=None, stopwords=None)
+    sr.index([{"id": d["id"], "text": d["text"]} for d in DOCS])
+    before = sr.msearch([{"id": "q", "text": "spark join"}], cutoff=4)
+    p = str(tmp_path / "tfidf-idx")
+    sr.save(p)
+    pr = SparseRetriever.load(spark, p)
+    assert pr.model == "tf-idf"
+    after = pr.msearch([{"id": "q", "text": "spark join"}], cutoff=4)
+    assert set(before["q"]) == set(after["q"])
+    for d, s in before["q"].items():
+        assert after["q"][d] == pytest.approx(s, rel=1e-6)
+
+    # (2) ivf over string ids returns non-empty exact-cosine hits
+    enc = Encoder(index_name="ivf-str", dim=16)
+    docs = spark.createDataFrame(DOCS)
+    emb = enc.encode_collection(docs, text_col="text", id_col="id")
+    ivf = ANN_Searcher("ivf-str", method="ivf", n_centroids=3,
+                       n_probe=2).build(emb)
+    ids, scores = ivf.search(enc.encode("spark join"), cutoff=3)
+    assert any(i != -1 for i in ids)
+
+    # (3) custom fn refuses to save
+    custom = Encoder(index_name="cust", fn=hashing_encoder(dim=8), dim=8)
+    with pytest.raises(ValueError, match="custom fn"):
+        custom.save()
+
+    # (4) normalize applies to encoders that don't self-normalize
+    def raw_fn(s):
+        return s.map(lambda t: [float(len(t or "")), 3.0, 4.0])
+
+    e = Encoder(index_name="rawn", fn=raw_fn, dim=3, normalize=True)
+    v = e.encode("ab")  # [2,3,4] -> unit
+    assert np.isclose(np.linalg.norm(v), 1.0, atol=1e-6)
+    emb2 = e.encode_collection(docs, text_col="text", id_col="id")
+    first = np.array(emb2.collect()[0]["embedding"])
+    assert np.isclose(np.linalg.norm(first), 1.0, atol=1e-6)
+
+    # (5) load restores dim for the default encoder, demands one for custom
+    dr = DenseRetriever(spark, encoder=hashing_encoder(dim=16),
+                        use_ann=False).index(docs)
+    dp = str(tmp_path / "dense16")
+    dr.save(dp)
+    d2 = DenseRetriever.load(spark, dp)
+    assert getattr(d2.encoder, "dim", None) == 16
+    q = [("q1", "spark join")]
+    assert dr.msearch(q, cutoff=3) == d2.msearch(q, cutoff=3)
+    with open(f"{dp}/manifest.json") as f:
+        m = json.load(f)
+    m["encoder_dim"] = None
+    with open(f"{dp}/manifest.json", "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="custom encoder"):
+        DenseRetriever.load(spark, dp)

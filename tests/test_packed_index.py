@@ -287,9 +287,22 @@ def test_random_query_differential(spark, packed, corpus, words):
         packed.msearch_df([{"id": "h", "text": text}], cutoff=25)
     ).get("h", {})
     exp = oracle.search(text, cutoff=25)
-    assert set(got) == set(exp), text
+    # Docs may legitimately swap at the exact cutoff boundary: float32
+    # accumulation order differs by a ulp between engine and oracle, and
+    # the reference leaves tie order unspecified (np.argsort on float32,
+    # bm25.py:57 vs :102).  Any symmetric-difference doc must therefore
+    # score within tolerance of the k-th (boundary) score.
+    sym = set(got) ^ set(exp)
+    if sym and exp:
+        kth = min(exp.values())
+        for d in sym:
+            s = got[d] if d in got else exp[d]
+            assert isclose(s, kth, rel_tol=REL_TOL), (text, d, s, kth)
     for doc_id, score in exp.items():
-        assert isclose(got[doc_id], score, rel_tol=REL_TOL), (text, doc_id)
+        if doc_id in got:
+            assert isclose(got[doc_id], score, rel_tol=REL_TOL), (
+                text, doc_id,
+            )
 
 
 def test_local_fast_path_equals_distributed(packed, monkeypatch):

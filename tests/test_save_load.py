@@ -76,3 +76,25 @@ def test_hyperparams_persist_with_saved_index(spark, shane_collection, tmp_path)
     assert set(a) == set(b)
     for d, s in a.items():
         assert isclose(b[d], s, rel_tol=REL_TOL)
+
+
+def test_packed_retriever_resave_roundtrip(spark, tmp_path):
+    """Review-finding regression: a load()-ed retriever can be re-saved
+    (load → retune → save), carrying the CURRENT hyperparams/model; a
+    load of the re-saved dir answers identically."""
+    from retriv_spark import SparseRetriever
+
+    sr = SparseRetriever(spark, stemmer=None, stopwords=None)
+    sr.index([{"id": i, "text": f"alpha beta gamma{i % 3}"} for i in range(30)])
+    p1 = str(tmp_path / "p1")
+    sr.save(p1)
+
+    pr = SparseRetriever.load(spark, p1)
+    pr.hyperparams = dict(k1=2.0, b=0.3)   # "retuned"
+    p2 = str(tmp_path / "p2")
+    pr.save(p2)
+
+    pr2 = SparseRetriever.load(spark, p2)
+    assert pr2.hyperparams == dict(k1=2.0, b=0.3)
+    q = [{"id": "q", "text": "alpha gamma1"}]
+    assert pr.msearch(q, cutoff=5) == pr2.msearch(q, cutoff=5)
