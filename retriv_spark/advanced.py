@@ -155,10 +155,20 @@ class AdvancedRetriever(SparseRetriever):
     # index dir so load() restores the full filtered-search surface) ------
 
     def save(self, path: str, n_shards: Optional[int] = None) -> str:
-        out = super().save(path, n_shards=n_shards)
+        if self._packed is not None:
+            # load → retune → save: re-persist the packed dir with the
+            # current hyperparams/model (no in-memory index to rebuild)
+            from .retriever import resave_packed_dir
+
+            resave_packed_dir(
+                self._packed.path, path,
+                hyperparams=self.hyperparams, model=self.model,
+            )
+        else:
+            super().save(path, n_shards=n_shards)
         with open(os.path.join(path, "schema.json"), "w") as f:
             json.dump(self.schema, f)
-        return out
+        return path
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "AdvancedRetriever":
@@ -325,21 +335,8 @@ class AdvancedRetriever(SparseRetriever):
     def _attach_docs_packed(self, res: Dict) -> List[dict]:
         """{id: score} → ordered [{**doc, id, score}] off the packed docs
         table (same shape as SparseRetriever.search return_docs=True)."""
-        if not res:
-            return []
-        ids = list(res.keys())
-        docs = {
-            self._restore_id(r[self.id_field]): r.asDict()
-            for r in self._packed.docs.filter(
-                F.col(self.id_field).isin([str(i) for i in ids])
-            ).collect()
-        }
-        out = []
-        for i in ids:
-            d = dict(docs.get(i, {"id": i}))
-            for internal in (DOC_ID, "__enum__"):
-                d.pop(internal, None)
-            d["id"] = i
-            d["score"] = res[i]
-            out.append(d)
-        return out
+        from .retriever import attach_docs
+
+        return attach_docs(
+            self._packed.docs, self.id_field, res, self._restore_id
+        )

@@ -227,7 +227,10 @@ class DenseRetriever:
     ) -> "DenseRetriever":
         with open(os.path.join(path, "manifest.json")) as f:
             m = json.load(f)
-        dim = m.get("encoder_dim")
+        # back-compat: manifests written before encoder_dim existed were
+        # all default-encoder saves (dim 64) — only an EXPLICIT null
+        # marks a custom-encoder index
+        dim = m["encoder_dim"] if "encoder_dim" in m else 64
         if encoder is None:
             if dim is None:
                 raise ValueError(
@@ -236,6 +239,13 @@ class DenseRetriever:
                     "the same vector space as the saved embeddings"
                 )
             encoder = hashing_encoder(dim=int(dim))
+        elif dim is not None and getattr(encoder, "dim", None) not in (
+            None, int(dim),
+        ):
+            raise ValueError(
+                f"encoder dim {getattr(encoder, 'dim', None)} does not "
+                f"match the saved embedding dim {dim}"
+            )
         r = cls(
             spark,
             encoder=encoder,

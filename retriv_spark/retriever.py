@@ -197,15 +197,16 @@ class SparseRetriever:
     def get_term_doc_freqs(self, query_terms: List[str]) -> List:
         """Per-term tf arrays, aligned with ``query_terms`` (reference
         sparse_retriever.py:252-254; terms must be in-vocabulary there,
-        same contract here)."""
+        same contract here).  Returns copies — callers may mutate
+        without poisoning the fetch cache."""
         post = self._postings_for_terms(query_terms)
-        return [self._lookup_postings(post, t)[1] for t in query_terms]
+        return [self._lookup_postings(post, t)[1].copy() for t in query_terms]
 
     def get_doc_ids(self, query_terms: List[str]) -> List:
         """Per-term sorted internal doc-id arrays (reference
-        sparse_retriever.py:256-258)."""
+        sparse_retriever.py:256-258).  Returns copies."""
         post = self._postings_for_terms(query_terms)
-        return [self._lookup_postings(post, t)[0] for t in query_terms]
+        return [self._lookup_postings(post, t)[0].copy() for t in query_terms]
 
     # -- query-side helpers ----------------------------------------------------
 
@@ -301,25 +302,8 @@ class SparseRetriever:
         )["_q"]
         if not return_docs:
             return res
-        if not res:
-            return []
         idx = self._require_index()
-        ids = list(res.keys())
-        docs = {
-            self._restore_id(r["id"]): r.asDict()
-            for r in idx.docs.filter(
-                F.col(idx.orig_id_col).isin([str(i) for i in ids])
-            ).collect()
-        }
-        out = []
-        for i in ids:
-            d = dict(docs.get(i, {"id": i}))
-            for internal in (DOC_ID, "__enum__"):
-                d.pop(internal, None)
-            d["id"] = i
-            d["score"] = res[i]
-            out.append(d)
-        return out
+        return attach_docs(idx.docs, idx.orig_id_col, res, self._restore_id)
 
     def get_doc(self, doc_id) -> Optional[dict]:
         """Random-access document fetch by original id (reference
@@ -438,6 +422,68 @@ class SparseRetriever:
         return self.hyperparams
 
 
+def attach_docs(docs_df: DataFrame, id_col: str, res: Dict, restore_id) -> list:
+    """{orig_id: score} → ordered [{**doc, id, score}] off a docs table —
+    the reference's prepare_results (base_retriever.py:70-77), shared by
+    the in-memory and packed search surfaces."""
+    if not res:
+        return []
+    ids = list(res.keys())
+    docs = {
+        restore_id(r[id_col]): r.asDict()
+        for r in docs_df.filter(
+            F.col(id_col).isin([str(i) for i in ids])
+        ).collect()
+    }
+    out = []
+    for i in ids:
+        d = dict(docs.get(i, {"id": i}))
+        for internal in (DOC_ID, "__enum__"):
+            d.pop(internal, None)
+        d["id"] = i
+        d["score"] = res[i]
+        out.append(d)
+    return out
+
+
+def resave_packed_dir(
+    src: str, dst: str, hyperparams: dict, model: str
+) -> str:
+    """Copy a packed-index dir to ``dst`` and stamp the CURRENT
+    hyperparams/model into its manifest.  Refuses destinations that
+    exist but are not packed indexes (no blind rmtree of arbitrary
+    directories) and destinations nested inside the source."""
+    import json as _json
+    import shutil
+
+    src_abs, dst_abs = os.path.abspath(src), os.path.abspath(dst)
+    if dst_abs != src_abs:
+        if dst_abs.startswith(src_abs + os.sep):
+            raise ValueError(
+                f"save destination {dst!r} is inside the source index"
+            )
+        if os.path.isfile(dst_abs):
+            raise ValueError(f"save destination {dst!r} is a file")
+        if os.path.isdir(dst_abs):
+            if not os.path.isfile(os.path.join(dst_abs, "manifest.json")):
+                raise ValueError(
+                    f"save destination {dst!r} exists and is not a packed "
+                    "index — refusing to delete it"
+                )
+            shutil.rmtree(dst_abs)
+        shutil.copytree(src_abs, dst_abs)
+    manifest_path = os.path.join(dst_abs, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = _json.load(f)
+    manifest["hyperparams"] = {k: float(v) for k, v in hyperparams.items()}
+    manifest["model"] = model
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, manifest_path)
+    return dst
+
+
 class PackedRetriever:
     """Search surface over a persisted packed index (load path of
     ``SparseRetriever.save``). Same msearch/search dict outputs as
@@ -460,30 +506,14 @@ class PackedRetriever:
         # retriever must come back as tf-idf)
         self.model = self.index_data.manifest.get("model", "bm25")
 
-    def save(self, path: str, n_shards: Optional[int] = None) -> str:
+    def save(self, path: str) -> str:
         """Re-persist the loaded index at a new location with the
         CURRENT (possibly retuned) hyperparams and model — makes
         load → retune → save round-trip (the reference's autotune
         re-saves the state, sparse_retriever.py:453-...)."""
-        import json as _json
-        import shutil
-
-        if os.path.abspath(path) != os.path.abspath(self.path):
-            if os.path.isdir(path):
-                shutil.rmtree(path)
-            shutil.copytree(self.path, path)
-        manifest_path = os.path.join(path, "manifest.json")
-        with open(manifest_path) as f:
-            manifest = _json.load(f)
-        manifest["hyperparams"] = {
-            k: float(v) for k, v in self.hyperparams.items()
-        }
-        manifest["model"] = self.model
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(manifest, f, indent=2, sort_keys=True)
-        os.replace(tmp, manifest_path)
-        return path
+        return resave_packed_dir(
+            self.path, path, hyperparams=self.hyperparams, model=self.model
+        )
 
     def msearch_df(self, queries, cutoff: int = 100, operator: str = "OR"):
         return self.index_data.msearch_df(

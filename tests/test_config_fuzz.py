@@ -62,8 +62,12 @@ def test_random_config_differential(spark, seed):
         # tolerate float32-tie swaps at the exact cutoff boundary (the
         # reference leaves tie order unspecified, SURVEY §7): anything in
         # the symmetric difference must score ~ the k-th score
+        if not exp:
+            assert not g, (seed, q["id"])
         sym = set(g) ^ set(exp)
-        if sym and exp:
+        if sym:
+            # boundary swaps are only legitimate when the cutoff binds
+            assert len(exp) == cutoff, (seed, q["id"], sym)
             kth = min(exp.values())
             for d in sym:
                 s = g[d] if d in g else exp[d]

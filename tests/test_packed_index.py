@@ -292,8 +292,12 @@ def test_random_query_differential(spark, packed, corpus, words):
     # the reference leaves tie order unspecified (np.argsort on float32,
     # bm25.py:57 vs :102).  Any symmetric-difference doc must therefore
     # score within tolerance of the k-th (boundary) score.
+    if not exp:
+        assert not got, text  # oracle empty ⇒ engine empty, no excuses
     sym = set(got) ^ set(exp)
-    if sym and exp:
+    if sym:
+        # boundary swaps are only legitimate when the cutoff binds
+        assert len(exp) == 25, (text, sym)
         kth = min(exp.values())
         for d in sym:
             s = got[d] if d in got else exp[d]

@@ -1,6 +1,7 @@
 """SparseRetriever.save / load / delete round-trip (reference API parity:
 sparse_retriever.py:124-174, base_retriever.py:20-26)."""
 
+import pytest
 import os
 from math import isclose
 
@@ -98,3 +99,99 @@ def test_packed_retriever_resave_roundtrip(spark, tmp_path):
     assert pr2.hyperparams == dict(k1=2.0, b=0.3)
     q = [{"id": "q", "text": "alpha gamma1"}]
     assert pr.msearch(q, cutoff=5) == pr2.msearch(q, cutoff=5)
+
+
+def test_resave_destination_safety(spark, tmp_path):
+    """resave refuses non-index destinations, files, and dirs nested
+    inside the source (review finding: blind rmtree of arbitrary
+    directories)."""
+    from retriv_spark import SparseRetriever
+
+    sr = SparseRetriever(spark, stemmer=None, stopwords=None)
+    sr.index([{"id": i, "text": "alpha beta"} for i in range(5)])
+    p1 = str(tmp_path / "src")
+    sr.save(p1)
+    pr = SparseRetriever.load(spark, p1)
+
+    not_index = tmp_path / "precious"
+    not_index.mkdir()
+    (not_index / "data.txt").write_text("keep me")
+    with pytest.raises(ValueError, match="not a packed index"):
+        pr.save(str(not_index))
+    assert (not_index / "data.txt").read_text() == "keep me"
+
+    f = tmp_path / "somefile"
+    f.write_text("x")
+    with pytest.raises(ValueError, match="is a file"):
+        pr.save(str(f))
+
+    with pytest.raises(ValueError, match="inside the source"):
+        pr.save(p1 + "/backup")
+
+
+def test_advanced_load_retune_save(spark, tmp_path):
+    """A load()-ed AdvancedRetriever re-saves (schema + retuned
+    hyperparams ride along) and the re-saved dir loads and answers
+    identically (review finding: advanced resave crashed)."""
+    from retriv_spark.advanced import AdvancedRetriever
+
+    schema = {"id": "id", "text": "text", "lang": "keyword"}
+    ar = AdvancedRetriever(spark, schema, stemmer=None, stopwords=None)
+    ar.index([
+        {"id": "a", "text": "spark join", "lang": "en"},
+        {"id": "b", "text": "flink join", "lang": "de"},
+    ])
+    p1 = str(tmp_path / "a1")
+    ar.save(p1)
+    r2 = AdvancedRetriever.load(spark, p1)
+    r2.hyperparams = dict(k1=2.0, b=0.1)
+    p2 = str(tmp_path / "a2")
+    r2.save(p2)
+    r3 = AdvancedRetriever.load(spark, p2)
+    assert r3.schema == schema
+    assert r3.hyperparams["k1"] == 2.0
+    q = {"text": "join", "where": {"lang": "en"}}
+    a = r2.search(q, return_docs=False)
+    b = r3.search(q, return_docs=False)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-6)
+
+
+def test_dense_manifest_backcompat_and_dim_check(spark, tmp_path):
+    """Manifests without encoder_dim (pre-existing saves) load with the
+    historical default encoder (dim 64); an explicitly passed encoder
+    with a mismatched dim fails loudly (review findings)."""
+    import json
+
+    from retriv_spark.dense import DenseRetriever, hashing_encoder
+
+    docs = spark.createDataFrame([{"id": "a", "text": "x y"}])
+    dr = DenseRetriever(spark, use_ann=False).index(docs)
+    p = str(tmp_path / "d")
+    dr.save(p)
+    with open(f"{p}/manifest.json") as f:
+        m = json.load(f)
+    del m["encoder_dim"]  # simulate an old save
+    with open(f"{p}/manifest.json", "w") as f:
+        json.dump(m, f)
+    d2 = DenseRetriever.load(spark, p)
+    assert getattr(d2.encoder, "dim", None) == 64
+
+    with pytest.raises(ValueError, match="does not match"):
+        DenseRetriever.load(spark, p, encoder=hashing_encoder(dim=16))
+
+
+def test_posting_fetch_cache_immutable(spark):
+    """Mutating returned posting arrays must not poison later fetches
+    (review finding: cache returned shared arrays)."""
+    from retriv_spark import SparseRetriever
+
+    sr = SparseRetriever(spark, stemmer=None, stopwords=None)
+    sr.index([{"id": i, "text": "alpha beta beta"} for i in range(4)])
+    a1 = sr.get_doc_ids(["beta"])[0]
+    a1[:] = -1
+    a2 = sr.get_doc_ids(["beta"])[0]
+    assert (a2 >= 0).all()
+    t1 = sr.get_term_doc_freqs(["beta"])[0]
+    assert (t1 == 2).all()
