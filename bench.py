@@ -165,6 +165,17 @@ def main():
     query_sec = time.perf_counter() - t0
     timings["msearch_512"] = round(query_sec, 3)
 
+    # -- headline: single-query latency (the reference's `search` loop,
+    # docs/speed.md measures exactly this protocol: one query at a time) --
+    singles = batch[:64]
+    t0 = time.perf_counter()
+    for q in singles:
+        d = idx.msearch_dicts([q], cutoff=100)
+        if d is None:
+            idx.msearch_df([q], cutoff=100).count()
+    single_sec = time.perf_counter() - t0
+    timings["search_64x1"] = round(single_sec, 3)
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -178,6 +189,7 @@ def main():
                 "n_docs": n_docs,
                 "index_build_docs_per_sec": round(n_docs / build_sec, 1),
                 "query_qps": round(n_queries / query_sec, 1),
+                "single_query_qps": round(len(singles) / single_sec, 1),
                 "n_result_rows": n_res,
             }
         )

@@ -407,7 +407,14 @@ class PackedIndex:
             cache["maps"] = self.io.read("shard_maps").toPandas()
             cache["decoded"] = {}
             cache["vecs"] = {}
-        post = cache["post"]
+            # pre-group rows once: per-call pandas isin+groupby measured
+            # as the dominant cost of single-query serving
+            by_shard: Dict[int, Dict[str, list]] = {}
+            for row in cache["post"].to_dict("records"):
+                by_shard.setdefault(int(row["shard"]), {}).setdefault(
+                    row["term"], []
+                ).append(row)
+            cache["by_shard"] = by_shard
         maps = cache["maps"]
         # Decoded postings and dense partial-score vectors are immutable
         # per index version — reusing them across batches removes the
@@ -420,7 +427,6 @@ class PackedIndex:
         terms_needed = sorted(
             {t for tl in qmap_idx.values() for t, _ in tl}
         )
-        sel = post[post["term"].isin(terms_needed)]
         kern = make_shard_kernel(
             qmap=qmap_idx, df_by_term=df_by_term,
             doc_count=self.doc_count, avg_doc_len=self.avg_doc_len,
@@ -429,7 +435,12 @@ class PackedIndex:
             subset_doc_ids=subset_doc_ids,
             decoded_cache=cache["decoded"], vec_cache=cache["vecs"],
         )
-        parts = [kern(g) for _, g in sel.groupby("shard", sort=True)]
+        parts = []
+        for shard in sorted(cache["by_shard"]):
+            tmap = cache["by_shard"][shard]
+            rows = [r for t in terms_needed if t in tmap for r in tmap[t]]
+            if rows:
+                parts.append(kern(rows))
         t = self.manifest.get("orig_id_sql_type", "string")
         to_int = ("int" in t) or t in ("long", "bigint")
         if not parts:

@@ -130,8 +130,15 @@ def make_shard_kernel(
         else None
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
+    def fn(pdf) -> pd.DataFrame:
+        # Accepts a pandas DataFrame (the applyInPandas distributed path)
+        # OR a plain list of row dicts (the driver-local path, which
+        # pre-groups rows once per cache fill — per-call pandas slicing
+        # measured as the dominant cost of single-query serving).
+        records = pdf if isinstance(pdf, list) else (
+            pdf.to_dict("records") if len(pdf) else []
+        )
+        if not records:
             return pd.DataFrame(
                 {
                     "q_idx": pd.Series([], dtype="int32"),
@@ -139,7 +146,7 @@ def make_shard_kernel(
                     "score": pd.Series([], dtype="float32"),
                 }
             )
-        shard = int(pdf["shard"].iloc[0])
+        shard = int(records[0]["shard"])
         base = shard * span
         sub_mask = None
         if subset is not None:
@@ -154,7 +161,7 @@ def make_shard_kernel(
         # iterrows: per-row Series construction measured ~10x the cost of
         # plain dicts at 10^3-10^4 matched segments per shard.)
         rows_by_term: dict = {}
-        for row in pdf.to_dict("records"):
+        for row in records:
             rows_by_term.setdefault(row["term"], []).append(row)
 
         out_q, out_d, out_s = [], [], []
