@@ -34,6 +34,10 @@ IMAGE_FEATURE_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = (
     "media_id long, frame_idx int, ts_ms long, frame_png binary"
 )
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, duration_ms long, sample_rate int, rms float, "
+    "zero_crossings int"
+)
 
 
 def _stub_rng(payload: bytes) -> np.random.Generator:
@@ -165,3 +169,57 @@ def sample_video_frames(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, FRAME_SAMPLE_SCHEMA)
+
+
+def audio_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Optional[Callable[[bytes], tuple]] = None,
+) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: decode →
+    (duration, sample_rate, RMS loudness, zero-crossing count).  Only the
+    decode is stubbed (``decoder(payload) -> (pcm: np.float32[],
+    sample_rate: int)``, deterministic fake PCM by default); the feature
+    math is real numpy over whatever PCM the decoder yields.  Raises
+    NotImplementedError from the stub on real container magic bytes
+    (WAV/FLAC/MP3/OGG) — fabricating features for real audio would be
+    worse than failing.
+    """
+
+    def stub(payload: bytes) -> tuple:
+        head = bytes(payload[:4])
+        if head in (b"RIFF", b"fLaC", b"OggS") or head[:3] == b"ID3":
+            raise NotImplementedError(
+                "real audio container detected; install a decoder and pass "
+                "decoder= (stub only fabricates PCM for synthetic payloads)"
+            )
+        rng = _stub_rng(payload)
+        n = int(rng.integers(800, 16000))
+        pcm = rng.standard_normal(n).astype(np.float32) * 0.1
+        return pcm, 16000
+
+    decode = decoder or stub
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                pcm, sr = decode(bytes(payload))
+                pcm = np.asarray(pcm, dtype=np.float32)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "duration_ms": int(len(pcm) * 1000 // max(sr, 1)),
+                        "sample_rate": int(sr),
+                        "rms": float(np.sqrt(np.mean(pcm * pcm)))
+                        if pcm.size
+                        else 0.0,
+                        "zero_crossings": int(
+                            np.count_nonzero(np.diff(np.signbit(pcm)))
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, AUDIO_FEATURE_SCHEMA)

@@ -55,3 +55,44 @@ def test_real_container_raises(spark):
     )
     with pytest.raises(Exception, match="real video container"):
         sample_video_frames(df).collect()
+
+
+def test_audio_features(spark):
+    """Audio verb of the multimodal surface: deterministic stub PCM →
+    real numpy features (duration/rate/rms/zero-crossings); identical
+    payload ⇒ identical features across calls and parallelism; real
+    container magic refuses loudly; an injected decoder's PCM drives
+    the exact numpy math."""
+    import numpy as np
+    import pytest
+
+    from retriv_spark.ops.multimodal import audio_features
+
+    media = spark.createDataFrame(
+        [(i, f"clip-{i % 3}".encode()) for i in range(6)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert len(rows) == 6
+    # same payload -> same features (deterministic stub)
+    for i in range(3):
+        a, b = rows[i], rows[i + 3]
+        assert (a["duration_ms"], a["rms"], a["zero_crossings"]) == (
+            b["duration_ms"], b["rms"], b["zero_crossings"],
+        )
+        assert a["sample_rate"] == 16000 and a["duration_ms"] > 0
+
+    wav = spark.createDataFrame(
+        [(0, b"RIFF....WAVEfmt ")], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="real audio container"):
+        audio_features(wav).collect()
+
+    # injected decoder: a 1-second 4-sample alternating signal
+    def dec(payload):
+        return np.array([0.5, -0.5, 0.5, -0.5], dtype=np.float32), 4
+
+    got = audio_features(wav, decoder=dec).collect()[0]
+    assert got["duration_ms"] == 1000
+    assert got["rms"] == pytest.approx(0.5)
+    assert got["zero_crossings"] == 3
