@@ -155,11 +155,18 @@ class AdvancedRetriever(SparseRetriever):
     # index dir so load() restores the full filtered-search surface) ------
 
     def save(self, path: str, n_shards: Optional[int] = None) -> str:
-        if self._packed is not None:
+        # a freshly built in-memory index (index() after load()) always
+        # wins over the stale packed dir the retriever was loaded from
+        if self._packed is not None and self.index_data is None:
             # load → retune → save: re-persist the packed dir with the
             # current hyperparams/model (no in-memory index to rebuild)
             from .retriever import resave_packed_dir
 
+            if n_shards is not None:
+                raise ValueError(
+                    "re-saving a loaded index cannot reshard it; call "
+                    "index() first or rebuild with build_packed_index"
+                )
             resave_packed_dir(
                 self._packed.path, path,
                 hyperparams=self.hyperparams, model=self.model,
@@ -188,6 +195,7 @@ class AdvancedRetriever(SparseRetriever):
         if not isinstance(collection, DataFrame):
             collection = self.spark.createDataFrame(collection)
         validate_schema(self.schema, collection)
+        self._packed = None  # a fresh build supersedes any loaded index
         return super().index(
             collection,
             text_col=self.text_field,

@@ -70,6 +70,7 @@ def hashing_encoder(dim: int = 64, seed: int = 42) -> Callable:
         return texts.map(lambda t: _enc_one(t or ""))
 
     encode.dim = dim  # type: ignore[attr-defined]
+    encode.seed = seed  # type: ignore[attr-defined]
     encode.is_hashing_encoder = True  # type: ignore[attr-defined]
     return encode
 
@@ -213,6 +214,13 @@ class DenseRetriever:
                         if self._default_encoder
                         else None
                     ),
+                    # the seed is part of the hashing vector-space
+                    # identity — same dim, different seed = garbage scores
+                    "encoder_seed": (
+                        getattr(self.encoder, "seed", None)
+                        if self._default_encoder
+                        else None
+                    ),
                 },
                 f,
             )
@@ -227,25 +235,42 @@ class DenseRetriever:
     ) -> "DenseRetriever":
         with open(os.path.join(path, "manifest.json")) as f:
             m = json.load(f)
-        # back-compat: manifests written before encoder_dim existed were
-        # all default-encoder saves (dim 64) — only an EXPLICIT null
-        # marks a custom-encoder index
-        dim = m["encoder_dim"] if "encoder_dim" in m else 64
+        # encoder geometry back-compat: a manifest WITHOUT the key
+        # predates geometry tracking — dim unknown, no mismatch check,
+        # historical default encoder when none is passed; an EXPLICIT
+        # null marks a custom-encoder save that MUST get encoder=.
+        dim_known = "encoder_dim" in m
+        dim = m.get("encoder_dim")
         if encoder is None:
-            if dim is None:
+            if dim_known and dim is None:
                 raise ValueError(
                     "this index was built with a custom encoder; pass "
                     "encoder= to DenseRetriever.load so queries live in "
                     "the same vector space as the saved embeddings"
                 )
-            encoder = hashing_encoder(dim=int(dim))
-        elif dim is not None and getattr(encoder, "dim", None) not in (
-            None, int(dim),
-        ):
-            raise ValueError(
-                f"encoder dim {getattr(encoder, 'dim', None)} does not "
-                f"match the saved embedding dim {dim}"
-            )
+            if dim_known:
+                encoder = hashing_encoder(
+                    dim=int(dim), seed=int(m.get("encoder_seed") or 42)
+                )
+            else:
+                encoder = hashing_encoder()  # pre-tracking default save
+        elif dim_known and dim is not None:
+            if getattr(encoder, "dim", None) not in (None, int(dim)):
+                raise ValueError(
+                    f"encoder dim {getattr(encoder, 'dim', None)} does "
+                    f"not match the saved embedding dim {dim}"
+                )
+            saved_seed = m.get("encoder_seed")
+            enc_seed = getattr(encoder, "seed", None)
+            if (
+                saved_seed is not None
+                and enc_seed is not None
+                and int(enc_seed) != int(saved_seed)
+            ):
+                raise ValueError(
+                    f"encoder seed {enc_seed} does not match the saved "
+                    f"encoder seed {saved_seed}"
+                )
         r = cls(
             spark,
             encoder=encoder,

@@ -402,15 +402,16 @@ class PackedIndex:
         if cache.get("ver") != ver:
             cache.clear()
             cache["ver"] = ver
-        if "post" not in cache:
-            cache["post"] = self.postings.toPandas()
+        if "by_shard" not in cache:
             cache["maps"] = self.io.read("shard_maps").toPandas()
             cache["decoded"] = {}
             cache["vecs"] = {}
             # pre-group rows once: per-call pandas isin+groupby measured
-            # as the dominant cost of single-query serving
+            # as the dominant cost of single-query serving.  The pandas
+            # frame itself is NOT retained — by_shard is the only
+            # structure the query path reads.
             by_shard: Dict[int, Dict[str, list]] = {}
-            for row in cache["post"].to_dict("records"):
+            for row in self.postings.toPandas().to_dict("records"):
                 by_shard.setdefault(int(row["shard"]), {}).setdefault(
                     row["term"], []
                 ).append(row)
@@ -438,9 +439,9 @@ class PackedIndex:
         parts = []
         for shard in sorted(cache["by_shard"]):
             tmap = cache["by_shard"][shard]
-            rows = [r for t in terms_needed if t in tmap for r in tmap[t]]
-            if rows:
-                parts.append(kern(rows))
+            sel = {t: tmap[t] for t in terms_needed if t in tmap}
+            if sel:
+                parts.append(kern(sel))
         t = self.manifest.get("orig_id_sql_type", "string")
         to_int = ("int" in t) or t in ("long", "bigint")
         if not parts:

@@ -189,7 +189,15 @@ def audio_features(
 
     def stub(payload: bytes) -> tuple:
         head = bytes(payload[:4])
-        if head in (b"RIFF", b"fLaC", b"OggS") or head[:3] == b"ID3":
+        is_real = (
+            head in (b"RIFF", b"fLaC", b"OggS")
+            or head[:3] == b"ID3"
+            # raw MPEG audio frame sync (tagless MP3/AAC-ADTS streams)
+            or (len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0)
+            # ISO-BMFF (M4A/MP4): size box followed by 'ftyp'
+            or bytes(payload[4:8]) == b"ftyp"
+        )
+        if is_real:
             raise NotImplementedError(
                 "real audio container detected; install a decoder and pass "
                 "decoder= (stub only fabricates PCM for synthetic payloads)"

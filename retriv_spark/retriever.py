@@ -462,10 +462,17 @@ def resave_packed_dir(
             raise ValueError(
                 f"save destination {dst!r} is inside the source index"
             )
+        if src_abs.startswith(dst_abs + os.sep):
+            # rmtree(dst) would delete the SOURCE nested under it
+            raise ValueError(
+                f"source index is inside save destination {dst!r}"
+            )
         if os.path.isfile(dst_abs):
             raise ValueError(f"save destination {dst!r} is a file")
         if os.path.isdir(dst_abs):
-            if not os.path.isfile(os.path.join(dst_abs, "manifest.json")):
+            if os.listdir(dst_abs) and not os.path.isfile(
+                os.path.join(dst_abs, "manifest.json")
+            ):
                 raise ValueError(
                     f"save destination {dst!r} exists and is not a packed "
                     "index — refusing to delete it"
@@ -506,11 +513,18 @@ class PackedRetriever:
         # retriever must come back as tf-idf)
         self.model = self.index_data.manifest.get("model", "bm25")
 
-    def save(self, path: str) -> str:
+    def save(self, path: str, n_shards: Optional[int] = None) -> str:
         """Re-persist the loaded index at a new location with the
         CURRENT (possibly retuned) hyperparams and model — makes
         load → retune → save round-trip (the reference's autotune
-        re-saves the state, sparse_retriever.py:453-...)."""
+        re-saves the state, sparse_retriever.py:453-...).  Resharding a
+        loaded index is not supported — rebuild with
+        ``build_packed_index(n_shards=...)`` instead."""
+        if n_shards is not None:
+            raise ValueError(
+                "re-saving a loaded index cannot reshard it; rebuild with "
+                "build_packed_index(n_shards=...) to change the geometry"
+            )
         return resave_packed_dir(
             self.path, path, hyperparams=self.hyperparams, model=self.model
         )

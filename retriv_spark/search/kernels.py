@@ -132,13 +132,27 @@ def make_shard_kernel(
 
     def fn(pdf) -> pd.DataFrame:
         # Accepts a pandas DataFrame (the applyInPandas distributed path)
-        # OR a plain list of row dicts (the driver-local path, which
-        # pre-groups rows once per cache fill — per-call pandas slicing
-        # measured as the dominant cost of single-query serving).
-        records = pdf if isinstance(pdf, list) else (
-            pdf.to_dict("records") if len(pdf) else []
-        )
-        if not records:
+        # OR a pre-grouped {term: [row dicts]} mapping (the driver-local
+        # path, grouped once per cache fill — per-call pandas slicing and
+        # regrouping measured as the dominant cost of single-query
+        # serving).
+        if isinstance(pdf, dict):
+            rows_by_term = pdf
+            first = next(iter(rows_by_term.values()), None)
+            if not first:
+                rows_by_term = {}
+        else:
+            # a term may have SEVERAL segments in one shard (streaming
+            # appends add new segments without rewriting old ones) — doc
+            # ranges are disjoint, so they simply concatenate.
+            # (to_dict("records"), not iterrows: per-row Series
+            # construction measured ~10x the cost of plain dicts at
+            # 10^3-10^4 matched segments per shard.)
+            rows_by_term = {}
+            records = pdf.to_dict("records") if len(pdf) else []
+            for row in records:
+                rows_by_term.setdefault(row["term"], []).append(row)
+        if not rows_by_term:
             return pd.DataFrame(
                 {
                     "q_idx": pd.Series([], dtype="int32"),
@@ -146,7 +160,7 @@ def make_shard_kernel(
                     "score": pd.Series([], dtype="float32"),
                 }
             )
-        shard = int(records[0]["shard"])
+        shard = int(next(iter(rows_by_term.values()))[0]["shard"])
         base = shard * span
         sub_mask = None
         if subset is not None:
@@ -154,15 +168,6 @@ def make_shard_kernel(
             sl_hi = np.searchsorted(subset, base + span)
             sub_mask = np.zeros(span, dtype=bool)
             sub_mask[subset[sl_lo:sl_hi] - base] = True
-
-        # a term may have SEVERAL segments in one shard (streaming appends
-        # add new segments without rewriting old ones) — doc ranges are
-        # disjoint, so they simply concatenate.  (to_dict("records"), not
-        # iterrows: per-row Series construction measured ~10x the cost of
-        # plain dicts at 10^3-10^4 matched segments per shard.)
-        rows_by_term: dict = {}
-        for row in records:
-            rows_by_term.setdefault(row["term"], []).append(row)
 
         out_q, out_d, out_s = [], [], []
 

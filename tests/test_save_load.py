@@ -172,14 +172,24 @@ def test_dense_manifest_backcompat_and_dim_check(spark, tmp_path):
     dr.save(p)
     with open(f"{p}/manifest.json") as f:
         m = json.load(f)
-    del m["encoder_dim"]  # simulate an old save
+    # geometry recorded: wrong dim / wrong seed fail loudly, right ones load
+    with pytest.raises(ValueError, match="dim .* does not match"):
+        DenseRetriever.load(spark, p, encoder=hashing_encoder(dim=16))
+    with pytest.raises(ValueError, match="seed .* does not match"):
+        DenseRetriever.load(spark, p, encoder=hashing_encoder(dim=64, seed=7))
+    ok = DenseRetriever.load(spark, p, encoder=hashing_encoder(dim=64))
+    assert getattr(ok.encoder, "dim", None) == 64
+
+    # pre-tracking manifest (no encoder_dim key at all): historical
+    # default when no encoder passed; explicit encoders accepted unchecked
+    del m["encoder_dim"]
+    m.pop("encoder_seed", None)
     with open(f"{p}/manifest.json", "w") as f:
         json.dump(m, f)
     d2 = DenseRetriever.load(spark, p)
     assert getattr(d2.encoder, "dim", None) == 64
-
-    with pytest.raises(ValueError, match="does not match"):
-        DenseRetriever.load(spark, p, encoder=hashing_encoder(dim=16))
+    d3 = DenseRetriever.load(spark, p, encoder=hashing_encoder(dim=128))
+    assert getattr(d3.encoder, "dim", None) == 128
 
 
 def test_posting_fetch_cache_immutable(spark):
@@ -195,3 +205,51 @@ def test_posting_fetch_cache_immutable(spark):
     assert (a2 >= 0).all()
     t1 = sr.get_term_doc_freqs(["beta"])[0]
     assert (t1 == 2).all()
+
+
+def test_resave_src_inside_dst_and_empty_dest(spark, tmp_path):
+    """Review-finding regressions: re-saving into a parent dir that
+    contains the source refuses (rmtree would delete the source); an
+    existing EMPTY destination directory is accepted."""
+    from retriv_spark import SparseRetriever
+
+    sr = SparseRetriever(spark, stemmer=None, stopwords=None)
+    sr.index([{"id": i, "text": "alpha beta"} for i in range(5)])
+    parent = tmp_path / "parent"
+    parent.mkdir()
+    src = str(parent / "v2")
+    sr.save(src)
+    pr = SparseRetriever.load(spark, src)
+    # a manifest at the parent makes it LOOK like an index dir — the
+    # nested-source check must still refuse before any rmtree
+    (parent / "manifest.json").write_text("{}")
+    with pytest.raises(ValueError, match="inside save destination"):
+        pr.save(str(parent))
+    assert os.path.isdir(src)  # source survived
+
+    empty = tmp_path / "pre_created"
+    empty.mkdir()
+    pr.save(str(empty))
+    pr2 = SparseRetriever.load(spark, str(empty))
+    q = [{"id": "q", "text": "alpha"}]
+    assert pr.msearch(q, cutoff=3) == pr2.msearch(q, cutoff=3)
+
+
+def test_advanced_index_after_load_supersedes_packed(spark, tmp_path):
+    """Review-finding regression: load() → index(new docs) → save/search
+    must use the FRESH index, not the stale packed dir."""
+    from retriv_spark.advanced import AdvancedRetriever
+
+    schema = {"id": "id", "text": "text", "lang": "keyword"}
+    ar = AdvancedRetriever(spark, schema, stemmer=None, stopwords=None)
+    ar.index([{"id": "old", "text": "alpha", "lang": "en"}])
+    p1 = str(tmp_path / "p1")
+    ar.save(p1)
+
+    r = AdvancedRetriever.load(spark, p1)
+    r.index([{"id": "new", "text": "alpha", "lang": "en"}])
+    assert set(r.search("alpha", return_docs=False)) == {"new"}
+    p2 = str(tmp_path / "p2")
+    r.save(p2)
+    r2 = AdvancedRetriever.load(spark, p2)
+    assert set(r2.search("alpha", return_docs=False)) == {"new"}
