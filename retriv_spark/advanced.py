@@ -195,14 +195,17 @@ class AdvancedRetriever(SparseRetriever):
         if not isinstance(collection, DataFrame):
             collection = self.spark.createDataFrame(collection)
         validate_schema(self.schema, collection)
-        self._packed = None  # a fresh build supersedes any loaded index
-        return super().index(
+        out = super().index(
             collection,
             text_col=self.text_field,
             id_col=self.id_field,
             order_cols=kwargs.pop("order_cols", [self.id_field]),
             **kwargs,
         )
+        # only a SUCCESSFUL rebuild supersedes a loaded packed index — a
+        # failed build must leave the old search surface intact
+        self._packed = None
+        return out
 
     def search(
         self,

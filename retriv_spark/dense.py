@@ -112,6 +112,7 @@ class DenseRetriever:
         self._default_encoder = encoder is None or getattr(
             encoder, "is_hashing_encoder", False
         )
+        self._external_embeddings = False  # set by index(embeddings_col=)
         self.encoder = encoder or hashing_encoder()
         self.normalize = normalize
         self.use_ann = use_ann
@@ -135,6 +136,7 @@ class DenseRetriever:
             collection = self.spark.createDataFrame(
                 pd.DataFrame(list(collection))
             )
+        self._external_embeddings = embeddings_col is not None
         if embeddings_col is not None:
             emb = collection.select(
                 F.col(id_col).alias("id"),
@@ -209,9 +211,13 @@ class DenseRetriever:
                     # query encoder geometry: load() must reconstruct an
                     # encoder in the SAME vector space as the saved corpus
                     # embeddings, or fail loudly on a custom encoder
+                    # null geometry marks a vector space the default
+                    # encoder did NOT produce (custom encoder or imported
+                    # pre-computed embeddings)
                     "encoder_dim": (
                         getattr(self.encoder, "dim", None)
                         if self._default_encoder
+                        and not self._external_embeddings
                         else None
                     ),
                     # the seed is part of the hashing vector-space
@@ -219,6 +225,7 @@ class DenseRetriever:
                     "encoder_seed": (
                         getattr(self.encoder, "seed", None)
                         if self._default_encoder
+                        and not self._external_embeddings
                         else None
                     ),
                 },
@@ -243,14 +250,24 @@ class DenseRetriever:
         dim = m.get("encoder_dim")
         if encoder is None:
             if dim_known and dim is None:
-                raise ValueError(
-                    "this index was built with a custom encoder; pass "
-                    "encoder= to DenseRetriever.load so queries live in "
-                    "the same vector space as the saved embeddings"
-                )
-            if dim_known:
+                # vector space the default encoder did not produce
+                # (custom encoder or imported embeddings): VECTOR queries
+                # work fine without an encoder, so install one that fails
+                # loudly only if a TEXT query actually tries to use it
+                def encoder(texts):
+                    raise ValueError(
+                        "this index's embeddings were not produced by the "
+                        "default encoder; pass encoder= to "
+                        "DenseRetriever.load to run text queries (vector "
+                        "queries need no encoder)"
+                    )
+            elif dim_known:
+                saved_seed = m.get("encoder_seed")
+                # seed 0 (or any falsy seed) is a real seed — only an
+                # absent/null record falls back to the default
                 encoder = hashing_encoder(
-                    dim=int(dim), seed=int(m.get("encoder_seed") or 42)
+                    dim=int(dim),
+                    seed=42 if saved_seed is None else saved_seed,
                 )
             else:
                 encoder = hashing_encoder()  # pre-tracking default save
@@ -262,10 +279,12 @@ class DenseRetriever:
                 )
             saved_seed = m.get("encoder_seed")
             enc_seed = getattr(encoder, "seed", None)
+            # compare via str — the encoder's own canonicalization
+            # (blake2b key is str(seed)), and seeds need not be ints
             if (
                 saved_seed is not None
                 and enc_seed is not None
-                and int(enc_seed) != int(saved_seed)
+                and str(enc_seed) != str(saved_seed)
             ):
                 raise ValueError(
                     f"encoder seed {enc_seed} does not match the saved "
@@ -279,6 +298,20 @@ class DenseRetriever:
             n_bits=m["n_bits"],
         )
         r.embeddings = spark.read.parquet(f"{path}/embeddings")
+        # manifest-independent guard: the stored vectors are the ground
+        # truth for the index's dimensionality — a query encoder of a
+        # different width must fail HERE, not as null scores or executor
+        # IndexErrors at query time
+        enc_dim = getattr(r.encoder, "dim", None)
+        if enc_dim is not None:
+            row = r.embeddings.select(
+                F.size("embedding").alias("d")
+            ).first()
+            if row is not None and int(row["d"]) != int(enc_dim):
+                raise ValueError(
+                    f"encoder dim {enc_dim} does not match the stored "
+                    f"embedding width {row['d']}"
+                )
         return r
 
     # -- search ----------------------------------------------------------------

@@ -189,11 +189,27 @@ def audio_features(
 
     def stub(payload: bytes) -> tuple:
         head = bytes(payload[:4])
+        # raw MPEG frame sync, tightened beyond the bare 11 sync bits
+        # (those alone false-positive on ~1/2048 random payloads): also
+        # require a non-reserved layer and a valid bitrate index, which
+        # real tagless MP3/ADTS streams always have
+        mpeg_sync = (
+            len(head) >= 3
+            and head[0] == 0xFF
+            and (head[1] & 0xE0) == 0xE0
+            and (head[1] & 0x06) != 0x00  # layer not reserved
+            and (head[2] >> 4) != 0x0F    # bitrate index not invalid
+        )
+        # ADTS AAC uses layer bits 00, excluded above — match its two
+        # canonical sync bytes exactly instead
+        adts_sync = len(head) >= 2 and head[0] == 0xFF and head[1] in (
+            0xF1, 0xF9,
+        )
         is_real = (
             head in (b"RIFF", b"fLaC", b"OggS")
             or head[:3] == b"ID3"
-            # raw MPEG audio frame sync (tagless MP3/AAC-ADTS streams)
-            or (len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0)
+            or mpeg_sync
+            or adts_sync
             # ISO-BMFF (M4A/MP4): size box followed by 'ftyp'
             or bytes(payload[4:8]) == b"ftyp"
         )

@@ -137,10 +137,7 @@ def make_shard_kernel(
         # regrouping measured as the dominant cost of single-query
         # serving).
         if isinstance(pdf, dict):
-            rows_by_term = pdf
-            first = next(iter(rows_by_term.values()), None)
-            if not first:
-                rows_by_term = {}
+            rows_by_term = {t: r for t, r in pdf.items() if r}
         else:
             # a term may have SEVERAL segments in one shard (streaming
             # appends add new segments without rewriting old ones) — doc

@@ -422,5 +422,8 @@ def test_review_fixes_dense_surfaces(spark, tmp_path):
     m["encoder_dim"] = None
     with open(f"{dp}/manifest.json", "w") as f:
         json.dump(m, f)
-    with pytest.raises(ValueError, match="custom encoder"):
-        DenseRetriever.load(spark, dp)
+    # custom-space index without encoder=: loads (vector queries work),
+    # but a TEXT query fails loudly instead of scoring in a wrong space
+    d4 = DenseRetriever.load(spark, dp)
+    with pytest.raises(ValueError, match="pass encoder="):
+        d4.msearch([("q1", "spark join")], cutoff=3)

@@ -181,15 +181,31 @@ def test_dense_manifest_backcompat_and_dim_check(spark, tmp_path):
     assert getattr(ok.encoder, "dim", None) == 64
 
     # pre-tracking manifest (no encoder_dim key at all): historical
-    # default when no encoder passed; explicit encoders accepted unchecked
+    # default when no encoder passed; explicit encoders are checked
+    # against the STORED embedding width (manifest-independent guard),
+    # so a mismatched one still fails loudly at load
     del m["encoder_dim"]
     m.pop("encoder_seed", None)
     with open(f"{p}/manifest.json", "w") as f:
         json.dump(m, f)
     d2 = DenseRetriever.load(spark, p)
     assert getattr(d2.encoder, "dim", None) == 64
-    d3 = DenseRetriever.load(spark, p, encoder=hashing_encoder(dim=128))
-    assert getattr(d3.encoder, "dim", None) == 128
+    with pytest.raises(ValueError, match="stored embedding width"):
+        DenseRetriever.load(spark, p, encoder=hashing_encoder(dim=128))
+    # a matching explicit encoder loads fine
+    d3 = DenseRetriever.load(spark, p, encoder=hashing_encoder(dim=64))
+    assert getattr(d3.encoder, "dim", None) == 64
+
+    # seed 0 is a real seed, not "missing" (review finding)
+    docs0 = spark.createDataFrame([{"id": "a", "text": "x y"}])
+    d0 = DenseRetriever(
+        spark, encoder=hashing_encoder(dim=16, seed=0), use_ann=False
+    ).index(docs0)
+    p0 = str(tmp_path / "d0")
+    d0.save(p0)
+    r0 = DenseRetriever.load(spark, p0)
+    assert getattr(r0.encoder, "seed", None) == 0
+    assert r0.search("x y", cutoff=1) == d0.search("x y", cutoff=1)
 
 
 def test_posting_fetch_cache_immutable(spark):
