@@ -130,7 +130,10 @@ def make_shard_kernel(
         else None
     )
 
-    def fn(pdf) -> pd.DataFrame:
+    def fn(pdf):
+        # No type hints on purpose: applyInPandas infers eval type from
+        # hints and warns on partial ones, and the local path passes a
+        # dict instead of a DataFrame.
         # Accepts a pandas DataFrame (the applyInPandas distributed path)
         # OR a pre-grouped {term: [row dicts]} mapping (the driver-local
         # path, grouped once per cache fill — per-call pandas slicing and
