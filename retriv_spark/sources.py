@@ -30,11 +30,13 @@ def read_collection(
         df = spark.read.option("header", True).csv(path)
     elif lower.endswith(".tsv"):
         df = spark.read.option("header", True).option("sep", "\t").csv(path)
+    elif lower.endswith(".orc"):
+        df = spark.read.orc(path)
     elif lower.endswith(".parquet") or not lower.rsplit("/", 1)[-1].count("."):
         df = spark.read.parquet(path)
     else:
         raise ValueError(
             f"Cannot infer collection kind from {path!r} "
-            "(jsonl/json/csv/tsv/parquet supported)"
+            "(jsonl/json/csv/tsv/parquet/orc supported)"
         )
     return callback(df) if callback is not None else df

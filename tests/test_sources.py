@@ -96,3 +96,17 @@ def test_index_file_end_to_end(spark, tmp_path):
     res = sr.search("spark", return_docs=False)
     assert set(res) == {"d0", "d2"}
     assert sr.query_preprocessing("Spark JOIN") == ["spark", "join"]
+
+
+def test_read_collection_orc(spark, tmp_path):
+    """ORC rides the same extension dispatch as parquet (columnar
+    scale-native formats both supported)."""
+    from retriv_spark.sources import read_collection
+
+    df = spark.createDataFrame(
+        [{"id": "a", "text": "alpha"}, {"id": "b", "text": "beta"}]
+    )
+    path = str(tmp_path / "coll.orc")
+    df.write.orc(path)
+    got = read_collection(spark, path)
+    assert {r["id"] for r in got.collect()} == {"a", "b"}
