@@ -348,6 +348,35 @@ def q_fusion_minmax(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def q_fusion_three_runs(spark, sf_dir):
+    """Three-run weighted fusion — the reference's mfuse takes an
+    ARBITRARY run list (merger/merger.py:46-50), not just two: BM25 at
+    the default hyperparams, BM25 at (k1=0.9, b=0.4), and TF-IDF,
+    min-max normalized with weights (0.5, 0.3, 0.2)."""
+    docs = _docs(spark, sf_dir)
+    idx = _build(spark, docs, cache_key=sf_dir)
+    qt = _query_terms(spark, BM25_QUERIES)
+    runs = []
+    for model, k1, b in (
+        ("bm25", K1, B), ("bm25", 0.9, 0.4), ("tf-idf", K1, B),
+    ):
+        scored = score_query_terms(
+            idx, qt, model=model, k1=k1, b=b, cutoff=20, precision="float64"
+        )
+        runs.append(
+            scored.join(idx.doc_map, DOC_ID).select(
+                "q_id", F.col("doc_id").alias("id"), "score"
+            )
+        )
+    fused = fuse(runs, norm="min-max", weights=[0.5, 0.3, 0.2], cutoff=CUTOFF)
+    return fused.select(
+        "q_id",
+        F.col("id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
 def q_hybrid_fusion(spark, sf_dir):
     """HybridRetriever plan (reference hybrid_retriever.py:254-264): BM25
     sparse run over ``documents`` + dense cosine run over ``embeddings``
@@ -810,6 +839,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filters_only": q_filters_only,
     "fusion_maxnorm": q_fusion_maxnorm,
     "fusion_sumnorm": q_fusion_sumnorm,
+    "fusion_three_runs": q_fusion_three_runs,
     "search_fetch_docs": q_search_fetch_docs,
     "collection_stats": q_collection_stats,
     "bsearch_qrels": q_bsearch_qrels,
@@ -1473,6 +1503,99 @@ n2 AS (
 fused AS (
   SELECT q_id, doc_id, sum(score) AS score
   FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM fused
+)
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+"""
+
+ORACLE_SQL["fusion_three_runs"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(q_id, term) AS (VALUES {_sql_values(BM25_QUERIES)}),
+base AS (
+  SELECT q.q_id, tf.doc_id, tf.tf, d.df, dl.dl, s.n, s.avgdl
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+bm25a AS (
+  SELECT q_id, doc_id,
+         sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf * ({K1} + 1.0))
+             / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score
+  FROM base GROUP BY 1, 2
+),
+bm25b AS (
+  SELECT q_id, doc_id,
+         sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf * (0.9 + 1.0))
+             / (tf + 0.9 * (1.0 - 0.4 + 0.4 * dl / avgdl))) AS score
+  FROM base GROUP BY 1, 2
+),
+tfidf AS (
+  SELECT q_id, doc_id,
+         sum((tf / dl) * (ln((1.0 + n) / (1.0 + df)) + 1.0)) AS score
+  FROM base GROUP BY 1, 2
+),
+run1 AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM bm25a
+),
+run2 AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM bm25b
+),
+run3 AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+           AS rank
+  FROM tfidf
+),
+n1 AS (
+  SELECT q_id, doc_id,
+         0.5 * (score - min(score) OVER (PARTITION BY q_id))
+           / greatest(max(score) OVER (PARTITION BY q_id)
+                      - min(score) OVER (PARTITION BY q_id), 1e-9) AS score
+  FROM run1 WHERE rank <= 20
+),
+n2 AS (
+  SELECT q_id, doc_id,
+         0.3 * (score - min(score) OVER (PARTITION BY q_id))
+           / greatest(max(score) OVER (PARTITION BY q_id)
+                      - min(score) OVER (PARTITION BY q_id), 1e-9) AS score
+  FROM run2 WHERE rank <= 20
+),
+n3 AS (
+  SELECT q_id, doc_id,
+         0.2 * (score - min(score) OVER (PARTITION BY q_id))
+           / greatest(max(score) OVER (PARTITION BY q_id)
+                      - min(score) OVER (PARTITION BY q_id), 1e-9) AS score
+  FROM run3 WHERE rank <= 20
+),
+fused AS (
+  SELECT q_id, doc_id, sum(score) AS score
+  FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2
+        UNION ALL SELECT * FROM n3)
   GROUP BY 1, 2
 ),
 ranked AS (
