@@ -1,0 +1,143 @@
+"""Hypothesis differential for the metadata-filter compiler: every
+compiled Spark predicate must select exactly the rows a plain-Python
+evaluation of the same clause selects (reference filter semantics,
+advanced_retriever.py:384-476)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from retriv_spark.advanced import compile_filters
+
+SCHEMA = {
+    "id": "id",
+    "text": "text",
+    "lang": "keyword",
+    "tags": "keywords",
+    "year": "number",
+    "active": "bool",
+}
+
+LANGS = ["en", "de", "fr", "it"]
+TAGS = ["db", "olap", "stream", "ml"]
+
+
+def _py_eval_one(kind, spec, value):
+    """Pure-Python twin of advanced.compile_filters._compile_one."""
+    if kind in ("id", "keyword"):
+        if isinstance(spec, (list, tuple)) and not _is_op(spec):
+            return value in list(spec)
+        if _is_op(spec) and spec[0] == "or":
+            return value in list(spec[1])
+        return value == spec
+    if kind == "bool":
+        return value == bool(spec)
+    if kind == "number":
+        if _is_op(spec):
+            op, *args = spec
+            return {
+                "eq": value == args[0],
+                "gt": value > args[0],
+                "gte": value >= args[0],
+                "lt": value < args[0],
+                "lte": value <= args[0],
+                "between": args[0] <= value <= args[1] if op == "between" else None,
+            }[op]
+        return value == spec
+    if kind == "keywords":
+        if _is_op(spec):
+            op, values = spec[0], list(spec[1])
+            if op == "and":
+                return all(v in value for v in values)
+            return any(v in value for v in values)
+        if isinstance(spec, (list, tuple)):
+            return any(v in value for v in spec)
+        return spec in value
+    raise AssertionError(kind)
+
+
+def _is_op(spec):
+    return (
+        isinstance(spec, tuple)
+        and len(spec) >= 2
+        and isinstance(spec[0], str)
+        and spec[0] in {"eq", "gt", "gte", "lt", "lte", "between", "and", "or"}
+    )
+
+
+rows_strategy = st.lists(
+    st.fixed_dictionaries(
+        {
+            "id": st.integers(0, 999).map(lambda i: f"d{i}"),
+            "text": st.just("x"),
+            "lang": st.sampled_from(LANGS),
+            "tags": st.lists(st.sampled_from(TAGS), max_size=3).map(
+                lambda l: sorted(set(l))
+            ),
+            "year": st.integers(2000, 2030),
+            "active": st.booleans(),
+        }
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+num_spec = st.one_of(
+    st.integers(2000, 2030),
+    st.tuples(st.sampled_from(["eq", "gt", "gte", "lt", "lte"]),
+              st.integers(2000, 2030)),
+    st.tuples(st.just("between"), st.integers(2000, 2015),
+              st.integers(2016, 2030)),
+)
+kw_spec = st.one_of(
+    st.sampled_from(LANGS),
+    st.lists(st.sampled_from(LANGS), min_size=1, max_size=3),
+    st.tuples(st.just("or"), st.lists(st.sampled_from(LANGS), min_size=1,
+                                      max_size=3)),
+)
+kws_spec = st.one_of(
+    st.sampled_from(TAGS),
+    st.lists(st.sampled_from(TAGS), min_size=1, max_size=2),
+    st.tuples(st.sampled_from(["and", "or"]),
+              st.lists(st.sampled_from(TAGS), min_size=1, max_size=2)),
+)
+clause_strategy = st.fixed_dictionaries(
+    {},
+    optional={
+        "lang": kw_spec,
+        "tags": kws_spec,
+        "year": num_spec,
+        "active": st.booleans(),
+    },
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy, where=clause_strategy, where_not=clause_strategy)
+def test_compile_filters_differential(spark, rows, where, where_not):
+    df = spark.createDataFrame(
+        rows,
+        "id string, text string, lang string, tags array<string>, "
+        "year long, active boolean",
+    )
+    pred = compile_filters(SCHEMA, where or None, where_not or None)
+    if pred is None:
+        got = {r["id"] for r in df.collect()}
+    else:
+        got = {r["id"] for r in df.filter(pred).collect()}
+
+    def keep(row):
+        for field, spec in (where or {}).items():
+            if not _py_eval_one(SCHEMA[field], spec, row[field]):
+                return False
+        for field, spec in (where_not or {}).items():
+            if _py_eval_one(SCHEMA[field], spec, row[field]):
+                return False
+        return True
+
+    exp = {r["id"] for r in rows if keep(r)}
+    assert got == exp, (where, where_not)
