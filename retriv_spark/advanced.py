@@ -189,6 +189,17 @@ class AdvancedRetriever(SparseRetriever):
             r.hyperparams, **r._packed.manifest.get("hyperparams", {})
         )
         r.model = r._packed.manifest.get("model", "bm25")
+        # restore build-time init config onto the instance (the reference
+        # pickles init args, advanced_retriever.py:108-160): a later
+        # index() rebuild must re-tokenize with the ORIGINAL pipe and
+        # min_df, not the constructor defaults.
+        m = r._packed.manifest
+        if m.get("preproc"):
+            from .preprocessing import TextPreprocessor
+
+            r.pre = TextPreprocessor(**m["preproc"])
+        if "min_df" in m:
+            r.min_df = m["min_df"]
         return r
 
     def index(self, collection: Union[DataFrame, list], **kwargs):
@@ -301,11 +312,13 @@ class AdvancedRetriever(SparseRetriever):
         operator: str,
     ) -> Dict:
         """Filtered search over a load()-ed packed index.  The predicate
-        still compiles to a columnar WHERE on the docs table; the
-        surviving internal ids feed the shard kernels' subset mask (the
-        reference's in-RAM filtered id list, advanced_retriever.py:
-        483-487 — selective filters by construction, so the collected
-        subset is bounded like the reference's)."""
+        compiles to a columnar WHERE on the docs table; the surviving
+        internal ids feed the shard kernels' subset mask.  Below the
+        local-path threshold the ids are collected like the reference's
+        in-RAM filtered id list (advanced_retriever.py:483-487 — bounded
+        by the small-index regime); on the distributed plan the subset
+        stays a LAZY DataFrame cogrouped into the kernels by shard, so a
+        weak predicate (half the corpus) never collects to the driver."""
         pred = compile_filters(self.schema, where, where_not)
         if not text:
             # filters-only: stay lazy — limit(cutoff) under the orderBy
@@ -323,12 +336,11 @@ class AdvancedRetriever(SparseRetriever):
             return {self._restore_id(r[self.id_field]): 1.0 for r in rows}
         subset = None
         if pred is not None:
-            subset = [
-                r[DOC_ID]
-                for r in self._packed.docs.filter(pred)
-                .select(DOC_ID)
-                .collect()
-            ]
+            subset = self._packed.docs.filter(pred).select(DOC_ID)
+            if self._packed._local_path_ready():
+                # small-index serving regime: a bounded collect feeds the
+                # driver-local kernels directly
+                subset = [r[DOC_ID] for r in subset.collect()]
         out = self._packed.msearch_df(
             [{"id": "_q", "text": text}],
             cutoff=cutoff,

@@ -298,20 +298,35 @@ class DenseRetriever:
             n_bits=m["n_bits"],
         )
         r.embeddings = spark.read.parquet(f"{path}/embeddings")
-        # manifest-independent guard: the stored vectors are the ground
-        # truth for the index's dimensionality — a query encoder of a
-        # different width must fail HERE, not as null scores or executor
-        # IndexErrors at query time
+        # Stored-width guard for PRE-geometry-tracking manifests only —
+        # modern saves pinned dim/seed above, so no probe job rides their
+        # load.  A DEFAULTED encoder that mismatches the stored width
+        # (custom/imported embeddings saved before tracking) gets the
+        # lazily-raising text encoder instead of a hard load failure:
+        # vector queries need no encoder at all.  An EXPLICITLY passed
+        # mismatched encoder is still a user error and raises here.
         enc_dim = getattr(r.encoder, "dim", None)
-        if enc_dim is not None:
+        if not dim_known and enc_dim is not None:
             row = r.embeddings.select(
                 F.size("embedding").alias("d")
             ).first()
             if row is not None and int(row["d"]) != int(enc_dim):
-                raise ValueError(
-                    f"encoder dim {enc_dim} does not match the stored "
-                    f"embedding width {row['d']}"
-                )
+                if encoder is not None:
+                    raise ValueError(
+                        f"encoder dim {enc_dim} does not match the stored "
+                        f"embedding width {row['d']}"
+                    )
+                stored_d = int(row["d"])
+
+                def _text_needs_encoder(texts, _d=stored_d, _e=enc_dim):
+                    raise ValueError(
+                        "this pre-geometry-tracking index stores "
+                        f"{_d}-wide embeddings, not the default encoder's "
+                        f"{_e}; pass encoder= to DenseRetriever.load to "
+                        "run text queries (vector queries need no encoder)"
+                    )
+
+                r.encoder = _text_needs_encoder
         return r
 
     # -- search ----------------------------------------------------------------

@@ -33,6 +33,17 @@ import pandas as pd
 
 from ..index.codec import BLOCK, decode_block, varint_decode
 
+# TAAT tiling geometry (see the taat kernel below).  Module-level because
+# the memory budget must account for the CHUNK×span accumulator slab
+# BEFORE choosing the dense strategy.
+CHUNK = 128   # queries per accumulator slab
+TILE = 4096   # docs per cache-resident tile
+# Per-task budget for the dense strategy: term vectors (span float64
+# each) PLUS the accumulator slab (CHUNK × span float32, and an int16
+# hit-count slab under AND).  With span ≤ SPAN_MAX (packed.py) both
+# parts are bounded independent of corpus size.
+DENSE_BUDGET_BYTES = 256 * 1024 * 1024
+
 
 def _idf_bm25(doc_count: int, df: float) -> np.float32:
     df32 = np.float32(df)
@@ -130,7 +141,7 @@ def make_shard_kernel(
         else None
     )
 
-    def fn(pdf):
+    def fn(pdf, subset_override=None):
         # No type hints on purpose: applyInPandas infers eval type from
         # hints and warns on partial ones, and the local path passes a
         # dict instead of a DataFrame.
@@ -139,6 +150,10 @@ def make_shard_kernel(
         # path, grouped once per cache fill — per-call pandas slicing and
         # regrouping measured as the dominant cost of single-query
         # serving).
+        # subset_override: a sorted int64 array of allowed internal ids
+        # for THIS call only (the cogroup distributed-subset path) —
+        # unlike the closure `subset`, an EMPTY override means "no doc in
+        # this shard passes the filter", not "unrestricted".
         if isinstance(pdf, dict):
             rows_by_term = {t: r for t, r in pdf.items() if r}
         else:
@@ -162,12 +177,13 @@ def make_shard_kernel(
             )
         shard = int(next(iter(rows_by_term.values()))[0]["shard"])
         base = shard * span
+        sub = subset if subset_override is None else subset_override
         sub_mask = None
-        if subset is not None:
-            sl_lo = np.searchsorted(subset, base)
-            sl_hi = np.searchsorted(subset, base + span)
+        if sub is not None:
+            sl_lo = np.searchsorted(sub, base)
+            sl_hi = np.searchsorted(sub, base + span)
             sub_mask = np.zeros(span, dtype=bool)
-            sub_mask[subset[sl_lo:sl_hi] - base] = True
+            sub_mask[sub[sl_lo:sl_hi] - base] = True
 
         out_q, out_d, out_s = [], [], []
 
@@ -196,10 +212,14 @@ def make_shard_kernel(
             # turns the per-query work into a few dense SIMD adds.  The
             # vectors are float64 so the accumulate below ("f32 += f64"
             # with round-on-store) is bit-identical to the reference TAAT
-            # loop (bm25.py:49).  Budget-capped: past ~256 MB of dense
-            # vectors (huge query batches over huge shards) fall back to
-            # per-query scatter — same results, just not hoisted.
-            dense_ok = len(segs) * span * 8 <= 256 * 1024 * 1024
+            # loop (bm25.py:49).  Budget-capped (vectors + the CHUNK×span
+            # accumulator slab(s) the tiled loop allocates): past the
+            # budget fall back to per-query scatter — same results, just
+            # not hoisted.
+            slab_bytes = CHUNK * span * (4 + (2 if is_and else 0))
+            dense_ok = (
+                len(segs) * span * 8 + slab_bytes <= DENSE_BUDGET_BYTES
+            )
             if dense_ok:
                 vecs = {}
                 for t, (doc_ids, tfs, dls) in segs.items():
@@ -264,8 +284,8 @@ def make_shard_kernel(
                 # slab = CHUNK × TILE × 4 B ≈ 2 MB: small enough that
                 # every concurrent worker's slab stays resident in its
                 # shared-LLC slice while the term loop runs over a tile
-                CHUNK = 128
-                TILE = 4096
+                # (CHUNK/TILE are module constants — the dense_ok budget
+                # above accounts for the full CHUNK×span slab)
                 for c0 in range(0, len(live), CHUNK):
                     chunk = live[c0:c0 + CHUNK]
                     users: dict = {}
@@ -375,6 +395,31 @@ def make_shard_kernel(
                 "score": pd.Series(out_s, dtype="float32"),
             }
         )
+
+    return fn
+
+
+def make_shard_kernel_cogroup(**kwargs):
+    """Scoring kernel for a DISTRIBUTED subset restriction.
+
+    Returned function runs inside ``postings.groupBy(shard).cogroup(
+    subset.groupBy(shard)).applyInPandas``: the right side carries the
+    shard's ALLOWED internal doc ids, straight from the filter
+    predicate's DataFrame — no driver collect of the id set, no pickled
+    id list in the task closure, so a weak predicate (50% of the corpus)
+    costs one extra shuffle of ids instead of a driver OOM.  A shard
+    whose right side is empty contributes no candidates (subset
+    semantics: only listed docs may score).  Scores are identical to the
+    closure-subset path — same kernel body via ``subset_override``."""
+    base_kern = make_shard_kernel(subset_doc_ids=None, **kwargs)
+
+    def fn(left, right):
+        ids = (
+            right["__doc_id__"].to_numpy(dtype=np.int64, copy=False)
+            if len(right)
+            else np.empty(0, dtype=np.int64)
+        )
+        return base_kern(left, subset_override=np.unique(ids))
 
     return fn
 

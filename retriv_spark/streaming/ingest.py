@@ -131,20 +131,26 @@ def append_batch(
     # id resolution; an append contributes one more contiguous segment
     # per touched shard (the kernels concatenate segments by range)
     if manifest.get("stages", {}).get("shard_maps", {}).get("completed"):
+        from ..index.packed import MAP_SEG
+
         io.write(
             base.select(
                 (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
+                ((F.col(DOC_ID) % F.lit(span)) / F.lit(MAP_SEG))
+                .cast("int")
+                .alias("mseg"),
                 F.col(DOC_ID).alias("d"),
                 F.col(id_col).cast("string").alias("u"),
             )
-            .groupBy("shard")
+            .groupBy("shard", "mseg")
             .agg(
                 F.min("d").alias("first_doc"),
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("d", "u"))),
                     lambda x: x["u"],
                 ).alias("uris"),
-            ),
+            )
+            .select("shard", "first_doc", "uris"),
             "shard_maps",
             mode="append",
         )

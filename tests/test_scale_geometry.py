@@ -1,0 +1,116 @@
+"""Scale-geometry invariants (VERDICT r1 #2): shard count grows with the
+corpus while span — and with it every span-proportional per-task
+allocation — stays bounded; id-map rows and posting segments are bounded;
+the huge-vocabulary df-map fallback answers queries from live df.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.index import packed as P
+from retriv_spark.index.packed import load_packed_index
+from retriv_spark.retriever import SparseRetriever
+from retriv_spark.search import kernels as K
+
+
+def test_span_bounded_and_shards_uncapped():
+    for n in (1, 100, 4096, 2_000_000, 67_000_000, 10**9, 10**12):
+        shards = P.default_n_shards(n)
+        span = -(-n // shards)
+        assert 1 <= shards
+        assert span <= P.SPAN_MAX
+    # the old 512-shard ceiling is gone: a 1B-doc corpus gets thousands
+    # of bounded shards, not 512 ever-growing ones
+    assert P.default_n_shards(10**9) == -(-(10**9) // P.SPAN_MAX) > 512
+    # small corpora keep small spans (per-segment overhead regime)
+    assert P.default_n_shards(40_000) >= 9
+
+
+def test_taat_slab_fits_budget_at_max_span():
+    # the accumulator slab(s) at maximum span must leave room for term
+    # vectors inside the dense budget — the per-task memory bound is a
+    # constant of the engine, independent of corpus size
+    slab = K.CHUNK * P.SPAN_MAX * (4 + 2)  # float32 acc + int16 hits
+    assert slab < K.DENSE_BUDGET_BYTES
+    # and at least a realistic query-term count of vectors still fits
+    assert slab + 8 * P.SPAN_MAX * 16 <= K.DENSE_BUDGET_BYTES
+
+
+def _docs(n, n_terms=5):
+    return [
+        {"id": i, "text": f"common t{i % n_terms}"} for i in range(n)
+    ]
+
+
+def _msearch(loaded, kernel="taat"):
+    loaded.kernel = kernel
+    return loaded.msearch(
+        [{"id": "q1", "text": "common"}, {"id": "q2", "text": "t1 t3"}],
+        cutoff=10,
+    )
+
+
+def test_seg_max_split_bounded_and_rank_identical(
+    spark, tmp_path, monkeypatch
+):
+    r = SparseRetriever(spark, stemmer=None, stopwords=None)
+    r.index(_docs(64))
+    ref_path = str(tmp_path / "unsplit")
+    r.save(ref_path, n_shards=2)
+    expected = {
+        k: _msearch(SparseRetriever.load(spark, ref_path), k)
+        for k in ("taat", "bmw")
+    }
+
+    monkeypatch.setattr(P, "SEG_MAX", 8)
+    split_path = str(tmp_path / "split")
+    r.save(split_path, n_shards=2)
+    pk = load_packed_index(spark, split_path)
+    segs = pk.postings.groupBy("shard", "term").agg(
+        F.count(F.lit(1)).alias("c"), F.max("n").alias("maxn")
+    )
+    stats = segs.agg(F.max("c"), F.max("maxn")).collect()[0]
+    assert stats[0] > 1, "hot term must be split into several segments"
+    assert stats[1] <= 8, "no stored segment may exceed seg_max postings"
+    for k in ("taat", "bmw"):
+        assert _msearch(SparseRetriever.load(spark, split_path), k) == \
+            expected[k]
+
+
+def test_shard_map_rows_bounded_and_ids_resolve(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(P, "MAP_SEG", 16)
+    r = SparseRetriever(spark, stemmer=None, stopwords=None)
+    r.index(_docs(100))
+    path = str(tmp_path / "maps")
+    r.save(path, n_shards=2)
+    pk = load_packed_index(spark, path)
+    maps = pk.io.read("shard_maps")
+    row = maps.agg(
+        F.max(F.size("uris")).alias("mx"),
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("shard").alias("shards"),
+    ).collect()[0]
+    assert row["mx"] <= 16
+    assert row["rows"] > row["shards"], "each shard must span several rows"
+    res = _msearch(SparseRetriever.load(spark, path))
+    assert res["q1"], "ids must resolve through segmented maps"
+    assert all(isinstance(d, int) and 0 <= d < 100 for d in res["q1"])
+
+
+def test_dfmap_fallback_serves_live_df(spark, tmp_path, monkeypatch):
+    r = SparseRetriever(spark, stemmer=None, stopwords=None)
+    r.index(_docs(60))
+    ref_path = str(tmp_path / "stamped")
+    r.save(ref_path, n_shards=2)
+    expected = _msearch(SparseRetriever.load(spark, ref_path))
+
+    # vocabulary "too large" to stamp segment df: the audit column stays
+    # 0 and every query must answer from the live terms-table aggregate
+    monkeypatch.setenv("RETRIV_SPARK_DFMAP_MAX_TERMS", "1")
+    fb_path = str(tmp_path / "fallback")
+    r.save(fb_path, n_shards=2)
+    pk = load_packed_index(spark, fb_path)
+    assert pk.postings.agg(F.max("df")).collect()[0][0] == 0
+    assert _msearch(SparseRetriever.load(spark, fb_path)) == expected
