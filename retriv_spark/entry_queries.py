@@ -693,6 +693,100 @@ def q_bm25_wordpunct(spark, sf_dir):
     )
 
 
+# Inflected query surface for the FULL reference pipeline (stopwords +
+# Porter2 stemmer).  The oracle gets the post-pipeline STEMMED terms
+# (verified against the pinned golden stemmer vectors): the pair breaks
+# if query-side preprocessing, the stemmed-stopword quirk, or the
+# index-side stem stream ever drifts.
+STEMMED_QUERIES = [
+    ("q1", "the tables spark"),
+    ("q2", "queries customers join"),
+    ("q3", "merged a values"),
+    ("q4", "windows sorting"),
+]
+_STEMMED_QUERIES_ORACLE = [
+    ("q1", "tabl spark"),
+    ("q2", "queri custom join"),
+    ("q3", "merg valu"),
+    ("q4", "window sort"),
+]
+# The synthetic documents vocabulary is a FIXED 31-token list at every
+# scale factor (deterministic generator, TESTDATA.md); the oracle embeds
+# its token -> Porter2-stem map as literals.  An unseen token would drop
+# from the oracle's tok stream and fail the pair loudly.
+_DOCS_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def _full_pre() -> TextPreprocessor:
+    """The reference's DEFAULT pipeline (sparse_retriever.py:83-98):
+    whitespace tokenizer, english stop-words (stemmed-list quirk),
+    Porter2 stemmer, all normalizations on (no-ops on this corpus's
+    plain lowercase tokens, exactly as in SQL)."""
+    return TextPreprocessor(
+        tokenizer="whitespace", stemmer="english", stopwords="english",
+    )
+
+
+def _stemmed_tok_sql() -> str:
+    from .preprocessing.porter2 import porter2_stem
+    from .preprocessing.stopwords import ENGLISH_STOPWORDS
+
+    # the quirk, in SQL shape: PRE-stem tokens filtered against the
+    # STEMMED stop-word list, then mapped through the stem table
+    sw = sorted({porter2_stem(w) for w in ENGLISH_STOPWORDS})
+    sw_lits = ", ".join("'" + w.replace("'", "''") + "'" for w in sw)
+    pairs = ", ".join(
+        f"('{t}', '{porter2_stem(t)}')"
+        for t in _DOCS_VOCAB
+        if t not in sw
+    )
+    return f"""
+  SELECT r.doc_id, m.stem AS term
+  FROM (SELECT doc_id, t.term AS raw
+          FROM documents,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+         WHERE t.term <> '' AND t.term NOT IN ({sw_lits})) r
+  JOIN (VALUES {pairs}) AS m(raw, stem) ON m.raw = r.raw"""
+
+
+def q_bm25_stemmed(spark, sf_dir):
+    """BM25 through the FULL default pipeline — the end-to-end pair the
+    plain-pre ranked queries deliberately avoid: index-side tokenize ->
+    stemmed-stopword filter -> Porter2 stem, query-side the SAME pipe
+    (inflected queries: "tables" scores docs containing "table")."""
+    docs = _docs(spark, sf_dir)
+    pre = _full_pre()
+    idx = build_index(
+        spark, docs, pre,
+        text_col="text", id_col="doc_id",
+        order_cols=["doc_id"], min_df=1,
+        doc_id_col_precomputed="doc_id",
+    )
+    rows = [
+        (qid, t, 1) for qid, text in STEMMED_QUERIES for t in pre(text)
+    ]
+    qt = spark.createDataFrame(rows, "q_id string, term string, n_occ int")
+    scored = score_query_terms(
+        idx, qt, model="bm25", k1=K1, b=B, cutoff=CUTOFF,
+        precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .select(
+            "q_id",
+            F.col("doc_id"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def _qrels_df(docs: DataFrame, queries) -> DataFrame:
     """Deterministic graded qrels mirroring _QRELS_CTE: every doc with
     doc_id % 5 == 0 is relevant to every query, grade 1 + doc_id % 2."""
@@ -845,6 +939,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bsearch_qrels": q_bsearch_qrels,
     "eval_ndcg": q_eval_ndcg,
     "bm25_wordpunct": q_bm25_wordpunct,
+    "bm25_stemmed": q_bm25_stemmed,
 }
 
 
@@ -1296,6 +1391,14 @@ _WORDPUNCT_TOK_SQL = (
 
 ORACLE_SQL["bm25_wordpunct"] = f"""{
     _bm25_ctes(WORDPUNCT_QUERIES, "bm25", tok_sql=_WORDPUNCT_TOK_SQL)
+}
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+ORACLE_SQL["bm25_stemmed"] = f"""{
+    _bm25_ctes(_STEMMED_QUERIES_ORACLE, "bm25", tok_sql=_stemmed_tok_sql())
 }
 SELECT q_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= {CUTOFF}
