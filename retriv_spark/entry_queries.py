@@ -787,6 +787,117 @@ def q_bm25_stemmed(spark, sf_dir):
     )
 
 
+# Cross-language pipeline pair: the fixed 31-token corpus vocabulary is
+# deterministically translated into French, indexed through the FRENCH
+# pipeline (stop-words + Snowball stemmer), and queried with inflected
+# forms ("jointures" must score docs containing "jointure").  "étée"
+# exercises the stemmed-stopword quirk end-to-end: the stop-word list is
+# stemmed at init (étée -> été), the filter sees PRE-stem tokens, so raw
+# "étée" survives and is indexed as "été".
+FR_MAP = {
+    "a": "la", "agg": "agrégation", "batch": "lot", "big": "grande",
+    "column": "colonne", "customer": "client", "data": "données",
+    "dup": "doublon", "fast": "rapide", "filter": "filtre",
+    "group": "groupe", "hash": "hachage", "join": "jointure",
+    "key": "clé", "line": "ligne", "merge": "fusionner",
+    "order": "ordre", "part": "partie", "query": "requête",
+    "row": "rangée", "scan": "balayage", "slow": "lente",
+    "small": "petite", "sort": "trier", "spark": "étincelle",
+    "stream": "flux", "table": "tableau", "the": "étée",
+    "value": "valeur", "vector": "vecteur", "window": "fenêtre",
+}
+FRENCH_QUERIES = [
+    ("q1", "jointures étincelles fenêtres"),
+    ("q2", "requêtes clients"),
+    ("q3", "doublons étée"),
+    ("q4", "fusionnera triera valeurs"),
+]
+_FRENCH_QUERIES_ORACLE = [
+    ("q1", "jointur étincel fenêtr"),
+    ("q2", "requêt client"),
+    ("q3", "doublon été"),
+    ("q4", "fusion tri valeur"),
+]
+
+
+def _french_tok_sql() -> str:
+    from .preprocessing.snowball_fr import french_stem
+    from .preprocessing.stopwords import get_stopwords
+
+    def lit(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    sw = sorted({french_stem(w) for w in get_stopwords("french")})
+    sw_lits = ", ".join(lit(w) for w in sw)
+    fr_pairs = ", ".join(
+        f"({lit(en)}, {lit(fr)})" for en, fr in sorted(FR_MAP.items())
+    )
+    stem_pairs = ", ".join(
+        f"({lit(fr)}, {lit(french_stem(fr))})"
+        for fr in sorted(set(FR_MAP.values()))
+        if fr not in sw
+    )
+    return f"""
+  SELECT r.doc_id, m.stem AS term
+  FROM (
+    SELECT tk.doc_id, fr.fr AS raw
+    FROM (
+      SELECT d.doc_id, t.term
+      FROM documents d,
+           unnest(string_split_regex(trim(d.text), '\\s+')) AS t(term)
+      WHERE t.term <> ''
+    ) tk
+    JOIN (VALUES {fr_pairs}) AS fr(en, fr) ON fr.en = tk.term
+    WHERE fr.fr NOT IN ({sw_lits})
+  ) r
+  JOIN (VALUES {stem_pairs}) AS m(raw, stem) ON m.raw = r.raw"""
+
+
+def q_bm25_french(spark, sf_dir):
+    """BM25 over the French-translated corpus through the full French
+    pipeline — non-English stemmer + stop-word list end-to-end."""
+    docs = _docs(spark, sf_dir)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(FR_MAP.items()) for x in kv]
+    )
+    docs_fr = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"), lambda t: mapping[t]
+            ),
+            " ",
+        ),
+    )
+    pre = TextPreprocessor(
+        tokenizer="whitespace", stemmer="french", stopwords="french",
+    )
+    idx = build_index(
+        spark, docs_fr, pre,
+        text_col="text", id_col="doc_id",
+        order_cols=["doc_id"], min_df=1,
+        doc_id_col_precomputed="doc_id",
+    )
+    rows = [
+        (qid, t, 1) for qid, text in FRENCH_QUERIES for t in pre(text)
+    ]
+    qt = spark.createDataFrame(rows, "q_id string, term string, n_occ int")
+    scored = score_query_terms(
+        idx, qt, model="bm25", k1=K1, b=B, cutoff=CUTOFF,
+        precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .select(
+            "q_id",
+            F.col("doc_id"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def _qrels_df(docs: DataFrame, queries) -> DataFrame:
     """Deterministic graded qrels mirroring _QRELS_CTE: every doc with
     doc_id % 5 == 0 is relevant to every query, grade 1 + doc_id % 2."""
@@ -940,6 +1051,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_ndcg": q_eval_ndcg,
     "bm25_wordpunct": q_bm25_wordpunct,
     "bm25_stemmed": q_bm25_stemmed,
+    "bm25_french": q_bm25_french,
 }
 
 
@@ -1399,6 +1511,14 @@ ORDER BY q_id, rank
 
 ORACLE_SQL["bm25_stemmed"] = f"""{
     _bm25_ctes(_STEMMED_QUERIES_ORACLE, "bm25", tok_sql=_stemmed_tok_sql())
+}
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+ORACLE_SQL["bm25_french"] = f"""{
+    _bm25_ctes(_FRENCH_QUERIES_ORACLE, "bm25", tok_sql=_french_tok_sql())
 }
 SELECT q_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= {CUTOFF}

@@ -1,0 +1,71 @@
+"""Shared machinery for the Snowball stemmers (fr/de/es/it/pt/ru).
+
+Implements the published Snowball region definitions
+(https://snowballstem.org/texts/r1r2.html) used by every algorithm:
+
+  R1  the region after the first non-vowel following a vowel
+  R2  the same definition applied again, inside R1
+  RV  the Romance-language verb region (per-language variants below)
+
+The reference resolves these stemmers through nltk's SnowballStemmer
+(/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:10-43);
+these are clean-room implementations of the same published algorithms.
+Every stemmer here is a plain ``str -> str`` callable, picklable for the
+Arrow-UDF pipeline, and memoized per-vocabulary by TextPreprocessor.
+"""
+
+from __future__ import annotations
+
+
+def region_after_nv_after_v(word: str, vowels: str, start: int) -> int:
+    """Start index of 'the region after the first non-vowel following a
+    vowel', scanning from ``start`` (R1 with start=0; R2 with start=r1)."""
+    n = len(word)
+    i = start
+    while i < n and word[i] not in vowels:
+        i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    return min(n, i + 1)
+
+
+def r1_r2(word: str, vowels: str) -> tuple:
+    r1 = region_after_nv_after_v(word, vowels, 0)
+    r2 = region_after_nv_after_v(word, vowels, r1)
+    return r1, r2
+
+
+def rv_romance(word: str, vowels: str) -> int:
+    """RV for Spanish / Portuguese / Italian: if the second letter is a
+    consonant, RV is the region after the next following vowel; if the
+    first two letters are vowels, RV is the region after the next
+    consonant; otherwise (consonant-vowel) RV is the region after the
+    third letter; end of word when these positions don't exist."""
+    n = len(word)
+    if n < 2:
+        return n
+    if word[1] not in vowels:
+        i = 2
+        while i < n and word[i] not in vowels:
+            i += 1
+        return min(n, i + 1)
+    if word[0] in vowels:
+        i = 2
+        while i < n and word[i] in vowels:
+            i += 1
+        return min(n, i + 1)
+    return min(n, 3)
+
+
+def longest_suffix(word: str, suffixes) -> str:
+    """Longest element of ``suffixes`` that ends ``word`` ('' if none).
+    Snowball 'search for the longest among the following suffixes'."""
+    best = ""
+    for s in suffixes:
+        if len(s) > len(best) and word.endswith(s):
+            best = s
+    return best
+
+
+def in_region(word: str, suffix: str, region_start: int) -> bool:
+    return len(word) - len(suffix) >= region_start

@@ -1,0 +1,98 @@
+"""German Snowball stemmer (https://snowballstem.org/algorithms/german/).
+
+Clean-room implementation of the published algorithm (the reference uses
+nltk's SnowballStemmer("german"),
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:26).
+"""
+
+from __future__ import annotations
+
+from .snowball_base import in_region, longest_suffix, r1_r2
+
+VOWELS = "aeiouyäöü"
+_S_ENDING = "bdfghklmnrt"
+_ST_ENDING = "bdfghklmnt"
+_UMLAUT = str.maketrans("äöü", "aou")
+
+
+def _prelude(word: str) -> str:
+    word = word.replace("ß", "ss")
+    out = list(word)
+    for i in range(1, len(out) - 1):
+        if (
+            out[i] in "uy"
+            and word[i - 1] in VOWELS
+            and word[i + 1] in VOWELS
+            and out[i - 1] not in "UY"
+        ):
+            out[i] = out[i].upper()
+    return "".join(out)
+
+
+def german_stem(word: str) -> str:
+    word = _prelude(word.lower())
+    r1, r2 = r1_r2(word, VOWELS)
+    # the region before R1 must contain at least 3 letters
+    r1 = max(r1, 3) if len(word) >= 3 else len(word)
+
+    # step 1
+    suf = longest_suffix(word, ("em", "ern", "er", "e", "en", "es", "s"))
+    if suf:
+        if suf in ("em", "ern", "er") and in_region(word, suf, r1):
+            word = word[: len(word) - len(suf)]
+        elif suf in ("e", "en", "es") and in_region(word, suf, r1):
+            word = word[: len(word) - len(suf)]
+            if word.endswith("niss"):
+                word = word[:-1]
+        elif (
+            suf == "s"
+            and in_region(word, suf, r1)
+            and len(word) >= 2
+            and word[-2] in _S_ENDING
+        ):
+            word = word[:-1]
+
+    # step 2
+    suf = longest_suffix(word, ("en", "er", "est", "st"))
+    if suf:
+        if suf in ("en", "er", "est") and in_region(word, suf, r2):
+            word = word[: len(word) - len(suf)]
+        elif (
+            suf == "st"
+            and in_region(word, suf, r2)
+            and len(word) >= 6
+            and word[-3] in _ST_ENDING
+        ):
+            word = word[:-2]
+
+    # step 3: d-suffixes
+    suf = longest_suffix(word, ("end", "ung", "ig", "ik", "isch",
+                                "lich", "heit", "keit"))
+    if suf:
+        stem = word[: len(word) - len(suf)]
+        if suf in ("end", "ung") and in_region(word, suf, r2):
+            word = stem
+            if (
+                word.endswith("ig")
+                and in_region(word, "ig", r2)
+                and not word[: -2].endswith("e")
+            ):
+                word = word[:-2]
+        elif (
+            suf in ("ig", "ik", "isch")
+            and in_region(word, suf, r2)
+            and not stem.endswith("e")
+        ):
+            word = stem
+        elif suf in ("lich", "heit") and in_region(word, suf, r2):
+            word = stem
+            p = longest_suffix(word, ("er", "en"))
+            if p and in_region(word, p, r1):
+                word = word[: len(word) - len(p)]
+        elif suf == "keit" and in_region(word, suf, r2):
+            word = stem
+            p = longest_suffix(word, ("lich", "ig"))
+            if p and in_region(word, p, r2):
+                word = word[: len(word) - len(p)]
+
+    return word.lower().translate(_UMLAUT)

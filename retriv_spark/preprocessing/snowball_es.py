@@ -1,0 +1,166 @@
+"""Spanish Snowball stemmer (https://snowballstem.org/algorithms/spanish/).
+
+Clean-room implementation of the published algorithm; the reference
+reaches the same algorithm through nltk's SnowballStemmer("spanish")
+(/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:36).
+"""
+
+from __future__ import annotations
+
+from .snowball_base import in_region, longest_suffix, r1_r2, rv_romance
+
+VOWELS = "aeiouáéíóúü"  # a e i o u á é í ó ú ü
+
+_PRONOUNS = (
+    "me", "se", "sela", "selo", "selas", "selos", "la", "le", "lo",
+    "las", "les", "los", "nos",
+)
+_PRON_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_PRON_B = ("ando", "iendo", "ar", "er", "ir")
+_DEACCENT_A = {
+    "iéndo": "iendo", "ándo": "ando",
+    "ár": "ar", "ér": "er", "ír": "ir",
+}
+
+_S1_DELETE_R2 = (
+    "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+    "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+)
+_S1_ADOR = (
+    "adora", "ador", "ación", "adoras", "adores", "aciones",
+    "ante", "antes", "ancia", "ancias",
+)
+_S1_IVA = ("iva", "ivo", "ivas", "ivos")
+_S1_IDAD = ("idad", "idades")
+_S1_MENTE_PRE = ("ante", "able", "ible")
+
+_S2A = (
+    "ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó",
+    "yas", "yes", "yais", "yamos",
+)
+_S2B_GU = ("en", "es", "éis", "emos")
+_S2B = (
+    "arían", "arías", "arán", "arás", "aríais",
+    "aría", "aréis", "aríamos", "aremos", "ará",
+    "aré", "erían", "erías", "erán", "erás",
+    "eríais", "ería", "eréis", "eríamos", "eremos",
+    "erá", "eré", "irían", "irías", "irán",
+    "irás", "iríais", "iría", "iréis", "iríamos",
+    "iremos", "irá", "iré", "aba", "ada", "ida", "ía",
+    "ara", "iera", "ad", "ed", "id", "ase", "iese", "aste", "iste",
+    "an", "aban", "ían", "aran", "ieran", "asen", "iesen", "aron",
+    "ieron", "ado", "ido", "ando", "iendo", "ió", "ar", "er", "ir",
+    "as", "abas", "adas", "idas", "ías", "aras", "ieras", "ases",
+    "ieses", "ís", "áis", "abais", "íais", "arais",
+    "ierais", "aseis", "ieseis", "asteis", "isteis", "ados", "idos",
+    "amos", "ábamos", "íamos", "imos", "áramos",
+    "iéramos", "iésemos", "ásemos",
+)
+_S3_RV = ("os", "a", "o", "á", "í", "ó")
+
+_ACCENTS = str.maketrans(
+    "áéíóú", "aeiou"
+)
+
+
+def spanish_stem(word: str) -> str:
+    word = word.lower()
+    if len(word) <= 2:
+        return word.translate(_ACCENTS)
+    r1, r2 = r1_r2(word, VOWELS)
+    rv = rv_romance(word, VOWELS)
+
+    # step 0: attached pronoun
+    pron = longest_suffix(word, _PRONOUNS)
+    if pron:
+        base = word[: len(word) - len(pron)]
+        pre_a = longest_suffix(base, _PRON_A)
+        pre_b = longest_suffix(base, _PRON_B)
+        if pre_a and in_region(base, pre_a, rv):
+            word = base[: len(base) - len(pre_a)] + _DEACCENT_A[pre_a]
+        elif pre_b and in_region(base, pre_b, rv):
+            word = base
+        elif (
+            base.endswith("yendo")
+            and in_region(base, "yendo", rv)
+            and base[: len(base) - 5].endswith("u")
+        ):
+            word = base
+
+    # step 1: standard suffix removal
+    changed1 = False
+    suf = longest_suffix(
+        word,
+        _S1_DELETE_R2 + _S1_ADOR + _S1_IVA + _S1_IDAD
+        + ("logía", "logías", "ución", "uciones",
+           "encia", "encias", "amente", "mente"),
+    )
+    if suf:
+        stem = word[: len(word) - len(suf)]
+        if suf in _S1_DELETE_R2 and in_region(word, suf, r2):
+            word, changed1 = stem, True
+        elif suf in _S1_ADOR and in_region(word, suf, r2):
+            word, changed1 = stem, True
+            if word.endswith("ic") and in_region(word, "ic", r2):
+                word = word[:-2]
+        elif suf in ("logía", "logías") and in_region(word, suf, r2):
+            word, changed1 = stem + "log", True
+        elif suf in ("ución", "uciones") and in_region(word, suf, r2):
+            word, changed1 = stem + "u", True
+        elif suf in ("encia", "encias") and in_region(word, suf, r2):
+            word, changed1 = stem + "ente", True
+        elif suf == "amente" and in_region(word, suf, r1):
+            word, changed1 = stem, True
+            if word.endswith("iv") and in_region(word, "iv", r2):
+                word = word[:-2]
+                if word.endswith("at") and in_region(word, "at", r2):
+                    word = word[:-2]
+            else:
+                for p in ("os", "ic", "ad"):
+                    if word.endswith(p) and in_region(word, p, r2):
+                        word = word[:-2]
+                        break
+        elif suf == "mente" and in_region(word, suf, r2):
+            word, changed1 = stem, True
+            p = longest_suffix(word, _S1_MENTE_PRE)
+            if p and in_region(word, p, r2):
+                word = word[: len(word) - len(p)]
+        elif suf in _S1_IDAD and in_region(word, suf, r2):
+            word, changed1 = stem, True
+            p = longest_suffix(word, ("abil", "ic", "iv"))
+            if p and in_region(word, p, r2):
+                word = word[: len(word) - len(p)]
+        elif suf in _S1_IVA and in_region(word, suf, r2):
+            word, changed1 = stem, True
+            if word.endswith("at") and in_region(word, "at", r2):
+                word = word[:-2]
+
+    # step 2a (only if step 1 removed nothing): verb suffixes beginning y
+    if not changed1:
+        removed_2a = False
+        suf = longest_suffix(word, _S2A)
+        if suf and in_region(word, suf, rv):
+            stem = word[: len(word) - len(suf)]
+            if stem.endswith("u"):
+                word, removed_2a = stem, True
+        # step 2b (if 2a failed): other verb suffixes
+        if not removed_2a:
+            suf = longest_suffix(word, _S2B + _S2B_GU)
+            if suf and in_region(word, suf, rv):
+                word = word[: len(word) - len(suf)]
+                if suf in _S2B_GU and word.endswith("gu"):
+                    word = word[:-1]
+
+    # step 3: residual suffix (always attempted)
+    suf = longest_suffix(word, _S3_RV + ("e", "é"))
+    if suf:
+        if suf in _S3_RV and in_region(word, suf, rv):
+            word = word[: len(word) - len(suf)]
+        elif suf in ("e", "é") and in_region(word, suf, rv):
+            word = word[: len(word) - 1]
+            if word.endswith("gu") and len(word) - 1 >= rv:
+                # the u of a trailing gu is deleted when itself in RV
+                word = word[:-1]
+
+    return word.translate(_ACCENTS)

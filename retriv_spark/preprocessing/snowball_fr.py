@@ -1,0 +1,257 @@
+"""French Snowball stemmer (https://snowballstem.org/algorithms/french/).
+
+Clean-room implementation of the published algorithm (the reference uses
+nltk's SnowballStemmer("french"),
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:25).
+The prelude marks intervocalic u/i, vowel-adjacent y and u-after-q as
+consonants (upper case, per the spec); suffix literals therefore carry
+the marked forms (iqU, aIent, ...).
+"""
+
+from __future__ import annotations
+
+from .snowball_base import in_region, longest_suffix, r1_r2
+
+VOWELS = "aeiouyâàëéêèïîôûù"
+
+_S1_DELETE_R2 = (
+    "ance", "iqUe", "isme", "able", "iste", "eux",
+    "ances", "iqUes", "ismes", "ables", "istes",
+)
+_S1_ATION = (
+    "atrice", "ateur", "ation", "atrices", "ateurs", "ations",
+)
+_S1_ALL = _S1_DELETE_R2 + _S1_ATION + (
+    "logie", "logies", "usion", "ution", "usions", "utions",
+    "ence", "ences", "ement", "ements", "ité", "ités",
+    "if", "ive", "ifs", "ives", "eaux", "aux", "euse", "euses",
+    "issement", "issements", "amment", "emment", "ment", "ments",
+)
+_S2A = (
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+    "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+    "irions", "irons", "iront", "is", "issaIent", "issais", "issait",
+    "issant", "issante", "issantes", "issants", "isse", "issent",
+    "isses", "issez", "issiez", "issions", "issons", "it",
+)
+_S2B_RV = (
+    "é", "ée", "ées", "és", "èrent", "er", "era", "erai",
+    "eraIent", "erais", "erait", "eras", "erez", "eriez", "erions",
+    "erons", "eront", "ez", "iez",
+)
+_S2B_A = (
+    "âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant",
+    "ante", "antes", "ants", "as", "asse", "assent", "asses",
+    "assiez", "assions",
+)
+
+
+def _prelude(word: str) -> str:
+    out = list(word)
+    n = len(out)
+    for i, ch in enumerate(word):
+        if ch == "u" and i > 0 and word[i - 1] == "q":
+            out[i] = "U"
+        elif ch in "ui" and 0 < i < n - 1:
+            if (
+                word[i - 1] in VOWELS
+                and word[i + 1] in VOWELS
+                and out[i - 1] not in "UIY"
+            ):
+                out[i] = ch.upper()
+        elif ch == "y":
+            prev_v = i > 0 and word[i - 1] in VOWELS and out[i - 1] not in "UIY"
+            next_v = i < n - 1 and word[i + 1] in VOWELS
+            if prev_v or next_v:
+                out[i] = "Y"
+    return "".join(out)
+
+
+def _rv_french(word: str) -> int:
+    if word[:3] in ("par", "col", "tap"):
+        return 3
+    n = len(word)
+    if n >= 3 and word[0] in VOWELS and word[1] in VOWELS:
+        return 3
+    for i in range(1, n):
+        if word[i] in VOWELS:
+            return min(n, i + 1)
+    return n
+
+
+def french_stem(word: str) -> str:  # noqa: C901 (spec-shaped dispatch)
+    word = _prelude(word.lower())
+    if len(word) <= 2:
+        return word.lower()
+    r1, r2 = r1_r2(word, VOWELS)
+    rv = _rv_french(word)
+
+    altered = False       # did step 1 alter the word?
+    found_ment = False    # amment/emment/ment/ments found (even if kept)
+
+    # ---- step 1: standard suffix removal --------------------------------
+    suf = longest_suffix(word, _S1_ALL)
+    if suf:
+        stem = word[: len(word) - len(suf)]
+        if suf in ("amment", "emment", "ment", "ments"):
+            found_ment = True
+            if suf == "amment" and in_region(word, suf, rv):
+                word, altered = stem + "ant", True
+            elif suf == "emment" and in_region(word, suf, rv):
+                word, altered = stem + "ent", True
+            elif suf in ("ment", "ments"):
+                # delete if preceded by a vowel in RV
+                i = len(word) - len(suf) - 1
+                if i >= rv and word[i] in VOWELS:
+                    word, altered = stem, True
+        else:
+            if suf in _S1_DELETE_R2 and in_region(word, suf, r2):
+                word, altered = stem, True
+            elif suf in _S1_ATION and in_region(word, suf, r2):
+                word, altered = stem, True
+                if word.endswith("ic"):
+                    if in_region(word, "ic", r2):
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+            elif suf in ("logie", "logies") and in_region(word, suf, r2):
+                word, altered = stem + "log", True
+            elif suf in (
+                "usion", "ution", "usions", "utions"
+            ) and in_region(word, suf, r2):
+                word, altered = stem + "u", True
+            elif suf in ("ence", "ences") and in_region(word, suf, r2):
+                word, altered = stem + "ent", True
+            elif suf in ("ement", "ements") and in_region(word, suf, rv):
+                word, altered = stem, True
+                if word.endswith("iv") and in_region(word, "iv", r2):
+                    word = word[:-2]
+                    if word.endswith("at") and in_region(word, "at", r2):
+                        word = word[:-2]
+                elif word.endswith("eus"):
+                    if in_region(word, "eus", r2):
+                        word = word[:-3]
+                    elif in_region(word, "eus", r1):
+                        word = word[:-1] + "x"
+                elif word.endswith("abl") and in_region(word, "abl", r2):
+                    word = word[:-3]
+                elif word.endswith("iqU") and in_region(word, "iqU", r2):
+                    word = word[:-3]
+                elif (
+                    word.endswith("ièr") or word.endswith("Ièr")
+                ) and in_region(word, "ièr", rv):
+                    word = word[:-3] + "i"
+            elif suf in ("ité", "ités") and in_region(word, suf, r2):
+                word, altered = stem, True
+                if word.endswith("abil"):
+                    if in_region(word, "abil", r2):
+                        word = word[:-4]
+                    else:
+                        word = word[:-2] + "l"  # abil -> abl
+                elif word.endswith("ic"):
+                    if in_region(word, "ic", r2):
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+                elif word.endswith("iv") and in_region(word, "iv", r2):
+                    word = word[:-2]
+            elif suf in ("if", "ive", "ifs", "ives") and in_region(
+                word, suf, r2
+            ):
+                word, altered = stem, True
+                if word.endswith("at") and in_region(word, "at", r2):
+                    word = word[:-2]
+                    if word.endswith("ic"):
+                        if in_region(word, "ic", r2):
+                            word = word[:-2]
+                        else:
+                            word = word[:-2] + "iqU"
+            elif suf == "eaux":
+                word, altered = stem + "eau", True
+            elif suf == "aux" and in_region(word, suf, r1):
+                word, altered = stem + "al", True
+            elif suf in ("euse", "euses"):
+                if in_region(word, suf, r2):
+                    word, altered = stem, True
+                elif in_region(word, suf, r1):
+                    word, altered = stem + "eux", True
+            elif suf in ("issement", "issements") and in_region(
+                word, suf, r1
+            ):
+                if stem and stem[-1] not in VOWELS:
+                    word, altered = stem, True
+
+    # ---- step 2a (if step 1 removed nothing, or found a ment ending) ----
+    # "altered" below tracks whether the LAST step obeyed (1, 2a or 2b)
+    # changed the word — that choice routes to step 3 vs step 4.
+    if (not altered) or found_ment:
+        removed_2a = False
+        suf = longest_suffix(word, _S2A)
+        if suf and in_region(word, suf, rv):
+            i = len(word) - len(suf) - 1
+            if i >= rv and word[i] not in VOWELS:
+                word, removed_2a = word[: len(word) - len(suf)], True
+        altered = removed_2a
+        # ---- step 2b: other verb suffixes (2a obeyed, removed nothing)
+        if not removed_2a:
+            suf = longest_suffix(word, _S2B_RV + _S2B_A + ("ions",))
+            if suf == "ions":
+                if in_region(word, suf, r2) and in_region(word, suf, rv):
+                    word, altered = word[:-4], True
+            elif suf in _S2B_RV and in_region(word, suf, rv):
+                word, altered = word[: len(word) - len(suf)], True
+            elif suf in _S2B_A and in_region(word, suf, rv):
+                word, altered = word[: len(word) - len(suf)], True
+                if word.endswith("e") and in_region(word, "e", rv):
+                    word = word[:-1]
+
+    # ---- step 3 (word altered) / step 4 (not altered) --------------------
+    if altered:
+        if word.endswith("Y"):
+            word = word[:-1] + "i"
+        elif word.endswith("ç"):
+            word = word[:-1] + "c"
+    else:
+        # step 4
+        if (
+            word.endswith("s")
+            and len(word) >= 2
+            and word[-2] not in "aiouès"
+        ):
+            word = word[:-1]
+        suf = longest_suffix(
+            word, ("ion", "ier", "ière", "Ier", "Ière", "e", "ë")
+        )
+        if suf == "ion":
+            if (
+                in_region(word, suf, r2)
+                and len(word) - 4 >= rv
+                and word[-4] in "st"
+            ):
+                word = word[:-3]
+        elif suf in ("ier", "ière", "Ier", "Ière"):
+            if in_region(word, suf, rv):
+                word = word[: len(word) - len(suf)] + "i"
+        elif suf == "e" and in_region(word, suf, rv):
+            word = word[:-1]
+        elif (
+            suf == "ë"
+            and in_region(word, suf, rv)
+            and word.endswith("guë")
+        ):
+            word = word[:-1]
+
+    # ---- step 5: undouble ------------------------------------------------
+    for dbl in ("enn", "onn", "ett", "ell", "eill"):
+        if word.endswith(dbl):
+            word = word[:-1]
+            break
+
+    # ---- step 6: un-accent ----------------------------------------------
+    i = len(word) - 1
+    while i >= 0 and word[i] not in VOWELS:
+        i -= 1
+    if i >= 0 and i < len(word) - 1 and word[i] in "éè":
+        word = word[:i] + "e" + word[i + 1:]
+
+    return word.lower()

@@ -1,0 +1,157 @@
+"""Italian Snowball stemmer (https://snowballstem.org/algorithms/italian/).
+
+Clean-room implementation of the published algorithm (the reference uses
+nltk's SnowballStemmer("italian"),
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:28).
+Prelude marks u-after-q and intervocalic u/i as consonants (upper-case
+U/I per the spec); the postlude lowers them back.
+"""
+
+from __future__ import annotations
+
+from .snowball_base import in_region, longest_suffix, r1_r2, rv_romance
+
+VOWELS = "aeiouàèìòù"
+
+_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_PRONOUNS = (
+    "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+    "sene", "gliela", "gliele", "glieli", "glielo", "gliene", "mela",
+    "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+    "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+    "veli", "velo", "vene",
+)
+_S1_DELETE_R2 = (
+    "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi", "ismo",
+    "ismi", "abile", "abili", "ibile", "ibili", "ista", "iste", "isti",
+    "istà", "istè", "istì", "oso", "osi", "osa", "ose",
+    "mente", "atrice", "atrici", "ante", "anti",
+)
+_S2 = (
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+    "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+    "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+    "Yamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+    "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti", "irete",
+    "irò", "irono", "isca", "iscano", "isce", "isci", "isco", "iscono",
+    "issero", "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano",
+    "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir",
+)
+
+
+def _prelude(word: str) -> str:
+    word = word.translate(_ACUTE)
+    out = list(word)
+    for i, ch in enumerate(out):
+        if ch == "u" and i > 0 and out[i - 1] == "q":
+            out[i] = "U"
+        elif ch in "ui" and 0 < i < len(out) - 1:
+            if (
+                word[i - 1] in VOWELS
+                and word[i + 1] in VOWELS
+                # neighbours must be TRUE vowels (not already-marked U/I)
+                and out[i - 1] not in "UI"
+            ):
+                out[i] = ch.upper()
+    return "".join(out)
+
+
+def italian_stem(word: str) -> str:
+    word = _prelude(word.lower())
+    r1, r2 = r1_r2(word, VOWELS)
+    rv = rv_romance(word, VOWELS)
+
+    # step 0: attached pronoun
+    pron = longest_suffix(word, _PRONOUNS)
+    if pron:
+        base = word[: len(word) - len(pron)]
+        pre_a = longest_suffix(base, ("ando", "endo"))
+        pre_b = longest_suffix(base, ("ar", "er", "ir"))
+        if pre_a and in_region(base, pre_a, rv):
+            word = base
+        elif pre_b and in_region(base, pre_b, rv):
+            word = base + "e"
+
+    # step 1: standard suffixes
+    changed1 = False
+    suf = longest_suffix(
+        word,
+        _S1_DELETE_R2
+        + ("azione", "azioni", "atore", "atori", "logia", "logie",
+           "uzione", "uzioni", "usione", "usioni", "enza", "enze",
+           "amento", "amenti", "imento", "imenti", "amente", "ità",
+           "ivo", "ivi", "iva", "ive"),
+    )
+    if suf:
+        stem = word[: len(word) - len(suf)]
+        if suf == "amente" and in_region(word, suf, r1):
+            # amente outranks mente in the longest-match
+            word, changed1 = stem, True
+            if word.endswith("iv") and in_region(word, "iv", r2):
+                word = word[:-2]
+                if word.endswith("at") and in_region(word, "at", r2):
+                    word = word[:-2]
+            else:
+                for p in ("os", "ic", "abil"):
+                    if word.endswith(p) and in_region(word, p, r2):
+                        word = word[: len(word) - len(p)]
+                        break
+        elif suf in _S1_DELETE_R2 and in_region(word, suf, r2):
+            word, changed1 = stem, True
+        elif suf in ("azione", "azioni", "atore", "atori") and in_region(
+            word, suf, r2
+        ):
+            word, changed1 = stem, True
+            if word.endswith("ic") and in_region(word, "ic", r2):
+                word = word[:-2]
+        elif suf in ("logia", "logie") and in_region(word, suf, r2):
+            word, changed1 = stem + "log", True
+        elif suf in (
+            "uzione", "uzioni", "usione", "usioni"
+        ) and in_region(word, suf, r2):
+            word, changed1 = stem + "u", True
+        elif suf in ("enza", "enze") and in_region(word, suf, r2):
+            word, changed1 = stem + "ente", True
+        elif suf in (
+            "amento", "amenti", "imento", "imenti"
+        ) and in_region(word, suf, rv):
+            word, changed1 = stem, True
+        elif suf == "ità" and in_region(word, suf, r2):
+            word, changed1 = stem, True
+            p = longest_suffix(word, ("abil", "ic", "iv"))
+            if p and in_region(word, p, r2):
+                word = word[: len(word) - len(p)]
+        elif suf in ("ivo", "ivi", "iva", "ive") and in_region(
+            word, suf, r2
+        ):
+            word, changed1 = stem, True
+            if word.endswith("at") and in_region(word, "at", r2):
+                word = word[:-2]
+                if word.endswith("ic") and in_region(word, "ic", r2):
+                    word = word[:-2]
+
+    # step 2: verb suffixes, only when step 1 removed nothing
+    if not changed1:
+        suf = longest_suffix(word, _S2)
+        if suf and in_region(word, suf, rv):
+            word = word[: len(word) - len(suf)]
+
+    # step 3a: final vowel, then a following i
+    for ch in ("a", "e", "i", "o", "à", "è", "ì", "ò"):
+        if word.endswith(ch) and in_region(word, ch, rv):
+            word = word[:-1]
+            if word.endswith("i") and in_region(word, "i", rv):
+                word = word[:-1]
+            break
+
+    # step 3b: ch/gh -> c/g
+    if (word.endswith("ch") or word.endswith("gh")) and in_region(
+        word, "h", rv
+    ):
+        word = word[:-1]
+
+    return word.lower()

@@ -1,0 +1,135 @@
+"""Portuguese Snowball stemmer
+(https://snowballstem.org/algorithms/portuguese/).
+
+Clean-room implementation of the published algorithm (the reference uses
+nltk's SnowballStemmer("portuguese"),
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:33).
+Nasal vowels are preluded ã -> a~ / õ -> o~ (vowel + artificial
+consonant) exactly as the spec prescribes, and restored at the end.
+"""
+
+from __future__ import annotations
+
+from .snowball_base import in_region, longest_suffix, r1_r2, rv_romance
+
+VOWELS = "aeiouáéíóúâêô"
+
+_S1_DELETE_R2 = (
+    "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+    "amento", "amentos", "imento", "imentos", "adora", "ador",
+    "aça~o", "adoras", "adores", "aço~es", "ante", "antes", "ância",
+)
+_S1_MENTE_PRE = ("ante", "avel", "ível")
+_S2 = (
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara",
+    "erá", "era", "irá", "ava", "asse", "esse", "isse", "aste",
+    "este", "iste", "ei", "arei", "erei", "irei", "am", "iam",
+    "ariam", "eriam", "iriam", "aram", "eram", "iram", "avam", "em",
+    "arem", "erem", "irem", "assem", "essem", "issem", "ado", "ido",
+    "ando", "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er",
+    "ir", "as", "adas", "idas", "ias", "arias", "erias", "irias",
+    "arás", "aras", "erás", "eras", "irás", "avas", "es",
+    "ardes", "erdes", "irdes", "ares", "eres", "ires", "asses",
+    "esses", "isses", "astes", "estes", "istes", "is", "ais", "iais",
+    "aríeis", "eríeis", "iríeis", "áreis", "areis",
+    "éreis", "ereis", "íreis", "ireis", "ásseis",
+    "ésseis", "ísseis", "áveis", "íeis", "ados",
+    "idos", "ámos", "amos", "íamos", "aríamos",
+    "eríamos", "iríamos", "áramos", "éramos",
+    "íramos", "ávamos", "emos", "aremos", "eremos", "iremos",
+    "ássemos", "êssemos", "íssemos", "imos", "armos",
+    "ermos", "irmos", "eu", "iu", "ou",
+)
+_S4 = ("os", "a", "i", "o", "á", "í", "ó")
+
+
+def portuguese_stem(word: str) -> str:
+    word = word.lower().replace("ã", "a~").replace("õ", "o~")
+    r1, r2 = r1_r2(word, VOWELS)
+    rv = rv_romance(word, VOWELS)
+    altered = False
+
+    # step 1: standard suffix removal
+    suf = longest_suffix(
+        word,
+        _S1_DELETE_R2
+        + ("logia", "logias", "uça~o", "uço~es", "ência", "ências",
+           "amente", "mente", "idade", "idades",
+           "iva", "ivo", "ivas", "ivos", "ira", "iras"),
+    )
+    if suf:
+        stem = word[: len(word) - len(suf)]
+        if suf in _S1_DELETE_R2 and in_region(word, suf, r2):
+            word, altered = stem, True
+        elif suf in ("logia", "logias") and in_region(word, suf, r2):
+            word, altered = stem + "log", True
+        elif suf in ("uça~o", "uço~es") and in_region(word, suf, r2):
+            word, altered = stem + "u", True
+        elif suf in ("ência", "ências") and in_region(word, suf, r2):
+            word, altered = stem + "ente", True
+        elif suf == "amente" and in_region(word, suf, r1):
+            word, altered = stem, True
+            if word.endswith("iv") and in_region(word, "iv", r2):
+                word = word[:-2]
+                if word.endswith("at") and in_region(word, "at", r2):
+                    word = word[:-2]
+            else:
+                for p in ("os", "ic", "ad"):
+                    if word.endswith(p) and in_region(word, p, r2):
+                        word = word[:-2]
+                        break
+        elif suf == "mente" and in_region(word, suf, r2):
+            word, altered = stem, True
+            p = longest_suffix(word, _S1_MENTE_PRE)
+            if p and in_region(word, p, r2):
+                word = word[: len(word) - len(p)]
+        elif suf in ("idade", "idades") and in_region(word, suf, r2):
+            word, altered = stem, True
+            p = longest_suffix(word, ("abil", "ic", "iv"))
+            if p and in_region(word, p, r2):
+                word = word[: len(word) - len(p)]
+        elif suf in ("iva", "ivo", "ivas", "ivos") and in_region(
+            word, suf, r2
+        ):
+            word, altered = stem, True
+            if word.endswith("at") and in_region(word, "at", r2):
+                word = word[:-2]
+        elif (
+            suf in ("ira", "iras")
+            and in_region(word, suf, rv)
+            and stem.endswith("e")
+        ):
+            word, altered = stem + "ir", True
+
+    # step 2: verb suffixes, only when step 1 changed nothing
+    if not altered:
+        suf = longest_suffix(word, _S2)
+        if suf and in_region(word, suf, rv):
+            word, altered = word[: len(word) - len(suf)], True
+
+    if altered:
+        # step 3: delete i if in RV and preceded by c
+        if word.endswith("ci") and in_region(word, "i", rv):
+            word = word[:-1]
+    else:
+        # step 4: residual suffix
+        suf = longest_suffix(word, _S4)
+        if suf and in_region(word, suf, rv):
+            word = word[: len(word) - len(suf)]
+
+    # step 5: residual form (always attempted)
+    suf = longest_suffix(word, ("e", "é", "ê"))
+    if suf and in_region(word, suf, rv):
+        word = word[: len(word) - 1]
+        if (
+            (word.endswith("gu") or word.endswith("ci"))
+            and len(word) - 1 >= rv
+        ):
+            word = word[:-1]
+    if word.endswith("ç"):
+        word = word[:-1] + "c"
+
+    # postlude restores the nasal vowels only — unlike Spanish, the
+    # Portuguese algorithm keeps acute/circumflex accents
+    return word.replace("a~", "ã").replace("o~", "õ")

@@ -1,0 +1,126 @@
+"""Russian Snowball stemmer (https://snowballstem.org/algorithms/russian/).
+
+Clean-room implementation of the published algorithm (the reference uses
+nltk's SnowballStemmer("russian"),
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:35).
+
+Group-1 endings (perfective gerund / participle / verb) require an
+immediately preceding а/я which itself stays on the word; per the
+Snowball `among` semantics there is NO fallback to a shorter ending when
+that condition fails — the whole category fails instead.
+"""
+
+from __future__ import annotations
+
+from .snowball_base import r1_r2
+
+VOWELS = "аеиоуыэюя"
+
+_GERUND_1 = ("в", "вши", "вшись")
+_GERUND_2 = ("ив", "ивши", "ившись", "ыв", "ывши", "ывшись")
+_ADJECTIVE = (
+    "ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой", "ем",
+    "им", "ым", "ом", "его", "ого", "ему", "ому", "их", "ых", "ею",
+    "юю", "ую", "ою",
+)
+_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")
+_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_VERB_1 = (
+    "ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но",
+    "ет", "ют", "ны", "ть", "ешь", "нно",
+)
+_VERB_2 = (
+    "ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли", "ей",
+    "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ят",
+    "ует", "уют", "ит", "ыт", "ены", "ить", "ыть", "ишь", "ую", "ю",
+)
+_NOUN = (
+    "а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи", "ии",
+    "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием", "ем", "ам",
+    "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью", "ю", "ия",
+    "ья", "я",
+)
+
+
+def _rv(word: str) -> int:
+    for i, ch in enumerate(word):
+        if ch in VOWELS:
+            return i + 1
+    return len(word)
+
+
+def _strip_category(word: str, rv: int, g2, g1):
+    """Longest literal among g1 ∪ g2 lying in RV; g1 additionally needs
+    а/я immediately before (inside RV).  Returns the stripped word, or
+    None — with NO retry of shorter endings on a failed g1 condition."""
+    best, is_g1 = "", False
+    for s in g2:
+        if len(s) > len(best) and word.endswith(s):
+            best, is_g1 = s, False
+    for s in g1:
+        if len(s) > len(best) and word.endswith(s):
+            best, is_g1 = s, True
+    if not best or len(word) - len(best) < rv:
+        return None
+    if is_g1:
+        i = len(word) - len(best) - 1
+        if i < rv or word[i] not in "ая":
+            return None
+    return word[: len(word) - len(best)]
+
+
+def russian_stem(word: str) -> str:
+    word = word.lower().replace("ё", "е")
+    rv = _rv(word)
+    _r1, r2 = r1_r2(word, VOWELS)
+
+    # step 1
+    out = _strip_category(word, rv, _GERUND_2, _GERUND_1)
+    if out is not None:
+        word = out
+    else:
+        for refl in ("ся", "сь"):
+            if word.endswith(refl) and len(word) - 2 >= rv:
+                word = word[:-2]
+                break
+        out = _strip_category(word, rv, _ADJECTIVE, ())
+        if out is not None:
+            word = out
+            # adjectival = adjective optionally preceded by a participle
+            out = _strip_category(word, rv, _PARTICIPLE_2, _PARTICIPLE_1)
+            if out is not None:
+                word = out
+        else:
+            out = _strip_category(word, rv, _VERB_2, _VERB_1)
+            if out is not None:
+                word = out
+            else:
+                out = _strip_category(word, rv, _NOUN, ())
+                if out is not None:
+                    word = out
+
+    # step 2: final и
+    if word.endswith("и") and len(word) - 1 >= rv:
+        word = word[:-1]
+
+    # step 3: derivational, in R2
+    for der in ("ость", "ост"):
+        if word.endswith(der) and len(word) - len(der) >= r2:
+            word = word[: len(word) - len(der)]
+            break
+
+    # step 4: tidy up (one of the three, all within RV)
+    if word.endswith("нн") and len(word) - 1 >= rv:
+        word = word[:-1]
+    else:
+        for sup in ("ейше", "ейш"):
+            if word.endswith(sup) and len(word) - len(sup) >= rv:
+                word = word[: len(word) - len(sup)]
+                if word.endswith("нн") and len(word) - 1 >= rv:
+                    word = word[:-1]
+                break
+        else:
+            if word.endswith("ь") and len(word) - 1 >= rv:
+                word = word[:-1]
+
+    return word

@@ -3,8 +3,10 @@
 Mirrors the reference contract
 (/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:46-58,
 215-223): a stemmer spec may be a name, a user callable, or ``None``
-(identity).  Only ``english`` (Porter2/Snowball, see ``porter2.py``) is
-implemented natively; other languages plug in as user callables.
+(identity).  Named stemmers are clean-room implementations of the
+published Snowball algorithms (english/porter in ``porter2.py`` /
+``porter.py``; french/german/spanish/italian/portuguese/russian in the
+``snowball_*`` modules); any other language plugs in as a user callable.
 """
 
 from __future__ import annotations
@@ -13,11 +15,23 @@ from typing import Callable, Union
 
 from .porter import porter_stem
 from .porter2 import porter2_stem
+from .snowball_de import german_stem
+from .snowball_es import spanish_stem
+from .snowball_fr import french_stem
+from .snowball_it import italian_stem
+from .snowball_pt import portuguese_stem
+from .snowball_ru import russian_stem
 from .tokenizer import identity_function
 
 stemmers_dict = {
     "english": porter2_stem,
     "porter": porter_stem,
+    "french": french_stem,
+    "german": german_stem,
+    "spanish": spanish_stem,
+    "italian": italian_stem,
+    "portuguese": portuguese_stem,
+    "russian": russian_stem,
 }
 
 

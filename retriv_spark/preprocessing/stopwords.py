@@ -41,11 +41,24 @@ ENGLISH_STOPWORDS: List[str] = [
 def get_stopwords(sw_list: Union[str, List[str], Set[str], None]) -> List[str]:
     """Resolve a stop-word spec to a list (reference stopwords.py:46-56)."""
     if isinstance(sw_list, str):
-        if sw_list.lower() != "english":
+        name = sw_list.lower()
+        if name == "english":
+            return list(ENGLISH_STOPWORDS)
+        from . import stopwords_data
+
+        by_lang = {
+            "french": stopwords_data.FRENCH_STOPWORDS,
+            "german": stopwords_data.GERMAN_STOPWORDS,
+            "spanish": stopwords_data.SPANISH_STOPWORDS,
+            "italian": stopwords_data.ITALIAN_STOPWORDS,
+            "portuguese": stopwords_data.PORTUGUESE_STOPWORDS,
+            "russian": stopwords_data.RUSSIAN_STOPWORDS,
+        }
+        if name not in by_lang:
             raise AssertionError(
                 f"Stop-words for {sw_list.capitalize()} are not available."
             )
-        return list(ENGLISH_STOPWORDS)
+        return list(by_lang[name])
     elif type(sw_list) is list and all(isinstance(x, str) for x in sw_list):
         return sw_list
     elif type(sw_list) is set:

@@ -1,0 +1,161 @@
+# -*- coding: utf-8 -*-
+"""Golden vectors for the non-English Snowball stemmers.
+
+Each pair was hand-traced against the published algorithm
+(snowballstem.org) — region computation, longest-match group, condition
+chain — and several are well-known published sample outputs
+(abhängigkeit→abhang, aufeinanderfolgenden→aufeinanderfolg,
+évidemment→évident, yeux→yeux).  The reference reaches the same
+algorithms through nltk's SnowballStemmer (stemmer.py:10-43).
+"""
+
+import pytest
+
+from retriv_spark.preprocessing import TextPreprocessor
+from retriv_spark.preprocessing.stemmer import get_stemmer
+from retriv_spark.preprocessing.stopwords import get_stopwords
+
+SPANISH = {
+    "cantando": "cant", "libros": "libr", "importante": "import",
+    "naciones": "nacion", "felicidad": "felic", "grandeza": "grandez",
+    "comieron": "com", "agua": "agu", "guerra": "guerr",
+    "canciones": "cancion", "trabajando": "trabaj",
+    "españolas": "español", "rápidamente": "rapid",
+    "universidades": "univers", "tecnología": "tecnolog",
+    "solución": "solucion", "presencia": "presenci",
+    "fácilmente": "facil", "hablando": "habl", "viviendo": "viv",
+    "quedándose": "qued", "relativo": "relat",
+    "relativamente": "relat", "lógica": "logic", "amigos": "amig",
+    "corriendo": "corr", "utilización": "utiliz",
+}
+
+PORTUGUESE = {
+    "trabalhando": "trabalh", "brasileiro": "brasileir",
+    "importância": "import", "coração": "coraçã",
+    "felicidade": "felic", "rapidamente": "rapid",
+    "universidades": "univers", "tecnologia": "tecnolog",
+    "presença": "presenc", "falando": "fal", "vivendo": "viv",
+    "relativo": "relat", "lógica": "lógic", "amigos": "amig",
+    "meninas": "menin", "correndo": "corr", "utilização": "utiliz",
+    "cantou": "cant", "casas": "cas", "possibilidade": "possibil",
+    "científico": "científ", "física": "físic",
+}
+
+ITALIAN = {
+    "parlando": "parl", "nazionale": "nazional", "nazioni": "nazion",
+    "felicità": "felic", "rapidamente": "rapid",
+    "università": "univers", "tecnologia": "tecnolog",
+    "soluzione": "soluzion", "presenza": "presenz", "vivendo": "viv",
+    "relativo": "relat", "logica": "logic", "amici": "amic",
+    "ragazzi": "ragazz", "correndo": "corr",
+    "utilizzazione": "utilizz", "cantò": "cant", "case": "cas",
+    "possibilità": "possibil", "scientifico": "scientif",
+    "abbandonata": "abbandon", "quando": "quand",
+    "mangiare": "mang", "dandogli": "dandogl", "spaghetti": "spaghett",
+    "banchi": "banc",
+}
+
+GERMAN = {
+    "aufeinanderfolgenden": "aufeinanderfolg",
+    "abhängigkeit": "abhang", "jugend": "jugend",
+    "kategorie": "kategori", "arbeiten": "arbeit",
+    "universität": "universitat", "technologie": "technologi",
+    "lösung": "losung", "schnell": "schnell", "häuser": "haus",
+    "kinder": "kind", "wissenschaftlich": "wissenschaft",
+    "bücher": "buch", "laufen": "lauf", "gelaufen": "gelauf",
+    "größte": "grosst", "verständnisses": "verstandnis",
+    "straßen": "strass", "geheimnisse": "geheimnis",
+}
+
+FRENCH = {
+    "continuer": "continu", "majestueux": "majestu",
+    "nationale": "national", "nations": "nation",
+    "rapidement": "rapid", "université": "univers",
+    "technologie": "technolog", "solution": "solut",
+    "relatif": "relat", "relativement": "relat",
+    "logique": "logiqu", "amis": "amis", "enfants": "enfant",
+    "vivant": "viv", "utilisation": "utilis",
+    "chanteuse": "chanteux", "beaux": "beau", "chevaux": "cheval",
+    "important": "import", "abondamment": "abond",
+    "évidemment": "évident", "finissions": "fin",
+    "manger": "mang", "mangées": "mang", "yeux": "yeux",
+    "travailler": "travaill", "belle": "bel",
+    "actuellement": "actuel", "possibilité": "possibil",
+    "créée": "cré", "nettement": "net", "vraiment": "vrai",
+    "premier": "premi", "première": "premi", "sérieuse": "sérieux",
+}
+
+RUSSIAN = {
+    "книга": "книг", "книги": "книг", "важный": "важн",
+    "важнейший": "важн", "делала": "дела",
+    "политическое": "политическ", "пользовании": "пользован",
+    "университеты": "университет", "технология": "технолог",
+    "решение": "решен", "быстро": "быстр",
+    "работающий": "работа", "сказавшись": "сказа",
+    "остановиться": "останов", "новости": "новост",
+    "новость": "новост", "возможность": "возможн",
+    "проблемы": "проблем", "русский": "русск",
+}
+
+VECTORS = {
+    "spanish": SPANISH,
+    "portuguese": PORTUGUESE,
+    "italian": ITALIAN,
+    "german": GERMAN,
+    "french": FRENCH,
+    "russian": RUSSIAN,
+}
+
+
+@pytest.mark.parametrize("lang", sorted(VECTORS))
+def test_golden_vectors(lang):
+    stem = get_stemmer(lang)
+    bad = {
+        w: (stem(w), want)
+        for w, want in VECTORS[lang].items()
+        if stem(w) != want
+    }
+    assert not bad, bad
+
+
+@pytest.mark.parametrize("lang", sorted(VECTORS))
+def test_stemmer_total_and_stable(lang):
+    """Every stemmer is total on short/odd inputs and deterministic."""
+    stem = get_stemmer(lang)
+    for w in ("", "a", "ab", "abc", "x" * 40, "123", "béé", "ъь"):
+        assert stem(w) == stem(w)
+        assert isinstance(stem(w), str)
+
+
+@pytest.mark.parametrize(
+    "lang", ["french", "german", "spanish", "italian", "portuguese",
+             "russian"]
+)
+def test_stopwords_resolve_and_pipeline_runs(lang):
+    sw = get_stopwords(lang)
+    assert len(sw) > 100
+    pre = TextPreprocessor(stemmer=lang, stopwords=lang)
+    # a phrase per language exercising stopword removal + stemming
+    samples = {
+        # NOTE the stemmed-stopword quirk: the list is stemmed at init
+        # ("les" -> "le") while the filter sees PRE-stem tokens, so
+        # "les" survives and is indexed as "le" — reference behavior
+        # (sparse_retriever.py:98), replicated for rank-identity.
+        "french": (
+            "les nations travaillent", ["le", "nation", "travaillent"]
+        ),
+        "german": ("die kinder laufen", ["kind", "lauf"]),
+        "spanish": ("los amigos trabajando", ["amig", "trabaj"]),
+        "italian": ("i ragazzi parlando", ["ragazz", "parl"]),
+        "portuguese": ("as meninas falando", ["menin", "fal"]),
+        "russian": ("и книги важный", ["книг", "важн"]),
+    }
+    text, expected = samples[lang]
+    assert pre(text) == expected
+
+
+def test_unknown_language_still_raises():
+    with pytest.raises(AssertionError):
+        get_stopwords("klingon")
+    with pytest.raises(AssertionError):
+        get_stemmer("klingon")
