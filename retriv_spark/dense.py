@@ -75,18 +75,97 @@ def hashing_encoder(dim: int = 64, seed: int = 42) -> Callable:
     return encode
 
 
-def transformer_encoder(model_name: str):  # pragma: no cover - env-gated
-    """Reference-parity encoder slot (encoder.py:36-130). Requires
-    torch+transformers, which this environment does not ship."""
-    try:
-        import torch  # noqa: F401
-        import transformers  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "transformer encoding needs torch+transformers (not installed); "
-            "pass a custom encoder callable or precomputed embeddings"
-        ) from e
-    raise NotImplementedError("wire HF mean-pooling here when libs exist")
+def _mean_pool(hidden: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Attention-mask-weighted mean over token embeddings — the
+    reference's pooling (encoder.py:88-103): sum(hidden * mask) /
+    clamp(sum(mask), 1e-9)."""
+    hidden = np.asarray(hidden, dtype=np.float64)
+    mask = np.asarray(mask, dtype=np.float64)
+    weighted = (hidden * mask[..., None]).sum(axis=1)
+    denom = np.maximum(mask.sum(axis=1), 1e-9)[..., None]
+    return weighted / denom
+
+
+def transformer_encoder(
+    model_name: str,
+    max_length: int = 128,
+    batch_size: int = 32,
+    normalize: bool = True,
+    _model=None,
+    _tokenizer=None,
+) -> Callable:
+    """Reference-parity HF encoder (encoder.py:36-130): tokenize →
+    forward → attention-masked mean pooling → optional L2 norm, chunked
+    by ``batch_size``.
+
+    ``_model`` / ``_tokenizer`` are injection points so the pooling and
+    batching wiring is exercised without model weights (tests inject
+    numpy fakes mimicking the HF interface).  Without injection the pair
+    is resolved via transformers.AutoModel/AutoTokenizer, which needs
+    torch+transformers — absent in this environment, so that path raises
+    the same NotImplementedError the slot always raised.
+    """
+    use_torch = _model is None or _tokenizer is None
+    if use_torch:
+        try:
+            import torch  # noqa: F401
+            from transformers import AutoModel, AutoTokenizer
+        except ImportError as e:
+            raise NotImplementedError(
+                "transformer encoding needs torch+transformers (not "
+                "installed); pass a custom encoder callable or "
+                "precomputed embeddings"
+            ) from e
+        if _tokenizer is None:
+            _tokenizer = AutoTokenizer.from_pretrained(model_name)
+        if _model is None:
+            _model = AutoModel.from_pretrained(model_name)
+            _model.eval()
+
+    def _forward(batch):
+        toks = _tokenizer(
+            batch,
+            padding=True,
+            truncation=True,
+            max_length=max_length,
+            return_tensors="pt" if use_torch else "np",
+        )
+        if use_torch:
+            import torch
+
+            with torch.no_grad():
+                hidden = _model(**toks).last_hidden_state.cpu().numpy()
+            mask = toks["attention_mask"].cpu().numpy()
+        else:
+            hidden = np.asarray(_model(**toks).last_hidden_state)
+            mask = np.asarray(toks["attention_mask"])
+        return hidden, mask
+
+    def encode(texts: pd.Series) -> pd.Series:
+        lst = ["" if t is None else str(t) for t in list(texts)]
+        rows: List[list] = []
+        for i in range(0, len(lst), batch_size):
+            hidden, mask = _forward(lst[i : i + batch_size])
+            emb = _mean_pool(hidden, mask)
+            if normalize:
+                norms = np.maximum(
+                    np.sqrt((emb * emb).sum(axis=1))[..., None], 1e-12
+                )
+                emb = emb / norms
+            rows.extend(
+                [float(x) for x in r] for r in emb.astype(np.float32)
+            )
+        return pd.Series(rows)
+
+    dim = None
+    cfg = getattr(_model, "config", None)
+    if cfg is not None:
+        dim = getattr(cfg, "hidden_size", None)
+    if dim is not None:
+        encode.dim = int(dim)  # type: ignore[attr-defined]
+    encode.is_transformer_encoder = True  # type: ignore[attr-defined]
+    encode.model_name = model_name  # type: ignore[attr-defined]
+    return encode
 
 
 class DenseRetriever:

@@ -425,6 +425,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_jaccard_capped(spark, sf_dir):
+    """n-gram Jaccard with the hot-shingle df-cap: shingles in more than
+    max_shingle_df docs are pruned before the self-join (the 100 TB skew
+    guard), and Jaccard is computed over the pruned universe."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=3, threshold=0.2, max_shingle_df=5
+    ).orderBy("id_a", "id_b")
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(
         _docs(spark, sf_dir), n_hashes=16, bands=4, k=3
@@ -1028,6 +1037,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_fusion": q_hybrid_fusion,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1129,6 +1139,41 @@ cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b,
+         round(n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+""",
+    "dedup_jaccard_capped": """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+sh0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM sh0
+),
+shdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh s JOIN shdf d ON d.shingle = s.shingle
+  WHERE d.df <= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 j AS (

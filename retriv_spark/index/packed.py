@@ -450,25 +450,37 @@ class PackedIndex:
             cache.clear()
             cache["ver"] = ver
         if "by_shard" not in cache:
-            cache["maps"] = self.io.read("shard_maps").toPandas()
+            maps_pdf = self.io.read("shard_maps").toPandas()
+            # id-resolution arrays, built once (per-call Series.iloc
+            # listcomp measured ~10% of single-query time)
+            firsts0 = maps_pdf["first_doc"].to_numpy()
+            order = np.argsort(firsts0)
+            cache["firsts"] = firsts0[order]
+            cache["uri_list"] = [
+                np.asarray(maps_pdf["uris"].iloc[i], dtype=object)
+                for i in order
+            ]
             cache["decoded"] = {}
             cache["vecs"] = {}
-            # pre-group rows once: per-call pandas isin+groupby measured
-            # as the dominant cost of single-query serving.  The pandas
-            # frame itself is NOT retained — by_shard is the only
-            # structure the query path reads.
-            by_shard: Dict[int, Dict[str, list]] = {}
+            # Pre-group rows once AND merge every shard into ONE virtual
+            # shard (base 0, span = doc_count): per-kernel-call Python
+            # overhead dominates single-query latency, and driver-side
+            # there is no parallelism to lose.  Doc ids are absolute in
+            # the decoded segments, so re-basing is just stamping
+            # shard=0; scores are bit-identical (same adds, same order —
+            # each doc lives in exactly one original shard).
+            merged: Dict[str, list] = {}
             for row in self.postings.toPandas().to_dict("records"):
-                by_shard.setdefault(int(row["shard"]), {}).setdefault(
-                    row["term"], []
-                ).append(row)
-            cache["by_shard"] = by_shard
-        maps = cache["maps"]
+                row["shard"] = 0
+                merged.setdefault(row["term"], []).append(row)
+            cache["by_shard"] = {0: merged}
+            cache["span_merged"] = max(1, self.doc_count)
         # Decoded postings and dense partial-score vectors are immutable
         # per index version — reusing them across batches removes the
         # decode + vector build from every batch after the first.  Bounded:
         # past ~256 MB of dense vectors, drop and rebuild lazily.
-        if len(cache["vecs"]) * self.span * 8 > 256 * 1024 * 1024:
+        span_local = int(cache["span_merged"])
+        if len(cache["vecs"]) * span_local * 8 > 256 * 1024 * 1024:
             cache["vecs"].clear()
             cache["decoded"].clear()
 
@@ -478,7 +490,7 @@ class PackedIndex:
         kern = make_shard_kernel(
             qmap=qmap_idx, df_by_term=df_by_term,
             doc_count=self.doc_count, avg_doc_len=self.avg_doc_len,
-            span=self.span, cutoff=cutoff, operator=operator,
+            span=span_local, cutoff=cutoff, operator=operator,
             model=model, k1=k1, b=b, kernel=kernel,
             subset_doc_ids=subset_doc_ids,
             decoded_cache=cache["decoded"], vec_cache=cache["vecs"],
@@ -488,32 +500,31 @@ class PackedIndex:
             tmap = cache["by_shard"][shard]
             sel = {t: tmap[t] for t in terms_needed if t in tmap}
             if sel:
-                parts.append(kern(sel))
+                parts.append(kern(sel, as_arrays=True))
         t = self.manifest.get("orig_id_sql_type", "string")
         to_int = ("int" in t) or t in ("long", "bigint")
+        parts = [p for p in parts if p[0].size]
         if not parts:
             empty = np.empty(0, dtype=np.int64)
             return empty, np.empty(0, dtype=object), \
                 np.empty(0, dtype=np.float32), empty, to_int
-        allr = pd.concat(parts, ignore_index=True)
 
-        firsts = maps["first_doc"].to_numpy()
-        order = np.argsort(firsts)
-        firsts = firsts[order]
-        uri_list = [
-            np.asarray(maps["uris"].iloc[i], dtype=object) for i in order
-        ]
+        firsts = cache["firsts"]
+        uri_list = cache["uri_list"]
 
-        q_arr = allr["q_idx"].to_numpy()
-        d_arr = allr["__doc_id__"].to_numpy()
-        s_arr = allr["score"].to_numpy()
+        if len(parts) == 1:
+            q_arr, d_arr, s_arr = parts[0]
+        else:
+            q_arr = np.concatenate([p[0] for p in parts])
+            d_arr = np.concatenate([p[1] for p in parts])
+            s_arr = np.concatenate([p[2] for p in parts])
         # One vectorized global merge over every query at once, same order
         # as the distributed window: q_id, then (-score, doc_id).
         o = np.lexsort((d_arr, -s_arr.astype(np.float64), q_arr))
         q_s, d_s, s_s = q_arr[o], d_arr[o], s_arr[o]
         if q_s.size:
             # rank within each q group = position - group start
-            new_g = np.r_[True, q_s[1:] != q_s[:-1]]
+            new_g = np.concatenate(([True], q_s[1:] != q_s[:-1]))
             starts = np.flatnonzero(new_g)
             group_of = np.cumsum(new_g) - 1
             ranks = np.arange(q_s.size, dtype=np.int64) - starts[group_of] + 1
@@ -683,7 +694,11 @@ class PackedIndex:
         score_list = s_s.tolist()
         # rows are sorted (query, rank): slice per query group and build
         # each dict with one C-level zip — insertion order = rank order
-        starts = np.r_[0, np.flatnonzero(q_s[1:] != q_s[:-1]) + 1, q_s.size]
+        if q_s[0] == q_s[-1]:  # one query group (the `search()` path)
+            out[q_ids[int(q_s[0])]] = dict(zip(doc_list, score_list))
+            return out
+        bounds = np.flatnonzero(q_s[1:] != q_s[:-1]) + 1
+        starts = np.concatenate(([0], bounds, [q_s.size]))
         for gi in range(starts.size - 1):
             lo, hi = int(starts[gi]), int(starts[gi + 1])
             out[q_ids[int(q_s[lo])]] = dict(

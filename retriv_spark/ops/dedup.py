@@ -24,7 +24,7 @@ speed in production (same plan shape).
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
@@ -117,24 +117,47 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with k-gram Jaccard >= threshold via a
     shingle inverted-index join: explode shingles, self-join on shingle,
     count per pair = |A∩B|, then |A∪B| = |A|+|B|-|A∩B|.
 
-    The shuffle key is the shingle, so common shingles are the skew risk —
-    at scale, drop shingles with document frequency above a cap first
-    (they contribute pairs that minhash would find anyway).
+    The shuffle key is the shingle, so common shingles are the skew risk.
+    ``max_shingle_df`` is the scale guard: shingles in more than that
+    many documents are dropped BEFORE the self-join (a boilerplate phrase
+    in every doc otherwise fans out df² join rows on one key), and the
+    Jaccard is computed over the PRUNED shingle universe — both the
+    intersection and the set sizes, so capped results are exact for the
+    declared semantics.  The hot-shingle set is tiny by construction
+    (few shingles exceed the cap), so the prune is a broadcast anti-join
+    — no skewed shuffle anywhere in the plan.
     """
     # persisted: the a×b self-join otherwise evaluates the shingle
     # generation (interpreted higher-order functions — the costly stage)
     # once per join side.
-    sh = df.select(
+    rows = df.select(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col), k).alias("sh"),
     ).select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    ).persist()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            rows.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        rows = rows.join(F.broadcast(hot), "shingle", "left_anti")
+        # set sizes over the pruned universe (map-side combinable agg)
+        n_kept = rows.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_kept")
+        )
+        rows = rows.drop("n_sh").join(n_kept, "id").withColumnRenamed(
+            "n_kept", "n_sh"
+        )
+    sh = rows.persist()
 
     a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")

@@ -141,7 +141,8 @@ def make_shard_kernel(
         else None
     )
 
-    def fn(pdf, subset_override=None):
+    # keyword-only extras: applyInPandas validates the POSITIONAL arity
+    def fn(pdf, *, subset_override=None, as_arrays=False):
         # No type hints on purpose: applyInPandas infers eval type from
         # hints and warns on partial ones, and the local path passes a
         # dict instead of a DataFrame.
@@ -154,6 +155,9 @@ def make_shard_kernel(
         # for THIS call only (the cogroup distributed-subset path) —
         # unlike the closure `subset`, an EMPTY override means "no doc in
         # this shard passes the filter", not "unrestricted".
+        # as_arrays: return (q_idx, doc_id, score) numpy arrays instead
+        # of a pandas DataFrame — the driver-local path's format (frame
+        # construction + concat measured as ~40% of single-query time).
         if isinstance(pdf, dict):
             rows_by_term = {t: r for t, r in pdf.items() if r}
         else:
@@ -168,6 +172,12 @@ def make_shard_kernel(
             for row in records:
                 rows_by_term.setdefault(row["term"], []).append(row)
         if not rows_by_term:
+            if as_arrays:
+                return (
+                    np.empty(0, dtype=np.int32),
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float32),
+                )
             return pd.DataFrame(
                 {
                     "q_idx": pd.Series([], dtype="int32"),
@@ -244,9 +254,18 @@ def make_shard_kernel(
                     keep = sub_mask[cand]
                     cand, cs = cand[keep], cs[keep]
                 if cand.size > cutoff:
+                    # argpartition alone picks ARBITRARY docs among ties
+                    # at the k-th score — selection must be deterministic
+                    # by (-score, doc_id) no matter how candidates are
+                    # laid out (per-shard vs merged-local runs would
+                    # otherwise disagree at tie boundaries).  Partition,
+                    # then widen to every candidate tied with the k-th
+                    # score before the exact sort below cuts to k.
                     sel = np.argpartition(-cs, cutoff - 1)[:cutoff]
-                    cand, cs = cand[sel], cs[sel]
-                order = np.lexsort((cand, -cs.astype(np.float64)))
+                    kth = cs[sel].min()
+                    keep = cs >= kth
+                    cand, cs = cand[keep], cs[keep]
+                order = np.lexsort((cand, -cs.astype(np.float64)))[:cutoff]
                 cand, cs = cand[order], cs[order]
                 q_ids_out.append(q_id)
                 q_counts.append(cand.size)
@@ -368,18 +387,25 @@ def make_shard_kernel(
                     continue
                 # one cursor per SEGMENT; a doc lives in exactly one
                 # segment of a term, so AND's distinct-match count and
-                # OR's accumulation both stay correct
-                rows_flat, occs_flat, idfs_flat = [], [], []
-                for t, n in present:
+                # OR's accumulation both stay correct.  term_keys tags
+                # each cursor with its term: AND alignment must be
+                # per-TERM (min head over the term's segments), never
+                # per-cursor — a multi-segment term (streaming appends,
+                # merged-local serving, SEG_MAX splits) can't align its
+                # own disjoint segments on one doc.
+                rows_flat, occs_flat, idfs_flat, term_keys = [], [], [], []
+                for ti, (t, n) in enumerate(present):
                     for r in rows_by_term[t]:
                         rows_flat.append(r)
                         occs_flat.append(n)
                         idfs_flat.append(idf_by_term[t])
+                        term_keys.append(ti)
                 res = _bmw_query(
                     rows_flat, occs_flat, idfs_flat,
                     model, k1, b, avg_doc_len,
                     cutoff, is_and, len(terms),
                     sub_mask=sub_mask, base=base,
+                    term_keys=term_keys,
                 )
                 for d, s in res:
                     out_q.append(q_id)
@@ -388,6 +414,12 @@ def make_shard_kernel(
         else:
             raise ValueError(f"unknown kernel {kernel!r}")
 
+        if as_arrays:
+            return (
+                np.asarray(out_q, dtype=np.int32),
+                np.asarray(out_d, dtype=np.int64),
+                np.asarray(out_s, dtype=np.float32),
+            )
         return pd.DataFrame(
             {
                 "q_idx": pd.Series(out_q, dtype="int32"),
@@ -468,11 +500,13 @@ class _ListCursor:
     __slots__ = (
         "row", "idf", "n_occ", "n", "n_blocks", "bi", "pos",
         "doc_ids", "tfs", "dls", "block_ubs", "cur_doc", "exhausted",
-        "order_i",
+        "order_i", "term_key",
     )
 
-    def __init__(self, row, idf, n_occ, k1, b, model, avg_doc_len, order_i=0):
+    def __init__(self, row, idf, n_occ, k1, b, model, avg_doc_len,
+                 order_i=0, term_key=0):
         self.order_i = order_i
+        self.term_key = term_key
         self.row = row
         self.idf = idf
         self.n_occ = n_occ
@@ -573,19 +607,25 @@ class _ListCursor:
 def _bmw_query(
     rows, n_occs, idfs, model, k1, b, avg_doc_len,
     cutoff, is_and, n_req,
-    sub_mask=None, base=0,
+    sub_mask=None, base=0, term_keys=None,
 ):
     """Block-max WAND over one query's segments in one shard.
 
     Exact top-`cutoff` by (-score, doc_id); float32 accumulation like the
     reference TAAT kernel so scores agree bit-for-bit with kernel="taat".
+    ``term_keys`` maps each segment to its query term — AND alignment is
+    per-term (a term's own disjoint segments never align on one doc).
     """
+    if term_keys is None:
+        term_keys = list(range(len(rows)))
     cursors = [
         _ListCursor(
             row, idf, n_occ,
-            k1, b, model, avg_doc_len, order_i=i,
+            k1, b, model, avg_doc_len, order_i=i, term_key=tk,
         )
-        for i, (row, n_occ, idf) in enumerate(zip(rows, n_occs, idfs))
+        for i, (row, n_occ, idf, tk) in enumerate(
+            zip(rows, n_occs, idfs, term_keys)
+        )
     ]
     heap: list = []  # min-heap of (score, -doc_id)
     threshold = -math.inf
@@ -627,11 +667,20 @@ def _bmw_query(
 
     while True:
         live = [c for c in cursors if not c.exhausted]
-        if not live or (is_and and len(live) < n_req):
+        if not live:
             break
         if is_and:
-            # all lists must align: pivot is the max head; advance laggards
-            pivot_doc = max(int(c.cur_doc) for c in live)
+            # all TERMS must align: each term's head is the min over its
+            # live segments; pivot is the max head; advance laggards
+            heads: dict = {}
+            for c in live:
+                d = int(c.cur_doc)
+                k = c.term_key
+                if k not in heads or d < heads[k]:
+                    heads[k] = d
+            if len(heads) < n_req:
+                break
+            pivot_doc = max(heads.values())
             laggards = [c for c in live if int(c.cur_doc) < pivot_doc]
             if laggards:
                 for c in laggards:

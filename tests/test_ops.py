@@ -198,3 +198,33 @@ def test_ivf_assignment_is_a_narrow_map(emb_df):
     assert corpus_branch, "expected the corpus as the join's left child"
     assert not any("Exchange" in l for l in corpus_branch)
     assert sum("assign(" in l for l in corpus_branch) == 1
+
+
+def test_jaccard_shingle_df_cap_bounds_hot_fanout(spark):
+    """Hot-shingle skew guard (VERDICT r1 item 6): a boilerplate phrase
+    shared by EVERY doc must not fan out all-pairs through one shuffle
+    key.  With the cap, only docs sharing rare shingles pair up, and the
+    Jaccard is exact over the pruned shingle universe."""
+    from retriv_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = [
+        {
+            "doc_id": i,
+            "text": "common boiler plate text here "
+            + f"unique{i} tail{i} bit{i}",
+        }
+        for i in range(40)
+    ]
+    # plant one true near-dup pair on the RARE side
+    docs[1]["text"] = docs[0]["text"].replace("unique1", "unique0")
+    df = spark.createDataFrame(docs)
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1).collect()
+    capped = ngram_jaccard_pairs(
+        df, threshold=0.1, max_shingle_df=5
+    ).collect()
+    # boilerplate makes everything look similar without the cap...
+    assert len(uncapped) > 100
+    # ...the cap kills the hot-key fan-out but keeps the real dup
+    assert [(r["id_a"], r["id_b"]) for r in capped] == [(0, 1)]
+    assert capped[0]["jaccard"] > 0.5

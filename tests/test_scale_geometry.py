@@ -114,3 +114,31 @@ def test_dfmap_fallback_serves_live_df(spark, tmp_path, monkeypatch):
     pk = load_packed_index(spark, fb_path)
     assert pk.postings.agg(F.max("df")).collect()[0][0] == 0
     assert _msearch(SparseRetriever.load(spark, fb_path)) == expected
+
+
+def test_hot_term_build_has_no_straggler_shard(spark, tmp_path):
+    """North-rule salted merge: a term in 100% of documents must not
+    create a straggler — the (shard, term) keying splits every hot term
+    across ALL shards (the shard id is the salt), so per-shard postings
+    stay balanced.  Verified from the build's per-shard lineage."""
+    import statistics
+
+    docs = [
+        {"id": i, "text": f"hot hot hot u{i} v{i % 7} w{i % 3}"}
+        for i in range(240)
+    ]
+    r = SparseRetriever(spark, stemmer=None, stopwords=None)
+    r.index(docs)
+    path = str(tmp_path / "hot")
+    r.save(path, n_shards=6)
+    pk = load_packed_index(spark, path)
+    shards = pk.manifest["stages"]["postings"]["shards"]
+    counts = [v["postings"] for v in shards.values()]
+    assert len(counts) == 6
+    med = statistics.median(counts)
+    assert max(counts) <= 4 * med, counts
+    # and the hot term is genuinely present in every shard
+    hot_segs = pk.postings.filter(F.col("term") == "hot").select(
+        "shard"
+    ).distinct().count()
+    assert hot_segs == 6

@@ -1,0 +1,139 @@
+"""transformer_encoder wiring, exercised with a numpy fake model.
+
+The real path needs torch+transformers (absent here, still raising
+NotImplementedError); the fake mimics the HF interface — tokenizer
+returning input_ids + attention_mask, model returning
+.last_hidden_state — so the pooling, masking, batching and L2-norm
+logic is genuinely executed, including inside the Spark pandas UDF.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from retriv_spark.dense import DenseRetriever, _mean_pool, transformer_encoder
+
+DIM = 6
+MAXLEN = 4
+
+
+def make_fakes():
+    """Fakes defined in function scope on purpose: cloudpickle then
+    serializes them BY VALUE, so the encoder closure survives the trip
+    to Spark executor workers (the test module isn't importable there).
+    """
+
+    class FakeBatch(dict):
+        pass
+
+
+    class FakeTokenizer:
+        """Whitespace 'tokenizer': token id = 1 + (len(token) % 5); pads to
+        the longest sequence in the batch with id 0 / mask 0."""
+
+        def __call__(self, batch, padding=True, truncation=True,
+                     max_length=128, return_tensors="np"):
+            seqs = [
+                [1 + (len(t) % 5) for t in text.split()][:max_length]
+                or [1]
+                for text in batch
+            ]
+            width = max(len(s) for s in seqs)
+            ids = np.zeros((len(seqs), width), dtype=np.int64)
+            mask = np.zeros((len(seqs), width), dtype=np.int64)
+            for r, s in enumerate(seqs):
+                ids[r, : len(s)] = s
+                mask[r, : len(s)] = 1
+            return FakeBatch(input_ids=ids, attention_mask=mask)
+
+
+    class FakeOutput:
+        def __init__(self, h):
+            self.last_hidden_state = h
+
+
+    class FakeConfig:
+        hidden_size = DIM
+
+
+    class FakeModel:
+        """Deterministic 'transformer': hidden[b,t,d] = id*(d+1), with a
+        poison value at PADDED positions — pooling must mask them out."""
+
+        config = FakeConfig()
+
+        def __call__(self, input_ids=None, attention_mask=None, **kw):
+            ids = np.asarray(input_ids, dtype=np.float64)
+            h = ids[..., None] * (np.arange(DIM, dtype=np.float64) + 1.0)
+            h = h + (1.0 - np.asarray(attention_mask)[..., None]) * 1e6
+            return FakeOutput(h)
+
+    return FakeModel(), FakeTokenizer()
+
+
+_MODEL, _TOKENIZER = make_fakes()
+
+
+def _enc(**kw):
+    return transformer_encoder(
+        "fake-model", max_length=MAXLEN, batch_size=2,
+        _model=_MODEL, _tokenizer=_TOKENIZER, **kw
+    )
+
+
+def test_mean_pool_masks_padding():
+    hidden = np.array([[[2.0, 4.0], [100.0, 100.0]]])
+    mask = np.array([[1, 0]])
+    np.testing.assert_allclose(_mean_pool(hidden, mask), [[2.0, 4.0]])
+
+
+def test_pooling_math_and_l2_norm():
+    enc = _enc()
+    assert enc.dim == DIM
+    out = enc(pd.Series(["ab cd", "x"]))
+    # "ab cd": ids (3, 3) -> hidden rows id*(d+1); mean = 3*(d+1)
+    expect = 3.0 * (np.arange(DIM) + 1.0)
+    expect = expect / np.sqrt((expect ** 2).sum())
+    np.testing.assert_allclose(out[0], expect, rtol=1e-6)
+    assert abs(np.linalg.norm(out[1]) - 1.0) < 1e-6
+
+
+def test_unnormalized_and_padding_excluded():
+    enc = _enc(normalize=False)
+    # batch of ["abc", "a b c"]: row 0 pads to width 3 — padded slots
+    # carry the 1e6 poison, so any leak is unmissable
+    out = enc(pd.Series(["abc", "a b c"]))
+    np.testing.assert_allclose(out[0], 4.0 * (np.arange(DIM) + 1.0))
+    np.testing.assert_allclose(out[1], 2.0 * (np.arange(DIM) + 1.0))
+
+
+def test_batching_invariance_and_truncation():
+    enc = _enc(normalize=False)
+    texts = ["a", "bb cc", "ddd", "e f g h i j k", "mm"]
+    whole = list(enc(pd.Series(texts)))
+    single = [enc(pd.Series([t]))[0] for t in texts]
+    for w, s in zip(whole, single):
+        np.testing.assert_allclose(w, s)
+    # truncation at max_length=4: tokens beyond the 4th never pool in
+    trunc = enc(pd.Series(["e f g h"]))[0]
+    np.testing.assert_allclose(whole[3], trunc)
+
+
+def test_real_path_still_env_gated():
+    with pytest.raises(NotImplementedError, match="torch"):
+        transformer_encoder("sentence-transformers/all-MiniLM-L6-v2")
+
+
+def test_dense_retriever_runs_on_fake_transformer(spark):
+    model, tok = make_fakes()
+    enc = transformer_encoder(
+        "fake-model", max_length=MAXLEN, batch_size=2,
+        _model=model, _tokenizer=tok,
+    )
+    r = DenseRetriever(spark, encoder=enc, use_ann=False)
+    r.index(
+        [{"id": "d1", "text": "ab cd"}, {"id": "d2", "text": "abcde"}]
+    )
+    res = r.search("ab cd", cutoff=2)
+    assert list(res)[0] == "d1"
+    assert res["d1"] == pytest.approx(1.0, abs=1e-6)
