@@ -1,0 +1,170 @@
+"""Danish, Norwegian and Swedish Snowball stemmers
+(https://snowballstem.org/algorithms/{danish,norwegian,swedish}/).
+
+Clean-room implementations of the published algorithms (the reference
+resolves these via nltk's SnowballStemmer,
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:10-43).
+All three share the Scandinavian shape: R1 with the 3-letter minimum,
+one big step-1 suffix list + an s-ending rule, consonant-pair cleanup,
+then a residual step.  Unlike the German-family steps ("search for the
+longest suffix, delete IF in R1"), every Scandinavian `among` is
+specified as "search ... in R1": the match itself is limited to R1, so
+a shorter suffix wholly inside R1 beats a longer one straddling the
+boundary (da "grenes": "enes" starts before R1, "es" inside → "gren").
+A condition failure on the longest in-R1 match still fails the step
+with no shorter retry (standard `among` semantics).
+"""
+
+from __future__ import annotations
+
+from .snowball_base import in_region, region_after_nv_after_v
+
+DA_VOWELS = "aeiouyæåø"
+NO_VOWELS = "aeiouyæåø"
+SV_VOWELS = "aeiouyäåö"
+
+_DA_S_END = "abcdfghjklmnoprtvyzå"
+_SV_S_END = "bcdfghjklmnoprtvy"
+
+_DA_S1 = (
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+    "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+    "hedens", "erens", "ers", "ets", "erets", "et", "eret",
+)
+_NO_S1 = (
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+    "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast",
+)
+_SV_S1 = (
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern",
+    "ar", "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es",
+    "ades", "andes", "ens", "arens", "hetens", "erns", "at", "andet",
+    "het", "ast",
+)
+
+
+def _r1_min3(word: str, vowels: str) -> int:
+    r1 = region_after_nv_after_v(word, vowels, 0)
+    return max(r1, 3) if len(word) >= 3 else len(word)
+
+
+def _longest_in(word: str, suffixes, region_start: int) -> str:
+    """Longest element of ``suffixes`` that ends ``word`` AND lies wholly
+    within the region ('' if none) — the "search ... in R1" form."""
+    best = ""
+    for s in suffixes:
+        if (
+            len(s) > len(best)
+            and word.endswith(s)
+            and len(word) - len(s) >= region_start
+        ):
+            best = s
+    return best
+
+
+def _drop_pair_tail(word: str, pairs, r1: int) -> str:
+    """Step 2 shape: a listed consonant pair wholly in R1 loses its last
+    letter."""
+    for p in pairs:
+        if word.endswith(p) and in_region(word, p, r1):
+            return word[:-1]
+    return word
+
+
+def danish_stem(word: str) -> str:
+    word = word.lower()
+    r1 = _r1_min3(word, DA_VOWELS)
+
+    # step 1: longest among the list in R1 + conditional s
+    suf = _longest_in(word, _DA_S1 + ("s",), r1)
+    if suf == "s":
+        # the valid s-ending letter itself need not be in R1 (spec note)
+        if len(word) >= 2 and word[-2] in _DA_S_END:
+            word = word[:-1]
+    elif suf:
+        word = word[: len(word) - len(suf)]
+
+    # step 2: consonant-pair tail gd/dt/gt/kt -> drop the last letter
+    word = _drop_pair_tail(word, ("gd", "dt", "gt", "kt"), r1)
+
+    # step 3: igst loses st (whole word, no R1 test); then
+    # ig/lig/elig/els (delete, redo step 2) or løst -> løs, in R1
+    if word.endswith("igst"):
+        word = word[:-2]
+    suf = _longest_in(word, ("elig", "lig", "els", "ig", "løst"), r1)
+    if suf == "løst":
+        word = word[:-1]
+    elif suf:
+        word = word[: len(word) - len(suf)]
+        word = _drop_pair_tail(word, ("gd", "dt", "gt", "kt"), r1)
+
+    # step 4: undouble a final double consonant (final letter in R1)
+    if (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and word[-1] not in DA_VOWELS
+        and in_region(word, word[-1], r1)
+    ):
+        word = word[:-1]
+    return word
+
+
+def norwegian_stem(word: str) -> str:
+    word = word.lower()
+    r1 = _r1_min3(word, NO_VOWELS)
+
+    suf = _longest_in(word, _NO_S1 + ("erte", "ert", "s"), r1)
+    if suf in ("erte", "ert"):
+        word = word[: len(word) - len(suf)] + "er"
+    elif suf == "s":
+        prev = word[-2] if len(word) >= 2 else ""
+        # valid s-ending: these consonants, or k not preceded by a vowel
+        ok = prev in "bcdfghjlmnoprtvyz" or (
+            prev == "k" and (len(word) < 3 or word[-3] not in NO_VOWELS)
+        )
+        if ok:
+            word = word[:-1]
+    elif suf:
+        word = word[: len(word) - len(suf)]
+
+    # step 2: dt / vt -> drop the t
+    word = _drop_pair_tail(word, ("dt", "vt"), r1)
+
+    # step 3: residual suffixes
+    suf = _longest_in(
+        word,
+        ("hetslov", "slov", "elov", "lov", "elig", "eleg", "lig",
+         "leg", "eig", "ig", "els"),
+        r1,
+    )
+    if suf:
+        word = word[: len(word) - len(suf)]
+    return word
+
+
+def swedish_stem(word: str) -> str:
+    word = word.lower()
+    r1 = _r1_min3(word, SV_VOWELS)
+
+    suf = _longest_in(word, _SV_S1 + ("s",), r1)
+    if suf == "s":
+        if len(word) >= 2 and word[-2] in _SV_S_END:
+            word = word[:-1]
+    elif suf:
+        word = word[: len(word) - len(suf)]
+
+    # step 2: consonant-pair tail -> drop the last letter
+    word = _drop_pair_tail(
+        word, ("dd", "gd", "nn", "dt", "gt", "kt", "tt"), r1
+    )
+
+    # step 3: residual
+    suf = _longest_in(word, ("fullt", "löst", "lig", "ig", "els"), r1)
+    if suf in ("fullt", "löst"):
+        word = word[:-1]
+    elif suf:
+        word = word[: len(word) - len(suf)]
+    return word

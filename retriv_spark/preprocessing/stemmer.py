@@ -5,8 +5,9 @@ Mirrors the reference contract
 215-223): a stemmer spec may be a name, a user callable, or ``None``
 (identity).  Named stemmers are clean-room implementations of the
 published Snowball algorithms (english/porter in ``porter2.py`` /
-``porter.py``; french/german/spanish/italian/portuguese/russian in the
-``snowball_*`` modules); any other language plugs in as a user callable.
+``porter.py``; french/german/spanish/italian/portuguese/russian plus
+danish/norwegian/swedish in the ``snowball_*`` modules); any other
+language plugs in as a user callable.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ from .snowball_fr import french_stem
 from .snowball_it import italian_stem
 from .snowball_pt import portuguese_stem
 from .snowball_ru import russian_stem
+from .snowball_scand import danish_stem, norwegian_stem, swedish_stem
 from .tokenizer import identity_function
 
 stemmers_dict = {
@@ -32,6 +34,9 @@ stemmers_dict = {
     "italian": italian_stem,
     "portuguese": portuguese_stem,
     "russian": russian_stem,
+    "danish": danish_stem,
+    "norwegian": norwegian_stem,
+    "swedish": swedish_stem,
 }
 
 

@@ -53,6 +53,9 @@ def get_stopwords(sw_list: Union[str, List[str], Set[str], None]) -> List[str]:
             "italian": stopwords_data.ITALIAN_STOPWORDS,
             "portuguese": stopwords_data.PORTUGUESE_STOPWORDS,
             "russian": stopwords_data.RUSSIAN_STOPWORDS,
+            "danish": stopwords_data.DANISH_STOPWORDS,
+            "norwegian": stopwords_data.NORWEGIAN_STOPWORDS,
+            "swedish": stopwords_data.SWEDISH_STOPWORDS,
         }
         if name not in by_lang:
             raise AssertionError(

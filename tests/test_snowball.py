@@ -97,6 +97,40 @@ RUSSIAN = {
     "проблемы": "проблем", "русский": "русск",
 }
 
+DANISH = {
+    "bogen": "bog", "husene": "hus", "fredens": "fred",
+    "hunds": "hund", "præcis": "præcis", "bakker": "bak",
+    "billigst": "bil", "venligst": "ven", "kærlighed": "kær",
+    "mennesker": "mennesk", "overtagelse": "overtag",
+    "spændende": "spænd", "undersøgelsen": "undersøg",
+    # R1-limited among: "enes" starts before R1, "es" inside wins
+    "grenes": "gren",
+}
+
+NORWEGIAN = {
+    "huset": "hus", "epler": "epl", "muligheter": "mul",
+    "kvinnene": "kvinn", "arbeidet": "arbeid", "kasserte": "kasser",
+    "fisks": "fisk", "havs": "hav", "vennlig": "venn",
+    "bilene": "bil", "vannet": "vann",
+    # k preceded by a vowel is not a valid s-ending
+    "røyks": "røyks",
+    # R1-limited among: "ene" straddles R1, bare "e" inside wins
+    "årene": "åren",
+}
+
+SWEDISH = {
+    "flickorna": "flick", "bilarnas": "bil", "möjligheten": "möj",
+    "starkast": "stark", "meningsfullt": "meningsfull",
+    "hopplöst": "hopplös", "tryggt": "trygg", "ledes": "led",
+    # no "et" in the Swedish step-1 list (unlike da/no): huset keeps
+    # its t; husets only loses the genitive s
+    "huset": "huset", "husets": "huset",
+    # R1 empty for a 4-letter CCVC word
+    "glas": "glas",
+    # R1-limited among: "orna" straddles R1, bare "a" inside wins
+    "ytorna": "ytorn",
+}
+
 VECTORS = {
     "spanish": SPANISH,
     "portuguese": PORTUGUESE,
@@ -104,6 +138,9 @@ VECTORS = {
     "german": GERMAN,
     "french": FRENCH,
     "russian": RUSSIAN,
+    "danish": DANISH,
+    "norwegian": NORWEGIAN,
+    "swedish": SWEDISH,
 }
 
 
@@ -129,11 +166,11 @@ def test_stemmer_total_and_stable(lang):
 
 @pytest.mark.parametrize(
     "lang", ["french", "german", "spanish", "italian", "portuguese",
-             "russian"]
+             "russian", "danish", "norwegian", "swedish"]
 )
 def test_stopwords_resolve_and_pipeline_runs(lang):
     sw = get_stopwords(lang)
-    assert len(sw) > 100
+    assert len(sw) > 90  # the standard danish list is 94 entries
     pre = TextPreprocessor(stemmer=lang, stopwords=lang)
     # a phrase per language exercising stopword removal + stemming
     samples = {
@@ -149,6 +186,11 @@ def test_stopwords_resolve_and_pipeline_runs(lang):
         "italian": ("i ragazzi parlando", ["ragazz", "parl"]),
         "portuguese": ("as meninas falando", ["menin", "fal"]),
         "russian": ("и книги важный", ["книг", "важн"]),
+        # stopwords chosen to be stem-stable so the stemmed-stopword
+        # quirk doesn't resurrect them
+        "danish": ("de har bakker", ["bak"]),
+        "norwegian": ("og det huset", ["hus"]),
+        "swedish": ("och det flickorna", ["flick"]),
     }
     text, expected = samples[lang]
     assert pre(text) == expected
