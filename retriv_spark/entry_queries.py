@@ -907,6 +907,77 @@ def q_bm25_french(spark, sf_dir):
     )
 
 
+# Lancaster (Paice/Husk) full-pipeline pair: same corpus and quirk as
+# bm25_stemmed, but through the aggressive iterative rule stemmer — a
+# second, independently-derived stemmer family exercised end-to-end
+# (inflected queries: "customers" scores docs containing "customer").
+LANCASTER_QUERIES = [
+    ("q1", "the tables spark"),
+    ("q2", "queries customers join"),
+    ("q3", "merged a values"),
+    ("q4", "windows sorting"),
+]
+_LANCASTER_QUERIES_ORACLE = [
+    ("q1", "tabl spark"),
+    ("q2", "query custom join"),
+    ("q3", "merg valu"),
+    ("q4", "window sort"),
+]
+
+
+def _lancaster_tok_sql() -> str:
+    from .preprocessing.lancaster import lancaster_stem
+    from .preprocessing.stopwords import ENGLISH_STOPWORDS
+
+    sw = sorted({lancaster_stem(w) for w in ENGLISH_STOPWORDS})
+    sw_lits = ", ".join("'" + w.replace("'", "''") + "'" for w in sw)
+    pairs = ", ".join(
+        f"('{t}', '{lancaster_stem(t)}')"
+        for t in _DOCS_VOCAB
+        if t not in sw
+    )
+    return f"""
+  SELECT r.doc_id, m.stem AS term
+  FROM (SELECT doc_id, t.term AS raw
+          FROM documents,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+         WHERE t.term <> '' AND t.term NOT IN ({sw_lits})) r
+  JOIN (VALUES {pairs}) AS m(raw, stem) ON m.raw = r.raw"""
+
+
+def q_bm25_lancaster(spark, sf_dir):
+    """BM25 through the Lancaster pipeline (tokenize -> stemmed-stopword
+    filter -> Paice/Husk iterative rules), query side on the SAME pipe."""
+    docs = _docs(spark, sf_dir)
+    pre = TextPreprocessor(
+        tokenizer="whitespace", stemmer="lancaster", stopwords="english",
+    )
+    idx = build_index(
+        spark, docs, pre,
+        text_col="text", id_col="doc_id",
+        order_cols=["doc_id"], min_df=1,
+        doc_id_col_precomputed="doc_id",
+    )
+    rows = [
+        (qid, t, 1) for qid, text in LANCASTER_QUERIES for t in pre(text)
+    ]
+    qt = spark.createDataFrame(rows, "q_id string, term string, n_occ int")
+    scored = score_query_terms(
+        idx, qt, model="bm25", k1=K1, b=B, cutoff=CUTOFF,
+        precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .select(
+            "q_id",
+            F.col("doc_id"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def _qrels_df(docs: DataFrame, queries) -> DataFrame:
     """Deterministic graded qrels mirroring _QRELS_CTE: every doc with
     doc_id % 5 == 0 is relevant to every query, grade 1 + doc_id % 2."""
@@ -1062,6 +1133,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_wordpunct": q_bm25_wordpunct,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_french": q_bm25_french,
+    "bm25_lancaster": q_bm25_lancaster,
 }
 
 
@@ -1564,6 +1636,15 @@ ORDER BY q_id, rank
 
 ORACLE_SQL["bm25_french"] = f"""{
     _bm25_ctes(_FRENCH_QUERIES_ORACLE, "bm25", tok_sql=_french_tok_sql())
+}
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+ORACLE_SQL["bm25_lancaster"] = f"""{
+    _bm25_ctes(_LANCASTER_QUERIES_ORACLE, "bm25",
+               tok_sql=_lancaster_tok_sql())
 }
 SELECT q_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= {CUTOFF}

@@ -1,0 +1,109 @@
+"""Lancaster (Paice/Husk) stemmer.
+
+Clean-room implementation of the published Paice/Husk algorithm
+(C. Paice, "Another stemmer", SIGIR Forum 24(3), 1990) with the standard
+default rule table.  The reference resolves ``stemmer="lancaster"``
+through nltk's LancasterStemmer
+(/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:24),
+so the acceptability condition follows the same variant that
+implementation family uses: a stem starting with a vowel keeps >= 2
+letters; one starting with a consonant keeps >= 3 letters and its 2nd
+or 3rd letter must be a vowel (y counts).
+
+Rule syntax (stored reversed, grouped by the word's last letter):
+``<reversed-ending><*?><remove-count><append?><'>' continue | '.' stop>``
+— ``*`` restricts the rule to intact (never-yet-stemmed) words.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+_RULES = (
+    "ai*2.", "a*1.",
+    "bb1.",
+    "city3s.", "ci2>", "cn1t>",
+    "dd1.", "dei3y>", "deec2ss.", "dee1.", "de2>", "dooh4>",
+    "e1>",
+    "feil1v.", "fi2>",
+    "gni3>", "gai3y.", "ga2>", "gg1.",
+    "ht*2.", "hsiug5ct.", "hsi3>",
+    "i*1.", "i1y>",
+    "ji1d.", "juf1s.", "ju1d.", "jo1d.", "jeh1r.", "jrev1t.",
+    "jsim2t.", "jn1d.", "j1s.",
+    "lbaifi6.", "lbai4y.", "lba3>", "lbi3.", "lib2l>", "lc1.",
+    "lufi4y.", "luf3>", "lu2.", "lai3>", "lau3>", "la2>", "ll1.",
+    "mui3.", "mu*2.", "msi3>", "mm1.",
+    "nois4j>", "noix4ct.", "noi3>", "nai3>", "na2>", "nee0.",
+    "ne2>", "nn1.",
+    "pihs4>", "pp1.",
+    "re2>", "rae0.", "ra2.", "ro2>", "ru2>", "rr1.", "rt1>",
+    "rev3t>",
+    "ssen4>", "ss0.", "suo3>", "su*2.", "s*1>", "s0.",
+    "tacilp4c.", "ta2>", "tnem4>", "tne3>", "tna3>", "tpir2b.",
+    "tpro2b.", "tcud1.", "tpmus2.", "tpec2iv.", "tulo2v.", "tsis0.",
+    "tsi3>", "tt1.",
+    "uqi3.", "ugo1.",
+    "vis3j>", "vie0.", "vi2>",
+    "ylb1>", "yli3y>", "ylp0.", "yl2>", "ygo1.", "yhp1.", "ymo1.",
+    "ypo1.", "yti3>", "yte3>", "ytl2.", "yrtsi5.", "yra3>", "yro3>",
+    "yfi3.", "ycn2t>", "yca3>",
+    "zi2>", "zy1s.",
+)
+
+_RULE_RE = re.compile(r"^([a-zàäâ]+)(\*?)(\d)([a-z]*)([>.])$")
+
+
+def _parse() -> Dict[str, List[Tuple[str, bool, int, str, bool]]]:
+    by_last: Dict[str, List[Tuple[str, bool, int, str, bool]]] = {}
+    for raw in _RULES:
+        m = _RULE_RE.match(raw)
+        if not m:  # pragma: no cover - table is static
+            raise ValueError(f"bad rule {raw!r}")
+        rev, intact, remove, append, flag = m.groups()
+        ending = rev[::-1]
+        by_last.setdefault(ending[-1], []).append(
+            (ending, intact == "*", int(remove), append, flag == ">")
+        )
+    return by_last
+
+
+_BY_LAST = _parse()
+_VOWELS = "aeiouy"
+
+
+def _acceptable(word: str, remove: int) -> bool:
+    if word[0] in _VOWELS:
+        return len(word) - remove >= 2
+    return len(word) - remove >= 3 and (
+        (len(word) > 1 and word[1] in _VOWELS)
+        or (len(word) > 2 and word[2] in _VOWELS)
+    )
+
+
+def lancaster_stem(word: str) -> str:
+    word = word.lower()
+    if not word:
+        return word
+    intact = True
+    while True:
+        rules = _BY_LAST.get(word[-1])
+        if not rules:
+            return word
+        for ending, needs_intact, remove, append, cont in rules:
+            if needs_intact and not intact:
+                continue
+            if not word.endswith(ending):
+                continue
+            if not _acceptable(word, remove):
+                continue
+            word = (word[: len(word) - remove] if remove else word) + append
+            intact = False
+            if not cont:
+                return word
+            break  # rule applied with '>': rescan from the new last letter
+        else:
+            return word
+        if not word:
+            return word

@@ -1,0 +1,158 @@
+"""Dutch Snowball stemmer
+(https://snowballstem.org/algorithms/dutch/stemmer.html).
+
+Clean-room implementation of the published algorithm (the reference
+resolves it via nltk's SnowballStemmer,
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:10-43).
+
+Shape: accent removal, then i/y consonant-marking via upper-case, R1
+(3-letter minimum) / R2, a German-family suffix cascade (longest match
+over the whole word, region test as a condition — a failed condition
+fails the step), ending-undoubling after en/e removal, and a final
+double-vowel undoubling (maan -> man).
+"""
+
+from __future__ import annotations
+
+from .snowball_base import in_region, longest_suffix, region_after_nv_after_v
+
+NL_VOWELS = "aeiouyè"
+
+_ACCENTS = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _mark_consonant_iy(word: str) -> str:
+    """Upper-case initial y, y after a vowel, and i between vowels, so
+    the region scan treats them as consonants."""
+    out = []
+    n = len(word)
+    for k, ch in enumerate(word):
+        if ch == "y" and (k == 0 or word[k - 1] in NL_VOWELS):
+            out.append("Y")
+        elif (
+            ch == "i"
+            and 0 < k < n - 1
+            and word[k - 1] in NL_VOWELS
+            and word[k + 1] in NL_VOWELS
+        ):
+            out.append("I")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _undouble(word: str) -> str:
+    """kk / dd / tt ending loses its last letter."""
+    if word.endswith(("kk", "dd", "tt")):
+        return word[:-1]
+    return word
+
+
+def _valid_en(word: str, n_suf: int) -> bool:
+    """Preceded by a valid en-ending: a non-vowel, and not gem."""
+    stem = word[: len(word) - n_suf]
+    return (
+        bool(stem)
+        and stem[-1] not in NL_VOWELS
+        and not stem.endswith("gem")
+    )
+
+
+def dutch_stem(word: str) -> str:
+    word = word.lower().translate(_ACCENTS)
+    word = _mark_consonant_iy(word)
+
+    r1 = region_after_nv_after_v(word, NL_VOWELS, 0)
+    if len(word) >= 3:
+        r1 = max(r1, 3)
+    else:
+        r1 = len(word)
+    r2 = region_after_nv_after_v(word, NL_VOWELS, r1)
+
+    # step 1: heden -> heid; en/ene (valid en-ending) delete + undouble;
+    # s/se (valid s-ending: non-vowel other than j) delete
+    suf = longest_suffix(word, ("heden", "ene", "en", "se", "s"))
+    if suf == "heden":
+        if in_region(word, suf, r1):
+            word = word[:-5] + "heid"
+    elif suf in ("ene", "en"):
+        if in_region(word, suf, r1) and _valid_en(word, len(suf)):
+            word = _undouble(word[: len(word) - len(suf)])
+    elif suf in ("se", "s"):
+        prev = word[len(word) - len(suf) - 1 :][:1]
+        if in_region(word, suf, r1) and prev and prev not in NL_VOWELS + "j":
+            word = word[: len(word) - len(suf)]
+
+    # step 2: drop e in R1 after a non-vowel, undouble; remember for 3b
+    e_removed = False
+    if (
+        word.endswith("e")
+        and in_region(word, "e", r1)
+        and len(word) >= 2
+        and word[-2] not in NL_VOWELS
+    ):
+        e_removed = True
+        word = _undouble(word[:-1])
+
+    # step 3a: heid in R2 not preceded by c -> delete, then the step-1
+    # en rule again
+    if (
+        word.endswith("heid")
+        and in_region(word, "heid", r2)
+        and not word.endswith("cheid")
+    ):
+        word = word[:-4]
+        if (
+            word.endswith("en")
+            and in_region(word, "en", r1)
+            and _valid_en(word, 2)
+        ):
+            word = _undouble(word[:-2])
+
+    # step 3b: d-suffixes
+    suf = longest_suffix(word, ("end", "ing", "lijk", "baar", "bar", "ig"))
+    if suf in ("end", "ing"):
+        if in_region(word, suf, r2):
+            word = word[:-3]
+            if (
+                word.endswith("ig")
+                and in_region(word, "ig", r2)
+                and not word.endswith("eig")
+            ):
+                word = word[:-2]
+            else:
+                word = _undouble(word)
+    elif suf == "ig":
+        if in_region(word, "ig", r2) and not word.endswith("eig"):
+            word = word[:-2]
+    elif suf == "lijk":
+        if in_region(word, "lijk", r2):
+            word = word[:-4]
+            # repeat step 2
+            if (
+                word.endswith("e")
+                and in_region(word, "e", r1)
+                and len(word) >= 2
+                and word[-2] not in NL_VOWELS
+            ):
+                word = _undouble(word[:-1])
+    elif suf == "baar":
+        if in_region(word, "baar", r2):
+            word = word[:-4]
+    elif suf == "bar":
+        if in_region(word, "bar", r2) and e_removed:
+            word = word[:-3]
+
+    # step 4: undouble vowel — C + (aa|ee|oo|uu) + D (D a non-vowel
+    # other than I) loses one vowel: maan -> man, brood -> brod
+    if (
+        len(word) >= 4
+        and word[-1] not in NL_VOWELS
+        and word[-1] != "I"
+        and word[-2] == word[-3]
+        and word[-2] in "aeou"
+        and word[-4] not in NL_VOWELS
+    ):
+        word = word[:-2] + word[-1]
+
+    return word.lower()

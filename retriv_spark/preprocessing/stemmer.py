@@ -14,12 +14,14 @@ from __future__ import annotations
 
 from typing import Callable, Union
 
+from .lancaster import lancaster_stem
 from .porter import porter_stem
 from .porter2 import porter2_stem
 from .snowball_de import german_stem
 from .snowball_es import spanish_stem
 from .snowball_fr import french_stem
 from .snowball_it import italian_stem
+from .snowball_nl import dutch_stem
 from .snowball_pt import portuguese_stem
 from .snowball_ru import russian_stem
 from .snowball_scand import danish_stem, norwegian_stem, swedish_stem
@@ -28,6 +30,7 @@ from .tokenizer import identity_function
 stemmers_dict = {
     "english": porter2_stem,
     "porter": porter_stem,
+    "lancaster": lancaster_stem,
     "french": french_stem,
     "german": german_stem,
     "spanish": spanish_stem,
@@ -37,6 +40,7 @@ stemmers_dict = {
     "danish": danish_stem,
     "norwegian": norwegian_stem,
     "swedish": swedish_stem,
+    "dutch": dutch_stem,
 }
 
 

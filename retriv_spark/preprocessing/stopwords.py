@@ -56,6 +56,7 @@ def get_stopwords(sw_list: Union[str, List[str], Set[str], None]) -> List[str]:
             "danish": stopwords_data.DANISH_STOPWORDS,
             "norwegian": stopwords_data.NORWEGIAN_STOPWORDS,
             "swedish": stopwords_data.SWEDISH_STOPWORDS,
+            "dutch": stopwords_data.DUTCH_STOPWORDS,
         }
         if name not in by_lang:
             raise AssertionError(

@@ -131,6 +131,25 @@ SWEDISH = {
     "ytorna": "ytorn",
 }
 
+DUTCH = {
+    "lichamelijk": "licham", "lichamelijkheden": "licham",
+    "maan": "man", "brood": "brod", "bomen": "bom",
+    "bewegingen": "beweg", "appels": "appel", "huis": "huis",
+    "eindigen": "eindig", "groot": "grot",
+    "uitdrukkingen": "uitdruk", "koeien": "koei",
+    # undoubling only applies to kk/dd/tt, so ff survives
+    "effen": "eff",
+    # s preceded by j is not a valid s-ending
+    "prijs": "prijs",
+    # "heden" is the longest among-match; its R1 condition fails and
+    # the step fails with it — no retry with the shorter "en"
+    "heden": "heden",
+    # end/ing/ig/baar demand R2, not R1
+    "werkend": "werkend", "handig": "handig",
+    # step 4 vowel undoubling applies even when no suffix was removed
+    "eetbaar": "eetbar",
+}
+
 VECTORS = {
     "spanish": SPANISH,
     "portuguese": PORTUGUESE,
@@ -141,6 +160,7 @@ VECTORS = {
     "danish": DANISH,
     "norwegian": NORWEGIAN,
     "swedish": SWEDISH,
+    "dutch": DUTCH,
 }
 
 
@@ -166,7 +186,7 @@ def test_stemmer_total_and_stable(lang):
 
 @pytest.mark.parametrize(
     "lang", ["french", "german", "spanish", "italian", "portuguese",
-             "russian", "danish", "norwegian", "swedish"]
+             "russian", "danish", "norwegian", "swedish", "dutch"]
 )
 def test_stopwords_resolve_and_pipeline_runs(lang):
     sw = get_stopwords(lang)
@@ -191,6 +211,7 @@ def test_stopwords_resolve_and_pipeline_runs(lang):
         "danish": ("de har bakker", ["bak"]),
         "norwegian": ("og det huset", ["hus"]),
         "swedish": ("och det flickorna", ["flick"]),
+        "dutch": ("de grote bomen", ["grot", "bom"]),
     }
     text, expected = samples[lang]
     assert pre(text) == expected

@@ -116,3 +116,48 @@ def test_porter_classic_vectors():
 
 def test_porter_factory():
     assert get_stemmer("porter") is porter_stem
+
+
+class TestLancaster:
+    """Paice/Husk with the standard default rule table; the first block
+    is the published doctest vector set for that table."""
+
+    GOLDEN = {
+        "maximum": "maxim", "presumably": "presum",
+        "multiply": "multiply", "provision": "provid", "owed": "ow",
+        "ear": "ear", "saying": "say", "crying": "cry",
+        "string": "string", "meant": "meant", "cement": "cem",
+    }
+
+    def test_published_goldens(self):
+        from retriv_spark.preprocessing.lancaster import lancaster_stem
+
+        bad = {
+            w: (lancaster_stem(w), want)
+            for w, want in self.GOLDEN.items()
+            if lancaster_stem(w) != want
+        }
+        assert not bad, bad
+
+    def test_chains_and_guards(self):
+        from retriv_spark.preprocessing.lancaster import lancaster_stem
+
+        # ied -> y then ify deletion, two continuation hops
+        assert lancaster_stem("classified") == "class"
+        # iveness -> ive -> j -> d chain would over-fire without the
+        # acceptability guard: 'str' (no vowel) stays intact
+        assert lancaster_stem("string") == "string"
+        # intact-only rule: 'um' strips from maximum but not from a
+        # previously stemmed form
+        assert lancaster_stem("happiness") == "happy"
+        assert lancaster_stem("running") == "run"
+        for w in ("", "a", "be", "EAR", "ox", "yy", "x" * 30):
+            out = lancaster_stem(w)
+            assert isinstance(out, str)
+            assert out == lancaster_stem(w)
+
+    def test_factory_resolves(self):
+        from retriv_spark.preprocessing.stemmer import get_stemmer
+
+        st = get_stemmer("lancaster")
+        assert st("maximum") == "maxim"
