@@ -109,6 +109,7 @@ def make_shard_kernel(
     subset_doc_ids=None,
     decoded_cache=None,
     vec_cache=None,
+    idf_cache=None,
 ):
     """Build the applyInPandas function for one msearch batch.
 
@@ -128,9 +129,22 @@ def make_shard_kernel(
     persist there anyway.
     """
     idf_fn = _idf_bm25 if model == "bm25" else _idf_tfidf
-    idf_by_term = {
-        t: idf_fn(doc_count, float(df)) for t, df in df_by_term.items()
-    }
+    if idf_cache is None:
+        idf_by_term = {
+            t: idf_fn(doc_count, float(df)) for t, df in df_by_term.items()
+        }
+    else:
+        # driver-local serving: idf is pure in (model, doc_count, df) —
+        # memo across msearch batches (keyed on df so streamed appends
+        # that change a term's df re-derive it)
+        idf_by_term = {}
+        for t, df in df_by_term.items():
+            k = (model, doc_count, df)
+            v = idf_cache.get(k)
+            if v is None:
+                v = idf_fn(doc_count, float(df))
+                idf_cache[k] = v
+            idf_by_term[t] = v
     is_and = operator.upper() == "AND"
     # caller-supplied candidate restriction (reference bm25.py:33-34:
     # intersect with a sorted internal-id subset) — an in-memory id array
