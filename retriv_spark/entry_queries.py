@@ -440,6 +440,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the minhash pair stream fed through distributed
+    min-label connected components; component = min reachable doc_id,
+    is_canonical marks the row a dedup pipeline keeps."""
+    from .ops.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _docs(spark, sf_dir), n_hashes=16, bands=4, k=3
+    ).orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     return simhash_signature(_docs(spark, sf_dir)).select(
         F.col("id").alias("doc_id"), "simhash"
@@ -1110,6 +1121,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1257,53 +1269,7 @@ j AS (
 )
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b
 """,
-    "dedup_minhash_lsh": f"""
-WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
-),
-sh0 AS (
-  SELECT doc_id, toks,
-         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
-  FROM tok
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
-  FROM sh0
-),
-ab(j, a, b) AS (VALUES {_MINHASH_AB_SQL}),
-hs AS (
-  SELECT doc_id, {_PH64.format(x="shingle")} & 1073741823 AS h FROM sh
-),
-sig AS (
-  SELECT doc_id, ab.j, min((ab.a * hs.h + ab.b) & 1073741823) AS v
-  FROM hs CROSS JOIN ab
-  GROUP BY doc_id, ab.j
-),
-bands AS (
-  SELECT doc_id, j // 4 AS band,
-         string_agg(v::TEXT, ',' ORDER BY j) AS band_key
-  FROM sig GROUP BY doc_id, j // 4
-),
-cand AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_match
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-est AS (
-  SELECT c.id_a, c.id_b, c.n_bands_match,
-         round(
-           sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 16.0, 4
-         ) AS est_jaccard
-  FROM cand c
-  JOIN sig sa ON sa.doc_id = c.id_a
-  JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
-  GROUP BY 1, 2, 3
-)
-SELECT id_a, id_b, n_bands_match, est_jaccard FROM est ORDER BY id_a, id_b
-""",
+    "dedup_minhash_lsh": None,  # assigned below from _MINHASH_CTES
     "simhash": f"""
 WITH tok AS (
   SELECT doc_id, t.term
@@ -1550,6 +1516,80 @@ SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
 FROM documents ORDER BY media_id
 """,
 }
+
+# MinHash CTE chain shared by the pair and cluster oracles (exactly the
+# Spark pipeline: 3-shingles -> 16 affine minhashes -> 4 bands ->
+# bucket-join candidates -> signature-agreement estimator).
+_MINHASH_CTES = f"""tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+sh0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM sh0
+),
+ab(j, a, b) AS (VALUES {_MINHASH_AB_SQL}),
+hs AS (
+  SELECT doc_id, {_PH64.format(x="shingle")} & 1073741823 AS h FROM sh
+),
+sig AS (
+  SELECT doc_id, ab.j, min((ab.a * hs.h + ab.b) & 1073741823) AS v
+  FROM hs CROSS JOIN ab
+  GROUP BY doc_id, ab.j
+),
+bands AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(v::TEXT, ',' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // 4
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_match
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.id_a, c.id_b, c.n_bands_match,
+         round(
+           sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 16.0, 4
+         ) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+  GROUP BY 1, 2, 3
+)"""
+
+ORACLE_SQL["dedup_minhash_lsh"] = f"""
+WITH {_MINHASH_CTES}
+SELECT id_a, id_b, n_bands_match, est_jaccard FROM est ORDER BY id_a, id_b
+"""
+
+# Clusters = transitive closure over the candidate pairs, labelled by the
+# minimum reachable id (the Spark side's min-label propagation computes
+# the same fixpoint distributively).
+ORACLE_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+und AS (
+  SELECT id_a AS u, id_b AS v FROM est
+  UNION
+  SELECT id_b, id_a FROM est
+),
+reach(node, lbl) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT node AS doc_id, component,
+       (CASE WHEN node = component THEN 1 ELSE 0 END) AS is_canonical
+FROM comp ORDER BY doc_id
+"""
 
 ORACLE_SQL["collection_stats"] = f"""
 WITH tok AS ({_TOK_SQL}),

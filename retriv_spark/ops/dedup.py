@@ -379,3 +379,110 @@ def simhash_neardup_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# -- duplicate clustering (pairs -> components) ----------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``(node, component)`` for every node in ``pairs``; component = the
+    MINIMUM node id reachable through the pair graph — a deterministic
+    cluster label any SQL oracle can reproduce (transitive closure +
+    group-min).
+
+    Candidate-pair emitters (minhash/simhash/jaccard) return PAIRS; a
+    pipeline needs CLUSTERS to pick one canonical doc and drop the rest.
+
+    Distributed min-label propagation with pointer jumping: each round a
+    node takes min(own label, neighbors' labels, label's label).  Labels
+    fall monotonically to the component min; the jump halves label-chain
+    depth so rounds = O(log diameter) (LSH dup clusters are near-cliques
+    — 2-3 rounds in practice; ``max_iter`` only backstops adversarial
+    chains).  Scale shape: the loop never touches the corpus — each round
+    is two |pairs|-bounded shuffles; ``localCheckpoint`` truncates lineage
+    so the plan stays flat at any round count instead of nesting
+    exponentially; the convergence check is a count (one scalar to the
+    driver), never the labels themselves.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("u", "node")
+        )
+        cand = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+        )
+        parent = cand.select(
+            F.col("node").alias("p"), F.col("lbl").alias("plbl")
+        )
+        jumped = (
+            cand.join(parent, cand["lbl"] == parent["p"], "left")
+            .select(
+                cand["node"],
+                F.least(
+                    cand["lbl"], F.coalesce(parent["plbl"], cand["lbl"])
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    min_est_jaccard: Optional[float] = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS over a corpus: minhash-LSH candidate pairs
+    -> connected components -> ``(id, component, is_canonical)``.
+
+    ``is_canonical`` (0/1) marks the cluster representative (minimum id)
+    — the row a dedup pipeline keeps; docs with no near-dup don't appear
+    (they are implicitly their own singleton cluster).  Optional
+    ``min_est_jaccard`` prunes weak candidate pairs before clustering.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands, k)
+    if min_est_jaccard is not None:
+        pairs = pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).cast("int").alias(
+            "is_canonical"
+        ),
+    )

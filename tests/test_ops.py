@@ -228,3 +228,63 @@ def test_jaccard_shingle_df_cap_bounds_hot_fanout(spark):
     # ...the cap kills the hot-key fan-out but keeps the real dup
     assert [(r["id_a"], r["id_b"]) for r in capped] == [(0, 1)]
     assert capped[0]["jaccard"] > 0.5
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Pointer-jumping min-label propagation: a 12-node chain (worst-case
+    diameter for the label walk), a triangle, an isolated pair — labels
+    must be each component's minimum id, and the loop must converge well
+    under max_iter."""
+    from retriv_spark.ops.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 111)]           # 100..111
+    tri = [(7, 9), (9, 5), (5, 7)]                          # min 5
+    pair = [(200, 201)]
+    edges = spark.createDataFrame(
+        chain + tri + pair, "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert {n for n in got if 100 <= n <= 111} == set(range(100, 112))
+    assert all(got[n] == 100 for n in range(100, 112))
+    assert got[5] == got[7] == got[9] == 5
+    assert got[200] == got[201] == 200
+    # nodes outside any pair never appear
+    assert set(got) == set(range(100, 112)) | {5, 7, 9, 200, 201}
+
+
+def test_connected_components_direction_and_dup_edges(spark):
+    """Edge direction and duplicate/self edges must not matter."""
+    from retriv_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(4, 2), (2, 4), (4, 4), (9, 4), (2, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {2: 2, 4: 2, 9: 2}
+
+
+def test_dedup_clusters_canonical_flags(docs_df):
+    """dedup_clusters marks exactly one canonical row per component (the
+    min id), and every clustered doc maps to a component that is itself
+    a member."""
+    from retriv_spark.ops.dedup import dedup_clusters
+
+    rows = dedup_clusters(
+        docs_df, text_col="text", id_col="doc_id",
+        n_hashes=16, bands=4, k=3,
+    ).collect()
+    assert rows, "the fixture corpus contains near-dups"
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        ids = sorted(m["doc_id"] for m in members)
+        assert ids[0] == comp
+        canon = [m for m in members if m["is_canonical"] == 1]
+        assert len(canon) == 1 and canon[0]["doc_id"] == comp
