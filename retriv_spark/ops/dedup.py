@@ -415,12 +415,34 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # init = the first propagation round fused in: every node appears as
+    # `u` of the symmetric edge set, so min(self, direct neighbors) in
+    # one aggregation replaces identity-init + a full loop round
     labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        und.groupBy("u")
+        .agg(F.min("v").alias("nlbl"))
+        .select(
+            F.col("u").alias("node"),
+            F.least("u", "nlbl").alias("lbl"),
+        )
         .localCheckpoint()
     )
+    # convergence via the label SUM for numeric ids: labels are monotone
+    # nonincreasing per node, so the (exact, decimal) sum is stable iff
+    # no label moved — one cheap agg over the just-materialized
+    # checkpoint instead of a join against the previous round's labels.
+    # Non-numeric ids (strings order lexically but don't sum) fall back
+    # to the join-based changed count.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["lbl"].dataType, NumericType)
+
+    def _lbl_sum(df):
+        return df.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev = _lbl_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         nbr = (
             und.join(labels.withColumnRenamed("node", "v"), "v")
@@ -445,14 +467,20 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        if numeric_ids:
+            cur = _lbl_sum(jumped)
+            done = cur == prev
+            prev = cur
+        else:
+            done = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+                == 0
+            )
         labels = jumped
-        if changed == 0:
+        if done:
             break
     und.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))

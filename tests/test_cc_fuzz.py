@@ -1,0 +1,52 @@
+"""Hypothesis differential for connected_components: on random graphs
+the distributed min-label fixpoint must equal a plain union-find's
+component-minimum labelling."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from retriv_spark.ops.dedup import connected_components
+
+
+def _union_find_components(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # label every node with its component MINIMUM (find roots are already
+    # minima because unions always point the larger root at the smaller)
+    return {n: find(n) for n in parent}
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_cc_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges)

@@ -288,3 +288,17 @@ def test_dedup_clusters_canonical_flags(docs_df):
         assert ids[0] == comp
         canon = [m for m in members if m["is_canonical"] == 1]
         assert len(canon) == 1 and canon[0]["doc_id"] == comp
+
+
+def test_connected_components_string_ids(spark):
+    """Non-numeric ids use the join-based convergence check and lexical
+    minima as component labels."""
+    from retriv_spark.ops.dedup import connected_components
+
+    e = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(e).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
