@@ -752,18 +752,17 @@ def _full_pre() -> TextPreprocessor:
     )
 
 
-def _stemmed_tok_sql() -> str:
-    from .preprocessing.porter2 import porter2_stem
+def _quirk_tok_sql(stem) -> str:
+    """The stemmed-stopword quirk in SQL shape, for any stemmer: PRE-stem
+    tokens filtered against the STEMMED english stop-word list, then
+    mapped through the corpus-vocab stem table (one shared template so
+    the Porter2 and Lancaster oracle pairs cannot drift apart)."""
     from .preprocessing.stopwords import ENGLISH_STOPWORDS
 
-    # the quirk, in SQL shape: PRE-stem tokens filtered against the
-    # STEMMED stop-word list, then mapped through the stem table
-    sw = sorted({porter2_stem(w) for w in ENGLISH_STOPWORDS})
+    sw = sorted({stem(w) for w in ENGLISH_STOPWORDS})
     sw_lits = ", ".join("'" + w.replace("'", "''") + "'" for w in sw)
     pairs = ", ".join(
-        f"('{t}', '{porter2_stem(t)}')"
-        for t in _DOCS_VOCAB
-        if t not in sw
+        f"('{t}', '{stem(t)}')" for t in _DOCS_VOCAB if t not in sw
     )
     return f"""
   SELECT r.doc_id, m.stem AS term
@@ -772,6 +771,12 @@ def _stemmed_tok_sql() -> str:
                unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
          WHERE t.term <> '' AND t.term NOT IN ({sw_lits})) r
   JOIN (VALUES {pairs}) AS m(raw, stem) ON m.raw = r.raw"""
+
+
+def _stemmed_tok_sql() -> str:
+    from .preprocessing.porter2 import porter2_stem
+
+    return _quirk_tok_sql(porter2_stem)
 
 
 def q_bm25_stemmed(spark, sf_dir):
@@ -938,22 +943,8 @@ _LANCASTER_QUERIES_ORACLE = [
 
 def _lancaster_tok_sql() -> str:
     from .preprocessing.lancaster import lancaster_stem
-    from .preprocessing.stopwords import ENGLISH_STOPWORDS
 
-    sw = sorted({lancaster_stem(w) for w in ENGLISH_STOPWORDS})
-    sw_lits = ", ".join("'" + w.replace("'", "''") + "'" for w in sw)
-    pairs = ", ".join(
-        f"('{t}', '{lancaster_stem(t)}')"
-        for t in _DOCS_VOCAB
-        if t not in sw
-    )
-    return f"""
-  SELECT r.doc_id, m.stem AS term
-  FROM (SELECT doc_id, t.term AS raw
-          FROM documents,
-               unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
-         WHERE t.term <> '' AND t.term NOT IN ({sw_lits})) r
-  JOIN (VALUES {pairs}) AS m(raw, stem) ON m.raw = r.raw"""
+    return _quirk_tok_sql(lancaster_stem)
 
 
 def q_bm25_lancaster(spark, sf_dir):

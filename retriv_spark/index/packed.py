@@ -339,9 +339,12 @@ class PackedIndex:
         # immutable for the life of the object (reload() makes a new
         # PackedIndex), and reuse keeps the stemmer memo warm across
         # msearch calls (a fresh TextPreprocessor per query measured ~5%
-        # of single-query latency)
+        # of single-query latency).  The memo grows with DISTINCT query
+        # tokens, so a long-lived serving driver fed arbitrary text
+        # would leak — reset the instance past a bound (~a few tens of
+        # MB) instead of capping per-lookup.
         pre = self.__dict__.get("_pre_inst")
-        if pre is None:
+        if pre is None or len(getattr(pre, "_stem_memo", ())) > 1_000_000:
             pre = TextPreprocessor(**self.manifest["preproc"])
             self.__dict__["_pre_inst"] = pre
         return pre
@@ -528,9 +531,10 @@ class PackedIndex:
             # 0..N-1 index order), then (-score, doc_id) within a query
             # (_select_topk's deterministic lexsort) — so the global
             # merge sort is a no-op; skipping it measured ~8% of
-            # single-query latency.  With the merged virtual shard this
-            # is every call's path; multi-part only occurs under a
-            # partial-shard subset split.
+            # single-query latency.  cache["by_shard"] is always the ONE
+            # merged virtual shard today, so this is every non-empty
+            # call's path; the else-branch merge below is retained only
+            # for a future layout that serves unmerged per-shard parts.
             q_s, d_s, s_s = parts[0]
         else:
             q_arr = np.concatenate([p[0] for p in parts])

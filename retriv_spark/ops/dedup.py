@@ -427,15 +427,20 @@ def connected_components(
         )
         .localCheckpoint()
     )
-    # convergence via the label SUM for numeric ids: labels are monotone
-    # nonincreasing per node, so the (exact, decimal) sum is stable iff
-    # no label moved — one cheap agg over the just-materialized
-    # checkpoint instead of a join against the previous round's labels.
-    # Non-numeric ids (strings order lexically but don't sum) fall back
-    # to the join-based changed count.
-    from pyspark.sql.types import NumericType
+    # convergence via the label SUM for INTEGRAL ids: labels are
+    # monotone nonincreasing per node, so the exact decimal(38,0) sum is
+    # stable iff no label moved — one cheap agg over the
+    # just-materialized checkpoint instead of a join against the
+    # previous round's labels.  Integral types ONLY: a fractional label
+    # change (double/decimal-with-scale ids) is invisible to the
+    # 0-scale cast and would declare convergence early; those and
+    # string ids use the join-based changed count.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    numeric_ids = isinstance(labels.schema["lbl"].dataType, NumericType)
+    numeric_ids = isinstance(
+        labels.schema["lbl"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
 
     def _lbl_sum(df):
         return df.agg(

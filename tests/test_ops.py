@@ -302,3 +302,22 @@ def test_connected_components_string_ids(spark):
         r["node"]: r["component"] for r in connected_components(e).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_fractional_ids(spark):
+    """Fractional numeric ids must use the join-based convergence check:
+    the integral label-sum shortcut would truncate sub-1.0 label moves
+    and stop while a chain is still propagating (found by review)."""
+    from retriv_spark.ops.dedup import connected_components
+
+    ids = [round(100.0 + i / 100.0, 2) for i in range(12)]
+    edges = spark.createDataFrame(
+        [(ids[i + 1], ids[i]) for i in range(11)],
+        "id_a double, id_b double",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert set(got) == set(ids)
+    assert all(abs(c - 100.0) < 1e-9 for c in got.values()), got
