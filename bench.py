@@ -37,6 +37,11 @@ HEADLINE = [
     "fingerprint",
     "dedup_embedding",
     "multimodal_meta",
+    "decontaminate",
+    "repetition_stats",
+    "pii_redact",
+    "stratified_sample",
+    "sessionize",
 ]
 
 

@@ -1097,6 +1097,105 @@ def q_streaming_ingest(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination stats (ops/curation.py
+    decontaminate_stats): per-document distinct-3-gram overlap against a
+    deterministic 'benchmark' slice (doc_id % 37 == 0) of the same
+    corpus.  The oracle reproduces the gram hashing, the broadcast-side
+    distinct, and the >= 0.5 threshold."""
+    from .ops.curation import decontaminate_stats
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate_stats(docs, bench, n=3, threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality stats (ops/curation.py
+    repetition_stats).  Every third document has its spaces rewritten to
+    newlines so both the multi-line branch (dup_line_* fractions) and
+    the single-line branch are exercised; all fractions are exact ratios
+    of integers, reproduced bit-identically by the SQL oracle."""
+    from .ops.curation import repetition_stats
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.translate("text", " ", "\n")
+        ).otherwise(F.col("text")),
+    )
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detection + redaction (ops/curation.py pii_stats/redact_pii).
+    Deterministic synthetic PII (email, IPv4, E.164 phone derived from
+    doc_id) is appended to every even document; output is the per-kind
+    match counts plus the md5 of the redacted text, so the oracle pins
+    both the detection counts and the exact replacement byte stream."""
+    from .ops.curation import pii_stats, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com ip 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call +1500"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, injected).otherwise(
+            F.col("text")
+        ),
+    )
+    return (
+        redact_pii(pii_stats(docs))
+        .select(
+            "doc_id", "n_email", "n_ipv4", "n_phone",
+            F.md5("text_redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for domain mixing
+    (ops/curation.py stratified_sample): hash-bucket keep decision, a
+    pure function of (salt, doc_id), with per-source rates and a
+    non-zero default rate so the fallback branch is exercised."""
+    from .ops.curation import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    rates = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+    return (
+        stratified_sample(
+            docs, rates, strata_col="source", id_col="doc_id",
+            default_rate=0.02, salt="r2",
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup over the events
+    table (ops/curation.py sessionize/session_stats): one shuffle keyed
+    on user_id, window algebra only; ts ties break on event_id so the
+    assignment is total-ordered.  All outputs integral (cross-engine
+    exact)."""
+    from .ops.curation import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_s=900).orderBy("user_id", "session_idx")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -1137,6 +1236,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_french": q_bm25_french,
     "bm25_lancaster": q_bm25_lancaster,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
+    "pii_redact": q_pii_redact,
+    "stratified_sample": q_stratified_sample,
+    "sessionize": q_sessionize,
 }
 
 
@@ -2072,4 +2176,155 @@ ranked AS (
 )
 SELECT q_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+"""
+
+# -- curation oracles ----------------------------------------------------------
+
+from .ops.curation import PII_EMAIL, PII_IPV4, PII_PHONE  # noqa: E402
+
+ORACLE_SQL["decontaminate"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+  FROM tok
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM g0
+),
+gh AS (SELECT DISTINCT doc_id, {_PH64.format(x="gram")} AS h FROM g),
+bench AS (SELECT DISTINCT h FROM gh WHERE doc_id % 37 = 0),
+st AS (
+  SELECT gh.doc_id, count(*) AS n_grams, count(b.h) AS n_hits
+  FROM gh LEFT JOIN bench b ON gh.h = b.h GROUP BY 1
+)
+SELECT doc_id, n_grams::BIGINT AS n_grams, n_hits::BIGINT AS n_hits,
+       CASE WHEN n_hits >= 0.5 * n_grams THEN 1 ELSE 0 END AS contaminated
+FROM st ORDER BY doc_id
+"""
+
+ORACLE_SQL["repetition_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', chr(10))
+              ELSE text END AS t2
+  FROM documents
+),
+lx AS (
+  SELECT doc_id, unnest(list_filter(string_split(t2, chr(10)),
+                                    x -> x <> '')) AS l
+  FROM t
+),
+lc AS (SELECT doc_id, l, count(*) AS c FROM lx GROUP BY 1, 2),
+lstat AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_lines,
+         count(*)::BIGINT AS n_distinct,
+         sum(length(l) * c)::BIGINT AS total_chars,
+         sum(CASE WHEN c > 1 THEN length(l) * c ELSE 0 END)::BIGINT
+           AS dup_chars
+  FROM lc GROUP BY 1
+),
+wd AS (
+  SELECT doc_id, t2,
+         list_filter(string_split_regex(t2, '\\s+'), x -> x <> '') AS ws
+  FROM t
+),
+bg0 AS (
+  SELECT doc_id, ws, t2,
+         unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM wd WHERE len(ws) >= 2
+),
+bg AS (
+  SELECT doc_id, t2, ws[i] || ' ' || ws[i + 1] AS g FROM bg0
+),
+bgc AS (
+  SELECT doc_id, g, count(*) AS c, any_value(t2) AS t2
+  FROM bg GROUP BY 1, 2
+),
+bgtop AS (
+  SELECT doc_id, max(c * length(g))::BIGINT AS top,
+         any_value(length(t2))::BIGINT AS n_chars
+  FROM bgc GROUP BY 1
+)
+SELECT w.doc_id,
+       coalesce(s.n_lines, 0) AS n_lines,
+       CASE WHEN coalesce(s.n_lines, 0) > 0
+            THEN 1.0 - s.n_distinct / s.n_lines ELSE 0.0 END
+         AS dup_line_frac,
+       CASE WHEN coalesce(s.total_chars, 0) > 0
+            THEN s.dup_chars / s.total_chars ELSE 0.0 END
+         AS dup_line_char_frac,
+       CASE WHEN len(w.ws) > 0
+            THEN 1.0 - len(list_distinct(w.ws)) / len(w.ws)
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN length(w.t2) > 0
+            THEN coalesce(b.top, 0) / length(w.t2) ELSE 0.0 END
+         AS top_bigram_char_frac
+FROM wd w
+LEFT JOIN lstat s ON s.doc_id = w.doc_id
+LEFT JOIN bgtop b ON b.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+ORACLE_SQL["pii_redact"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           text || ' u' || doc_id::VARCHAR || '@ex.com ip 10.'
+                || (doc_id % 200)::VARCHAR || '.0.'
+                || (doc_id % 250)::VARCHAR || ' call +1500'
+                || lpad((doc_id % 10000)::VARCHAR, 7, '0')
+         ELSE text END AS t2
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t2, '{PII_EMAIL}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t2, '{PII_IPV4}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t2, '{PII_PHONE}'))::BIGINT AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             t2, '{PII_EMAIL}', '[EMAIL]', 'g'),
+             '{PII_IPV4}', '[IPV4]', 'g'),
+             '{PII_PHONE}', '[PHONE]', 'g')) AS redacted_md5
+FROM t ORDER BY doc_id
+"""
+
+ORACLE_SQL["stratified_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE {_PH64.format(x="'r2|' || doc_id::VARCHAR")} % 10000
+      < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500
+                    WHEN 'src2' THEN 1000 ELSE 200 END
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+    AS prev
+  FROM e
+),
+n AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 900000000 THEN 1
+                 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM n
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       (max(us) - min(us))::BIGINT AS span_us,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """

@@ -1,0 +1,359 @@
+"""Training-data curation operators: benchmark decontamination,
+Gopher-style repetition quality stats, PII scrub, deterministic
+stratified sampling, and event-log sessionization.
+
+These are the pipeline stages a large-scale LLM-training-data run needs
+around the retrieval engine (dedup/dedup-clusters live in ``dedup.py``,
+ANN in ``similarity.py``, basic text stats in ``textstats.py``).
+
+Scale notes (the shapes, not the numbers):
+  * decontaminate    — the benchmark side (held-out eval sets) is small
+                       by construction, so it is broadcast; the corpus
+                       side explodes its n-grams but the only shuffle is
+                       the per-doc count aggregation, whose partial
+                       (map-side) combine reduces it to ONE row per doc
+                       before the exchange.  At 100 TB with a benchmark
+                       too big to broadcast exactly, swap the broadcast
+                       relation for a Bloom filter in a pandas-UDF
+                       closure — same plan, zero shuffle, tunable FP.
+  * repetition_stats — one Arrow-batched pandas UDF, zero shuffle; each
+                       document's frequency maps are O(doc) memory, so
+                       per-task memory is bounded by the largest single
+                       document, not the corpus.
+  * pii              — pure column algebra (regexp_* only), narrow, no
+                       Python, whole-stage-codegen friendly.
+  * stratified_sample— pure column algebra on a portable 60-bit hash;
+                       narrow, deterministic across engines and cluster
+                       sizes (no RNG, no sample() nondeterminism).
+  * sessionize       — one shuffle keyed on the user column (the minimal
+                       shuffle for per-user ordering); window functions
+                       only, no Python.
+
+All hashes go through ``portable_hash64`` (md5-based) so every step is
+reproducible in ANSI SQL for oracle checks — swap in xxhash64 for raw
+speed in production (same plan shape).
+
+Reference parity: the reference engine (AmenRa/retriv) has no curation
+surface; these operators extend it for training-data pipelines as the
+build brief requires.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .textstats import portable_hash64, tokens_col
+
+# -- decontamination ------------------------------------------------------
+
+
+def gram_hashes(text: Column, n: int) -> Column:
+    """Distinct portable hashes of the word ``n``-grams of ``text``.
+
+    Documents shorter than ``n`` tokens contribute one gram (their whole
+    token stream) — same convention as ``with_fingerprint``.
+    """
+    toks = tokens_col(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(F.transform(grams, portable_hash64))
+
+
+def decontaminate_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: Optional[str] = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document benchmark-overlap stats: (id, n_grams, n_hits,
+    contaminated).
+
+    A document is contaminated when >= ``threshold`` of its distinct word
+    ``n``-grams appear anywhere in the benchmark corpus — the standard
+    test-set-leakage filter run before training.  ``n_grams`` counts the
+    document's DISTINCT grams, so the fraction is order-insensitive.
+
+    Plan: benchmark grams are distinct-ed and broadcast (eval sets are
+    small); corpus grams explode and left-join the broadcast relation;
+    the single shuffle is the per-doc count agg, reduced map-side to one
+    row per document.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench = (
+        benchmark.select(
+            F.explode(gram_hashes(F.col(bench_text_col), n)).alias("gh")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    grams = docs.select(
+        F.col(id_col),
+        F.size(gram_hashes(F.col(text_col), n)).alias("n_grams"),
+        F.explode(gram_hashes(F.col(text_col), n)).alias("gh"),
+    )
+    stats = (
+        grams.join(F.broadcast(bench), "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return stats.select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        F.when(
+            F.col("n_hits") >= F.lit(threshold) * F.col("n_grams"), 1
+        )
+        .otherwise(0)
+        .alias("contaminated"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop contaminated documents (see ``decontaminate_stats``)."""
+    clean_ids = decontaminate_stats(
+        docs, benchmark, text_col, id_col, n=n, threshold=threshold
+    ).filter(F.col("contaminated") == 0)
+    return docs.join(clean_ids.select(id_col), id_col, "left_semi")
+
+
+# -- Gopher-style repetition stats ----------------------------------------
+
+REPETITION_SCHEMA = (
+    "n_lines bigint, dup_line_frac double, dup_line_char_frac double, "
+    "dup_word_frac double, top_bigram_char_frac double"
+)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, table A1) repetition quality
+    signals, one narrow Arrow-batched projection per document:
+
+      * ``dup_line_frac``       — 1 - distinct/total over non-empty lines
+      * ``dup_line_char_frac``  — chars in lines occurring > once / chars
+                                  in all lines
+      * ``dup_word_frac``       — 1 - distinct/total over whitespace words
+      * ``top_bigram_char_frac``— max over word bigrams of
+                                  count * len(bigram) / len(text)
+
+    All fractions are exact ratios of integers, so they reproduce
+    bit-identically in any engine (the SQL oracle relies on this).
+    """
+
+    @pandas_udf(REPETITION_SCHEMA)
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        out = []
+        for t in texts:
+            t = t or ""
+            lines = [l for l in t.split("\n") if l != ""]
+            lf: Dict[str, int] = {}
+            for l in lines:
+                lf[l] = lf.get(l, 0) + 1
+            n_lines = len(lines)
+            total_line_chars = sum(len(l) for l in lines)
+            dup_line_frac = (
+                1.0 - len(lf) / n_lines if n_lines else 0.0
+            )
+            dup_line_chars = sum(
+                len(l) * c for l, c in lf.items() if c > 1
+            )
+            dup_line_char_frac = (
+                dup_line_chars / total_line_chars
+                if total_line_chars
+                else 0.0
+            )
+            words = t.split()
+            dup_word_frac = (
+                1.0 - len(set(words)) / len(words) if words else 0.0
+            )
+            bf: Dict[str, int] = {}
+            for a, b in zip(words, words[1:]):
+                g = a + " " + b
+                bf[g] = bf.get(g, 0) + 1
+            top = max(
+                (c * len(g) for g, c in bf.items()), default=0
+            )
+            top_bigram_char_frac = top / len(t) if t else 0.0
+            out.append(
+                (
+                    n_lines,
+                    dup_line_frac,
+                    dup_line_char_frac,
+                    dup_word_frac,
+                    top_bigram_char_frac,
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "n_lines",
+                "dup_line_frac",
+                "dup_line_char_frac",
+                "dup_word_frac",
+                "top_bigram_char_frac",
+            ],
+        )
+
+    s = _stats(F.col(text_col)).alias("_rep")
+    return df.select(id_col, s).select(id_col, "_rep.*")
+
+
+# -- PII ------------------------------------------------------------------
+
+# RE2-safe subset (no lookaround, no backrefs) so Java regex (Spark) and
+# RE2 (DuckDB oracle) agree byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}"
+
+_PII = [("email", PII_EMAIL), ("ipv4", PII_IPV4), ("phone", PII_PHONE)]
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII match counts (emails, IPv4 addresses, E.164-ish phone
+    numbers).  Pure column algebra — narrow, codegen'd, no Python."""
+    cols = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        ).alias(f"n_{name}")
+        for name, pat in _PII
+    ]
+    return df.select("*", *cols)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII match with a typed placeholder (``[EMAIL]`` /
+    ``[IPV4]`` / ``[PHONE]``), email first so its digits never half-match
+    the later patterns."""
+    red = F.col(text_col)
+    for name, pat in _PII:
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return df.withColumn(f"{text_col}_redacted", red)
+
+
+# -- deterministic stratified sampling ------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "s1",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (domain mixing): keep a row iff
+    ``portable_hash64(salt || '|' || id) % denom < rate(stratum) * denom``.
+
+    Hash-bucket sampling (not ``DataFrame.sample``) so the decision is a
+    pure function of the row — reproducible across engines, runs, and
+    cluster sizes, and different ``salt`` values draw independent
+    samples.  Narrow (no shuffle, no RNG state).
+    """
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+        ),
+        F.lit(denom),
+    )
+    rate = None
+    for v, r in sorted(rates.items()):
+        cond = F.when(F.col(strata_col) == v, int(r * denom))
+        rate = cond if rate is None else rate.when(
+            F.col(strata_col) == v, int(r * denom)
+        )
+    rate = (
+        rate.otherwise(int(default_rate * denom))
+        if rate is not None
+        else F.lit(int(default_rate * denom))
+    )
+    return df.filter(bucket < rate)
+
+
+# -- sessionization --------------------------------------------------------
+
+
+def _epoch_us(df: DataFrame, ts_col: str) -> Column:
+    """Microseconds since epoch, zone-free: TIMESTAMP_NTZ (the parquet
+    default) is diffed against the NTZ epoch directly — no session-
+    timezone cast, so it matches DuckDB's ``epoch_us`` exactly and has
+    no DST edge; plain TIMESTAMP uses ``unix_micros``."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    return F.unix_micros(F.col(ts_col))
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds ``gap_s``.  Adds ``session_idx``
+    (0-based per user).  Ties on ``ts`` break on ``order_col`` so the
+    assignment is total-ordered and deterministic.
+
+    One shuffle keyed on ``user_col`` — the minimal shuffle for per-user
+    ordering; everything else is window algebra.
+    """
+    us = _epoch_us(events, ts_col)
+    w = Window.partitionBy(user_col).orderBy(us, order_col)
+    gap_us = us - F.lag(us).over(w)
+    new_s = F.when(
+        gap_us.isNull() | (gap_us > gap_s * 1_000_000), 1
+    ).otherwise(0)
+    cum = Window.partitionBy(user_col).orderBy(us, order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return events.withColumn(
+        "session_idx", (F.sum(new_s).over(cum) - 1).cast("bigint")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Per-session rollup: event count, span in microseconds, first/last
+    event id.  Integral outputs only (cross-engine exact)."""
+    s = sessionize(events, user_col, ts_col, order_col, gap_s)
+    us = _epoch_us(events, ts_col)
+    return s.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(us) - F.min(us)).alias("span_us"),
+        F.min(order_col).alias("first_event"),
+        F.max(order_col).alias("last_event"),
+    )

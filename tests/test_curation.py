@@ -1,0 +1,249 @@
+"""Tests for the curation operators (decontamination, repetition stats,
+PII, stratified sampling, sessionization) against hand-computed and
+Python-recomputed expectations."""
+
+import hashlib
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.curation import (
+    decontaminate,
+    decontaminate_stats,
+    pii_stats,
+    redact_pii,
+    repetition_stats,
+    session_stats,
+    sessionize,
+    stratified_sample,
+)
+
+
+def _ph64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# -- decontamination --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def contam_dfs(spark):
+    docs = spark.createDataFrame(
+        [
+            # 6 distinct 3-grams, all in the benchmark -> contaminated
+            (0, "alpha beta gamma delta eps zeta eta theta"),
+            # disjoint vocabulary -> 0 hits
+            (1, "one two three four five six"),
+            # half-overlap: grams 1-2 of 4 hit ("gamma delta eps",
+            # "delta eps zeta"); 2/4 = 0.5 >= 0.5 -> contaminated
+            (2, "xx gamma delta eps zeta yy"),
+            # short doc (< n tokens): one gram, not in benchmark
+            (3, "alpha beta"),
+            # short doc whose whole-stream gram IS a benchmark gram
+            (4, "beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta eps zeta eta theta")],
+        "bid long, text string",
+    )
+    return docs, bench
+
+
+def test_decontaminate_stats(contam_dfs):
+    docs, bench = contam_dfs
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate_stats(docs, bench, n=3).collect()
+    }
+    assert rows[0]["n_grams"] == 6
+    assert rows[0]["n_hits"] == 6
+    assert rows[0]["contaminated"] == 1
+    assert rows[1]["n_hits"] == 0 and rows[1]["contaminated"] == 0
+    assert rows[2]["n_grams"] == 4
+    assert rows[2]["n_hits"] == 2
+    assert rows[2]["contaminated"] == 1  # 2/4 meets the 0.5 threshold
+    assert rows[3]["n_grams"] == 1 and rows[3]["contaminated"] == 0
+    assert rows[4]["n_hits"] == 1 and rows[4]["contaminated"] == 1
+
+
+def test_decontaminate_drops_only_contaminated(contam_dfs):
+    docs, bench = contam_dfs
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_decontaminate_threshold_1_keeps_partial(contam_dfs):
+    docs, bench = contam_dfs
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(docs, bench, n=3, threshold=1.0).collect()
+    )
+    # only fully-covered docs (0: 6/6, 4: 1/1) drop
+    assert kept == [1, 2, 3]
+
+
+# -- repetition stats -------------------------------------------------------
+
+
+def test_repetition_stats_hand_case(spark):
+    text = "aa bb\naa bb\ncc dd ee\n\ncc dd"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    # lines: ["aa bb", "aa bb", "cc dd ee", "cc dd"] (empty dropped)
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == pytest.approx(1.0 - 3 / 4)
+    # dup line chars: "aa bb" x2 = 10; total = 5+5+8+5 = 23
+    assert r["dup_line_char_frac"] == pytest.approx(10 / 23)
+    # words: aa bb aa bb cc dd ee cc dd -> 9 total, 5 distinct
+    assert r["dup_word_frac"] == pytest.approx(1.0 - 5 / 9)
+    # bigrams over the full word stream: "aa bb" x2, "cc dd" x2 (len 5),
+    # others x1 -> top = 2*5 = 10; len(text) = 25
+    assert r["top_bigram_char_frac"] == pytest.approx(10 / len(text))
+
+
+def test_repetition_stats_degenerate(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "solo")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i in (0, 1):
+        assert rows[i]["n_lines"] == 0
+        assert rows[i]["dup_line_frac"] == 0.0
+        assert rows[i]["top_bigram_char_frac"] == 0.0
+    assert rows[2]["n_lines"] == 1
+    assert rows[2]["dup_word_frac"] == 0.0
+
+
+# -- PII ---------------------------------------------------------------------
+
+
+def test_pii_stats_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex-ample.co.uk and x@y.io end"),
+            (1, "server at 10.0.0.255 then 192.168.1.1"),
+            (2, "call +14155550101 now"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert rows[0]["n_email"] == 2
+    assert rows[1]["n_ipv4"] == 2
+    assert rows[2]["n_phone"] == 1
+    assert (
+        rows[3]["n_email"] == rows[3]["n_ipv4"] == rows[3]["n_phone"] == 0
+    )
+    red = {r["doc_id"]: r["text_redacted"] for r in redact_pii(df).collect()}
+    assert red[0] == "mail [EMAIL] and [EMAIL] end"
+    assert red[1] == "server at [IPV4] then [IPV4]"
+    assert red[2] == "call [PHONE] now"
+    assert red[3] == "clean text with no pii at all"
+
+
+# -- stratified sampling -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def strat_df(spark):
+    return spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias(
+            "source"
+        ),
+    )
+
+
+def test_stratified_sample_matches_python(strat_df):
+    rates = {"src0": 0.5, "src1": 0.1}
+    kept = sorted(
+        r["doc_id"]
+        for r in stratified_sample(strat_df, rates, salt="s1").collect()
+    )
+    expect = [
+        i
+        for i in range(2000)
+        if _ph64(f"s1|{i}") % 10_000
+        < int(rates.get(f"src{i % 4}", 0.0) * 10_000)
+    ]
+    assert kept == expect
+    # rate sanity: src0 keeps ~50% of its 500, src1 ~10%
+    n0 = sum(1 for i in kept if i % 4 == 0)
+    n1 = sum(1 for i in kept if i % 4 == 1)
+    assert 200 < n0 < 300 and 20 < n1 < 80
+    assert all(i % 4 in (0, 1) for i in kept)  # default rate 0 drops rest
+
+
+def test_stratified_sample_salt_independence(strat_df):
+    rates = {"src0": 0.5}
+    a = {r["doc_id"] for r in stratified_sample(strat_df, rates, salt="a").collect()}
+    b = {r["doc_id"] for r in stratified_sample(strat_df, rates, salt="b").collect()}
+    assert a != b
+    # both draws still hit the target rate
+    for s in (a, b):
+        assert 200 < len(s) < 300
+
+
+def test_stratified_sample_default_rate(strat_df):
+    kept = stratified_sample(
+        strat_df, {}, default_rate=1.0
+    ).count()
+    assert kept == 2000
+
+
+# -- sessionization ----------------------------------------------------------
+
+
+def _ts(s: float) -> datetime:
+    return datetime(2024, 1, 1, 0, 0, 0).fromtimestamp(
+        datetime(2024, 1, 1).timestamp() + s
+    )
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    rows = [
+        # user 1: events at t=0, 10, 2000 (gap>1800 -> new session), 2005
+        (0, _ts(0), 1),
+        (1, _ts(10), 1),
+        (2, _ts(2000), 1),
+        (3, _ts(2005), 1),
+        # user 2: single event
+        (4, _ts(5), 2),
+        # user 3: tie on ts -> order by event_id
+        (5, _ts(100), 3),
+        (6, _ts(100), 3),
+        (7, _ts(100 + 1800), 3),  # exactly the gap: same session
+        (8, _ts(100 + 1800 + 1801), 3),  # > gap: new session
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+
+
+def test_sessionize(events_df):
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(events_df).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0, 8: 1}
+
+
+def test_session_stats(events_df):
+    rows = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(events_df).collect()
+    }
+    s = rows[(1, 0)]
+    assert s["n_events"] == 2
+    assert s["span_us"] == 10_000_000
+    assert (s["first_event"], s["last_event"]) == (0, 1)
+    assert rows[(1, 1)]["n_events"] == 2
+    assert rows[(2, 0)]["n_events"] == 1 and rows[(2, 0)]["span_us"] == 0
+    assert rows[(3, 0)]["n_events"] == 3
+    assert rows[(3, 1)]["n_events"] == 1
