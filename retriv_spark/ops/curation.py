@@ -90,17 +90,32 @@ def decontaminate_stats(
     row per document.
     """
     bench_text_col = bench_text_col or text_col
+    # explode_outer everywhere: plain explode makes the optimizer infer a
+    # size(...)>0 filter that re-expands the whole tokenize->shingle->md5
+    # chain a second time per row; the gram array is never empty (short
+    # docs yield one whole-stream gram), so outer is semantically equal
+    # once null texts are dropped by the cheap narrow filter below
     bench = (
-        benchmark.select(
-            F.explode(gram_hashes(F.col(bench_text_col), n)).alias("gh")
+        benchmark.where(F.col(bench_text_col).isNotNull())
+        .select(
+            F.explode_outer(
+                gram_hashes(F.col(bench_text_col), n)
+            ).alias("gh")
         )
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    grams = docs.select(
-        F.col(id_col),
-        F.size(gram_hashes(F.col(text_col), n)).alias("n_grams"),
-        F.explode(gram_hashes(F.col(text_col), n)).alias("gh"),
+    # bind the gram array once below the Generate: referencing it from
+    # BOTH size() and explode() in one projection would evaluate the
+    # chain twice per row
+    grams = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), gram_hashes(F.col(text_col), n).alias("ghs"))
+        .select(
+            id_col,
+            F.size("ghs").alias("n_grams"),
+            F.explode_outer("ghs").alias("gh"),
+        )
     )
     stats = (
         grams.join(F.broadcast(bench), "gh", "left")
