@@ -1126,7 +1126,10 @@ def q_repetition_stats(spark, sf_dir):
             F.col("doc_id") % 3 == 0, F.translate("text", " ", "\n")
         ).otherwise(F.col("text")),
     )
-    return repetition_stats(docs).orderBy("doc_id")
+    return repetition_stats(docs).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "dup_word_frac", "top_bigram_char_frac",
+    ).orderBy("doc_id")
 
 
 def q_pii_redact(spark, sf_dir):

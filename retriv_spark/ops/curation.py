@@ -29,9 +29,10 @@ Scale notes (the shapes, not the numbers):
                        shuffle for per-user ordering); window functions
                        only, no Python.
 
-All hashes go through ``portable_hash64`` (md5-based) so every step is
-reproducible in ANSI SQL for oracle checks — swap in xxhash64 for raw
-speed in production (same plan shape).
+All hashes use the portable md5-based 60-bit formula
+(``textstats.portable_hash64`` / ``textstats.gram_hash_col``) so every
+step is reproducible in ANSI SQL for oracle checks — swap in xxhash64
+for raw speed in production (same plan shape).
 
 Reference parity: the reference engine (AmenRa/retriv) has no curation
 surface; these operators extend it for training-data pipelines as the
@@ -40,31 +41,16 @@ build brief requires.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .textstats import portable_hash64, tokens_col
+from .textstats import gram_hash_col, portable_hash64
 
 # -- decontamination ------------------------------------------------------
-
-
-def gram_hashes(text: Column, n: int) -> Column:
-    """Distinct portable hashes of the word ``n``-grams of ``text``.
-
-    Documents shorter than ``n`` tokens contribute one gram (their whole
-    token stream) — same convention as ``with_fingerprint``.
-    """
-    toks = tokens_col(text)
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.array_distinct(F.transform(grams, portable_hash64))
 
 
 def decontaminate_stats(
@@ -91,15 +77,17 @@ def decontaminate_stats(
     """
     bench_text_col = bench_text_col or text_col
     # explode_outer everywhere: plain explode makes the optimizer infer a
-    # size(...)>0 filter that re-expands the whole tokenize->shingle->md5
-    # chain a second time per row; the gram array is never empty (short
-    # docs yield one whole-stream gram), so outer is semantically equal
-    # once null texts are dropped by the cheap narrow filter below
+    # size(...)>0 filter that re-evaluates the gram-hash UDF a second
+    # time per row; the gram array is never empty (short docs yield one
+    # whole-stream gram), so outer is semantically equal once null texts
+    # are dropped by the cheap narrow filter below.  Null-text documents
+    # carry no grams and so cannot be contaminated — decontaminate()
+    # keeps them via its anti-join.
     bench = (
         benchmark.where(F.col(bench_text_col).isNotNull())
         .select(
             F.explode_outer(
-                gram_hashes(F.col(bench_text_col), n)
+                gram_hash_col(F.col(bench_text_col), n)
             ).alias("gh")
         )
         .distinct()
@@ -107,10 +95,12 @@ def decontaminate_stats(
     )
     # bind the gram array once below the Generate: referencing it from
     # BOTH size() and explode() in one projection would evaluate the
-    # chain twice per row
+    # UDF twice per row
     grams = (
         docs.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), gram_hashes(F.col(text_col), n).alias("ghs"))
+        .select(
+            F.col(id_col), gram_hash_col(F.col(text_col), n).alias("ghs")
+        )
         .select(
             id_col,
             F.size("ghs").alias("n_grams"),
@@ -142,14 +132,21 @@ def decontaminate(
     benchmark: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bench_text_col: Optional[str] = None,
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Drop contaminated documents (see ``decontaminate_stats``)."""
-    clean_ids = decontaminate_stats(
-        docs, benchmark, text_col, id_col, n=n, threshold=threshold
-    ).filter(F.col("contaminated") == 0)
-    return docs.join(clean_ids.select(id_col), id_col, "left_semi")
+    """Drop contaminated documents (see ``decontaminate_stats``).
+
+    Anti-join on the CONTAMINATED id set (not semi-join on the clean
+    set) so documents the stats pass cannot score — null text, which
+    carries no grams — are kept, not silently dropped.
+    """
+    bad_ids = decontaminate_stats(
+        docs, benchmark, text_col, id_col, bench_text_col,
+        n=n, threshold=threshold,
+    ).filter(F.col("contaminated") == 1)
+    return docs.join(bad_ids.select(id_col), id_col, "left_anti")
 
 
 # -- Gopher-style repetition stats ----------------------------------------
@@ -160,9 +157,7 @@ REPETITION_SCHEMA = (
 )
 
 
-def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style (Rae et al. 2021, table A1) repetition quality
     signals, one narrow Arrow-batched projection per document:
 
@@ -231,8 +226,14 @@ def repetition_stats(
             ],
         )
 
-    s = _stats(F.col(text_col)).alias("_rep")
-    return df.select(id_col, s).select(id_col, "_rep.*")
+    # preserve the input row (module convention — pii_stats,
+    # with_token_counts etc. do the same) so callers can filter on the
+    # stats in place without joining them back
+    return (
+        df.withColumn("_rep", _stats(F.col(text_col)))
+        .select("*", "_rep.*")
+        .drop("_rep")
+    )
 
 
 # -- PII ------------------------------------------------------------------
@@ -248,10 +249,14 @@ _PII = [("email", PII_EMAIL), ("ipv4", PII_IPV4), ("phone", PII_PHONE)]
 
 def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-row PII match counts (emails, IPv4 addresses, E.164-ish phone
-    numbers).  Pure column algebra — narrow, codegen'd, no Python."""
+    numbers); NULL text counts as 0 so downstream ``== 0`` filters keep
+    such rows.  Pure column algebra — narrow, codegen'd, no Python."""
     cols = [
-        F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        F.coalesce(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+            ),
+            F.lit(0),
         ).alias(f"n_{name}")
         for name, pat in _PII
     ]
@@ -294,17 +299,13 @@ def stratified_sample(
         ),
         F.lit(denom),
     )
-    rate = None
+    # round, not int(): truncation under float error turns e.g. 0.57
+    # into bucket threshold 5699 and permanently undershoots the rate
+    rate: Column = F.lit(int(round(default_rate * denom)))
     for v, r in sorted(rates.items()):
-        cond = F.when(F.col(strata_col) == v, int(r * denom))
-        rate = cond if rate is None else rate.when(
-            F.col(strata_col) == v, int(r * denom)
+        rate = F.when(F.col(strata_col) == v, int(round(r * denom))).otherwise(
+            rate
         )
-    rate = (
-        rate.otherwise(int(default_rate * denom))
-        if rate is not None
-        else F.lit(int(default_rate * denom))
-    )
     return df.filter(bucket < rate)
 
 

@@ -98,17 +98,71 @@ def portable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+_GRAM_HASH_UDFS: dict = {}
+
+
+def gram_hash_col(text: Column, n: int) -> Column:
+    """Distinct portable 60-bit hashes of the word ``n``-grams of
+    ``text`` (md5-based — bit-identical to mapping ``portable_hash64``
+    over the grams, so SQL oracles reproduce it).  Texts shorter than
+    ``n`` tokens contribute ONE gram (their whole token stream), so the
+    result array is never empty; NULL text yields NULL.
+
+    Arrow-batched UDF rather than Column algebra: the equivalent
+    ``transform(sequence(...), i -> array_join(slice(toks, i, n)))``
+    chain runs in Catalyst's INTERPRETED higher-order-function
+    evaluator and measured ~5x slower (see ops/dedup.py shingles_col).
+    """
+    if n not in _GRAM_HASH_UDFS:
+        import hashlib
+        import re
+
+        from pyspark.sql.functions import pandas_udf
+
+        ws = re.compile(r"\s+")
+        k = n
+
+        @pandas_udf("array<long>")
+        def f(texts):
+            import pandas as pd
+
+            out = []
+            for x in texts:
+                if x is None:
+                    out.append(None)
+                    continue
+                toks = [t for t in ws.split(x.strip()) if t]
+                grams = (
+                    " ".join(toks[i : i + k])
+                    for i in range(max(len(toks) - k + 1, 1))
+                )
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            int(
+                                hashlib.md5(g.encode("utf-8"))
+                                .hexdigest()[:15],
+                                16,
+                            )
+                            for g in grams
+                        )
+                    )
+                )
+            return pd.Series(out)
+
+        _GRAM_HASH_UDFS[n] = f
+    return _GRAM_HASH_UDFS[n](text)
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", shingle: int = 5
 ) -> DataFrame:
     """Winnowing-lite document fingerprint: the minimum portable hash over
     all word ``shingle``-grams (a rolling-hash selector; min-sampling makes
     it order-invariant and near-dup-stable)."""
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - shingle + 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, shingle), " "),
+    return df.select(
+        "*",
+        F.array_min(gram_hash_col(F.col(text_col), shingle)).alias(
+            "fingerprint"
+        ),
     )
-    hashes = F.transform(grams, portable_hash64)
-    return df.select("*", F.array_min(hashes).alias("fingerprint"))

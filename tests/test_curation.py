@@ -77,6 +77,35 @@ def test_decontaminate_drops_only_contaminated(contam_dfs):
     assert kept == [1, 3]
 
 
+def test_decontaminate_keeps_null_text_docs(spark, contam_dfs):
+    _, bench = contam_dfs
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta eps zeta eta theta"),  # contaminated
+            (1, None),  # no grams -> cannot be contaminated -> kept
+            (2, "one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in decontaminate(docs, bench).collect())
+    assert kept == [1, 2]
+
+
+def test_decontaminate_bench_text_col(spark, contam_dfs):
+    docs, _ = contam_dfs
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta eps zeta eta theta")],
+        "bid long, question string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            docs, bench, bench_text_col="question"
+        ).collect()
+    )
+    assert kept == [1, 3]
+
+
 def test_decontaminate_threshold_1_keeps_partial(contam_dfs):
     docs, bench = contam_dfs
     kept = sorted(
@@ -146,6 +175,18 @@ def test_pii_stats_and_redact(spark):
     assert red[3] == "clean text with no pii at all"
 
 
+def test_pii_stats_null_text_counts_zero(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "x@y.io")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    # NULL text must count 0, not NULL (a downstream n_email == 0 filter
+    # would silently drop the row otherwise)
+    assert rows[0]["n_email"] == 0
+    assert rows[0]["n_ipv4"] == 0 and rows[0]["n_phone"] == 0
+    assert rows[1]["n_email"] == 1
+
+
 # -- stratified sampling -----------------------------------------------------
 
 
@@ -194,6 +235,23 @@ def test_stratified_sample_default_rate(strat_df):
         strat_df, {}, default_rate=1.0
     ).count()
     assert kept == 2000
+
+
+def test_stratified_sample_rate_rounds_not_truncates(strat_df):
+    # 0.57 * 10000 = 5699.999... — int() truncation would permanently
+    # exclude bucket 5699 from the keep set
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(
+            strat_df, {"src0": 0.57}, salt="rt"
+        ).collect()
+    }
+    expect = {
+        i
+        for i in range(2000)
+        if i % 4 == 0 and _ph64(f"rt|{i}") % 10_000 < 5700
+    }
+    assert kept == expect
 
 
 # -- sessionization ----------------------------------------------------------
