@@ -42,6 +42,10 @@ HEADLINE = [
     "pii_redact",
     "stratified_sample",
     "sessionize",
+    "pack_sequences",
+    "chunk_documents",
+    "boilerplate_removal",
+    "quality_filter",
 ]
 
 

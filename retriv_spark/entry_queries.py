@@ -1199,6 +1199,95 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, gap_s=900).orderBy("user_id", "session_idx")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-split sequence packing (ops/packing.py
+    assign_sequences): deterministic (bucket, id) layout cut every 256
+    tokens.  Pure function of (salt, doc_id, n_tokens) — the oracle
+    replays the same portable-hash bucketing and running-sum cut."""
+    from .ops.packing import assign_sequences
+
+    docs = _docs(spark, sf_dir)
+    return assign_sequences(
+        docs, budget=256, id_col="doc_id", n_buckets=8, salt="r2p"
+    ).orderBy("doc_id")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding token windows (ops/packing.py chunk_documents):
+    chunk_size=32, overlap=8.  Narrow array algebra; the oracle slices
+    the same token lists with generate_series + list_slice."""
+    from .ops.packing import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    return (
+        chunk_documents(docs, chunk_size=32, overlap=8, id_col="doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.md5("chunk_text").alias("chunk_md5"),
+            "n_chunk_tokens",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def _docs_as_lines(spark, sf_dir):
+    """Documents rewritten one-token-per-line so the corpus has
+    realistically shared lines (the Zipf head) for the boilerplate ops."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    return docs.withColumn("text", F.array_join(toks, "\n"))
+
+
+def q_boilerplate_stats(spark, sf_dir):
+    """Corpus-wide boilerplate-line table (ops/curation.py
+    boilerplate_line_stats): non-blank lines in >= 150 distinct docs
+    with doc/occurrence counts (CCNet-style shared-line signal)."""
+    from .ops.curation import boilerplate_line_stats
+
+    return boilerplate_line_stats(
+        _docs_as_lines(spark, sf_dir), min_docs=150
+    ).orderBy("line")
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Boilerplate-line removal rewrite (ops/curation.py
+    remove_boilerplate_lines): every line shared by >= 150 docs is
+    stripped; output pins the md5 of each rewritten document so the
+    oracle checks the exact byte stream (including docs reduced to
+    empty)."""
+    from .ops.curation import remove_boilerplate_lines
+
+    cleaned = remove_boilerplate_lines(
+        _docs_as_lines(spark, sf_dir), min_docs=150, id_col="doc_id"
+    )
+    return cleaned.select(
+        "doc_id", F.md5("text_clean").alias("clean_md5")
+    ).orderBy("doc_id")
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style hard-threshold quality gate (ops/curation.py
+    quality_filter): failed-rule reasons + keep flag; every ratio is an
+    exact integer ratio so the SQL oracle reproduces the comparisons
+    bit-identically.  keep is exposed as int (cross-engine bool
+    canonicalization)."""
+    from .ops.curation import quality_filter
+
+    docs = _docs(spark, sf_dir)
+    return (
+        quality_filter(docs, min_tokens=40)
+        .select(
+            "doc_id",
+            F.array_join("reasons", ",").alias("reasons"),
+            F.col("keep").cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -1244,6 +1333,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "stratified_sample": q_stratified_sample,
     "sessionize": q_sessionize,
+    "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
+    "boilerplate_stats": q_boilerplate_stats,
+    "boilerplate_removal": q_boilerplate_removal,
+    "quality_filter": q_quality_filter,
 }
 
 
@@ -2330,4 +2424,125 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
        (max(us) - min(us))::BIGINT AS span_us,
        min(event_id) AS first_event, max(event_id) AS last_event
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_PH64.format(x="'r2p|' || doc_id::VARCHAR")} % 8 AS bucket,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id::VARCHAR
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+  FROM t
+)
+SELECT doc_id, bucket::BIGINT AS bucket, n_tokens,
+       (strt // 256)::BIGINT AS seq,
+       (strt - 256 * (strt // 256))::BIGINT AS seq_offset
+FROM c ORDER BY doc_id
+"""
+
+ORACLE_SQL["chunk_documents"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, 24)) AS strt
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, (strt // 24)::INT AS chunk_idx,
+       md5(array_to_string(list_slice(toks, strt + 1, strt + 32), ' '))
+         AS chunk_md5,
+       len(list_slice(toks, strt + 1, strt + 32))::BIGINT
+         AS n_chunk_tokens
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+_LINES_SQL = """
+t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+  FROM t
+),
+lx AS (SELECT doc_id, pos, toks[pos] AS line FROM l),
+hot AS (
+  SELECT line FROM lx WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 150
+)
+"""
+
+ORACLE_SQL["boilerplate_stats"] = f"""
+WITH {_LINES_SQL}
+SELECT line, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM lx WHERE line IN (SELECT line FROM hot)
+GROUP BY line ORDER BY line
+"""
+
+ORACLE_SQL["boilerplate_removal"] = f"""
+WITH {_LINES_SQL},
+kept AS (
+  SELECT doc_id, pos, line FROM lx
+  WHERE trim(line) = '' OR line NOT IN (SELECT line FROM hot)
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, md5(coalesce(agg.txt, '')) AS clean_md5
+FROM t LEFT JOIN agg USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+ORACLE_SQL["quality_filter"] = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS tx,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tok,
+         length(tx)::BIGINT AS n_chars,
+         CASE WHEN len(toks) > 0
+              THEN (length(tx) - (len(toks) - 1)) / len(toks)::DOUBLE
+              ELSE 0.0 END AS mean_tok,
+         CASE WHEN length(tx) > 0
+              THEN length(regexp_replace(tx, '[A-Za-z0-9\\s]', '', 'g'))
+                   / length(tx)::DOUBLE
+              ELSE 0.0 END AS sym_ratio,
+         len(list_intersect(toks, {_STOP_SQL})) AS stop_hits
+  FROM t
+),
+r AS (
+  SELECT doc_id,
+         list_sort(
+           (CASE WHEN n_tok < 40 THEN ['too_short']
+                 ELSE []::VARCHAR[] END) ||
+           (CASE WHEN n_tok > 100000 THEN ['too_long']
+                 ELSE []::VARCHAR[] END) ||
+           (CASE WHEN mean_tok < 2.0 OR mean_tok > 12.0
+                 THEN ['mean_tok_len'] ELSE []::VARCHAR[] END) ||
+           (CASE WHEN sym_ratio > 0.25 THEN ['symbol_ratio']
+                 ELSE []::VARCHAR[] END) ||
+           (CASE WHEN stop_hits < 1 THEN ['no_stopwords']
+                 ELSE []::VARCHAR[] END)
+         ) AS rs
+  FROM f
+)
+SELECT doc_id, coalesce(array_to_string(rs, ','), '') AS reasons,
+       CASE WHEN len(rs) = 0 THEN 1 ELSE 0 END AS keep
+FROM r ORDER BY doc_id
 """

@@ -373,3 +373,171 @@ def session_stats(
         F.min(order_col).alias("first_event"),
         F.max(order_col).alias("last_event"),
     )
+
+
+# -- boilerplate line removal (CCNet-style) ---------------------------------
+
+
+def lines_exploded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, pos, line)`` — one row per newline-split line of each
+    document, position preserved.  Narrow (split + posexplode only)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+
+
+def boilerplate_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide boilerplate-line table: non-blank lines appearing in
+    ``>= min_docs`` distinct documents, with doc and occurrence counts
+    (the CCNet / RefinedWeb "drop lines shared across pages" signal —
+    nav bars, license headers, cookie banners).
+
+    Scale shape: groupBy on the line text itself — boilerplate lines
+    collapse in the map-side partial aggregate exactly like exact-dedup
+    digests (``dedup.py``), so the exchange carries near-distinct lines
+    only; the distinct-doc count is a two-phase partial distinct on
+    ``(line, id)``.  Output size is the distinct-hot-line count, small
+    by construction.
+    """
+    ex = lines_exploded(df, text_col, id_col).filter(
+        F.trim(F.col("line")) != ""
+    )
+    return (
+        ex.groupBy("line")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hot_lines: int = 2_000_000,
+) -> DataFrame:
+    """Rewrite every document with its boilerplate lines removed (lines
+    non-blank and present in ``>= min_docs`` distinct docs); blank lines
+    are always kept.  Adds ``{text_col}_clean``; NULL text stays NULL.
+
+    Plan: one aggregation shuffle to find the hot-line set (see
+    ``boilerplate_line_stats``), then a ZERO-shuffle narrow rewrite — the
+    hot 60-bit line hashes ride to executors as a Spark broadcast inside
+    an Arrow-batched UDF, so the document bodies never move.  The hot
+    set is driver-materialized and therefore bounded: ``max_hot_lines``
+    (default 2M longs = 16 MB) fails fast with instructions rather than
+    silently OOMing — at 100 TB raise the cap or swap the exact set for
+    a Bloom filter (same plan shape, tunable FP keeps docs it should
+    drop lines from).
+    """
+    import hashlib
+
+    hot = (
+        boilerplate_line_stats(df, text_col, id_col, min_docs)
+        .select(portable_hash64(F.col("line")).alias("h"))
+        .limit(max_hot_lines + 1)
+        .collect()
+    )
+    if len(hot) > max_hot_lines:
+        raise ValueError(
+            f"boilerplate line set exceeds max_hot_lines={max_hot_lines}; "
+            "raise the cap or use a Bloom-filter variant"
+        )
+    hot_set = frozenset(r.h for r in hot)
+    bc = df.sparkSession.sparkContext.broadcast(hot_set)
+
+    @pandas_udf("string")
+    def _clean(texts: pd.Series) -> pd.Series:
+        hs = bc.value
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            kept = [
+                l
+                for l in t.split("\n")
+                if l.strip() == ""
+                or int(hashlib.md5(l.encode("utf-8")).hexdigest()[:15], 16)
+                not in hs
+            ]
+            out.append("\n".join(kept))
+        return pd.Series(out)
+
+    return df.withColumn(f"{text_col}_clean", _clean(F.col(text_col)))
+
+
+# -- Gopher-style threshold filter ------------------------------------------
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_tok: float = 2.0,
+    max_mean_tok: float = 12.0,
+    max_symbol_ratio: float = 0.25,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, A1.1) hard-threshold quality gate.
+    Adds ``reasons`` (sorted array of failed-rule names, empty = clean)
+    and ``keep`` (no rule failed).  Pure column algebra — narrow, no
+    Python, whole-stage codegen; every ratio is an exact integer ratio
+    so the SQL oracle reproduces it bit-identically.
+
+    Rules: token count in [min_tokens, max_tokens]; mean token length in
+    [min_mean_tok, max_mean_tok]; symbol ratio (chars outside
+    ``[A-Za-z0-9\\s]`` over all chars) <= max_symbol_ratio; at least
+    ``min_stop_hits`` distinct common-English stopwords present.
+    """
+    from .textstats import _EN_STOP, tokens_col
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_col(text)
+    n_tok = F.coalesce(F.size(toks), F.lit(0))
+    n_chars = F.coalesce(F.length(text), F.lit(0))
+    mean_tok = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    n_sym = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    sym_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(F.lit(0.0))
+    stop_hits = F.coalesce(
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(s) for s in _EN_STOP]))
+        ),
+        F.lit(0),
+    )
+    rules = [
+        ("too_short", n_tok < min_tokens),
+        ("too_long", n_tok > max_tokens),
+        ("mean_tok_len", (mean_tok < min_mean_tok) | (mean_tok > max_mean_tok)),
+        ("symbol_ratio", sym_ratio > max_symbol_ratio),
+        ("no_stopwords", stop_hits < min_stop_hits),
+    ]
+    reasons = F.sort_array(
+        F.concat(
+            *[
+                F.when(cond, F.array(F.lit(name))).otherwise(
+                    F.array().cast("array<string>")
+                )
+                for name, cond in rules
+            ]
+        )
+    )
+    return df.select(
+        "*", reasons.alias("reasons")
+    ).withColumn("keep", F.size("reasons") == 0)

@@ -1,0 +1,164 @@
+"""Sequence packing + token-window chunking for LLM training pipelines.
+
+Two operators a pretraining data pipeline runs after curation:
+
+* ``assign_sequences`` — concat-then-split sequence packing: documents
+  are laid out in a deterministic order and each one is assigned to the
+  fixed-token-budget training sequence in which its first token lands
+  (the standard GPT-style "concatenate everything, cut every ``budget``
+  tokens" layout).  Deterministic at any parallelism: the order is
+  (hash-bucket, id) where the bucket comes from the portable 60-bit md5
+  hash, so the same (salt, id) always lands in the same place whether
+  the job runs on 8 cores or 8,000 executors.
+* ``chunk_documents`` — sliding token windows over each document
+  (context-window shaping for long docs): pure per-row array algebra,
+  zero shuffles, scales linearly with input splits.
+
+Scale notes (100 TB):
+
+* ``assign_sequences`` shuffles once, keyed on the hash bucket; within a
+  bucket the window sort is a per-partition sort.  ``n_buckets`` bounds
+  the skew: pick ``n_buckets >> executors`` (e.g. 2**17 at petabyte
+  scale) so every bucket sorts a small slice.  Only ``(bucket, id,
+  n_tokens)`` move through the shuffle — never the document body; join
+  the assignment back to the corpus on ``id`` if the text is needed
+  downstream (broadcast is wrong there — both sides are corpus-sized —
+  but the join is co-partitioned if the corpus is bucketed on id).
+* ``chunk_documents`` is narrow (no shuffle); output fan-out is
+  ``ceil(n_tokens / step)`` rows per doc, bounded by ``max_chunks``.
+
+No counterpart in the reference (reference is query-side only); these
+cover the task brief's training-data pipeline ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import portable_hash64, tokens_col
+
+
+def assign_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "id",
+    text_col: str = "text",
+    tokens_count_col: str | None = None,
+    n_buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Concat-then-split packing: assign every document to a training
+    sequence of ``budget`` tokens.
+
+    Documents are ordered by ``(bucket, id)`` with ``bucket =
+    portable_hash64(salt || '|' || id) % n_buckets``; within that order
+    the documents are conceptually concatenated and cut every ``budget``
+    tokens.  Returns one row per input row with:
+
+    * ``bucket`` — the hash bucket (independent packing stream),
+    * ``n_tokens`` — whitespace token count (or ``tokens_count_col``),
+    * ``seq`` — index (within the bucket) of the sequence the document
+      STARTS in,
+    * ``seq_offset`` — token offset of the document inside that
+      sequence (a document longer than ``budget - seq_offset`` continues
+      into following sequences, as in standard concat-then-split
+      pretraining layout).
+
+    Pure function of ``(salt, id, n_tokens)``: identical output at any
+    parallelism and in ANSI SQL (oracle-checked).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    ident = F.col(id_col).cast("string")
+    if tokens_count_col is None:
+        n_tok = F.coalesce(F.size(tokens_col(F.col(text_col))), F.lit(0))
+    else:
+        n_tok = F.coalesce(F.col(tokens_count_col).cast("long"), F.lit(0))
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(salt + "|"), ident)), F.lit(n_buckets)
+    )
+    base = df.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(ident)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_start")
+    out = base.select("*", start)
+    seq = F.floor(F.col("_start") / budget)
+    return out.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        seq.alias("seq"),
+        (F.col("_start") - seq * budget).cast("long").alias("seq_offset"),
+    )
+
+
+def sequence_stats(assigned: DataFrame, budget: int) -> DataFrame:
+    """Per-(bucket, seq) rollup of an ``assign_sequences`` result: how
+    many documents start in each sequence and how full the sequence is
+    with tokens that STARTED there (diagnostic for budget tuning).
+    One (bucket, seq)-keyed shuffle with map-side partial aggregation."""
+    return assigned.groupBy("bucket", "seq").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_started"),
+        F.min("seq_offset").alias("first_offset"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_chunks: int = 10_000,
+) -> DataFrame:
+    """Split each document into sliding windows of ``chunk_size``
+    whitespace tokens with ``overlap`` tokens shared between
+    consecutive windows.
+
+    Output: one row per (doc, window) with ``chunk_idx`` (0-based),
+    ``chunk_text`` (tokens re-joined with single spaces) and
+    ``n_chunk_tokens``.  Documents with no tokens produce no rows.
+    Narrow plan: split / slice / posexplode only — no shuffle, no
+    Python.  ``max_chunks`` bounds per-row fan-out against pathological
+    inputs (a 10 GB single-row doc); beyond it the tail is dropped and
+    the caller should pre-split such rows.
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"overlap must be in [0, chunk_size), got {overlap}"
+        )
+    step = chunk_size - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0,
+        F.slice(
+            F.sequence(F.lit(0), n - 1, F.lit(step)), 1, max_chunks
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), starts.alias("_starts")
+    )
+    ex = base.select(
+        id_col, "_toks", F.posexplode("_starts").alias("chunk_idx", "_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

@@ -305,3 +305,140 @@ def test_session_stats(events_df):
     assert rows[(2, 0)]["n_events"] == 1 and rows[(2, 0)]["span_us"] == 0
     assert rows[(3, 0)]["n_events"] == 3
     assert rows[(3, 1)]["n_events"] == 1
+
+
+# -- boilerplate line removal -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def boiler_df(spark):
+    return spark.createDataFrame(
+        [
+            (0, "keep me\nCOPYRIGHT 2020\nunique line one"),
+            (1, "COPYRIGHT 2020\n\nother text\nNAV | HOME | ABOUT"),
+            (2, "totally different\nCOPYRIGHT 2020\nNAV | HOME | ABOUT"),
+            (3, None),
+            (4, "   \nonly blanks and me"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_boilerplate_line_stats(boiler_df):
+    from retriv_spark.ops.curation import boilerplate_line_stats
+
+    got = {
+        r.line: (r.n_docs, r.n_occurrences)
+        for r in boilerplate_line_stats(boiler_df, min_docs=2).collect()
+    }
+    assert got == {
+        "COPYRIGHT 2020": (3, 3),
+        "NAV | HOME | ABOUT": (2, 2),
+    }
+
+
+def test_boilerplate_stats_counts_distinct_docs(spark):
+    """A line repeated 5x inside ONE doc is not corpus boilerplate."""
+    from retriv_spark.ops.curation import boilerplate_line_stats
+
+    df = spark.createDataFrame(
+        [(0, "\n".join(["same line"] * 5)), (1, "different")],
+        "doc_id long, text string",
+    )
+    assert boilerplate_line_stats(df, min_docs=2).count() == 0
+
+
+def test_remove_boilerplate_lines(boiler_df):
+    from retriv_spark.ops.curation import remove_boilerplate_lines
+
+    got = {
+        r.doc_id: r.text_clean
+        for r in remove_boilerplate_lines(boiler_df, min_docs=2).collect()
+    }
+    assert got[0] == "keep me\nunique line one"
+    assert got[1] == "\nother text"          # blank line preserved
+    assert got[2] == "totally different"
+    assert got[3] is None                     # NULL stays NULL
+    assert got[4] == "   \nonly blanks and me"
+
+
+def test_remove_boilerplate_cap_raises(boiler_df):
+    from retriv_spark.ops.curation import remove_boilerplate_lines
+
+    with pytest.raises(ValueError, match="max_hot_lines"):
+        remove_boilerplate_lines(boiler_df, min_docs=2, max_hot_lines=1)
+
+
+# -- quality filter -----------------------------------------------------------
+
+
+def test_quality_filter_reasons(spark):
+    from retriv_spark.ops.curation import quality_filter
+
+    long_good = "the quick brown fox jumps over a lazy dog and " * 10
+    df = spark.createDataFrame(
+        [
+            (0, long_good),
+            (1, "short text here"),                       # too_short
+            (2, "@@ ## $$ %% ^^ && ** (( )) !! " * 10),   # symbols, no stop
+            (3, None),                                    # empty -> fails
+            (4, "x " * 200),                              # mean len 1, no stop
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (sorted(r.reasons), r.keep)
+        for r in quality_filter(df, min_tokens=20).collect()
+    }
+    assert got[0] == ([], True)
+    assert got[1][0] == ["no_stopwords", "too_short"] and not got[1][1]
+    assert "symbol_ratio" in got[2][0] and "no_stopwords" in got[2][0]
+    assert "too_short" in got[3][0] and not got[3][1]
+    assert got[4][0] == ["mean_tok_len", "no_stopwords"]
+
+
+def test_quality_filter_python_differential(spark):
+    """Recompute every rule in plain Python over varied texts."""
+    import re
+
+    from retriv_spark.ops.curation import quality_filter
+    from retriv_spark.ops.textstats import _EN_STOP
+
+    texts = [
+        "the cat sat on the mat and it was good for a while longer here",
+        "aaaa " * 30,
+        "x",
+        "",
+        "the " + "verylongtokenindeed " * 40,
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 3,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kw = dict(
+        min_tokens=5, max_tokens=100, min_mean_tok=2.0, max_mean_tok=12.0,
+        max_symbol_ratio=0.25, min_stop_hits=1,
+    )
+    got = {
+        r.doc_id: sorted(r.reasons)
+        for r in quality_filter(df, **kw).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n_tok, n_chars = len(toks), len(t)
+        mean_tok = (n_chars - (n_tok - 1)) / n_tok if n_tok else 0.0
+        n_sym = len(re.sub(r"[A-Za-z0-9\s]", "", t))
+        sym_ratio = n_sym / n_chars if n_chars else 0.0
+        stop_hits = len(set(toks) & set(_EN_STOP))
+        exp = sorted(
+            name
+            for name, bad in [
+                ("too_short", n_tok < 5),
+                ("too_long", n_tok > 100),
+                ("mean_tok_len", mean_tok < 2.0 or mean_tok > 12.0),
+                ("symbol_ratio", sym_ratio > 0.25),
+                ("no_stopwords", stop_hits < 1),
+            ]
+            if bad
+        )
+        assert got[i] == exp, f"doc {i}"

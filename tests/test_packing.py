@@ -1,0 +1,190 @@
+"""Tests for sequence packing and token-window chunking
+(ops/packing.py): hand-computed layouts, Python differential,
+parallelism-identity, and edge cases (empty/NULL text, oversized docs)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.packing import (
+    assign_sequences,
+    chunk_documents,
+    sequence_stats,
+)
+
+
+def _ph64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def pack_docs(spark):
+    rows = [
+        ("d%03d" % i, " ".join("w%d" % j for j in range(3 + (i * 7) % 20)))
+        for i in range(40)
+    ]
+    rows += [("dempty", ""), ("dnull", None)]
+    return spark.createDataFrame(rows, "id string, text string")
+
+
+def _python_pack(rows, budget, n_buckets, salt):
+    """Reference concat-then-split layout in plain Python."""
+    docs = []
+    for rid, text in rows:
+        n = len(text.split()) if text else 0
+        b = _ph64(f"{salt}|{rid}") % n_buckets
+        docs.append((b, rid, n))
+    out = {}
+    for b in sorted({d[0] for d in docs}):
+        cum = 0
+        for _, rid, n in sorted(d for d in docs if d[0] == b):
+            start = cum
+            out[rid] = (b, n, start // budget, start - (start // budget) * budget)
+            cum += n
+    return out
+
+
+def test_assign_sequences_matches_python(pack_docs):
+    rows = [(r.id, r.text) for r in pack_docs.collect()]
+    exp = _python_pack(rows, budget=16, n_buckets=4, salt="t")
+    got = {
+        r.id: (r.bucket, r.n_tokens, r.seq, r.seq_offset)
+        for r in assign_sequences(
+            pack_docs, 16, id_col="id", n_buckets=4, salt="t"
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_assign_sequences_parallelism_identity(pack_docs):
+    a = sorted(
+        map(
+            tuple,
+            assign_sequences(
+                pack_docs.repartition(1), 16, id_col="id", n_buckets=4, salt="t"
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            assign_sequences(
+                pack_docs.repartition(16), 16, id_col="id", n_buckets=4, salt="t"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_assign_sequences_null_and_empty_are_zero_tokens(pack_docs):
+    rows = {
+        r.id: r
+        for r in assign_sequences(
+            pack_docs, 16, id_col="id", n_buckets=1, salt="t"
+        ).collect()
+    }
+    assert rows["dempty"].n_tokens == 0
+    assert rows["dnull"].n_tokens == 0
+    assert rows["dnull"].seq is not None
+
+
+def test_assign_sequences_offsets_within_budget(pack_docs):
+    for r in assign_sequences(
+        pack_docs, 16, id_col="id", n_buckets=4, salt="t"
+    ).collect():
+        assert 0 <= r.seq_offset < 16
+        assert r.seq >= 0
+
+
+def test_assign_sequences_tokens_count_col(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 20), ("c", None)], "id string, nt int"
+    )
+    got = {
+        r.id: (r.n_tokens, r.seq)
+        for r in assign_sequences(
+            df, 8, id_col="id", tokens_count_col="nt", n_buckets=1
+        ).collect()
+    }
+    # bucket order is by id: a(5) start 0 seq 0; b(20) start 5 seq 0;
+    # c(0) start 25 seq 3
+    assert got == {"a": (5, 0), "b": (20, 0), "c": (0, 3)}
+
+
+def test_assign_sequences_rejects_bad_args(pack_docs):
+    with pytest.raises(ValueError):
+        assign_sequences(pack_docs, 0, id_col="id")
+    with pytest.raises(ValueError):
+        assign_sequences(pack_docs, 8, id_col="id", n_buckets=0)
+
+
+def test_sequence_stats_totals(pack_docs):
+    a = assign_sequences(pack_docs, 16, id_col="id", n_buckets=4, salt="t")
+    st = sequence_stats(a, 16)
+    assert st.agg(F.sum("n_docs")).first()[0] == pack_docs.count()
+    tok_total = a.agg(F.sum("n_tokens")).first()[0]
+    assert st.agg(F.sum("tokens_started")).first()[0] == tok_total
+
+
+def test_chunk_documents_hand_case(spark):
+    df = spark.createDataFrame(
+        [("d", " ".join(str(i) for i in range(10)))], "id string, text string"
+    )
+    got = [
+        (r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(df, 4, overlap=1, id_col="id")
+        .orderBy("chunk_idx")
+        .collect()
+    ]
+    assert got == [
+        (0, "0 1 2 3", 4),
+        (1, "3 4 5 6", 4),
+        (2, "6 7 8 9", 4),
+        (3, "9", 1),
+    ]
+
+
+def test_chunk_documents_no_overlap_covers_exactly(spark):
+    df = spark.createDataFrame(
+        [("d", " ".join(str(i) for i in range(9)))], "id string, text string"
+    )
+    got = chunk_documents(df, 3, overlap=0, id_col="id").collect()
+    assert sorted(r.chunk_text for r in got) == ["0 1 2", "3 4 5", "6 7 8"]
+    assert all(r.n_chunk_tokens == 3 for r in got)
+
+
+def test_chunk_documents_empty_and_null_produce_no_rows(spark):
+    df = spark.createDataFrame(
+        [("e", ""), ("n", None), ("w", "   ")], "id string, text string"
+    )
+    assert chunk_documents(df, 4, id_col="id").count() == 0
+
+
+def test_chunk_documents_max_chunks_caps_fanout(spark):
+    df = spark.createDataFrame(
+        [("big", " ".join("x" for _ in range(100)))], "id string, text string"
+    )
+    assert chunk_documents(df, 1, 0, id_col="id", max_chunks=7).count() == 7
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([("d", "a b")], "id string, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, 4, overlap=4, id_col="id")
+    with pytest.raises(ValueError):
+        chunk_documents(df, 0, id_col="id")
+
+
+def test_chunk_reassembly_roundtrip(spark):
+    """Non-overlapping chunks concatenated in order rebuild the
+    whitespace-normalized document."""
+    text = "  the   quick brown  fox jumps over the lazy dog end  "
+    df = spark.createDataFrame([("d", text)], "id string, text string")
+    parts = [
+        r.chunk_text
+        for r in chunk_documents(df, 3, 0, id_col="id")
+        .orderBy("chunk_idx")
+        .collect()
+    ]
+    assert " ".join(parts) == " ".join(text.split())
