@@ -1,0 +1,205 @@
+"""Bloom filter for beyond-broadcast membership at 100 TB.
+
+``decontaminate_stats`` broadcasts the benchmark's distinct gram hashes
+and ``remove_boilerplate_lines`` driver-materializes the hot-line hash
+set — both exact, both bounded by construction at sane scales.  When the
+membership side outgrows those bounds (a benchmark suite of billions of
+grams, a boilerplate set beyond ``max_hot_lines``), the documented swap
+is a Bloom filter: same plan shape, zero shuffle on the corpus side,
+tunable false-positive rate.  This module is that swap.
+
+Design:
+
+* The filter is a flat ``numpy.uint64`` bit array with ``k`` probes per
+  key derived by double hashing from the portable 60-bit hash (inputs
+  are already md5-mixed, so two multiplicative mixes suffice).
+* **Distributed build**: ``from_df`` runs one ``mapInPandas`` pass that
+  builds a PARTIAL filter per partition and emits it as bytes; the
+  driver ORs the partials.  One narrow pass, no shuffle, driver memory
+  = one bitmap (not one entry per key).  This is the standard
+  "treeAggregate a bitset" pattern; at extreme sizes swap the driver OR
+  for a two-level ``RDD.treeReduce``.
+* **Membership** is an Arrow-batched UDF over the hash column (or hash
+  arrays) with the bitmap as a Spark broadcast — corpus rows never
+  shuffle and never join.
+
+False positives are one-sided: decontamination may DROP a clean
+document, boilerplate removal may strip an innocent line — both safe
+directions for training-data curation (documented at the call sites).
+No false negatives (property-tested).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / golden ratio (Fibonacci mix)
+
+
+class BloomFilter:
+    """Immutable-ish Bloom filter over 64-bit integer keys."""
+
+    __slots__ = ("n_bits", "k", "words")
+
+    def __init__(self, n_bits: int, k: int, words: np.ndarray | None = None):
+        if n_bits <= 0 or k <= 0:
+            raise ValueError(f"n_bits and k must be positive ({n_bits}, {k})")
+        # round up to whole uint64 words
+        n_words = (n_bits + 63) // 64
+        self.n_bits = n_words * 64
+        self.k = k
+        self.words = (
+            words
+            if words is not None
+            else np.zeros(n_words, dtype=np.uint64)
+        )
+        if len(self.words) != n_words:
+            raise ValueError("words length does not match n_bits")
+
+    # -- geometry ----------------------------------------------------------
+
+    @staticmethod
+    def geometry(n_items: int, fp_rate: float) -> tuple:
+        """Optimal (n_bits, k) for ``n_items`` keys at ``fp_rate``."""
+        n_items = max(n_items, 1)
+        if not 0.0 < fp_rate < 1.0:
+            raise ValueError(f"fp_rate must be in (0,1), got {fp_rate}")
+        n_bits = int(math.ceil(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
+        k = max(1, round(n_bits / n_items * math.log(2)))
+        return max(n_bits, 64), k
+
+    # -- core bit math (vectorized) ----------------------------------------
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(len(hashes), k) bit positions via double hashing."""
+        h = hashes.astype(np.uint64, copy=False)
+        h1 = h * _MIX
+        h2 = ((h >> np.uint64(29)) ^ h) * _MIX | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return (h1[:, None] + i * h2[:, None]) % np.uint64(self.n_bits)
+
+    def add_many(self, hashes) -> None:
+        hs = np.asarray(hashes, dtype=np.int64)
+        if hs.size == 0:
+            return
+        pos = self._positions(hs).ravel()
+        np.bitwise_or.at(
+            self.words, pos >> np.uint64(6),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_many(self, hashes) -> np.ndarray:
+        hs = np.asarray(hashes, dtype=np.int64)
+        if hs.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(hs)
+        bits = (
+            self.words[(pos >> np.uint64(6))]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return bits.all(axis=1)
+
+    def __contains__(self, h: int) -> bool:
+        return bool(self.contains_many(np.array([h]))[0])
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.n_bits, self.k) != (other.n_bits, other.k):
+            raise ValueError("cannot merge Bloom filters of different geometry")
+        return BloomFilter(self.n_bits, self.k, self.words | other.words)
+
+    def to_bytes(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def from_bytes(cls, n_bits: int, k: int, data: bytes) -> "BloomFilter":
+        return cls(n_bits, k, np.frombuffer(data, dtype=np.uint64).copy())
+
+    # -- distributed build ---------------------------------------------------
+
+    @classmethod
+    def from_df(
+        cls,
+        df: DataFrame,
+        col: str,
+        n_items: int | None = None,
+        fp_rate: float = 1e-3,
+        max_bits: int = 2**33,
+    ) -> "BloomFilter":
+        """Build from a DataFrame column of int64 hashes in ONE narrow
+        pass: each partition emits a partial bitmap (bytes), the driver
+        ORs them.  ``n_items`` defaults to a ``count()`` (a second scan;
+        pass it when known).  ``max_bits`` (default 1 GiB of bits) fails
+        fast instead of silently building an over-saturated filter —
+        at that point shard the filter or raise ``fp_rate``."""
+        if n_items is None:
+            n_items = df.count()
+        n_bits, k = cls.geometry(n_items, fp_rate)
+        if n_bits > max_bits:
+            raise ValueError(
+                f"Bloom geometry wants {n_bits} bits for {n_items} items "
+                f"at fp={fp_rate} (> max_bits={max_bits}); raise fp_rate, "
+                "raise max_bits, or shard the filter"
+            )
+        proto = cls(n_bits, k)
+        n_bits_f, k_f = proto.n_bits, proto.k
+
+        def _partial(batches):
+            bf = cls(n_bits_f, k_f)
+            for pdf in batches:
+                vals = pdf.iloc[:, 0].dropna().to_numpy(dtype=np.int64)
+                bf.add_many(vals)
+            yield pd.DataFrame({"bits": [bf.to_bytes()]})
+
+        parts = (
+            df.select(F.col(col).cast("long"))
+            .mapInPandas(_partial, "bits binary")
+            .collect()
+        )
+        out = cls(n_bits_f, k_f)
+        for row in parts:
+            out.words |= np.frombuffer(row.bits, dtype=np.uint64)
+        return out
+
+
+def contains_col(bloom: BloomFilter, col: Column, spark_context) -> Column:
+    """Boolean membership column (Arrow-batched; bitmap rides as a Spark
+    broadcast so it ships to each executor once, not per task)."""
+    bc = spark_context.broadcast((bloom.n_bits, bloom.k, bloom.to_bytes()))
+
+    @pandas_udf("boolean")
+    def _member(hs: pd.Series) -> pd.Series:
+        n_bits, k, data = bc.value
+        bf = BloomFilter.from_bytes(n_bits, k, data)
+        vals = hs.fillna(-1).to_numpy(dtype=np.int64)
+        out = bf.contains_many(vals)
+        out[hs.isna().to_numpy()] = False
+        return pd.Series(out)
+
+    return _member(col)
+
+
+def hits_in_col(bloom: BloomFilter, arr_col: Column, spark_context) -> Column:
+    """For an ``array<long>`` column: how many elements are (probably)
+    in the filter.  NULL arrays yield NULL."""
+    bc = spark_context.broadcast((bloom.n_bits, bloom.k, bloom.to_bytes()))
+
+    @pandas_udf("long")
+    def _hits(arrs: pd.Series) -> pd.Series:
+        n_bits, k, data = bc.value
+        bf = BloomFilter.from_bytes(n_bits, k, data)
+        out = []
+        for a in arrs:
+            if a is None:
+                out.append(None)
+            else:
+                vals = np.asarray(a, dtype=np.int64)
+                out.append(int(bf.contains_many(vals).sum()))
+        return pd.Series(out, dtype="Int64")
+
+    return _hits(arr_col)

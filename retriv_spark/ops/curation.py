@@ -61,6 +61,8 @@ def decontaminate_stats(
     bench_text_col: Optional[str] = None,
     n: int = 3,
     threshold: float = 0.5,
+    method: str = "broadcast",
+    fp_rate: float = 1e-4,
 ) -> DataFrame:
     """Per-document benchmark-overlap stats: (id, n_grams, n_hits,
     contaminated).
@@ -70,12 +72,55 @@ def decontaminate_stats(
     test-set-leakage filter run before training.  ``n_grams`` counts the
     document's DISTINCT grams, so the fraction is order-insensitive.
 
-    Plan: benchmark grams are distinct-ed and broadcast (eval sets are
-    small); corpus grams explode and left-join the broadcast relation;
-    the single shuffle is the per-doc count agg, reduced map-side to one
-    row per document.
+    Plan (``method="broadcast"``, exact): benchmark grams are
+    distinct-ed and broadcast (eval sets are small); corpus grams
+    explode and left-join the broadcast relation; the single shuffle is
+    the per-doc count agg, reduced map-side to one row per document.
+
+    Plan (``method="bloom"``, approximate): for benchmarks too large to
+    broadcast exactly — benchmark gram hashes feed a distributed-built
+    Bloom filter (``ops.bloom``) and the corpus side becomes ONE narrow
+    projection (no explode, no join, no shuffle at all): per-doc hit
+    counts come from an Arrow-batched membership probe over the gram
+    array.  False positives (rate ``fp_rate``) can only OVER-count hits,
+    i.e. drop a clean document — the safe direction for leakage
+    filtering; never the reverse.
     """
     bench_text_col = bench_text_col or text_col
+    if method == "bloom":
+        from .bloom import BloomFilter, hits_in_col
+
+        bench_hashes = (
+            benchmark.where(F.col(bench_text_col).isNotNull())
+            .select(
+                F.explode_outer(
+                    gram_hash_col(F.col(bench_text_col), n)
+                ).alias("gh")
+            )
+            .distinct()
+        )
+        bloom = BloomFilter.from_df(bench_hashes, "gh", fp_rate=fp_rate)
+        sc = docs.sparkSession.sparkContext
+        grams = docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), gram_hash_col(F.col(text_col), n).alias("ghs")
+        )
+        stats = grams.select(
+            id_col,
+            F.size("ghs").alias("n_grams"),
+            hits_in_col(bloom, F.col("ghs"), sc).alias("n_hits"),
+        )
+        return stats.select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            F.when(
+                F.col("n_hits") >= F.lit(threshold) * F.col("n_grams"), 1
+            )
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+    if method != "broadcast":
+        raise ValueError(f"unknown method {method!r} (broadcast|bloom)")
     # explode_outer everywhere: plain explode makes the optimizer infer a
     # size(...)>0 filter that re-evaluates the gram-hash UDF a second
     # time per row; the gram array is never empty (short docs yield one
@@ -135,6 +180,8 @@ def decontaminate(
     bench_text_col: Optional[str] = None,
     n: int = 3,
     threshold: float = 0.5,
+    method: str = "broadcast",
+    fp_rate: float = 1e-4,
 ) -> DataFrame:
     """Drop contaminated documents (see ``decontaminate_stats``).
 
@@ -144,7 +191,7 @@ def decontaminate(
     """
     bad_ids = decontaminate_stats(
         docs, benchmark, text_col, id_col, bench_text_col,
-        n=n, threshold=threshold,
+        n=n, threshold=threshold, method=method, fp_rate=fp_rate,
     ).filter(F.col("contaminated") == 1)
     return docs.join(bad_ids.select(id_col), id_col, "left_anti")
 
@@ -428,6 +475,8 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hot_lines: int = 2_000_000,
+    method: str = "exact",
+    fp_rate: float = 1e-5,
 ) -> DataFrame:
     """Rewrite every document with its boilerplate lines removed (lines
     non-blank and present in ``>= min_docs`` distinct docs); blank lines
@@ -435,33 +484,50 @@ def remove_boilerplate_lines(
 
     Plan: one aggregation shuffle to find the hot-line set (see
     ``boilerplate_line_stats``), then a ZERO-shuffle narrow rewrite — the
-    hot 60-bit line hashes ride to executors as a Spark broadcast inside
-    an Arrow-batched UDF, so the document bodies never move.  The hot
-    set is driver-materialized and therefore bounded: ``max_hot_lines``
-    (default 2M longs = 16 MB) fails fast with instructions rather than
-    silently OOMing — at 100 TB raise the cap or swap the exact set for
-    a Bloom filter (same plan shape, tunable FP keeps docs it should
-    drop lines from).
+    hot-line membership structure rides to executors as a Spark
+    broadcast inside an Arrow-batched UDF, so the document bodies never
+    move.
+
+    ``method="exact"`` driver-materializes the hot hashes and is
+    therefore bounded: ``max_hot_lines`` (default 2M longs = 16 MB)
+    fails fast with instructions rather than silently OOMing.
+    ``method="bloom"`` builds a Bloom filter from the hot-line hashes in
+    one distributed pass (``ops.bloom`` — driver memory is one bitmap,
+    no per-line materialization, no cap); false positives (``fp_rate``)
+    can only strip an extra innocent line, never keep a boilerplate one.
     """
     import hashlib
 
-    hot = (
-        boilerplate_line_stats(df, text_col, id_col, min_docs)
-        .select(portable_hash64(F.col("line")).alias("h"))
-        .limit(max_hot_lines + 1)
-        .collect()
+    hot_hashes = boilerplate_line_stats(df, text_col, id_col, min_docs).select(
+        portable_hash64(F.col("line")).alias("h")
     )
-    if len(hot) > max_hot_lines:
-        raise ValueError(
-            f"boilerplate line set exceeds max_hot_lines={max_hot_lines}; "
-            "raise the cap or use a Bloom-filter variant"
-        )
-    hot_set = frozenset(r.h for r in hot)
-    bc = df.sparkSession.sparkContext.broadcast(hot_set)
+    if method == "bloom":
+        from .bloom import BloomFilter
+
+        bloom = BloomFilter.from_df(hot_hashes, "h", fp_rate=fp_rate)
+        payload = ("bloom", (bloom.n_bits, bloom.k, bloom.to_bytes()))
+    elif method == "exact":
+        hot = hot_hashes.limit(max_hot_lines + 1).collect()
+        if len(hot) > max_hot_lines:
+            raise ValueError(
+                f"boilerplate line set exceeds max_hot_lines="
+                f"{max_hot_lines}; raise the cap or pass method='bloom'"
+            )
+        payload = ("set", frozenset(r.h for r in hot))
+    else:
+        raise ValueError(f"unknown method {method!r} (exact|bloom)")
+    bc = df.sparkSession.sparkContext.broadcast(payload)
 
     @pandas_udf("string")
     def _clean(texts: pd.Series) -> pd.Series:
-        hs = bc.value
+        kind, data = bc.value
+        if kind == "bloom":
+            from .bloom import BloomFilter
+
+            bf = BloomFilter.from_bytes(*data)
+            is_hot = lambda h: h in bf  # noqa: E731
+        else:
+            is_hot = data.__contains__
         out = []
         for t in texts:
             if t is None:
@@ -471,8 +537,9 @@ def remove_boilerplate_lines(
                 l
                 for l in t.split("\n")
                 if l.strip() == ""
-                or int(hashlib.md5(l.encode("utf-8")).hexdigest()[:15], 16)
-                not in hs
+                or not is_hot(
+                    int(hashlib.md5(l.encode("utf-8")).hexdigest()[:15], 16)
+                )
             ]
             out.append("\n".join(kept))
         return pd.Series(out)

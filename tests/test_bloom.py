@@ -1,0 +1,156 @@
+"""Bloom filter (ops/bloom.py): no-false-negative property, measured FP
+rate, OR-merge equivalence, distributed build identity, and the
+bloom-backed decontaminate / boilerplate paths vs their exact twins."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.bloom import BloomFilter, contains_col, hits_in_col
+
+
+@pytest.fixture(scope="module")
+def keys():
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 2**60, size=20_000, dtype=np.int64)
+
+
+def test_no_false_negatives(keys):
+    bf = BloomFilter(*BloomFilter.geometry(len(keys), 1e-3))
+    bf.add_many(keys)
+    assert bf.contains_many(keys).all()
+
+
+def test_fp_rate_near_target(keys):
+    bf = BloomFilter(*BloomFilter.geometry(len(keys), 1e-3))
+    bf.add_many(keys)
+    rng = np.random.default_rng(8)
+    probes = rng.integers(2**61, 2**62, size=100_000, dtype=np.int64)
+    fp = bf.contains_many(probes).mean()
+    assert fp < 5e-3, fp  # 5x slack on the 1e-3 target
+
+
+def test_merge_equals_bulk(keys):
+    geo = BloomFilter.geometry(len(keys), 1e-3)
+    a, b = BloomFilter(*geo), BloomFilter(*geo)
+    a.add_many(keys[:10_000])
+    b.add_many(keys[10_000:])
+    bulk = BloomFilter(*geo)
+    bulk.add_many(keys)
+    assert (a.merge(b).words == bulk.words).all()
+
+
+def test_merge_rejects_geometry_mismatch():
+    with pytest.raises(ValueError, match="geometry"):
+        BloomFilter(128, 3).merge(BloomFilter(256, 3))
+
+
+def test_bytes_roundtrip(keys):
+    bf = BloomFilter(*BloomFilter.geometry(1000, 1e-2))
+    bf.add_many(keys[:1000])
+    back = BloomFilter.from_bytes(bf.n_bits, bf.k, bf.to_bytes())
+    assert (back.words == bf.words).all() and back.k == bf.k
+
+
+def test_geometry_validation():
+    with pytest.raises(ValueError):
+        BloomFilter.geometry(10, 1.5)
+    with pytest.raises(ValueError):
+        BloomFilter(0, 1)
+
+
+def test_from_df_matches_local(spark, keys):
+    sub = keys[:5000]
+    df = spark.createDataFrame([(int(k),) for k in sub], "h long")
+    for parts in (1, 16):
+        built = BloomFilter.from_df(
+            df.repartition(parts), "h", n_items=len(sub), fp_rate=1e-3
+        )
+        local = BloomFilter(built.n_bits, built.k)
+        local.add_many(sub)
+        assert (built.words == local.words).all(), parts
+
+
+def test_from_df_max_bits_fail_fast(spark):
+    df = spark.createDataFrame([(1,)], "h long")
+    with pytest.raises(ValueError, match="max_bits"):
+        BloomFilter.from_df(df, "h", n_items=10**9, fp_rate=1e-9,
+                            max_bits=2**20)
+
+
+def test_membership_columns(spark, keys):
+    sub = [int(k) for k in keys[:500]]
+    bf = BloomFilter(*BloomFilter.geometry(len(sub), 1e-4))
+    bf.add_many(np.array(sub))
+    sc = spark.sparkContext
+    df = spark.createDataFrame(
+        [(sub[0], sub[:3]), (int(keys[600] + 2**61), None)],
+        "h long, hs array<long>",
+    )
+    got = df.select(
+        contains_col(bf, F.col("h"), sc).alias("m"),
+        hits_in_col(bf, F.col("hs"), sc).alias("n"),
+    ).collect()
+    assert got[0].m is True and got[0].n == 3
+    assert got[1].m is False and got[1].n is None
+
+
+def test_decontaminate_bloom_matches_broadcast(spark):
+    from retriv_spark.ops.curation import decontaminate_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta eps zeta") for i in range(60)]
+        + [(100, "one two three four five six"), (101, None)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta eps zeta eta theta")],
+        "bid long, text string",
+    )
+    exact = sorted(
+        map(tuple, decontaminate_stats(docs, bench, n=3).collect())
+    )
+    bloom = sorted(
+        map(
+            tuple,
+            decontaminate_stats(
+                docs, bench, n=3, method="bloom", fp_rate=1e-6
+            ).collect(),
+        )
+    )
+    assert exact == bloom
+
+
+def test_decontaminate_rejects_unknown_method(spark):
+    from retriv_spark.ops.curation import decontaminate_stats
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="method"):
+        decontaminate_stats(docs, docs, method="nope").collect()
+
+
+def test_boilerplate_bloom_matches_exact(spark):
+    from retriv_spark.ops.curation import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [
+            (0, "keep me\nCOPYRIGHT 2020\nunique line one"),
+            (1, "COPYRIGHT 2020\n\nother text\nNAV | HOME"),
+            (2, "totally different\nCOPYRIGHT 2020\nNAV | HOME"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.text_clean
+        for r in remove_boilerplate_lines(df, min_docs=2).collect()
+    }
+    bloom = {
+        r.doc_id: r.text_clean
+        for r in remove_boilerplate_lines(
+            df, min_docs=2, method="bloom", fp_rate=1e-6
+        ).collect()
+    }
+    assert exact == bloom
+    with pytest.raises(ValueError, match="method"):
+        remove_boilerplate_lines(df, method="nope")
