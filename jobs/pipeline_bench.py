@@ -1,0 +1,196 @@
+"""Two-parallelism scaling bench for the TRAINING-DATA PIPELINE ops —
+the same N-vs-4N protocol as jobs/scaling_bench.py (which covers index
+build + BM25 query), applied to the curation/dedup/packing operators:
+
+  quality_filter    narrow pure-column gate        (zero shuffle)
+  chunk_documents   narrow fan-out windows         (zero shuffle)
+  pack_sequences    one bucket-keyed exchange + per-bucket sort
+  exact_dedup       digest aggregation shuffle
+  minhash_lsh       Arrow shingle/minhash + banded self-join
+
+Protocol: generate ONE deterministic synthetic corpus to parquet; per
+parallelism level run every op in a fresh JVM (timed, executed to a noop
+sink or count); assert deterministic ops produce IDENTICAL output
+checksums across levels; report throughput at both levels + scaling
+efficiency = (T_N / T_4N) / (4N / N).
+
+Usage: python jobs/pipeline_bench.py [--docs 1000000] [--n 4] [--out json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GEN = r"""
+import os, sys
+sys.path.insert(0, os.environ["RETRIV_REPO"])
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from retriv_spark.session import get_spark
+
+n_docs = int(os.environ["RETRIV_DOCS"])
+out = os.environ["RETRIV_INPUT"]
+spark = get_spark(app_name="pipe-gen", master="local[16]")
+spark.sparkContext.setLogLevel("ERROR")
+
+VOCAB = 50_000
+def _content(i: int) -> str:
+    # every 97th doc is an exact duplicate of its predecessor so dedup
+    # ops have real work; content is a pure function of the row index
+    j = i - 1 if (i % 97 == 0 and i > 0) else i
+    rng = np.random.default_rng(1_000_003 * j + 7)
+    n = int(rng.integers(40, 161))
+    # Zipf-ish: square a uniform to skew toward the head
+    ids = (rng.random(n) ** 2 * VOCAB).astype(int)
+    return " ".join(f"w{k}" for k in ids)
+
+def gen(batches):
+    for pdf in batches:
+        idx = pdf["i"].to_numpy()
+        yield pd.DataFrame({
+            "doc_id": idx,
+            "text": [_content(int(i)) for i in idx],
+            "source": ["s%d" % (i % 5) for i in idx],
+        })
+
+base = spark.range(n_docs).select(F.col("id").alias("i")).repartition(64)
+df = base.mapInPandas(gen, "doc_id long, text string, source string")
+df.write.mode("overwrite").parquet(out)
+print("generated", spark.read.parquet(out).count(), flush=True)
+"""
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["RETRIV_REPO"])
+from pyspark.sql import functions as F
+from retriv_spark.session import get_spark
+
+cpus = int(os.environ["RETRIV_CPUS"])
+spark = get_spark(app_name=f"pipe-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=max(cpus, 8),
+                  extra_conf={"spark.sql.files.maxPartitionBytes":
+                              str(8 * 1024 * 1024)})
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(os.environ["RETRIV_INPUT"])
+docs.count()  # warm file-listing/footer caches out of the timed region
+
+from retriv_spark.ops.curation import quality_filter
+from retriv_spark.ops.dedup import exact_dedup_groups, minhash_lsh_pairs
+from retriv_spark.ops.packing import assign_sequences, chunk_documents
+from retriv_spark.ops.textstats import portable_hash64
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+res = {}
+checks = {}
+
+t = time.time()
+noop(quality_filter(docs, min_tokens=50))
+res["quality_filter"] = time.time() - t
+
+t = time.time()
+noop(chunk_documents(docs, 64, 8, id_col="doc_id"))
+res["chunk_documents"] = time.time() - t
+
+t = time.time()
+packed = assign_sequences(docs, budget=4096, id_col="doc_id",
+                          n_buckets=1024, salt="pb")
+row = packed.agg(
+    F.sum(portable_hash64(F.concat_ws("|", "doc_id", "bucket", "seq",
+                                      "seq_offset")).cast("decimal(38,0)")
+          ).alias("chk"),
+    F.count("*").alias("n")).first()
+res["pack_sequences"] = time.time() - t
+checks["pack_checksum"] = str(row.chk)
+checks["pack_rows"] = row.n
+
+t = time.time()
+n_dupe = exact_dedup_groups(docs, text_col="text", id_col="doc_id").count()
+res["exact_dedup"] = time.time() - t
+checks["dup_groups"] = n_dupe
+
+t = time.time()
+n_pairs = minhash_lsh_pairs(docs, text_col="text", id_col="doc_id",
+                            n_hashes=16, bands=4).count()
+res["minhash_lsh"] = time.time() - t
+checks["lsh_pairs"] = n_pairs
+
+print("RESULT " + json.dumps({"cpus": cpus, "secs": res, "checks": checks}),
+      flush=True)
+"""
+
+
+def run_level(env, cpus):
+    e = dict(env, RETRIV_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER], env=e, capture_output=True, text=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+    raise SystemExit(f"worker at local[{cpus}] produced no RESULT")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--n", type=int, default=4, help="small level; big is 4n")
+    ap.add_argument("--input", default=None, help="reuse an existing corpus")
+    ap.add_argument("--out", default=None, help="write JSON here too")
+    args = ap.parse_args()
+
+    env = dict(os.environ, RETRIV_REPO=REPO, RETRIV_DOCS=str(args.docs))
+    if args.input:
+        env["RETRIV_INPUT"] = args.input
+    else:
+        env["RETRIV_INPUT"] = os.path.join(
+            tempfile.mkdtemp(prefix="pipebench_"), "docs.parquet"
+        )
+        gen = subprocess.run(
+            [sys.executable, "-c", GEN], env=env, capture_output=True,
+            text=True,
+        )
+        if "generated" not in gen.stdout:
+            sys.stderr.write(gen.stdout[-2000:] + gen.stderr[-4000:])
+            raise SystemExit("corpus generation failed")
+
+    small = run_level(env, args.n)
+    big = run_level(env, 4 * args.n)
+
+    for key in ("pack_checksum", "pack_rows", "dup_groups", "lsh_pairs"):
+        assert small["checks"][key] == big["checks"][key], (
+            key, small["checks"][key], big["checks"][key])
+
+    eff = {
+        op: round(small["secs"][op] / big["secs"][op] / 4.0, 3)
+        for op in small["secs"]
+    }
+    report = {
+        "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "docs": args.docs,
+        "levels": [args.n, 4 * args.n],
+        "secs_small": {k: round(v, 2) for k, v in small["secs"].items()},
+        "secs_big": {k: round(v, 2) for k, v in big["secs"].items()},
+        "efficiency": eff,
+        "checks": small["checks"],
+        "identical_across_levels": True,
+    }
+    print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
