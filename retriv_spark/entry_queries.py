@@ -1288,6 +1288,34 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Per-document repeated-span stats (ops/dedup.py
+    repeated_span_stats): window positions whose 8-token span occurs in
+    >= 2 distinct documents — the Lee-et-al.-2022 duplicated-text
+    fraction, token-window approximation.  One hash-keyed agg + one
+    hash-keyed join back + one id-keyed count; integral outputs only."""
+    from .ops.dedup import repeated_span_stats
+
+    docs = _docs(spark, sf_dir)
+    return repeated_span_stats(docs, window=8, min_docs=2).orderBy("doc_id")
+
+
+def q_strip_spans(spark, sf_dir):
+    """Cross-document repeated-span removal rewrite (ops/dedup.py
+    strip_repeated_spans): every token covered by an 8-token window
+    shared by >= 2 docs is dropped; output pins the md5 of each
+    rewritten token stream so the oracle checks the exact byte
+    result (including docs stripped to empty)."""
+    from .ops.dedup import strip_repeated_spans
+
+    docs = _docs(spark, sf_dir)
+    return (
+        strip_repeated_spans(docs, window=8, min_docs=2)
+        .select("doc_id", F.md5("text_clean").alias("clean_md5"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -1338,6 +1366,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_stats": q_boilerplate_stats,
     "boilerplate_removal": q_boilerplate_removal,
     "quality_filter": q_quality_filter,
+    "repeated_spans": q_repeated_spans,
+    "strip_spans": q_strip_spans,
 }
 
 
@@ -2545,4 +2575,53 @@ r AS (
 SELECT doc_id, coalesce(array_to_string(rs, ','), '') AS reasons,
        CASE WHEN len(rs) = 0 THEN 1 ELSE 0 END AS keep
 FROM r ORDER BY doc_id
+"""
+
+_SPANS_SQL = f"""
+t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, i, len(toks) AS n,
+         {_PH64.format(x="array_to_string(list_slice(toks, i, i + 7), ' ')")}
+           AS h
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS u(i)
+),
+hot AS (
+  SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+"""
+
+ORACLE_SQL["repeated_spans"] = f"""
+WITH {_SPANS_SQL}
+SELECT doc_id, count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN h IN (SELECT h FROM hot) THEN 1 ELSE 0 END)::BIGINT
+         AS n_repeated
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["strip_spans"] = f"""
+WITH {_SPANS_SQL},
+cov AS (
+  SELECT DISTINCT s.doc_id, c.p
+  FROM s, unnest(generate_series(i, least(i + 7, n))) AS c(p)
+  WHERE s.h IN (SELECT h FROM hot)
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks FROM t
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.toks[pos.p] AS tk
+  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+  WHERE cov.p IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, md5(coalesce(agg.txt, '')) AS clean_md5
+FROM t LEFT JOIN agg USING (doc_id)
+ORDER BY t.doc_id
 """

@@ -519,3 +519,221 @@ def dedup_clusters(
             "is_canonical"
         ),
     )
+
+
+# -- repeated spans (substring-level cross-doc dedup) -----------------------
+
+
+_SPAN_UDFS: dict = {}
+
+
+def span_hashes_col(text: Column, window: int) -> Column:
+    """Positional rolling-window hashes of a text column
+    (``array<long>``): the portable 60-bit hash of each word window
+    ``[i, i + window)``, one entry PER START POSITION with duplicates
+    KEPT (unlike ``textstats.gram_hash_col``, which dedups — coverage
+    stripping needs positions).  Texts shorter than ``window`` tokens
+    yield their single whole-stream hash; NULL text yields NULL.
+
+    Arrow-batched UDF for the same reason as ``shingles_col``: the
+    Column-algebra equivalent runs in Catalyst's interpreted
+    higher-order-function evaluator, measured ~5x slower.
+    """
+    if window not in _SPAN_UDFS:
+        import re
+
+        from .textstats import ph64_py
+
+        ws = re.compile(r"\s+")
+        w = window
+
+        @pandas_udf("array<long>")
+        def f(texts: pd.Series) -> pd.Series:
+            out = []
+            for x in texts:
+                if x is None:
+                    out.append(None)
+                    continue
+                toks = [t for t in ws.split(x.strip()) if t]
+                out.append(
+                    [
+                        ph64_py(" ".join(toks[i : i + w]))
+                        for i in range(max(len(toks) - w + 1, 1))
+                    ]
+                )
+            return pd.Series(out)
+
+        _SPAN_UDFS[window] = f
+    return _SPAN_UDFS[window](text)
+
+
+def _span_rows(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """(id, n_windows, h) — one row per window start position.  The hash
+    array is bound in its own projection below the Generate (module
+    convention — see decontaminate_stats) so the UDF evaluates once per
+    document, and explode_outer so the optimizer cannot infer a
+    size()>0 filter that re-evaluates it."""
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), span_hashes_col(F.col(text_col), window).alias("hs")
+    )
+    return base.select(
+        id_col,
+        F.size("hs").cast("long").alias("n_windows"),
+        F.explode_outer("hs").alias("h"),
+    )
+
+
+def repeated_span_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated-span table: ``(h, n_docs, n_occurrences)``
+    for every ``window``-token span whose hash occurs in >= ``min_docs``
+    distinct documents — the cross-document repeated-substring signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), approximated with fixed-width token windows instead of a
+    suffix array (the distributed-friendly formulation).
+
+    Scale shape: the explode emits one row per corpus token, but hot
+    spans collapse in the map-side partial aggregate exactly like
+    exact-dedup digests; only (hash, id) pairs move — never text.  The
+    distinct-doc count is a two-phase partial distinct on (h, id).
+    """
+    spans = _span_rows(df, text_col, id_col, window)
+    return (
+        spans.groupBy("h")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document repeated-span stats: ``(id, n_windows, n_repeated)``
+    where ``n_repeated`` counts window positions whose span also occurs
+    in >= ``min_docs`` distinct documents.  ``n_repeated / n_windows``
+    is the document's duplicated-text fraction — the Lee-et-al. signal a
+    pipeline thresholds on before the expensive strip.
+
+    Plan: one (h)-keyed aggregation to find the hot set, one (h)-keyed
+    join back (broadcast when the hot set is small — left to AQE, whose
+    runtime stats see the post-filter size), one (id)-keyed count agg.
+    NULL-text documents carry no windows and are omitted.
+    """
+    spans = _span_rows(df, text_col, id_col, window)
+    hot = (
+        spans.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h", F.lit(1).alias("_hit"))
+    )
+    return (
+        spans.join(hot, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_windows").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_repeated"),
+        )
+    )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+    max_hot_spans: int = 2_000_000,
+    method: str = "exact",
+    fp_rate: float = 1e-5,
+) -> DataFrame:
+    """Rewrite every document with its cross-document repeated spans
+    removed: a token is dropped iff it is covered by ANY window whose
+    hash occurs in >= ``min_docs`` distinct documents (strip-everywhere
+    semantics, like ``remove_boilerplate_lines``).  Adds
+    ``{text_col}_clean`` — kept tokens re-joined with single spaces
+    (token-level rewrite; original whitespace is not preserved).  NULL
+    text stays NULL.
+
+    Plan: the hot-span aggregation shuffles (hash, id) pairs once; the
+    rewrite is a ZERO-shuffle narrow pass — hot hashes ride to executors
+    as a Spark broadcast inside an Arrow-batched UDF, so document bodies
+    never move.  ``method="exact"`` driver-materializes the hot hashes,
+    bounded by ``max_hot_spans`` (fails fast with instructions);
+    ``method="bloom"`` builds a Bloom filter distributed (``ops.bloom``)
+    — false positives (rate ``fp_rate``) can only strip an extra
+    innocent span, never keep a repeated one.
+    """
+    from .textstats import ph64_py
+
+    hot_hashes = repeated_span_index(
+        df, text_col, id_col, window, min_docs
+    ).select("h")
+    if method == "bloom":
+        from .bloom import BloomFilter
+
+        bloom = BloomFilter.from_df(hot_hashes, "h", fp_rate=fp_rate)
+        payload = ("bloom", (bloom.n_bits, bloom.k, bloom.to_bytes()))
+    elif method == "exact":
+        hot = hot_hashes.limit(max_hot_spans + 1).collect()
+        if len(hot) > max_hot_spans:
+            raise ValueError(
+                f"repeated-span set exceeds max_hot_spans="
+                f"{max_hot_spans}; raise the cap or pass method='bloom'"
+            )
+        payload = ("set", frozenset(r.h for r in hot))
+    else:
+        raise ValueError(f"unknown method {method!r} (exact|bloom)")
+    bc = df.sparkSession.sparkContext.broadcast(payload)
+    import re
+
+    ws = re.compile(r"\s+")
+    w = window
+
+    @pandas_udf("string")
+    def _clean(texts: pd.Series) -> pd.Series:
+        kind, data = bc.value
+        if kind == "bloom":
+            from .bloom import BloomFilter
+
+            bf = BloomFilter.from_bytes(*data)
+            is_hot = lambda h: h in bf  # noqa: E731
+        else:
+            is_hot = data.__contains__
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [x for x in ws.split(t.strip()) if x]
+            n = len(toks)
+            # coverage via a diff array: O(n) regardless of overlap depth
+            cover = [0] * (n + 1)
+            for i in range(max(n - w + 1, 1)):
+                if is_hot(ph64_py(" ".join(toks[i : i + w]))):
+                    cover[i] += 1
+                    cover[min(i + w, n)] -= 1
+            kept, run = [], 0
+            for i in range(n):
+                run += cover[i]
+                if run == 0:
+                    kept.append(toks[i])
+            out.append(" ".join(kept))
+        return pd.Series(out)
+
+    return df.withColumn(f"{text_col}_clean", _clean(F.col(text_col)))

@@ -98,6 +98,14 @@ def portable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def ph64_py(s: str) -> int:
+    """Python-side twin of ``portable_hash64`` (bit-identical) for
+    Arrow-batched UDFs that hash inside the batch loop."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 _GRAM_HASH_UDFS: dict = {}
 
 

@@ -321,3 +321,88 @@ def test_connected_components_fractional_ids(spark):
     }
     assert set(got) == set(ids)
     assert all(abs(c - 100.0) < 1e-9 for c in got.values()), got
+
+
+# -- repeated spans ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_df(spark):
+    shared = "a b c d e f g h"  # one 8-token span shared by docs 0 and 1
+    rows = [
+        (0, shared + " tail0 only zero"),
+        (1, "head1 " + shared + " tail1"),
+        (2, "nothing in common with anybody else at all"),
+        (3, None),
+        (4, shared),  # exactly the shared span, nothing else
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repeated_span_stats(span_df):
+    from retriv_spark.ops.dedup import repeated_span_stats
+
+    got = {
+        r.doc_id: (r.n_windows, r.n_repeated)
+        for r in repeated_span_stats(span_df, window=8, min_docs=2).collect()
+    }
+    # doc 0: 11 tokens -> 4 windows; only the window starting at 0 is the
+    # shared span (the others include tail tokens unique to doc 0)
+    assert got[0] == (4, 1)
+    # doc 1: 10 tokens -> 3 windows; the shared span starts at 1
+    assert got[1] == (3, 1)
+    assert got[2] == (1, 0)
+    assert 3 not in got  # NULL text: no windows, omitted
+    assert got[4] == (1, 1)  # whole-doc window == the shared span
+
+
+def test_repeated_span_index(span_df):
+    from retriv_spark.ops.dedup import repeated_span_index
+
+    hot = repeated_span_index(span_df, window=8, min_docs=2).collect()
+    assert len(hot) == 1
+    assert hot[0].n_docs == 3 and hot[0].n_occurrences == 3
+
+
+@pytest.mark.parametrize("method", ["exact", "bloom"])
+def test_strip_repeated_spans(span_df, method):
+    from retriv_spark.ops.dedup import strip_repeated_spans
+
+    got = {
+        r.doc_id: r.text_clean
+        for r in strip_repeated_spans(
+            span_df, window=8, min_docs=2, method=method
+        ).collect()
+    }
+    assert got[0] == "tail0 only zero"
+    assert got[1] == "head1 tail1"
+    assert got[2] == "nothing in common with anybody else at all"
+    assert got[3] is None
+    assert got[4] == ""  # fully covered -> stripped to empty
+
+
+def test_strip_overlapping_hot_windows(spark):
+    from retriv_spark.ops.dedup import strip_repeated_spans
+
+    # two docs share a 5-token run -> with window=3 the three hot windows
+    # overlap; the diff-array coverage must strip the union exactly once
+    rows = [
+        (0, "p q r s t u1 v1"),
+        (1, "x1 p q r s t y1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_clean
+        for r in strip_repeated_spans(df, window=3, min_docs=2).collect()
+    }
+    assert got[0] == "u1 v1"
+    assert got[1] == "x1 y1"
+
+
+def test_strip_exact_cap_raises(span_df):
+    from retriv_spark.ops.dedup import strip_repeated_spans
+
+    with pytest.raises(ValueError, match="max_hot_spans"):
+        strip_repeated_spans(
+            span_df, window=8, min_docs=2, max_hot_spans=0
+        ).collect()
