@@ -1316,6 +1316,38 @@ def q_strip_spans(spark, sf_dir):
     )
 
 
+_MIX_TARGETS = {"src0": 700, "src1": 3000, "src2": 100_000}
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Token-budget mixture plan (ops/curation.py mixture_plan):
+    per-stratum integer thresholds from absolute token targets — one
+    tiny groupBy over a two-column projection.  Exercises downsampling
+    (src0 ~0.5x), whole-epoch upsampling (src1 ~2x), the max_epochs
+    clamp (src2, ratio ~70x clamped to 4 epochs), and a stratum absent
+    from the data (src99 -> avail 0, threshold 0)."""
+    from .ops.curation import mixture_plan
+
+    docs = _docs(spark, sf_dir)
+    targets = dict(_MIX_TARGETS, src99=10)
+    return mixture_plan(docs, targets, max_epochs=4).orderBy("stratum")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Materialized token-budget mixture (ops/curation.py
+    mixture_sample): full epochs + one hash-sampled fractional epoch per
+    stratum, a zero-shuffle narrow pass after the |targets|-row plan.
+    Epoch column included so repeats are first-class."""
+    from .ops.curation import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    return (
+        mixture_sample(docs, _MIX_TARGETS, salt="mx", max_epochs=4)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -1368,6 +1400,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "repeated_spans": q_repeated_spans,
     "strip_spans": q_strip_spans,
+    "mixture_plan": q_mixture_plan,
+    "mixture_sample": q_mixture_sample,
 }
 
 
@@ -2624,4 +2658,55 @@ agg AS (
 SELECT t.doc_id, md5(coalesce(agg.txt, '')) AS clean_md5
 FROM t LEFT JOIN agg USING (doc_id)
 ORDER BY t.doc_id
+"""
+
+_MIX_TGT_SQL = ", ".join(
+    f"('{k}', {v})" for k, v in sorted(_MIX_TARGETS.items())
+)
+
+_MIX_AVAIL_SQL = """
+tok AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS ntok
+  FROM documents
+),
+avail AS (SELECT source, sum(ntok)::BIGINT AS avail FROM tok GROUP BY source)
+"""
+
+ORACLE_SQL["mixture_plan"] = f"""
+WITH {_MIX_AVAIL_SQL},
+tgt(stratum, target_tokens) AS (VALUES {_MIX_TGT_SQL}, ('src99', 10)),
+p AS (
+  SELECT t.stratum,
+         coalesce(a.avail, 0)::BIGINT AS avail_tokens,
+         t.target_tokens::BIGINT AS target_tokens,
+         (CASE WHEN coalesce(a.avail, 0) > 0
+               THEN least((t.target_tokens::BIGINT * 10000) // a.avail,
+                          40000)
+               ELSE 0 END)::BIGINT AS threshold
+  FROM tgt t LEFT JOIN avail a ON a.source = t.stratum
+)
+SELECT stratum, avail_tokens, target_tokens, threshold,
+       (threshold // 10000)::BIGINT AS copies,
+       (threshold % 10000)::BIGINT AS frac_threshold
+FROM p ORDER BY stratum
+"""
+
+ORACLE_SQL["mixture_sample"] = f"""
+WITH {_MIX_AVAIL_SQL},
+tgt(source, target) AS (VALUES {_MIX_TGT_SQL}),
+thr AS (
+  SELECT t.source, least((t.target::BIGINT * 10000) // a.avail, 40000) AS th
+  FROM tgt t JOIN avail a USING (source) WHERE a.avail > 0
+),
+e AS (
+  SELECT d.doc_id, d.source, (th // 10000)::BIGINT AS c, th % 10000 AS f
+  FROM documents d JOIN thr USING (source)
+)
+SELECT doc_id, source, u.epoch::BIGINT AS epoch
+FROM e, unnest(generate_series(0, c)) AS u(epoch)
+WHERE epoch < c
+   OR {_PH64.format(x="'mx|' || doc_id::VARCHAR")} % 10000 < f
+ORDER BY doc_id, epoch
 """

@@ -48,7 +48,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .textstats import gram_hash_col, portable_hash64
+from .textstats import gram_hash_col, portable_hash64, tokens_col
 
 # -- decontamination ------------------------------------------------------
 
@@ -354,6 +354,155 @@ def stratified_sample(
             rate
         )
     return df.filter(bucket < rate)
+
+
+# -- token-budget mixture ---------------------------------------------------
+
+
+def mixture_plan(
+    df: DataFrame,
+    targets: Dict[str, int],
+    strata_col: str = "source",
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+    denom: int = 10_000,
+    max_epochs: int = 16,
+) -> DataFrame:
+    """Per-stratum plan for a token-budget corpus mixture (the
+    RedPajama/Pile-style "data mixing" step): given absolute token
+    targets per stratum, compute each stratum's sampling threshold in
+    PURE INTEGER arithmetic so the decision is bit-identical across
+    engines and cluster sizes.
+
+    Returns ``(stratum, avail_tokens, target_tokens, threshold, copies,
+    frac_threshold)`` where ``threshold = min(target_tokens * denom div
+    avail_tokens, max_epochs * denom)`` — i.e. the target/available
+    ratio in 1/denom units.  ``copies = threshold div denom`` full
+    epochs of the stratum plus a hash-sampled fractional epoch at rate
+    ``frac_threshold / denom``.  Strata with no available tokens get
+    threshold 0; strata absent from ``targets`` are excluded entirely
+    (target 0 — state them explicitly to keep a trace row).
+
+    Token counts come from ``token_col`` if given (pre-tokenized
+    pipelines), else the whitespace token count of ``text_col``.
+
+    Scale shape: one partial-aggregated ``groupBy(stratum)`` over a
+    two-column projection — the only corpus-sized work; the plan itself
+    is |targets| rows.
+    """
+    spark = df.sparkSession
+    if token_col is not None:
+        tok = F.col(token_col).cast("long")
+    else:
+        # NULL text counts 0 tokens (not size(NULL), whose value depends
+        # on spark.sql.legacy.sizeOfNull)
+        tok = (
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.size(tokens_col(F.col(text_col))),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    keys = sorted(targets)
+    avail = (
+        df.where(F.col(strata_col).isin(keys))
+        .select(F.col(strata_col).alias("stratum"), tok.alias("_t"))
+        .groupBy("stratum")
+        .agg(F.sum("_t").alias("avail_tokens"))
+    )
+    tdf = spark.createDataFrame(
+        [(k, int(targets[k])) for k in keys],
+        "stratum string, target_tokens long",
+    )
+    joined = tdf.join(avail, "stratum", "left").withColumn(
+        "avail_tokens", F.coalesce("avail_tokens", F.lit(0)).cast("long")
+    )
+    thr = F.when(
+        F.col("avail_tokens") > 0,
+        F.least(
+            F.expr(f"(target_tokens * {int(denom)}) div avail_tokens"),
+            F.lit(int(max_epochs) * int(denom)),
+        ),
+    ).otherwise(F.lit(0))
+    return joined.select(
+        "stratum",
+        "avail_tokens",
+        "target_tokens",
+        thr.cast("long").alias("threshold"),
+    ).select(
+        "*",
+        F.expr(f"threshold div {int(denom)}").cast("long").alias("copies"),
+        F.pmod("threshold", F.lit(int(denom)))
+        .cast("long")
+        .alias("frac_threshold"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: Dict[str, int],
+    strata_col: str = "source",
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    denom: int = 10_000,
+    max_epochs: int = 16,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a token-budget mixture: every row of a stratum is
+    emitted ``copies`` times (``epoch_col`` = 0..copies-1) plus one
+    hash-sampled fractional epoch (``epoch_col`` = copies, kept iff
+    ``portable_hash64(salt|id) % denom < frac_threshold``) — so a
+    stratum whose target exceeds its supply is up-sampled by whole
+    epochs (bounded by ``max_epochs``) and one partial pass, and a
+    stratum with surplus supply is down-sampled, both deterministically
+    (pure function of the row — reproducible across engines, runs, and
+    cluster sizes; ``epoch_col`` lets the trainer de-duplicate or decay
+    repeated epochs).  Strata absent from ``targets`` are dropped.
+
+    The |targets|-row plan is collected to the driver (mixing configs
+    are dozens of domains, never corpus-sized) and riding into the scan
+    as a literal CASE — the materialization itself is a ZERO-shuffle
+    narrow pass: sequence+explode for the epochs, a hash predicate for
+    the fractional one.
+    """
+    plan = mixture_plan(
+        df, targets, strata_col, token_col, text_col, denom, max_epochs
+    ).collect()
+    copies_of = {r.stratum: r.copies for r in plan}
+    frac_of = {r.stratum: r.frac_threshold for r in plan}
+    keys = sorted(copies_of)
+    if not keys:
+        return df.limit(0).withColumn(epoch_col, F.lit(0).cast("long"))
+    copies_c: Column = F.lit(None).cast("long")
+    frac_c: Column = F.lit(None).cast("long")
+    for k in keys:
+        copies_c = F.when(
+            F.col(strata_col) == k, F.lit(int(copies_of[k]))
+        ).otherwise(copies_c)
+        frac_c = F.when(
+            F.col(strata_col) == k, F.lit(int(frac_of[k]))
+        ).otherwise(frac_c)
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+        ),
+        F.lit(int(denom)),
+    )
+    out = (
+        df.where(F.col(strata_col).isin(keys))
+        .withColumn("_copies", copies_c)
+        .withColumn("_frac", frac_c)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_copies"))),
+        )
+    )
+    return out.where(
+        (F.col(epoch_col) < F.col("_copies")) | (bucket < F.col("_frac"))
+    ).drop("_copies", "_frac")
 
 
 # -- sessionization --------------------------------------------------------

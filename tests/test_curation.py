@@ -442,3 +442,89 @@ def test_quality_filter_python_differential(spark):
             if bad
         )
         assert got[i] == exp, f"doc {i}"
+
+
+# -- token-budget mixture ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mix_df(spark):
+    # 4 strata x 50 docs x 10 whitespace tokens each = 500 tokens/stratum
+    return spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias(
+            "source"
+        ),
+        F.concat_ws(
+            " ", F.array_repeat(F.concat(F.lit("tok"), "id"), 10)
+        ).alias("text"),
+    )
+
+
+def test_mixture_plan_integer_thresholds(mix_df):
+    from retriv_spark.ops.curation import mixture_plan
+
+    targets = {"src0": 250, "src1": 1250, "src2": 50_000, "src9": 10}
+    plan = {
+        r.stratum: r
+        for r in mixture_plan(mix_df, targets, max_epochs=4).collect()
+    }
+    assert set(plan) == set(targets)
+    # src0: 250*10000 div 500 = 5000 -> 0 copies + half-rate fraction
+    assert (plan["src0"].threshold, plan["src0"].copies,
+            plan["src0"].frac_threshold) == (5000, 0, 5000)
+    # src1: 1250*10000 div 500 = 25000 -> 2 full epochs + half fraction
+    assert (plan["src1"].copies, plan["src1"].frac_threshold) == (2, 5000)
+    # src2: ratio 100x clamped at max_epochs*denom
+    assert (plan["src2"].threshold, plan["src2"].copies,
+            plan["src2"].frac_threshold) == (40000, 4, 0)
+    # src9: absent from the data -> avail 0, threshold 0
+    assert (plan["src9"].avail_tokens, plan["src9"].threshold) == (0, 0)
+    assert all(r.avail_tokens == 500 for k, r in plan.items() if k != "src9")
+
+
+def test_mixture_sample_matches_python(mix_df):
+    from retriv_spark.ops.curation import mixture_sample
+
+    targets = {"src0": 250, "src1": 1250}
+    rows = mixture_sample(mix_df, targets, salt="mx", max_epochs=4).collect()
+    got = sorted((r.doc_id, r.epoch) for r in rows)
+    expect = []
+    for i in range(200):
+        src = i % 4
+        if src == 0:
+            copies, frac = 0, 5000
+        elif src == 1:
+            copies, frac = 2, 5000
+        else:
+            continue  # absent from targets -> dropped
+        for e in range(copies):
+            expect.append((i, e))
+        if _ph64(f"mx|{i}") % 10_000 < frac:
+            expect.append((i, copies))
+    assert got == expect
+    # sanity: src1 rows appear 2 or 3 times, src0 rows 0 or 1 times
+    from collections import Counter
+
+    c = Counter(d for d, _ in got)
+    assert all(c[d] in (2, 3) for d in range(200) if d % 4 == 1 and d in c)
+    assert all(c[d] == 1 for d in range(200) if d % 4 == 0 and d in c)
+
+
+def test_mixture_sample_token_col_and_empty(spark):
+    from retriv_spark.ops.curation import mixture_sample
+
+    df = spark.createDataFrame(
+        [(0, "a", 10), (1, "a", 30), (2, "b", 5)],
+        "doc_id long, source string, n_tok long",
+    )
+    # precomputed token column; target 80 vs avail 40 -> 2 copies exactly
+    rows = mixture_sample(
+        df, {"a": 80}, token_col="n_tok", salt="t", id_col="doc_id"
+    ).collect()
+    assert sorted((r.doc_id, r.epoch) for r in rows) == [
+        (0, 0), (0, 1), (1, 0), (1, 1)
+    ]
+    # no targets at all -> empty result with the epoch column present
+    empty = mixture_sample(df, {}, token_col="n_tok")
+    assert empty.columns[-1] == "epoch" and empty.count() == 0
