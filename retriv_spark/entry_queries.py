@@ -923,6 +923,115 @@ def q_bm25_french(spark, sf_dir):
     )
 
 
+# Russian full-pipeline pair: Cyrillic (non-ASCII, non-Latin) text
+# through normalization + tokenizer + stop-words + Snowball stemmer AND
+# through DuckDB — every Russian word below is in the golden vector set
+# (tests/test_snowball.py RUSSIAN), so the runtime-generated stem table
+# is independently pinned.  "the" maps to the stopword "на"
+# (stem-invariant) to exercise stop-word removal on Cyrillic.
+RU_MAP = {
+    "query": "книга", "join": "важный", "data": "делала",
+    "table": "политическое", "merge": "пользовании",
+    "window": "университеты", "spark": "технология",
+    "sort": "решение", "fast": "быстро", "stream": "работающий",
+    "filter": "сказавшись", "group": "остановиться",
+    "value": "новости", "key": "возможность",
+    "row": "проблемы", "column": "русский", "the": "на",
+}
+RUSSIAN_QUERIES = [
+    # inflections differing from the corpus forms, same stems
+    ("q1", "книги важнейший"),
+    ("q2", "технология быстро"),
+    ("q3", "новость на проблемы"),
+    ("q4", "русский решение"),
+]
+_RUSSIAN_QUERIES_ORACLE = [
+    ("q1", "книг важн"),
+    ("q2", "технолог быстр"),
+    ("q3", "новост проблем"),
+    ("q4", "русск решен"),
+]
+
+
+def _russian_tok_sql() -> str:
+    from .preprocessing.snowball_ru import russian_stem
+    from .preprocessing.stopwords import get_stopwords
+
+    def lit(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    sw = sorted({russian_stem(w) for w in get_stopwords("russian")})
+    sw_lits = ", ".join(lit(w) for w in sw)
+    ru_pairs = ", ".join(
+        f"({lit(en)}, {lit(ru)})" for en, ru in sorted(RU_MAP.items())
+    )
+    stem_pairs = ", ".join(
+        f"({lit(ru)}, {lit(russian_stem(ru))})"
+        for ru in sorted(set(RU_MAP.values()))
+        if ru not in sw
+    )
+    return f"""
+  SELECT r.doc_id, m.stem AS term
+  FROM (
+    SELECT tk.doc_id, ru.ru AS raw
+    FROM (
+      SELECT d.doc_id, t.term
+      FROM documents d,
+           unnest(string_split_regex(trim(d.text), '\\s+')) AS t(term)
+      WHERE t.term <> ''
+    ) tk
+    JOIN (VALUES {ru_pairs}) AS ru(en, ru) ON ru.en = tk.term
+    WHERE ru.ru NOT IN ({sw_lits})
+  ) r
+  JOIN (VALUES {stem_pairs}) AS m(raw, stem) ON m.raw = r.raw"""
+
+
+def q_bm25_russian(spark, sf_dir):
+    """BM25 over the Russian-translated corpus through the full Russian
+    pipeline — Cyrillic end-to-end: normalization must pass non-ASCII
+    untouched, the index stores UTF-8 terms, queries arrive inflected."""
+    docs = _docs(spark, sf_dir)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(RU_MAP.items()) for x in kv]
+    )
+    docs_ru = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"), lambda t: mapping[t]
+            ),
+            " ",
+        ),
+    )
+    pre = TextPreprocessor(
+        tokenizer="whitespace", stemmer="russian", stopwords="russian",
+    )
+    idx = build_index(
+        spark, docs_ru, pre,
+        text_col="text", id_col="doc_id",
+        order_cols=["doc_id"], min_df=1,
+        doc_id_col_precomputed="doc_id",
+    )
+    rows = [
+        (qid, t, 1) for qid, text in RUSSIAN_QUERIES for t in pre(text)
+    ]
+    qt = spark.createDataFrame(rows, "q_id string, term string, n_occ int")
+    scored = score_query_terms(
+        idx, qt, model="bm25", k1=K1, b=B, cutoff=CUTOFF,
+        precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .select(
+            "q_id",
+            F.col("doc_id"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 # Lancaster (Paice/Husk) full-pipeline pair: same corpus and quirk as
 # bm25_stemmed, but through the aggressive iterative rule stemmer — a
 # second, independently-derived stemmer family exercised end-to-end
@@ -1387,6 +1496,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_wordpunct": q_bm25_wordpunct,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_french": q_bm25_french,
+    "bm25_russian": q_bm25_russian,
     "bm25_lancaster": q_bm25_lancaster,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -1932,6 +2042,14 @@ ORDER BY q_id, rank
 
 ORACLE_SQL["bm25_french"] = f"""{
     _bm25_ctes(_FRENCH_QUERIES_ORACLE, "bm25", tok_sql=_french_tok_sql())
+}
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+ORACLE_SQL["bm25_russian"] = f"""{
+    _bm25_ctes(_RUSSIAN_QUERIES_ORACLE, "bm25", tok_sql=_russian_tok_sql())
 }
 SELECT q_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= {CUTOFF}
