@@ -46,6 +46,8 @@ HEADLINE = [
     "chunk_documents",
     "boilerplate_removal",
     "quality_filter",
+    "strip_spans",
+    "mixture_sample",
 ]
 
 
