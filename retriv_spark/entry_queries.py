@@ -1425,6 +1425,23 @@ def q_strip_spans(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of a new batch against a prior snapshot
+    (ops/dedup.py flag_in_prior): prior = the doc_id%3==0 third of the
+    corpus; exact digest-keyed left join, 0/1 flags (int — cross-engine
+    exact).  The bloom / bloom_exact variants are differential-tested in
+    pytest (tests/test_ops.py)."""
+    from .ops.dedup import flag_in_prior
+
+    docs = _docs(spark, sf_dir)
+    prior = docs.where(F.col("doc_id") % 3 == 0).select("text")
+    return (
+        flag_in_prior(docs, prior)
+        .select("doc_id", "in_prior")
+        .orderBy("doc_id")
+    )
+
+
 _MIX_TARGETS = {"src0": 700, "src1": 3000, "src2": 100_000}
 
 
@@ -1512,6 +1529,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_spans": q_strip_spans,
     "mixture_plan": q_mixture_plan,
     "mixture_sample": q_mixture_sample,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 
@@ -2827,4 +2845,14 @@ FROM e, unnest(generate_series(0, c)) AS u(epoch)
 WHERE epoch < c
    OR {_PH64.format(x="'mx|' || doc_id::VARCHAR")} % 10000 < f
 ORDER BY doc_id, epoch
+"""
+
+ORACLE_SQL["dedup_incremental"] = """
+WITH prior AS (
+  SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+       (CASE WHEN sha256(text) IN (SELECT digest FROM prior)
+             THEN 1 ELSE 0 END)::INT AS in_prior
+FROM documents ORDER BY doc_id
 """

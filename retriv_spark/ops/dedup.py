@@ -521,6 +521,117 @@ def dedup_clusters(
     )
 
 
+# -- incremental dedup (new batch vs a prior corpus snapshot) ---------------
+
+
+def prior_digest_set(
+    prior: DataFrame,
+    text_col: str = "text",
+    digest_col: Optional[str] = None,
+) -> DataFrame:
+    """Distinct content digests of a prior corpus snapshot — the
+    membership relation an incremental pipeline dedups new batches
+    against.  Pass ``digest_col`` when the snapshot already stores
+    digests (the normal case: persist this table once per snapshot,
+    never re-scan bodies)."""
+    if digest_col is not None:
+        c = F.col(digest_col)
+    else:
+        c = F.sha2(F.col(text_col), 256)
+    return prior.select(c.alias("digest")).where(
+        F.col("digest").isNotNull()
+    ).distinct()
+
+
+def flag_in_prior(
+    df: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prior_text_col: Optional[str] = None,
+    prior_digest_col: Optional[str] = None,
+    flag_col: str = "in_prior",
+) -> DataFrame:
+    """Exact incremental-dedup flags: ``flag_col`` = 1 iff the row's
+    sha256(text) appears in the prior snapshot.  Digest-keyed left join
+    (256-bit keys: uniform, skew-free); AQE broadcasts the prior side
+    when a day's digest delta is small, else sort-merge.  Bodies of the
+    NEW batch ride the probe side of one join — for snapshot sizes
+    where even that is too much, use ``novel_against(method="bloom")``.
+    """
+    pd_set = prior_digest_set(
+        prior, prior_text_col or text_col, prior_digest_col
+    ).withColumn("_hit", F.lit(1))
+    return (
+        df.withColumn("_digest", F.sha2(F.col(text_col), 256))
+        .join(pd_set, F.col("_digest") == F.col("digest"), "left")
+        .withColumn(
+            flag_col, F.coalesce(F.col("_hit"), F.lit(0)).cast("int")
+        )
+        .drop("digest", "_hit", "_digest")
+    )
+
+
+def novel_against(
+    df: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prior_text_col: Optional[str] = None,
+    prior_digest_col: Optional[str] = None,
+    method: str = "join",
+    fp_rate: float = 1e-6,
+) -> DataFrame:
+    """Rows of ``df`` whose content does NOT appear in the prior
+    snapshot — the incremental form of exact dedup (dedup a daily batch
+    against yesterday's 100 TB corpus without re-deduping the corpus).
+
+    Methods, by snapshot size:
+      * ``"join"`` — exact digest anti-join (see ``flag_in_prior``).
+      * ``"bloom"`` — distributed-build Bloom filter over the prior
+        digests (``ops.bloom``), broadcast bits, ZERO-shuffle narrow
+        filter on the new batch.  A false positive (rate ``fp_rate``)
+        drops a novel row as a presumed dup; a true dup is NEVER kept.
+      * ``"bloom_exact"`` — bloom prefilter, then an exact anti-join of
+        only the CANDIDATE rows (bloom hits: the true-dup fraction +
+        fp_rate of the batch) against the prior digests; misses pass
+        through narrowly.  Exact results; the only bodies that enter an
+        Exchange are the candidates.
+    """
+    if method == "join":
+        pd_set = prior_digest_set(
+            prior, prior_text_col or text_col, prior_digest_col
+        )
+        return (
+            df.withColumn("_digest", F.sha2(F.col(text_col), 256))
+            .join(pd_set, F.col("_digest") == F.col("digest"), "left_anti")
+            .drop("_digest")
+        )
+    if method not in ("bloom", "bloom_exact"):
+        raise ValueError(f"unknown method {method!r} (join|bloom|bloom_exact)")
+    from .bloom import BloomFilter, contains_col
+    from .textstats import portable_hash64 as _ph
+
+    pd_set = prior_digest_set(
+        prior, prior_text_col or text_col, prior_digest_col
+    )
+    # bloom keys are the portable 60-bit hash of the hex digest
+    bloom = BloomFilter.from_df(
+        pd_set.select(_ph(F.col("digest")).alias("h")), "h", fp_rate=fp_rate
+    )
+    digest = F.sha2(F.col(text_col), 256)
+    hit = contains_col(bloom, _ph(digest), df.sparkSession.sparkContext)
+    if method == "bloom":
+        return df.where(~hit)
+    flagged = df.withColumn("_hit", hit).withColumn("_digest", digest)
+    misses = flagged.where(~F.col("_hit")).drop("_hit", "_digest")
+    candidates = flagged.where(F.col("_hit"))
+    confirmed_novel = candidates.join(
+        pd_set, F.col("_digest") == F.col("digest"), "left_anti"
+    ).drop("_hit", "_digest")
+    return misses.unionByName(confirmed_novel)
+
+
 # -- repeated spans (substring-level cross-doc dedup) -----------------------
 
 

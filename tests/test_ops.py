@@ -406,3 +406,76 @@ def test_strip_exact_cap_raises(span_df):
         strip_repeated_spans(
             span_df, window=8, min_docs=2, max_hot_spans=0
         ).collect()
+
+
+# -- incremental dedup -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def incr_dfs(spark):
+    prior = spark.createDataFrame(
+        [(100, "shared one"), (101, "shared two"), (102, "prior only")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, "shared one"),      # dup of prior
+            (1, "shared two"),      # dup of prior
+            (2, "fresh alpha"),     # novel
+            (3, "fresh beta"),      # novel
+            (4, "shared one"),      # dup (same content as 0)
+        ],
+        "doc_id long, text string",
+    )
+    return batch, prior
+
+
+def test_flag_in_prior(incr_dfs):
+    from retriv_spark.ops.dedup import flag_in_prior
+
+    batch, prior = incr_dfs
+    got = {
+        r.doc_id: r.in_prior for r in flag_in_prior(batch, prior).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 0, 3: 0, 4: 1}
+
+
+@pytest.mark.parametrize("method", ["join", "bloom_exact"])
+def test_novel_against_exact_methods(incr_dfs, method):
+    from retriv_spark.ops.dedup import novel_against
+
+    batch, prior = incr_dfs
+    kept = sorted(
+        r.doc_id for r in novel_against(batch, prior, method=method).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_novel_against_bloom_never_keeps_dup(incr_dfs):
+    from retriv_spark.ops.dedup import novel_against
+
+    batch, prior = incr_dfs
+    kept = sorted(
+        r.doc_id
+        for r in novel_against(
+            batch, prior, method="bloom", fp_rate=1e-6
+        ).collect()
+    )
+    # approximate: a subset of the true-novel set, never a prior dup
+    assert set(kept) <= {2, 3}
+
+
+def test_novel_against_precomputed_digest_col(spark, incr_dfs):
+    from retriv_spark.ops.dedup import novel_against
+
+    batch, prior = incr_dfs
+    prior_digests = prior.select(
+        F.sha2("text", 256).alias("content_sha")
+    )
+    kept = sorted(
+        r.doc_id
+        for r in novel_against(
+            batch, prior_digests, prior_digest_col="content_sha"
+        ).collect()
+    )
+    assert kept == [2, 3]
