@@ -7,6 +7,9 @@ build + BM25 query), applied to the curation/dedup/packing operators:
   pack_sequences    one bucket-keyed exchange + per-bucket sort
   exact_dedup       digest aggregation shuffle
   minhash_lsh       Arrow shingle/minhash + banded self-join
+  strip_spans       repeated-span strip, Bloom path (hash agg + 2 Arrow passes)
+  mixture_sample    token-budget mixture (tiny agg + zero-shuffle narrow)
+  incremental_novel new-batch vs prior-snapshot dedup, bloom_exact path
 
 Protocol: generate ONE deterministic synthetic corpus to parquet; per
 parallelism level run every op in a fresh JVM (timed, executed to a noop
@@ -125,6 +128,37 @@ n_pairs = minhash_lsh_pairs(docs, text_col="text", id_col="doc_id",
 res["minhash_lsh"] = time.time() - t
 checks["lsh_pairs"] = n_pairs
 
+from retriv_spark.ops.dedup import novel_against, strip_repeated_spans
+from retriv_spark.ops.curation import mixture_sample
+
+t = time.time()
+stripped = strip_repeated_spans(docs, window=8, min_docs=2, method="bloom")
+row = stripped.agg(
+    F.sum(portable_hash64(F.concat_ws("|", "doc_id", F.md5("text_clean")))
+          .cast("decimal(38,0)")).alias("chk"),
+    F.count("*").alias("n")).first()
+res["strip_spans"] = time.time() - t
+checks["strip_checksum"] = str(row.chk)
+checks["strip_rows"] = row.n
+
+t = time.time()
+mixed = mixture_sample(docs, {"s0": 10_000_000, "s1": 45_000_000},
+                       strata_col="source", id_col="doc_id", salt="pb",
+                       max_epochs=4)
+row = mixed.agg(
+    F.sum(portable_hash64(F.concat_ws("|", "doc_id", "epoch"))
+          .cast("decimal(38,0)")).alias("chk"),
+    F.count("*").alias("n")).first()
+res["mixture_sample"] = time.time() - t
+checks["mixture_checksum"] = str(row.chk)
+checks["mixture_rows"] = row.n
+
+t = time.time()
+prior = docs.where(F.col("doc_id") % 3 == 0).select("text")
+n_novel = novel_against(docs, prior, method="bloom_exact").count()
+res["incremental_novel"] = time.time() - t
+checks["novel_rows"] = n_novel
+
 print("RESULT " + json.dumps({"cpus": cpus, "secs": res, "checks": checks}),
       flush=True)
 """
@@ -168,7 +202,9 @@ def main():
     small = run_level(env, args.n)
     big = run_level(env, 4 * args.n)
 
-    for key in ("pack_checksum", "pack_rows", "dup_groups", "lsh_pairs"):
+    for key in ("pack_checksum", "pack_rows", "dup_groups", "lsh_pairs",
+                "strip_checksum", "strip_rows", "mixture_checksum",
+                "mixture_rows", "novel_rows"):
         assert small["checks"][key] == big["checks"][key], (
             key, small["checks"][key], big["checks"][key])
 

@@ -420,9 +420,12 @@ def mixture_plan(
     )
     thr = F.when(
         F.col("avail_tokens") > 0,
-        F.least(
-            F.expr(f"(target_tokens * {int(denom)}) div avail_tokens"),
-            F.lit(int(max_epochs) * int(denom)),
+        F.greatest(  # clamp: a (nonsensical) negative target reads as 0
+            F.least(
+                F.expr(f"(target_tokens * {int(denom)}) div avail_tokens"),
+                F.lit(int(max_epochs) * int(denom)),
+            ),
+            F.lit(0),
         ),
     ).otherwise(F.lit(0))
     return joined.select(

@@ -547,7 +547,6 @@ def flag_in_prior(
     df: DataFrame,
     prior: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     prior_text_col: Optional[str] = None,
     prior_digest_col: Optional[str] = None,
     flag_col: str = "in_prior",
@@ -559,16 +558,18 @@ def flag_in_prior(
     NEW batch ride the probe side of one join — for snapshot sizes
     where even that is too much, use ``novel_against(method="bloom")``.
     """
-    pd_set = prior_digest_set(
-        prior, prior_text_col or text_col, prior_digest_col
-    ).withColumn("_hit", F.lit(1))
+    pd_set = (
+        prior_digest_set(prior, prior_text_col or text_col, prior_digest_col)
+        .withColumnRenamed("digest", "_prior_digest")
+        .withColumn("_hit", F.lit(1))
+    )
     return (
         df.withColumn("_digest", F.sha2(F.col(text_col), 256))
-        .join(pd_set, F.col("_digest") == F.col("digest"), "left")
+        .join(pd_set, F.col("_digest") == F.col("_prior_digest"), "left")
         .withColumn(
             flag_col, F.coalesce(F.col("_hit"), F.lit(0)).cast("int")
         )
-        .drop("digest", "_hit", "_digest")
+        .drop("_prior_digest", "_hit", "_digest")
     )
 
 
@@ -576,7 +577,6 @@ def novel_against(
     df: DataFrame,
     prior: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     prior_text_col: Optional[str] = None,
     prior_digest_col: Optional[str] = None,
     method: str = "join",
@@ -601,10 +601,14 @@ def novel_against(
     if method == "join":
         pd_set = prior_digest_set(
             prior, prior_text_col or text_col, prior_digest_col
-        )
+        ).withColumnRenamed("digest", "_prior_digest")
         return (
             df.withColumn("_digest", F.sha2(F.col(text_col), 256))
-            .join(pd_set, F.col("_digest") == F.col("digest"), "left_anti")
+            .join(
+                pd_set,
+                F.col("_digest") == F.col("_prior_digest"),
+                "left_anti",
+            )
             .drop("_digest")
         )
     if method not in ("bloom", "bloom_exact"):
@@ -614,10 +618,12 @@ def novel_against(
 
     pd_set = prior_digest_set(
         prior, prior_text_col or text_col, prior_digest_col
-    )
+    ).withColumnRenamed("digest", "_prior_digest")
     # bloom keys are the portable 60-bit hash of the hex digest
     bloom = BloomFilter.from_df(
-        pd_set.select(_ph(F.col("digest")).alias("h")), "h", fp_rate=fp_rate
+        pd_set.select(_ph(F.col("_prior_digest")).alias("h")),
+        "h",
+        fp_rate=fp_rate,
     )
     digest = F.sha2(F.col(text_col), 256)
     hit = contains_col(bloom, _ph(digest), df.sparkSession.sparkContext)
@@ -627,7 +633,7 @@ def novel_against(
     misses = flagged.where(~F.col("_hit")).drop("_hit", "_digest")
     candidates = flagged.where(F.col("_hit"))
     confirmed_novel = candidates.join(
-        pd_set, F.col("_digest") == F.col("digest"), "left_anti"
+        pd_set, F.col("_digest") == F.col("_prior_digest"), "left_anti"
     ).drop("_hit", "_digest")
     return misses.unionByName(confirmed_novel)
 
