@@ -17,7 +17,7 @@ sink or count); assert deterministic ops produce IDENTICAL output
 checksums across levels; report throughput at both levels + scaling
 efficiency = (T_N / T_4N) / (4N / N).
 
-Usage: python jobs/pipeline_bench.py [--docs 1000000] [--n 4] [--out json]
+Usage: python jobs/pipeline_bench.py [--docs N] [--n 4] [--out json] [--ops a,b]
 """
 
 from __future__ import annotations
@@ -86,6 +86,11 @@ spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(os.environ["RETRIV_INPUT"])
 docs.count()  # warm file-listing/footer caches out of the timed region
 
+_ops = os.environ.get("RETRIV_OPS", "")
+_ops = set(x for x in _ops.split(",") if x)
+def want(name):
+    return not _ops or name in _ops
+
 from retriv_spark.ops.curation import quality_filter
 from retriv_spark.ops.dedup import exact_dedup_groups, minhash_lsh_pairs
 from retriv_spark.ops.packing import assign_sequences, chunk_documents
@@ -97,67 +102,75 @@ def noop(df):
 res = {}
 checks = {}
 
-t = time.time()
-noop(quality_filter(docs, min_tokens=50))
-res["quality_filter"] = time.time() - t
+if want("quality_filter"):
+    t = time.time()
+    noop(quality_filter(docs, min_tokens=50))
+    res["quality_filter"] = time.time() - t
 
-t = time.time()
-noop(chunk_documents(docs, 64, 8, id_col="doc_id"))
-res["chunk_documents"] = time.time() - t
+if want("chunk_documents"):
+    t = time.time()
+    noop(chunk_documents(docs, 64, 8, id_col="doc_id"))
+    res["chunk_documents"] = time.time() - t
 
-t = time.time()
-packed = assign_sequences(docs, budget=4096, id_col="doc_id",
-                          n_buckets=1024, salt="pb")
-row = packed.agg(
-    F.sum(portable_hash64(F.concat_ws("|", "doc_id", "bucket", "seq",
-                                      "seq_offset")).cast("decimal(38,0)")
-          ).alias("chk"),
-    F.count("*").alias("n")).first()
-res["pack_sequences"] = time.time() - t
-checks["pack_checksum"] = str(row.chk)
-checks["pack_rows"] = row.n
+if want("pack_sequences"):
+    t = time.time()
+    packed = assign_sequences(docs, budget=4096, id_col="doc_id",
+                              n_buckets=1024, salt="pb")
+    row = packed.agg(
+        F.sum(portable_hash64(F.concat_ws("|", "doc_id", "bucket", "seq",
+                                          "seq_offset")).cast("decimal(38,0)")
+              ).alias("chk"),
+        F.count("*").alias("n")).first()
+    res["pack_sequences"] = time.time() - t
+    checks["pack_checksum"] = str(row.chk)
+    checks["pack_rows"] = row.n
 
-t = time.time()
-n_dupe = exact_dedup_groups(docs, text_col="text", id_col="doc_id").count()
-res["exact_dedup"] = time.time() - t
-checks["dup_groups"] = n_dupe
+if want("exact_dedup"):
+    t = time.time()
+    n_dupe = exact_dedup_groups(docs, text_col="text", id_col="doc_id").count()
+    res["exact_dedup"] = time.time() - t
+    checks["dup_groups"] = n_dupe
 
-t = time.time()
-n_pairs = minhash_lsh_pairs(docs, text_col="text", id_col="doc_id",
-                            n_hashes=16, bands=4).count()
-res["minhash_lsh"] = time.time() - t
-checks["lsh_pairs"] = n_pairs
+if want("minhash_lsh"):
+    t = time.time()
+    n_pairs = minhash_lsh_pairs(docs, text_col="text", id_col="doc_id",
+                                n_hashes=16, bands=4).count()
+    res["minhash_lsh"] = time.time() - t
+    checks["lsh_pairs"] = n_pairs
 
 from retriv_spark.ops.dedup import novel_against, strip_repeated_spans
 from retriv_spark.ops.curation import mixture_sample
 
-t = time.time()
-stripped = strip_repeated_spans(docs, window=8, min_docs=2, method="bloom")
-row = stripped.agg(
-    F.sum(portable_hash64(F.concat_ws("|", "doc_id", F.md5("text_clean")))
-          .cast("decimal(38,0)")).alias("chk"),
-    F.count("*").alias("n")).first()
-res["strip_spans"] = time.time() - t
-checks["strip_checksum"] = str(row.chk)
-checks["strip_rows"] = row.n
+if want("strip_spans"):
+    t = time.time()
+    stripped = strip_repeated_spans(docs, window=8, min_docs=2, method="bloom")
+    row = stripped.agg(
+        F.sum(portable_hash64(F.concat_ws("|", "doc_id", F.md5("text_clean")))
+              .cast("decimal(38,0)")).alias("chk"),
+        F.count("*").alias("n")).first()
+    res["strip_spans"] = time.time() - t
+    checks["strip_checksum"] = str(row.chk)
+    checks["strip_rows"] = row.n
 
-t = time.time()
-mixed = mixture_sample(docs, {"s0": 10_000_000, "s1": 45_000_000},
-                       strata_col="source", id_col="doc_id", salt="pb",
-                       max_epochs=4)
-row = mixed.agg(
-    F.sum(portable_hash64(F.concat_ws("|", "doc_id", "epoch"))
-          .cast("decimal(38,0)")).alias("chk"),
-    F.count("*").alias("n")).first()
-res["mixture_sample"] = time.time() - t
-checks["mixture_checksum"] = str(row.chk)
-checks["mixture_rows"] = row.n
+if want("mixture_sample"):
+    t = time.time()
+    mixed = mixture_sample(docs, {"s0": 10_000_000, "s1": 45_000_000},
+                           strata_col="source", id_col="doc_id", salt="pb",
+                           max_epochs=4)
+    row = mixed.agg(
+        F.sum(portable_hash64(F.concat_ws("|", "doc_id", "epoch"))
+              .cast("decimal(38,0)")).alias("chk"),
+        F.count("*").alias("n")).first()
+    res["mixture_sample"] = time.time() - t
+    checks["mixture_checksum"] = str(row.chk)
+    checks["mixture_rows"] = row.n
 
-t = time.time()
-prior = docs.where(F.col("doc_id") % 3 == 0).select("text")
-n_novel = novel_against(docs, prior, method="bloom_exact").count()
-res["incremental_novel"] = time.time() - t
-checks["novel_rows"] = n_novel
+if want("incremental_novel"):
+    t = time.time()
+    prior = docs.where(F.col("doc_id") % 3 == 0).select("text")
+    n_novel = novel_against(docs, prior, method="bloom_exact").count()
+    res["incremental_novel"] = time.time() - t
+    checks["novel_rows"] = n_novel
 
 print("RESULT " + json.dumps({"cpus": cpus, "secs": res, "checks": checks}),
       flush=True)
@@ -182,9 +195,13 @@ def main():
     ap.add_argument("--n", type=int, default=4, help="small level; big is 4n")
     ap.add_argument("--input", default=None, help="reuse an existing corpus")
     ap.add_argument("--out", default=None, help="write JSON here too")
+    ap.add_argument("--ops", default=None,
+                    help="comma-separated op subset (default: all)")
     args = ap.parse_args()
 
     env = dict(os.environ, RETRIV_REPO=REPO, RETRIV_DOCS=str(args.docs))
+    if args.ops:
+        env["RETRIV_OPS"] = args.ops
     if args.input:
         env["RETRIV_INPUT"] = args.input
     else:
@@ -202,9 +219,7 @@ def main():
     small = run_level(env, args.n)
     big = run_level(env, 4 * args.n)
 
-    for key in ("pack_checksum", "pack_rows", "dup_groups", "lsh_pairs",
-                "strip_checksum", "strip_rows", "mixture_checksum",
-                "mixture_rows", "novel_rows"):
+    for key in small["checks"]:
         assert small["checks"][key] == big["checks"][key], (
             key, small["checks"][key], big["checks"][key])
 

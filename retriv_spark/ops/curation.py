@@ -690,7 +690,10 @@ def remove_boilerplate_lines(
                 for l in t.split("\n")
                 if l.strip() == ""
                 or not is_hot(
-                    int(hashlib.md5(l.encode("utf-8")).hexdigest()[:15], 16)
+                    int.from_bytes(
+                        hashlib.md5(l.encode("utf-8")).digest()[:8], "big"
+                    )
+                    >> 4
                 )
             ]
             out.append("\n".join(kept))

@@ -324,7 +324,12 @@ def simhash_signature(
             for t in toks:
                 counts[t] = counts.get(t, 0) + 1
             for t, w in counts.items():
-                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                h = (
+                    int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8], "big"
+                    )
+                    >> 4
+                )
                 bits_arr = (h >> np.arange(eff_bits)) & 1
                 acc += np.where(bits_arr == 1, w, -w)
             sig = int(((acc > 0).astype(np.int64) << np.arange(eff_bits)).sum())
@@ -738,6 +743,7 @@ def repeated_span_stats(
     id_col: str = "doc_id",
     window: int = 8,
     min_docs: int = 2,
+    reuse_hashes: bool = True,
 ) -> DataFrame:
     """Per-document repeated-span stats: ``(id, n_windows, n_repeated)``
     where ``n_repeated`` counts window positions whose span also occurs
@@ -749,8 +755,31 @@ def repeated_span_stats(
     join back (broadcast when the hot set is small — left to AQE, whose
     runtime stats see the post-filter size), one (id)-keyed count agg.
     NULL-text documents carry no windows and are omitted.
+
+    The hot-set subtree and the join-back subtree both consume the span
+    rows, so without caching the md5 window hashing (the dominant cost)
+    runs TWICE in one plan; ``reuse_hashes=True`` (default) persists the
+    hash arrays (``MEMORY_AND_DISK``) so it runs once — same trade as
+    ``strip_repeated_spans``.
     """
-    spans = _span_rows(df, text_col, id_col, window)
+    if reuse_hashes:
+        from pyspark import StorageLevel
+
+        base = (
+            df.where(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col),
+                span_hashes_col(F.col(text_col), window).alias("hs"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        spans = base.select(
+            id_col,
+            F.size("hs").cast("long").alias("n_windows"),
+            F.explode_outer("hs").alias("h"),
+        )
+    else:
+        spans = _span_rows(df, text_col, id_col, window)
     hot = (
         spans.groupBy("h")
         .agg(F.countDistinct(id_col).alias("_nd"))
@@ -769,6 +798,33 @@ def repeated_span_stats(
     )
 
 
+def _hot_span_payload(
+    hot_hashes: DataFrame,
+    method: str,
+    max_hot_spans: int,
+    fp_rate: float,
+) -> tuple:
+    """Materialize the hot-span set as a broadcastable payload:
+    ``("arr", sorted int64 ndarray)`` for exact membership or
+    ``("bloom", (n_bits, k, bytes))`` for the Bloom path."""
+    if method == "bloom":
+        from .bloom import BloomFilter
+
+        bloom = BloomFilter.from_df(hot_hashes, "h", fp_rate=fp_rate)
+        return ("bloom", (bloom.n_bits, bloom.k, bloom.to_bytes()))
+    if method == "exact":
+        hot = hot_hashes.limit(max_hot_spans + 1).collect()
+        if len(hot) > max_hot_spans:
+            raise ValueError(
+                f"repeated-span set exceeds max_hot_spans="
+                f"{max_hot_spans}; raise the cap or pass method='bloom'"
+            )
+        import numpy as np
+
+        return ("arr", np.sort(np.fromiter((r.h for r in hot), np.int64)))
+    raise ValueError(f"unknown method {method!r} (exact|bloom)")
+
+
 def strip_repeated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -778,6 +834,7 @@ def strip_repeated_spans(
     max_hot_spans: int = 2_000_000,
     method: str = "exact",
     fp_rate: float = 1e-5,
+    reuse_hashes: bool = True,
 ) -> DataFrame:
     """Rewrite every document with its cross-document repeated spans
     removed: a token is dropped iff it is covered by ANY window whose
@@ -795,32 +852,98 @@ def strip_repeated_spans(
     ``method="bloom"`` builds a Bloom filter distributed (``ops.bloom``)
     — false positives (rate ``fp_rate``) can only strip an extra
     innocent span, never keep a repeated one.
+
+    ``reuse_hashes=True`` (default) computes the per-position window
+    hashes ONCE, persists the hash-annotated frame
+    (``MEMORY_AND_DISK``, ~1 long per corpus token on top of the text),
+    and feeds the stored hashes straight into the rewrite — the rewrite
+    then does zero md5 work (vectorized membership + a numpy diff-array
+    per doc) instead of re-hashing every window, ~2x end-to-end on
+    md5-bound corpora.  Pass ``reuse_hashes=False`` for the stateless
+    two-pass shape when caching corpus+hashes is undesirable (at real
+    100 TB scale the equivalent is checkpointing the hash table, not
+    recomputing — but the recompute shape needs no storage headroom).
     """
+    import numpy as np
+
     from .textstats import ph64_py
 
-    hot_hashes = repeated_span_index(
-        df, text_col, id_col, window, min_docs
-    ).select("h")
-    if method == "bloom":
-        from .bloom import BloomFilter
-
-        bloom = BloomFilter.from_df(hot_hashes, "h", fp_rate=fp_rate)
-        payload = ("bloom", (bloom.n_bits, bloom.k, bloom.to_bytes()))
-    elif method == "exact":
-        hot = hot_hashes.limit(max_hot_spans + 1).collect()
-        if len(hot) > max_hot_spans:
-            raise ValueError(
-                f"repeated-span set exceeds max_hot_spans="
-                f"{max_hot_spans}; raise the cap or pass method='bloom'"
-            )
-        payload = ("set", frozenset(r.h for r in hot))
-    else:
-        raise ValueError(f"unknown method {method!r} (exact|bloom)")
-    bc = df.sparkSession.sparkContext.broadcast(payload)
     import re
 
     ws = re.compile(r"\s+")
     w = window
+
+    if reuse_hashes:
+        from pyspark import StorageLevel
+
+        hs_col = "__rss_hs"
+        df_h = df.withColumn(
+            hs_col, span_hashes_col(F.col(text_col), window)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        spans = df_h.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.explode_outer(hs_col).alias("h")
+        )
+        hot_hashes = (
+            spans.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("h")
+        )
+        payload = _hot_span_payload(
+            hot_hashes, method, max_hot_spans, fp_rate
+        )
+        bc = df.sparkSession.sparkContext.broadcast(payload)
+
+        @pandas_udf("string")
+        def _clean2(texts: pd.Series, hss: pd.Series) -> pd.Series:
+            kind, data = bc.value
+            if kind == "bloom":
+                from .bloom import BloomFilter
+
+                bf = BloomFilter.from_bytes(*data)
+                member = bf.contains_many
+            else:
+
+                def member(hs: np.ndarray) -> np.ndarray:
+                    if data.size == 0:
+                        return np.zeros(len(hs), dtype=bool)
+                    idx = np.searchsorted(data, hs)
+                    idx_c = np.minimum(idx, data.size - 1)
+                    return (idx < data.size) & (data[idx_c] == hs)
+
+            out = []
+            for t, hs in zip(texts, hss):
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = [x for x in ws.split(t.strip()) if x]
+                n = len(toks)
+                hot_idx = np.nonzero(
+                    member(np.asarray(hs, dtype=np.int64))
+                )[0]
+                if hot_idx.size == 0:
+                    out.append(" ".join(toks))
+                    continue
+                # coverage via a diff array: O(n) whatever the overlap
+                cover = np.zeros(n + 1, dtype=np.int32)
+                np.add.at(cover, hot_idx, 1)
+                np.add.at(cover, np.minimum(hot_idx + w, n), -1)
+                run = np.cumsum(cover[:n])
+                out.append(
+                    " ".join(tok for tok, r in zip(toks, run) if r == 0)
+                )
+            return pd.Series(out)
+
+        return df_h.withColumn(
+            f"{text_col}_clean", _clean2(F.col(text_col), F.col(hs_col))
+        ).drop(hs_col)
+
+    hot_hashes = repeated_span_index(
+        df, text_col, id_col, window, min_docs
+    ).select("h")
+    payload = _hot_span_payload(hot_hashes, method, max_hot_spans, fp_rate)
+    bc = df.sparkSession.sparkContext.broadcast(payload)
+    _set_cache: dict = {}  # per-worker: frozenset built once, not per batch
 
     @pandas_udf("string")
     def _clean(texts: pd.Series) -> pd.Series:
@@ -831,7 +954,9 @@ def strip_repeated_spans(
             bf = BloomFilter.from_bytes(*data)
             is_hot = lambda h: h in bf  # noqa: E731
         else:
-            is_hot = data.__contains__
+            if "s" not in _set_cache:
+                _set_cache["s"] = frozenset(int(h) for h in data)
+            is_hot = _set_cache["s"].__contains__
         out = []
         for t in texts:
             if t is None:

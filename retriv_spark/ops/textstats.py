@@ -100,10 +100,15 @@ def portable_hash64(col: Column) -> Column:
 
 def ph64_py(s: str) -> int:
     """Python-side twin of ``portable_hash64`` (bit-identical) for
-    Arrow-batched UDFs that hash inside the batch loop."""
+    Arrow-batched UDFs that hash inside the batch loop.
+
+    ``int.from_bytes(digest[:8]) >> 4`` equals
+    ``int(hexdigest[:15], 16)`` — the first 15 hex chars are the top
+    60 bits of the first 8 digest bytes — and skips hex formatting
+    (~6% per call, and this is the hot path of every dedup op)."""
     import hashlib
 
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 4
 
 
 _GRAM_HASH_UDFS: dict = {}
@@ -147,11 +152,11 @@ def gram_hash_col(text: Column, n: int) -> Column:
                 out.append(
                     list(
                         dict.fromkeys(
-                            int(
-                                hashlib.md5(g.encode("utf-8"))
-                                .hexdigest()[:15],
-                                16,
+                            int.from_bytes(
+                                hashlib.md5(g.encode("utf-8")).digest()[:8],
+                                "big",
                             )
+                            >> 4
                             for g in grams
                         )
                     )

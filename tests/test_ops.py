@@ -365,20 +365,54 @@ def test_repeated_span_index(span_df):
 
 
 @pytest.mark.parametrize("method", ["exact", "bloom"])
-def test_strip_repeated_spans(span_df, method):
+@pytest.mark.parametrize("reuse", [True, False])
+def test_strip_repeated_spans(span_df, method, reuse):
     from retriv_spark.ops.dedup import strip_repeated_spans
 
-    got = {
-        r.doc_id: r.text_clean
-        for r in strip_repeated_spans(
-            span_df, window=8, min_docs=2, method=method
-        ).collect()
-    }
+    stripped = strip_repeated_spans(
+        span_df, window=8, min_docs=2, method=method, reuse_hashes=reuse
+    )
+    got = {r.doc_id: r.text_clean for r in stripped.collect()}
     assert got[0] == "tail0 only zero"
     assert got[1] == "head1 tail1"
     assert got[2] == "nothing in common with anybody else at all"
     assert got[3] is None
     assert got[4] == ""  # fully covered -> stripped to empty
+    # the hash-reuse path must not leak its working column
+    assert set(stripped.columns) == {"doc_id", "text", "text_clean"}
+
+
+def test_strip_reuse_matches_recompute(spark):
+    from retriv_spark.ops.dedup import strip_repeated_spans
+
+    # a larger randomized corpus: the reuse path (stored hashes +
+    # vectorized membership) must be byte-identical to the recompute path
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(50)]
+    shared = " ".join(vocab[:9])
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choices(vocab, k=rng.randint(0, 30)))
+        if i % 3 == 0:
+            body = body + " " + shared
+        rows.append((i, body))
+    rows.append((60, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r.doc_id: r.text_clean
+        for r in strip_repeated_spans(
+            df, window=4, min_docs=2, reuse_hashes=True
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.text_clean
+        for r in strip_repeated_spans(
+            df, window=4, min_docs=2, reuse_hashes=False
+        ).collect()
+    }
+    assert a == b
 
 
 def test_strip_overlapping_hot_windows(spark):
