@@ -48,6 +48,7 @@ HEADLINE = [
     "quality_filter",
     "strip_spans",
     "mixture_sample",
+    "dedup_incremental",
 ]
 
 
