@@ -778,14 +778,25 @@ def repeated_span_stats(
             F.size("hs").cast("long").alias("n_windows"),
             F.explode_outer("hs").alias("h"),
         )
+        # per-doc distinct explode: unique (h, doc) pairs by construction,
+        # so distinct-doc count is count(*) (cheap partial counter)
+        hot_src = base.select(
+            F.explode_outer(F.array_distinct("hs")).alias("h")
+        )
+        hot = (
+            hot_src.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("h", F.lit(1).alias("_hit"))
+        )
     else:
         spans = _span_rows(df, text_col, id_col, window)
-    hot = (
-        spans.groupBy("h")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("h", F.lit(1).alias("_hit"))
-    )
+        hot = (
+            spans.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("h", F.lit(1).alias("_hit"))
+        )
     return (
         spans.join(hot, "h", "left")
         .groupBy(id_col)
@@ -880,12 +891,16 @@ def strip_repeated_spans(
         df_h = df.withColumn(
             hs_col, span_hashes_col(F.col(text_col), window)
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # array_distinct per doc makes every exploded (h, doc) pair unique,
+        # so the distinct-doc count is a plain count(*): the partial agg
+        # is a cheap counter instead of a per-key doc-id hash set, and
+        # within-doc repeats never enter the Exchange
         spans = df_h.where(F.col(text_col).isNotNull()).select(
-            F.col(id_col), F.explode_outer(hs_col).alias("h")
+            F.explode_outer(F.array_distinct(hs_col)).alias("h")
         )
         hot_hashes = (
             spans.groupBy("h")
-            .agg(F.countDistinct(id_col).alias("_nd"))
+            .agg(F.count(F.lit(1)).alias("_nd"))
             .filter(F.col("_nd") >= min_docs)
             .select("h")
         )
