@@ -202,7 +202,13 @@ def minhash_signature(
     Shape: explode shingles (narrow) → one md5 per shingle → groupBy(id)
     with n_hashes min() aggregates.  The shuffle is id-keyed with full
     map-side partial aggregation, so each partition contributes one
-    n_hashes-long row per doc regardless of shingle count."""
+    n_hashes-long row per doc regardless of shingle count.
+
+    Measured dead end (2026-08-18, 1M docs): hashing inside the Arrow
+    batch via ``gram_hash_col`` (ship longs, not shingle strings) ran
+    1.6x SLOWER (66.4→111.8 s local[4], 20.0→32.5 s local[16]) — the
+    JVM's codegen'd md5 beats Python hashlib per call by more than the
+    Arrow string transfer costs.  Keep the JVM-side hash."""
     assert n_hashes <= len(MINHASH_AB)
     ex = df.select(
         F.col(id_col).alias("id"),
