@@ -356,6 +356,24 @@ def test_repeated_span_stats(span_df):
     assert got[4] == (1, 1)  # whole-doc window == the shared span
 
 
+def test_span_stats_reuse_matches_recompute(span_df):
+    from retriv_spark.ops.dedup import repeated_span_stats
+
+    a = {
+        r.doc_id: (r.n_windows, r.n_repeated)
+        for r in repeated_span_stats(
+            span_df, window=8, min_docs=2, reuse_hashes=True
+        ).collect()
+    }
+    b = {
+        r.doc_id: (r.n_windows, r.n_repeated)
+        for r in repeated_span_stats(
+            span_df, window=8, min_docs=2, reuse_hashes=False
+        ).collect()
+    }
+    assert a == b
+
+
 def test_repeated_span_index(span_df):
     from retriv_spark.ops.dedup import repeated_span_index
 
