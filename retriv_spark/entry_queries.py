@@ -419,6 +419,18 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_exact_canonical(spark, sf_dir):
+    """Exact dedup over the canonicalized text (lowercase +
+    whitespace-collapse before the digest) — folds case/spacing-only
+    variants into one group.  Reference has no canonicalization hook
+    (dedup is id-level only, base_retriever.py:56-62); this is the
+    standard pre-hash normalization of large-corpus pipelines."""
+    groups = exact_dedup_groups(_docs(spark, sf_dir), canonicalize=True)
+    return groups.select("content_hash", "keep_id", "n_members").orderBy(
+        "content_hash"
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         _docs(spark, sf_dir), k=3, threshold=0.2
@@ -1486,6 +1498,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fusion_minmax": q_fusion_minmax,
     "hybrid_fusion": q_hybrid_fusion,
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_canonical": q_dedup_exact_canonical,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1586,6 +1599,11 @@ ORDER BY doc_id
     "fusion_minmax": None,  # filled below (long)
     "dedup_exact": """
 SELECT sha256(text) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_members
+FROM documents GROUP BY 1 ORDER BY content_hash
+""",
+    "dedup_exact_canonical": """
+SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
        min(doc_id) AS keep_id, count(*) AS n_members
 FROM documents GROUP BY 1 ORDER BY content_hash
 """,

@@ -39,16 +39,27 @@ from .textstats import portable_hash64, tokens_col
 
 
 def exact_dedup_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canonicalize: bool = False,
 ) -> DataFrame:
     """Exact duplicate groups: (content_hash, keep_id, n_members).
 
     keep_id = min id per group (deterministic survivor). One shuffle keyed
     on the 256-bit digest — uniformly distributed, skew-free by
     construction.
+
+    ``canonicalize=True`` digests ``lower(collapse-whitespace(trim(text)))``
+    instead of the raw bytes — the standard pre-hash normalization that
+    folds case- and spacing-only variants into one group.  Pure column
+    algebra in the same projection; plan shape unchanged.
     """
+    key = F.col(text_col)
+    if canonicalize:
+        key = F.lower(F.regexp_replace(F.trim(key), r"\s+", " "))
     return (
-        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        df.select(F.sha2(key, 256).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -58,10 +69,13 @@ def exact_dedup_groups(
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canonicalize: bool = False,
 ) -> DataFrame:
     """Return the deduplicated rows (the survivor of each exact group)."""
-    keep = exact_dedup_groups(df, text_col, id_col).select(
+    keep = exact_dedup_groups(df, text_col, id_col, canonicalize).select(
         F.col("keep_id").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")

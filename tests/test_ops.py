@@ -531,3 +531,22 @@ def test_novel_against_precomputed_digest_col(spark, incr_dfs):
         ).collect()
     )
     assert kept == [2, 3]
+
+def test_exact_dedup_canonicalize(spark):
+    from retriv_spark.ops.dedup import exact_dedup, exact_dedup_groups
+
+    rows = [
+        (0, "Hello   World"),
+        (1, "hello world"),
+        (2, "HELLO\tWORLD "),
+        (3, "different entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = exact_dedup_groups(df).count()
+    assert plain == 4  # raw bytes all differ
+    canon = exact_dedup_groups(df, canonicalize=True).collect()
+    assert len(canon) == 2
+    g = {r.keep_id: r.n_members for r in canon}
+    assert g == {0: 3, 3: 1}  # min-id survivor, case/ws variants folded
+    kept = sorted(r.doc_id for r in exact_dedup(df, canonicalize=True).collect())
+    assert kept == [0, 3]
