@@ -38,6 +38,17 @@ from .textstats import portable_hash64, tokens_col
 # -- exact ---------------------------------------------------------------
 
 
+def _content_digest(col: Column, canonicalize: bool) -> Column:
+    """sha256 of the content key: the raw bytes, or — with
+    ``canonicalize`` — ``lower(collapse-whitespace(trim(text)))``, the
+    standard pre-hash normalization folding case/spacing-only variants.
+    Shared by exact and incremental dedup so both sides of an
+    incremental comparison agree on the key definition."""
+    if canonicalize:
+        col = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.sha2(col, 256)
+
+
 def exact_dedup_groups(
     df: DataFrame,
     text_col: str = "text",
@@ -55,11 +66,11 @@ def exact_dedup_groups(
     folds case- and spacing-only variants into one group.  Pure column
     algebra in the same projection; plan shape unchanged.
     """
-    key = F.col(text_col)
-    if canonicalize:
-        key = F.lower(F.regexp_replace(F.trim(key), r"\s+", " "))
     return (
-        df.select(F.sha2(key, 256).alias("content_hash"), F.col(id_col))
+        df.select(
+            _content_digest(F.col(text_col), canonicalize).alias("content_hash"),
+            F.col(id_col),
+        )
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -553,6 +564,7 @@ def prior_digest_set(
     prior: DataFrame,
     text_col: str = "text",
     digest_col: Optional[str] = None,
+    canonicalize: bool = False,
 ) -> DataFrame:
     """Distinct content digests of a prior corpus snapshot — the
     membership relation an incremental pipeline dedups new batches
@@ -562,7 +574,7 @@ def prior_digest_set(
     if digest_col is not None:
         c = F.col(digest_col)
     else:
-        c = F.sha2(F.col(text_col), 256)
+        c = _content_digest(F.col(text_col), canonicalize)
     return prior.select(c.alias("digest")).where(
         F.col("digest").isNotNull()
     ).distinct()
@@ -575,6 +587,7 @@ def flag_in_prior(
     prior_text_col: Optional[str] = None,
     prior_digest_col: Optional[str] = None,
     flag_col: str = "in_prior",
+    canonicalize: bool = False,
 ) -> DataFrame:
     """Exact incremental-dedup flags: ``flag_col`` = 1 iff the row's
     sha256(text) appears in the prior snapshot.  Digest-keyed left join
@@ -584,12 +597,16 @@ def flag_in_prior(
     where even that is too much, use ``novel_against(method="bloom")``.
     """
     pd_set = (
-        prior_digest_set(prior, prior_text_col or text_col, prior_digest_col)
+        prior_digest_set(
+            prior, prior_text_col or text_col, prior_digest_col, canonicalize
+        )
         .withColumnRenamed("digest", "_prior_digest")
         .withColumn("_hit", F.lit(1))
     )
     return (
-        df.withColumn("_digest", F.sha2(F.col(text_col), 256))
+        df.withColumn(
+            "_digest", _content_digest(F.col(text_col), canonicalize)
+        )
         .join(pd_set, F.col("_digest") == F.col("_prior_digest"), "left")
         .withColumn(
             flag_col, F.coalesce(F.col("_hit"), F.lit(0)).cast("int")
@@ -606,6 +623,7 @@ def novel_against(
     prior_digest_col: Optional[str] = None,
     method: str = "join",
     fp_rate: float = 1e-6,
+    canonicalize: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` whose content does NOT appear in the prior
     snapshot — the incremental form of exact dedup (dedup a daily batch
@@ -625,10 +643,12 @@ def novel_against(
     """
     if method == "join":
         pd_set = prior_digest_set(
-            prior, prior_text_col or text_col, prior_digest_col
+            prior, prior_text_col or text_col, prior_digest_col, canonicalize
         ).withColumnRenamed("digest", "_prior_digest")
         return (
-            df.withColumn("_digest", F.sha2(F.col(text_col), 256))
+            df.withColumn(
+                "_digest", _content_digest(F.col(text_col), canonicalize)
+            )
             .join(
                 pd_set,
                 F.col("_digest") == F.col("_prior_digest"),
@@ -642,7 +662,7 @@ def novel_against(
     from .textstats import portable_hash64 as _ph
 
     pd_set = prior_digest_set(
-        prior, prior_text_col or text_col, prior_digest_col
+        prior, prior_text_col or text_col, prior_digest_col, canonicalize
     ).withColumnRenamed("digest", "_prior_digest")
     # bloom keys are the portable 60-bit hash of the hex digest
     bloom = BloomFilter.from_df(
@@ -650,7 +670,7 @@ def novel_against(
         "h",
         fp_rate=fp_rate,
     )
-    digest = F.sha2(F.col(text_col), 256)
+    digest = _content_digest(F.col(text_col), canonicalize)
     hit = contains_col(bloom, _ph(digest), df.sparkSession.sparkContext)
     if method == "bloom":
         return df.where(~hit)

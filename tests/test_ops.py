@@ -550,3 +550,25 @@ def test_exact_dedup_canonicalize(spark):
     assert g == {0: 3, 3: 1}  # min-id survivor, case/ws variants folded
     kept = sorted(r.doc_id for r in exact_dedup(df, canonicalize=True).collect())
     assert kept == [0, 3]
+
+
+@pytest.mark.parametrize("method", ["join", "bloom_exact"])
+def test_incremental_canonicalize(spark, method):
+    from retriv_spark.ops.dedup import novel_against
+
+    new = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "genuinely new")],
+        "doc_id long, text string",
+    )
+    prior = spark.createDataFrame([("hello world",)], "text string")
+    raw = sorted(
+        r.doc_id for r in novel_against(new, prior, method=method).collect()
+    )
+    assert raw == [0, 1]  # raw bytes differ -> both look novel
+    canon = sorted(
+        r.doc_id
+        for r in novel_against(
+            new, prior, method=method, canonicalize=True
+        ).collect()
+    )
+    assert canon == [1]  # case/ws variant recognized as prior content
