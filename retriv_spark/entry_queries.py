@@ -1603,7 +1603,7 @@ SELECT sha256(text) AS content_hash,
 FROM documents GROUP BY 1 ORDER BY content_hash
 """,
     "dedup_exact_canonical": """
-SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+SELECT sha256(lower(regexp_replace(trim(text), '[ \t\n\r\f]+', ' ', 'g'))) AS content_hash,
        min(doc_id) AS keep_id, count(*) AS n_members
 FROM documents GROUP BY 1 ORDER BY content_hash
 """,

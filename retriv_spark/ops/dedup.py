@@ -43,9 +43,14 @@ def _content_digest(col: Column, canonicalize: bool) -> Column:
     ``canonicalize`` — ``lower(collapse-whitespace(trim(text)))``, the
     standard pre-hash normalization folding case/spacing-only variants.
     Shared by exact and incremental dedup so both sides of an
-    incremental comparison agree on the key definition."""
+    incremental comparison agree on the key definition.
+
+    The whitespace class is explicit ``[ \\t\\n\\r\\f]`` rather than
+    ``\\s``: Java regex ``\\s`` includes vertical tab where RE2 (DuckDB,
+    Go tooling) does not, and a dedup KEY must mean the same bytes in
+    every engine that computes it."""
     if canonicalize:
-        col = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+        col = F.lower(F.regexp_replace(F.trim(col), "[ \t\n\r\f]+", " "))
     return F.sha2(col, 256)
 
 

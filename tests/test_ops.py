@@ -572,3 +572,17 @@ def test_incremental_canonicalize(spark, method):
         ).collect()
     )
     assert canon == [1]  # case/ws variant recognized as prior content
+
+
+def test_canonical_whitespace_class_is_engine_portable(spark):
+    """The canonical key collapses exactly [ \t\n\r\f] — NOT Java's
+    \s (which adds vertical tab, absent from RE2/DuckDB \s): a dedup
+    key must mean the same bytes in every engine."""
+    from retriv_spark.ops.dedup import exact_dedup_groups
+
+    rows = [(0, "a\x0bb"), (1, "a b")]  # \x0b must NOT fold to a space
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert exact_dedup_groups(df, canonicalize=True).count() == 2
+    rows2 = [(0, "a\t\n\r\fb"), (1, "a b")]  # the class members DO fold
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    assert exact_dedup_groups(df2, canonicalize=True).count() == 1
