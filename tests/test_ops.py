@@ -586,3 +586,35 @@ def test_canonical_whitespace_class_is_engine_portable(spark):
     rows2 = [(0, "a\t\n\r\fb"), (1, "a b")]  # the class members DO fold
     df2 = spark.createDataFrame(rows2, "doc_id long, text string")
     assert exact_dedup_groups(df2, canonicalize=True).count() == 1
+
+
+def test_canonical_digest_matches_python_replica(spark):
+    """Randomized differential: the canonical content digest equals a
+    pure-Python replica (trim spaces, collapse [ \t\n\r\f]+, lower,
+    sha256) over strings mixing case, odd whitespace, unicode, and the
+    vertical-tab edge."""
+    import hashlib
+    import random
+    import re
+
+    from retriv_spark.ops.dedup import _content_digest
+
+    rng = random.Random(99)
+    alphabet = list("aA zZ\t\n\r\f\x0b.!щЩ") + ["  ", "\t\t"]
+    rows = [
+        (i, "".join(rng.choices(alphabet, k=rng.randint(0, 25))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", _content_digest(F.col("text"), True).alias("h")
+        ).collect()
+    }
+    cls = re.compile("[ \t\n\r\f]+")
+    for i, t in rows:
+        want = hashlib.sha256(
+            cls.sub(" ", t.strip(" ")).lower().encode("utf-8")
+        ).hexdigest()
+        assert got[i] == want, (i, repr(t))
