@@ -452,6 +452,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_minhash_char(spark, sf_dir):
+    """MinHash+LSH over CHARACTER 8-gram shingles — the granularity for
+    source code and other corpora where word tokens are too coarse
+    (the north-rule input is a source-code table)."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=16, bands=4, k=8, unit="char"
+    ).orderBy("id_a", "id_b")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: the minhash pair stream fed through distributed
     min-label connected components; component = min reachable doc_id,
@@ -1502,6 +1511,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_char": q_dedup_minhash_char,
     "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1672,6 +1682,7 @@ j AS (
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b
 """,
     "dedup_minhash_lsh": None,  # assigned below from _MINHASH_CTES
+    "dedup_minhash_char": None,  # assigned below
     "simhash": f"""
 WITH tok AS (
   SELECT doc_id, t.term
@@ -1969,6 +1980,44 @@ est AS (
 
 ORACLE_SQL["dedup_minhash_lsh"] = f"""
 WITH {_MINHASH_CTES}
+SELECT id_a, id_b, n_bands_match, est_jaccard FROM est ORDER BY id_a, id_b
+"""
+
+# Same minhash/band/estimate pipeline over CHARACTER 8-gram shingles of
+# the whitespace-collapsed text (engine-portable class, see
+# ops/dedup.py::_content_digest).
+_MINHASH_CHAR_CTES = _MINHASH_CTES.replace(
+    """tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+sh0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM sh0
+),""",
+    """norm AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '[ \t\n\r\f]+', ' ', 'g') AS s
+  FROM documents WHERE text IS NOT NULL
+),
+sh0 AS (
+  SELECT doc_id, s,
+         unnest(generate_series(1, greatest(len(s) - 7, 1))) AS i
+  FROM norm
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(s, i, 8) AS shingle FROM sh0
+),""",
+)
+assert _MINHASH_CHAR_CTES != _MINHASH_CTES, "char CTE substitution failed"
+
+ORACLE_SQL["dedup_minhash_char"] = f"""
+WITH {_MINHASH_CHAR_CTES}
 SELECT id_a, id_b, n_bands_match, est_jaccard FROM est ORDER BY id_a, id_b
 """
 

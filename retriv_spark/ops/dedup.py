@@ -100,42 +100,74 @@ def exact_dedup(
 # -- shingles ------------------------------------------------------------
 
 
-def shingles_col(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a text column (array<string>).
+def shingles_col(text: Column, k: int = 3, unit: str = "word") -> Column:
+    """Distinct k-gram shingles of a text column (array<string>).
+
+    ``unit="word"``: k-word grams over whitespace tokens of the trimmed
+    text (the document-similarity default).  ``unit="char"``: k-char
+    substrings of the text with whitespace runs collapsed to single
+    spaces — the standard granularity for SOURCE CODE and other corpora
+    where word tokens are too coarse; the collapse class is the
+    engine-portable ``[ \\t\\n\\r\\f]`` (see ``_content_digest``).
 
     Arrow-batched UDF rather than Column algebra: the equivalent
     ``transform(sequence(...), i -> array_join(slice(toks, i, k)))``
     runs in Catalyst's INTERPRETED higher-order-function evaluator (no
     whole-stage codegen for lambda functions) and measured ~5x slower at
     ~50 shingles/doc.  Semantics identical to the SQL-oracle form:
-    whitespace tokens of the trimmed text; texts shorter than k yield one
-    (short) shingle; duplicates dropped keeping first occurrence.
+    texts shorter than k yield one (short) shingle; duplicates dropped
+    keeping first occurrence.
     """
-    if k not in _SHINGLE_UDFS:
+    if unit not in ("word", "char"):
+        raise ValueError(f"unknown shingle unit {unit!r} (word|char)")
+    if (k, unit) not in _SHINGLE_UDFS:
         import re
 
         ws = re.compile(r"\s+")
+        pws = re.compile("[ \t\n\r\f]+")
 
-        @pandas_udf("array<string>")
-        def f(texts: pd.Series) -> pd.Series:
-            out = []
-            for x in texts:
-                if x is None:
-                    out.append([])
-                    continue
-                toks = [t for t in ws.split(x.strip()) if t]
-                out.append(
-                    list(
-                        dict.fromkeys(
-                            " ".join(toks[i : i + k])
-                            for i in range(max(len(toks) - k + 1, 1))
+        if unit == "word":
+
+            @pandas_udf("array<string>")
+            def f(texts: pd.Series) -> pd.Series:
+                out = []
+                for x in texts:
+                    if x is None:
+                        out.append([])
+                        continue
+                    toks = [t for t in ws.split(x.strip()) if t]
+                    out.append(
+                        list(
+                            dict.fromkeys(
+                                " ".join(toks[i : i + k])
+                                for i in range(max(len(toks) - k + 1, 1))
+                            )
                         )
                     )
-                )
-            return pd.Series(out)
+                return pd.Series(out)
 
-        _SHINGLE_UDFS[k] = f
-    return _SHINGLE_UDFS[k](text)
+        else:
+
+            @pandas_udf("array<string>")
+            def f(texts: pd.Series) -> pd.Series:
+                out = []
+                for x in texts:
+                    if x is None:
+                        out.append([])
+                        continue
+                    s = pws.sub(" ", x.strip(" "))
+                    out.append(
+                        list(
+                            dict.fromkeys(
+                                s[i : i + k]
+                                for i in range(max(len(s) - k + 1, 1))
+                            )
+                        )
+                    )
+                return pd.Series(out)
+
+        _SHINGLE_UDFS[(k, unit)] = f
+    return _SHINGLE_UDFS[(k, unit)](text)
 
 
 _SHINGLE_UDFS: dict = {}
@@ -148,6 +180,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_shingle_df: Optional[int] = None,
+    unit: str = "word",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with k-gram Jaccard >= threshold via a
     shingle inverted-index join: explode shingles, self-join on shingle,
@@ -168,7 +201,7 @@ def ngram_jaccard_pairs(
     # once per join side.
     rows = df.select(
         F.col(id_col).alias("id"),
-        shingles_col(F.col(text_col), k).alias("sh"),
+        shingles_col(F.col(text_col), k, unit).alias("sh"),
     ).select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
@@ -225,6 +258,7 @@ def minhash_signature(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     k: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
     """(id, sig: array<long>) — sig[i] = min over distinct shingles of
     (a_i * base + b_i) & MASK where base = portable_hash64(shingle) & MASK.
@@ -242,7 +276,7 @@ def minhash_signature(
     assert n_hashes <= len(MINHASH_AB)
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+        F.explode(shingles_col(F.col(text_col), k, unit)).alias("shingle"),
     ).select(
         "id",
         portable_hash64(F.col("shingle")).bitwiseAND(F.lit(MINHASH_MASK)).alias("h"),
@@ -267,6 +301,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
@@ -281,7 +316,7 @@ def minhash_lsh_pairs(
     # whole shingle→md5→min-agg signature pipeline (the expensive part)
     # executes twice.  Signatures are n_hashes longs per doc — the persist
     # is doc_count × ~150 B, negligible next to the corpus.
-    sigs = minhash_signature(df, text_col, id_col, n_hashes, k).persist()
+    sigs = minhash_signature(df, text_col, id_col, n_hashes, k, unit).persist()
 
     banded = sigs.select(
         "id",

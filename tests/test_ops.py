@@ -618,3 +618,43 @@ def test_canonical_digest_matches_python_replica(spark):
             cls.sub(" ", t.strip(" ")).lower().encode("utf-8")
         ).hexdigest()
         assert got[i] == want, (i, repr(t))
+
+
+def test_char_shingles(spark):
+    from retriv_spark.ops.dedup import shingles_col
+
+    df = spark.createDataFrame(
+        [(0, " ab\tc "), (1, None), (2, "x")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", shingles_col(F.col("text"), 3, "char").alias("sh")
+        ).collect()
+    }
+    # trim strips spaces, \t collapses to ' ': "ab c" -> "ab ", "b c"
+    assert got[0] == ["ab ", "b c"]
+    assert got[1] == []
+    assert got[2] == ["x"]  # shorter than k -> one whole-string shingle
+    with pytest.raises(ValueError, match="unit"):
+        df.select(shingles_col(F.col("text"), 3, "byte"))
+
+
+def test_minhash_char_unit(docs_df):
+    # identical docs collide on every band at any unit; char-unit
+    # signatures are deterministic across partitionings
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in minhash_lsh_pairs(
+            docs_df, n_hashes=16, bands=8, k=8, unit="char"
+        ).collect()
+    }
+    exact = pairs[(0, 2)]
+    assert exact.n_bands_match == 8 and exact.est_jaccard == 1.0
+    s1 = minhash_signature(docs_df, n_hashes=8, k=8, unit="char").orderBy("id").collect()
+    s2 = (
+        minhash_signature(docs_df.repartition(5), n_hashes=8, k=8, unit="char")
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.sig for r in s1] == [r.sig for r in s2]
