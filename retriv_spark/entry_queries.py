@@ -452,6 +452,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_jaccard_char(spark, sf_dir):
+    """Exact n-gram Jaccard over character 8-gram shingles (the
+    source-code granularity; higher threshold — char shingles overlap
+    much more than word shingles on sibling documents)."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=8, threshold=0.5, unit="char"
+    ).orderBy("id_a", "id_b")
+
+
 def q_dedup_minhash_char(spark, sf_dir):
     """MinHash+LSH over CHARACTER 8-gram shingles — the granularity for
     source code and other corpora where word tokens are too coarse
@@ -1512,6 +1521,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_char": q_dedup_minhash_char,
+    "dedup_jaccard_char": q_dedup_jaccard_char,
     "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1645,6 +1655,33 @@ j AS (
   JOIN cnt cb ON cb.doc_id = id_b
 )
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+""",
+    "dedup_jaccard_char": """
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '[ \t\n\r\f]+', ' ', 'g') AS s
+  FROM documents WHERE text IS NOT NULL
+),
+sh0 AS (
+  SELECT doc_id, s,
+         unnest(generate_series(1, greatest(len(s) - 7, 1))) AS i
+  FROM norm
+),
+sh AS (SELECT DISTINCT doc_id, substr(s, i, 8) AS shingle FROM sh0),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b,
+         round(n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """,
     "dedup_jaccard_capped": """
 WITH tok AS (
