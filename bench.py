@@ -27,6 +27,7 @@ HEADLINE = [
     "hybrid_fusion",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_char",
     "dedup_clusters",
     "simhash",
     "ann_cosine_topk",
