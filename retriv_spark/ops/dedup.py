@@ -236,6 +236,33 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def prune_hot_buckets(
+    rows: DataFrame, key_cols: List[str], max_bucket_df: int
+) -> DataFrame:
+    """Scale guard for signature self-joins: drop every bucket key that
+    more than ``max_bucket_df`` rows share BEFORE the self-join.
+
+    A self-join on a bucket key emits df² rows per key; one
+    boilerplate-heavy bucket with 1M members means 10¹² candidate rows
+    out of a single join key — a straggler/disk-fill, not just a slow
+    task.  Buckets that exceed the cap are, by construction, near-total
+    duplicate groups that exact dedup should have collapsed first; the
+    cap makes the op safe when the caller forgets.  The hot-key set is
+    tiny (few keys exceed the cap), so the prune is a count agg plus a
+    broadcast anti-join — no skewed shuffle anywhere in the plan.
+
+    Same shape as the ``max_shingle_df`` guard in
+    :func:`ngram_jaccard_pairs`; shared by the minhash-band,
+    simhash-block, and embedding-bucket joins."""
+    hot = (
+        rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_bucket_df)
+        .select(*key_cols)
+    )
+    return rows.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 # -- minhash + LSH ---------------------------------------------------------
 
 # One md5 per shingle, then n_hashes affine permutations (a*h+b) & MASK —
@@ -302,6 +329,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 3,
     unit: str = "word",
+    max_bucket_df: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
@@ -309,6 +337,16 @@ def minhash_lsh_pairs(
     band's hash-slice matches exactly. Returns (id_a, id_b, n_bands_match,
     est_jaccard) where est_jaccard = matching signature positions /
     n_hashes (the unbiased minhash Jaccard estimator).
+
+    ``max_bucket_df`` is the scale guard (see :func:`prune_hot_buckets`):
+    (band, band_key) buckets shared by more than that many docs are
+    dropped before the self-join, bounding per-key fan-out at
+    max_bucket_df².  Members of a pruned bucket can still pair through
+    their other bands; a group identical in EVERY band (i.e. exact
+    duplicates the caller should have collapsed first) is skipped.
+    ``n_bands_match`` counts only unpruned matching bands;
+    ``est_jaccard`` still compares the FULL signatures, so surviving
+    pairs score identically with or without the cap.
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
@@ -335,6 +373,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    if max_bucket_df is not None:
+        banded = prune_hot_buckets(banded, ["band", "band_key"], max_bucket_df)
 
     a = banded.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_key"
@@ -419,12 +459,24 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     n_blocks: int = 4,
+    max_bucket_df: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming, found via
     the block-permutation trick: split the signature into ``n_blocks``
     blocks; any pair within distance < n_blocks shares at least one exact
-    block (pigeonhole) — join per block, verify hamming on candidates."""
-    sigs = simhash_signature(df, text_col, id_col)
+    block (pigeonhole) — join per block, verify hamming on candidates.
+
+    ``max_bucket_df`` (see :func:`prune_hot_buckets`) drops (block,
+    block_val) buckets shared by more than that many docs before the
+    self-join — the scale guard against identical-signature masses.
+    Members of a pruned bucket can still pair via their other blocks;
+    hamming on survivors is computed from the full signatures, so capped
+    results for surviving pairs are exact."""
+    # persisted: the block self-join (and the hot-bucket count when capped)
+    # consumes the signatures 2-3 times; without a persist the Arrow simhash
+    # UDF — the expensive stage — re-executes per consumer.  One long per
+    # doc, negligible footprint.
+    sigs = simhash_signature(df, text_col, id_col).persist()
     width = 60 // n_blocks
     blocked = sigs.select(
         "id",
@@ -443,6 +495,8 @@ def simhash_neardup_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", F.col("b.block").alias("block"), F.col("b.block_val").alias("block_val"))
+    if max_bucket_df is not None:
+        blocked = prune_hot_buckets(blocked, ["block", "block_val"], max_bucket_df)
     a = blocked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block", "block_val")
     b = blocked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "block", "block_val")
     cand = (
@@ -630,7 +684,10 @@ def flag_in_prior(
     canonicalize: bool = False,
 ) -> DataFrame:
     """Exact incremental-dedup flags: ``flag_col`` = 1 iff the row's
-    sha256(text) appears in the prior snapshot.  Digest-keyed left join
+    content digest — sha256 of the raw text, or of the canonicalized
+    text when ``canonicalize`` is set (see :func:`_content_digest`; both
+    sides use the same key definition) — appears in the prior snapshot.
+    Digest-keyed left join
     (256-bit keys: uniform, skew-free); AQE broadcasts the prior side
     when a day's digest delta is small, else sort-merge.  Bodies of the
     NEW batch ride the probe side of one join — for snapshot sizes
@@ -817,6 +874,29 @@ def repeated_span_index(
     )
 
 
+# Persisted hash-annotated frames from repeated_span_stats /
+# strip_repeated_spans (reuse_hashes=True).  The op cannot unpersist them
+# itself — the returned DataFrame still reads through the cache until the
+# caller runs an action — so they are registered here for explicit release.
+_SPAN_HASH_CACHES: list = []
+
+
+def release_span_hash_caches() -> int:
+    """Unpersist every hash-annotated frame persisted by
+    :func:`repeated_span_stats` / :func:`strip_repeated_spans` with
+    ``reuse_hashes=True`` (the default).  Call AFTER the action that
+    consumes the returned DataFrame; in a long-lived session repeated
+    calls otherwise accumulate corpus-sized cached frames until the
+    ContextCleaner happens to reclaim them.  Returns the number of
+    frames released.  (Blocking=False: release is async, safe even if a
+    job is still running.)"""
+    n = 0
+    while _SPAN_HASH_CACHES:
+        _SPAN_HASH_CACHES.pop().unpersist(blocking=False)
+        n += 1
+    return n
+
+
 def repeated_span_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -841,6 +921,11 @@ def repeated_span_stats(
     runs TWICE in one plan; ``reuse_hashes=True`` (default) persists the
     hash arrays (``MEMORY_AND_DISK``) so it runs once — same trade as
     ``strip_repeated_spans``.
+
+    Caching contract: the persisted frame backs the RETURNED DataFrame,
+    so the op cannot unpersist it; it stays cached until
+    :func:`release_span_hash_caches` is called (do so after the
+    consuming action) or the ContextCleaner reclaims it.
     """
     if reuse_hashes:
         from pyspark import StorageLevel
@@ -853,6 +938,7 @@ def repeated_span_stats(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        _SPAN_HASH_CACHES.append(base)
         spans = base.select(
             id_col,
             F.size("hs").cast("long").alias("n_windows"),
@@ -954,6 +1040,10 @@ def strip_repeated_spans(
     two-pass shape when caching corpus+hashes is undesirable (at real
     100 TB scale the equivalent is checkpointing the hash table, not
     recomputing — but the recompute shape needs no storage headroom).
+
+    Caching contract: the persisted hash-annotated frame backs the
+    RETURNED DataFrame; release it with
+    :func:`release_span_hash_caches` after the consuming action.
     """
     import numpy as np
 
@@ -971,6 +1061,7 @@ def strip_repeated_spans(
         df_h = df.withColumn(
             hs_col, span_hashes_col(F.col(text_col), window)
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SPAN_HASH_CACHES.append(df_h)
         # array_distinct per doc makes every exploded (h, doc) pair unique,
         # so the distinct-doc count is a plain count(*): the partial agg
         # is a cheap counter instead of a per-key doc-id hash set, and

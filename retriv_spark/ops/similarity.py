@@ -184,15 +184,28 @@ def embedding_neardup_pairs(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_df: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cos >= threshold) via bucketed
     self-join: only same-bucket pairs are compared. Returns
-    (id_a, id_b, cos)."""
+    (id_a, id_b, cos).
+
+    ``max_bucket_df`` is the scale guard (see
+    :func:`retriv_spark.ops.dedup.prune_hot_buckets`): sign-bit buckets
+    shared by more than that many vectors are dropped before the
+    self-join, bounding per-key fan-out at max_bucket_df².  Unlike the
+    multi-band LSH ops each vector has exactly one bucket, so members of
+    a pruned bucket emit no pairs at all — such a bucket is an
+    identical-direction mass that exact dedup should collapse first."""
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("emb"),
         signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
+    if max_bucket_df is not None:
+        from .dedup import prune_hot_buckets
+
+        c = prune_hot_buckets(c, ["bucket"], max_bucket_df)
     a = c.select(F.col("id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket")
     b = c.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))

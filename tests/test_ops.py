@@ -575,7 +575,7 @@ def test_incremental_canonicalize(spark, method):
 
 
 def test_canonical_whitespace_class_is_engine_portable(spark):
-    """The canonical key collapses exactly [ \t\n\r\f] — NOT Java's
+    r"""The canonical key collapses exactly [ \t\n\r\f] — NOT Java's
     \s (which adds vertical tab, absent from RE2/DuckDB \s): a dedup
     key must mean the same bytes in every engine."""
     from retriv_spark.ops.dedup import exact_dedup_groups
@@ -658,3 +658,113 @@ def test_minhash_char_unit(docs_df):
         .collect()
     )
     assert [r.sig for r in s1] == [r.sig for r in s2]
+
+
+# -- hot-bucket cap (VERDICT r2 item 1) -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skew_docs_df(spark):
+    """10k byte-identical docs (one hot signature bucket in EVERY band)
+    plus one planted rare exact-dup pair.  Uncapped, the identical mass
+    alone emits ~50M candidate rows out of a single join key."""
+    mass = [
+        (i, "the same boiler plate body repeated in every single document")
+        for i in range(10_000)
+    ]
+    rare = [
+        (20_000, "rare alpha beta gamma delta epsilon zeta eta theta"),
+        (20_001, "rare alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    return spark.createDataFrame(
+        mass + rare, "doc_id long, text string"
+    ).repartition(8)
+
+
+def test_lsh_hot_bucket_cap_bounds_identical_mass(spark, skew_docs_df):
+    """max_bucket_df prunes the 10k-identical bucket from every band —
+    the op returns ONLY the planted rare pair, at full signature score,
+    instead of materializing the quadratic mass."""
+    pairs = minhash_lsh_pairs(
+        skew_docs_df, n_hashes=16, bands=4, max_bucket_df=100
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(20_000, 20_001)]
+    assert pairs[0].n_bands_match == 4
+    assert pairs[0].est_jaccard == 1.0
+
+
+def test_simhash_hot_bucket_cap_bounds_identical_mass(spark, skew_docs_df):
+    from retriv_spark.ops.dedup import simhash_neardup_pairs
+
+    pairs = simhash_neardup_pairs(
+        skew_docs_df, max_hamming=3, max_bucket_df=100
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(20_000, 20_001)]
+    assert pairs[0].hamming == 0
+
+
+def test_embedding_hot_bucket_cap_bounds_identical_mass(spark):
+    from retriv_spark.ops.similarity import embedding_neardup_pairs
+
+    mass = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(10_000)]
+    rare = [
+        (20_000, [-1.0, -1.0, 1.0, 1.0]),
+        (20_001, [-1.0, -1.0, 1.0, 0.99]),
+    ]
+    vecs = spark.createDataFrame(
+        mass + rare, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    pairs = embedding_neardup_pairs(
+        vecs, threshold=0.9, n_bits=4, max_bucket_df=100
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(20_000, 20_001)]
+    assert pairs[0].cos > 0.99
+
+
+def test_lsh_cap_keeps_partial_band_overlap(spark):
+    """A pruned bucket removes only THAT band's candidacy: docs that also
+    share a rare band still pair, and est_jaccard (full-signature) is
+    identical with and without the cap."""
+    # 50 docs share a common prefix long enough to dominate one band;
+    # docs 0 and 1 are near-identical (differ in one trailing token).
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base + " tail0"), (1, base + " tail0 extra")]
+    rows += [(i, base + f" unique{i} u{i}b u{i}c u{i}d u{i}e") for i in range(2, 52)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unc = {
+        (r.id_a, r.id_b): r
+        for r in minhash_lsh_pairs(df, n_hashes=16, bands=8, k=2).collect()
+    }
+    cap = {
+        (r.id_a, r.id_b): r
+        for r in minhash_lsh_pairs(
+            df, n_hashes=16, bands=8, k=2, max_bucket_df=10
+        ).collect()
+    }
+    assert (0, 1) in unc and (0, 1) in cap
+    assert cap[(0, 1)].est_jaccard == unc[(0, 1)].est_jaccard
+    assert cap[(0, 1)].n_bands_match <= unc[(0, 1)].n_bands_match
+
+
+def test_release_span_hash_caches(spark, span_df):
+    """reuse_hashes=True registers the persisted hash frame; the release
+    hook unpersists everything registered (ADVICE r2: long-lived sessions
+    must not accumulate corpus-sized caches)."""
+    from retriv_spark.ops.dedup import (
+        _SPAN_HASH_CACHES,
+        release_span_hash_caches,
+        repeated_span_stats,
+        strip_repeated_spans,
+    )
+
+    release_span_hash_caches()  # clean slate (other tests may register)
+    repeated_span_stats(span_df, window=8, min_docs=2).collect()
+    strip_repeated_spans(span_df, window=8, min_docs=2).collect()
+    assert len(_SPAN_HASH_CACHES) == 2
+    cached = list(_SPAN_HASH_CACHES)
+    assert all(f.storageLevel.useMemory or f.storageLevel.useDisk for f in cached)
+    assert release_span_hash_caches() == 2
+    assert _SPAN_HASH_CACHES == []
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk) for f in cached
+    )
