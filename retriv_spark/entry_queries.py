@@ -1119,6 +1119,103 @@ def q_bm25_lancaster(spark, sf_dir):
     )
 
 
+# Arabic full-pipeline pair: RTL Arabic-script text through normalization +
+# whitespace tokenizer + the arabic stop-word list, stemmer=None — the point
+# is the stop-word tier added in round 3 (reference stopwords.py:5-34 lists
+# arabic; its list resolves via nltk downloads, ours via the embedded
+# approximate tier).  "the" maps to "في" (in ARABIC_STOPWORDS) to exercise
+# stop-word removal on Arabic script; all other words are non-stopwords.
+AR_MAP = {
+    "query": "استعلام", "join": "ربط", "data": "بيانات",
+    "table": "جدول", "sort": "ترتيب", "fast": "سريع",
+    "merge": "دمج", "window": "نافذة", "spark": "شرارة",
+    "stream": "تدفق", "filter": "مرشح", "group": "مجموعة",
+    "value": "قيمة", "key": "مفتاح", "row": "صف",
+    "column": "عمود", "the": "في",
+}
+ARABIC_QUERIES = [
+    ("q1", "استعلام بيانات"),
+    ("q2", "شرارة سريع"),
+    ("q3", "قيمة في صف"),
+    ("q4", "جدول دمج ترتيب"),
+]
+
+
+def _arabic_pre():
+    return TextPreprocessor(
+        tokenizer="whitespace", stemmer=None, stopwords="arabic",
+    )
+
+
+def _arabic_tok_sql() -> str:
+    # Map en->arabic through the ACTUAL pipeline (normalization + stop-word
+    # filter) at build time, so the oracle token table is correct by
+    # construction — same trick as _french_tok_sql's runtime stem table.
+    pre = _arabic_pre()
+
+    def lit(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    pairs = []
+    for en, ar in sorted(AR_MAP.items()):
+        toks = pre(ar)
+        if toks:  # stop-words drop out here ("the" -> "في" -> [])
+            pairs.append(f"({lit(en)}, {lit(toks[0])})")
+    return f"""
+  SELECT tk.doc_id, ar.term
+  FROM (
+    SELECT d.doc_id, t.term
+    FROM documents d,
+         unnest(string_split_regex(trim(d.text), '\\s+')) AS t(term)
+    WHERE t.term <> ''
+  ) tk
+  JOIN (VALUES {", ".join(pairs)}) AS ar(en, term) ON ar.en = tk.term"""
+
+
+def q_bm25_arabic(spark, sf_dir):
+    """BM25 over the Arabic-translated corpus through the full pipeline —
+    non-Latin RTL script end-to-end with the embedded arabic stop-word
+    list (stemmer=None)."""
+    docs = _docs(spark, sf_dir)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(AR_MAP.items()) for x in kv]
+    )
+    docs_ar = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"), lambda t: mapping[t]
+            ),
+            " ",
+        ),
+    )
+    pre = _arabic_pre()
+    idx = build_index(
+        spark, docs_ar, pre,
+        text_col="text", id_col="doc_id",
+        order_cols=["doc_id"], min_df=1,
+        doc_id_col_precomputed="doc_id",
+    )
+    rows = [
+        (qid, t, 1) for qid, text in ARABIC_QUERIES for t in pre(text)
+    ]
+    qt = spark.createDataFrame(rows, "q_id string, term string, n_occ int")
+    scored = score_query_terms(
+        idx, qt, model="bm25", k1=K1, b=B, cutoff=CUTOFF,
+        precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .select(
+            "q_id",
+            F.col("doc_id"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def _qrels_df(docs: DataFrame, queries) -> DataFrame:
     """Deterministic graded qrels mirroring _QRELS_CTE: every doc with
     doc_id % 5 == 0 is relevant to every query, grade 1 + doc_id % 2."""
@@ -1548,6 +1645,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_french": q_bm25_french,
     "bm25_russian": q_bm25_russian,
     "bm25_lancaster": q_bm25_lancaster,
+    "bm25_arabic": q_bm25_arabic,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
@@ -2181,6 +2279,20 @@ ORDER BY q_id, rank
 ORACLE_SQL["bm25_lancaster"] = f"""{
     _bm25_ctes(_LANCASTER_QUERIES_ORACLE, "bm25",
                tok_sql=_lancaster_tok_sql())
+}
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+# Oracle query tokens through the same pipeline object (stop-words drop
+# out of q3 here), mirroring the Spark side's `pre(text)` exactly.
+_ARABIC_QUERIES_ORACLE = [
+    (qid, " ".join(_arabic_pre()(text))) for qid, text in ARABIC_QUERIES
+]
+
+ORACLE_SQL["bm25_arabic"] = f"""{
+    _bm25_ctes(_ARABIC_QUERIES_ORACLE, "bm25", tok_sql=_arabic_tok_sql())
 }
 SELECT q_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= {CUTOFF}

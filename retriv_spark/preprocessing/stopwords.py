@@ -2,15 +2,49 @@
 
 The reference resolves stop-words via nltk downloads
 (/root/reference/retriv/sparse_retriever/preprocessing/stopwords.py:37-56).
-nltk is not available here, so the standard NLTK English stop-word list
-(public domain, 179 entries) is embedded as a constant.  Other languages can
-be supplied by the caller as an explicit list/set, matching the reference's
+nltk is not available here, so every reference-supported language
+(stopwords.py:5-34, 29 languages) resolves against embedded constants in
+two provenance tiers — see ``stopwords_data`` for the tier definitions:
+
+* ``VERIFIED_STOPWORD_LANGUAGES`` — bit-equal to the nltk corpus copy the
+  local Spark distribution vendors (asserted by ``tests/test_stopwords.py``).
+  English is the modern nltk list (179 entries) rather than the older
+  snapshot in the jar, matching what the reference downloads today.
+* ``APPROXIMATE_STOPWORD_LANGUAGES`` — reconstructions of the most frequent
+  function words; exact nltk parity NOT claimed (docs/COVERAGE.md).
+
+Callers can always pass an explicit list/set, matching the reference's
 ``get_stopwords`` contract.
 """
 
 from __future__ import annotations
 
 from typing import List, Set, Union
+
+#: Languages whose embedded list is byte-identical to the nltk corpus copy
+#: vendored inside the local spark-mllib jar (plus english, which tracks the
+#: modern nltk corpus — see module docstring).
+VERIFIED_STOPWORD_LANGUAGES = frozenset(
+    {
+        "danish", "dutch", "english", "finnish", "french", "german",
+        "hungarian", "italian", "norwegian", "portuguese", "russian",
+        "spanish", "swedish", "turkish",
+    }
+)
+
+#: Languages resolved with an approximate reconstruction (stopwords_data.py).
+APPROXIMATE_STOPWORD_LANGUAGES = frozenset(
+    {
+        "arabic", "azerbaijani", "basque", "bengali", "catalan", "chinese",
+        "greek", "hebrew", "hinglish", "indonesian", "kazakh", "nepali",
+        "romanian", "slovene", "tajik",
+    }
+)
+
+#: Mirrors the reference's ``supported_languages`` set (stopwords.py:5-34).
+SUPPORTED_STOPWORD_LANGUAGES = (
+    VERIFIED_STOPWORD_LANGUAGES | APPROXIMATE_STOPWORD_LANGUAGES
+)
 
 ENGLISH_STOPWORDS: List[str] = [
     "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
@@ -46,23 +80,17 @@ def get_stopwords(sw_list: Union[str, List[str], Set[str], None]) -> List[str]:
             return list(ENGLISH_STOPWORDS)
         from . import stopwords_data
 
-        by_lang = {
-            "french": stopwords_data.FRENCH_STOPWORDS,
-            "german": stopwords_data.GERMAN_STOPWORDS,
-            "spanish": stopwords_data.SPANISH_STOPWORDS,
-            "italian": stopwords_data.ITALIAN_STOPWORDS,
-            "portuguese": stopwords_data.PORTUGUESE_STOPWORDS,
-            "russian": stopwords_data.RUSSIAN_STOPWORDS,
-            "danish": stopwords_data.DANISH_STOPWORDS,
-            "norwegian": stopwords_data.NORWEGIAN_STOPWORDS,
-            "swedish": stopwords_data.SWEDISH_STOPWORDS,
-            "dutch": stopwords_data.DUTCH_STOPWORDS,
-        }
-        if name not in by_lang:
+        if name not in SUPPORTED_STOPWORD_LANGUAGES:
             raise AssertionError(
                 f"Stop-words for {sw_list.capitalize()} are not available."
             )
-        return list(by_lang[name])
+        words = list(getattr(stopwords_data, name.upper() + "_STOPWORDS"))
+        if name == "hinglish":
+            # nltk's hinglish list is romanized Hindi + the English list;
+            # union the English tail in, preserving order, skipping repeats.
+            seen = set(words)
+            words += [w for w in ENGLISH_STOPWORDS if w not in seen]
+        return words
     elif type(sw_list) is list and all(isinstance(x, str) for x in sw_list):
         return sw_list
     elif type(sw_list) is set:

@@ -1,0 +1,115 @@
+"""Stop-word list provenance and resolution tests.
+
+The reference resolves 29 languages via nltk downloads
+(/root/reference/retriv/sparse_retriever/preprocessing/stopwords.py:5-56).
+Offline, the verified tier is pinned bit-equal to the nltk corpus copy the
+local Spark distribution vendors inside spark-mllib's jar (the jar's README
+is the nltk corpus README, i.e. the same upstream) — re-extracted here and
+asserted byte-for-byte.  The approximate tier only guarantees resolution
+plus list hygiene.
+"""
+
+import glob
+import os
+import zipfile
+
+import pytest
+
+from retriv_spark.preprocessing import stopwords_data
+from retriv_spark.preprocessing.stopwords import (
+    APPROXIMATE_STOPWORD_LANGUAGES,
+    ENGLISH_STOPWORDS,
+    SUPPORTED_STOPWORD_LANGUAGES,
+    VERIFIED_STOPWORD_LANGUAGES,
+    get_stopwords,
+)
+
+# The reference's supported_languages set, verbatim (stopwords.py:5-34).
+REFERENCE_LANGUAGES = {
+    "arabic", "azerbaijani", "basque", "bengali", "catalan", "chinese",
+    "danish", "dutch", "english", "finnish", "french", "german", "greek",
+    "hebrew", "hinglish", "hungarian", "indonesian", "italian", "kazakh",
+    "nepali", "norwegian", "portuguese", "romanian", "russian", "slovene",
+    "spanish", "swedish", "tajik", "turkish",
+}
+
+
+def _jar_lists():
+    import pyspark
+
+    jars = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "spark-mllib_*.jar")
+    )
+    if not jars:
+        pytest.skip("spark-mllib jar not found")
+    out = {}
+    with zipfile.ZipFile(jars[0]) as z:
+        prefix = "org/apache/spark/ml/feature/stopwords/"
+        for name in z.namelist():
+            if name.startswith(prefix) and name.endswith(".txt"):
+                lang = name[len(prefix) : -4]
+                txt = z.read(name).decode("utf-8")
+                out[lang] = [w for w in txt.split("\n") if w]
+    return out
+
+
+def test_supported_set_matches_reference():
+    assert SUPPORTED_STOPWORD_LANGUAGES == REFERENCE_LANGUAGES
+
+
+def test_verified_tier_bit_equal_to_spark_vendored_nltk_corpus():
+    jar = _jar_lists()
+    checked = 0
+    for lang in sorted(VERIFIED_STOPWORD_LANGUAGES - {"english"}):
+        assert lang in jar, lang
+        ours = getattr(stopwords_data, lang.upper() + "_STOPWORDS")
+        assert list(ours) == jar[lang], lang
+        checked += 1
+    assert checked == 13
+
+
+def test_english_is_modern_nltk_list_not_jar_snapshot():
+    # The jar ships a pre-2017 nltk snapshot ("can't", "cannot", no "ain");
+    # the reference downloads the modern corpus, which is what we embed.
+    jar = _jar_lists()
+    assert get_stopwords("english") == ENGLISH_STOPWORDS
+    assert len(ENGLISH_STOPWORDS) == 179
+    assert "ain" in ENGLISH_STOPWORDS and "mustn't" in ENGLISH_STOPWORDS
+    assert "cannot" in jar["english"] and "cannot" not in ENGLISH_STOPWORDS
+
+
+@pytest.mark.parametrize("lang", sorted(REFERENCE_LANGUAGES))
+def test_every_reference_language_resolves(lang):
+    words = get_stopwords(lang)
+    assert isinstance(words, list) and len(words) >= 50
+    assert all(isinstance(w, str) and w and w == w.strip() for w in words)
+    assert all(w == w.lower() for w in words)
+
+
+@pytest.mark.parametrize("lang", sorted(APPROXIMATE_STOPWORD_LANGUAGES))
+def test_approximate_tier_has_no_duplicates(lang):
+    # (The verified tier intentionally preserves upstream duplicates for
+    # bit-equality — e.g. finnish repeats "niin".)
+    words = getattr(stopwords_data, lang.upper() + "_STOPWORDS")
+    assert len(words) == len(set(words))
+
+
+def test_hinglish_unions_english_tail():
+    words = get_stopwords("hinglish")
+    assert len(words) == len(set(words))
+    assert "kyunki" in words  # romanized-Hindi side
+    assert all(w in words for w in ENGLISH_STOPWORDS)  # English side
+
+
+def test_case_insensitive_and_error_message_parity():
+    assert get_stopwords("French") == get_stopwords("french")
+    # Reference raises AssertionError "Stop-words for Klingon are not
+    # available." (stopwords.py:39-41).
+    with pytest.raises(AssertionError, match="Stop-words for Klingon"):
+        get_stopwords("klingon")
+
+
+def test_passthrough_contract():
+    assert get_stopwords(["a", "b"]) == ["a", "b"]
+    assert sorted(get_stopwords({"x", "y"})) == ["x", "y"]
+    assert get_stopwords(None) == []
