@@ -1062,6 +1062,116 @@ def q_bm25_russian(spark, sf_dir):
     )
 
 
+# Finnish full-pipeline pair: agglutinative morphology end-to-end —
+# the round-3 spec-derived Finnish Snowball stemmer must collapse case
+# endings (inessive/adessive/illative/translative), possessives, and
+# plural chains onto the corpus stems, and DuckDB re-derives the exact
+# ranking.  Every Finnish word below is in the golden vector set
+# (tests/test_snowball.py FINNISH), so the runtime-generated stem table
+# is independently pinned.  "the" maps to the stopword "ja"
+# (stem-stable) to exercise stop-word removal.
+FI_MAP = {
+    "query": "kirjan", "join": "kaupungissa", "data": "tietokoneella",
+    "table": "talossa", "merge": "järjestelmässä", "window": "autolla",
+    "spark": "pankki", "sort": "opiskelijat", "fast": "nopeasti",
+    "stream": "vuosien", "filter": "lasten", "group": "huoneeseen",
+    "value": "suurimman", "key": "kalaksi", "row": "tyttökin",
+    "column": "aikoina", "the": "ja",
+}
+FINNISH_QUERIES = [
+    # inflections differing from the corpus forms, same stems
+    ("q1", "kirjat kaupungin"),
+    ("q2", "pankit tietokoneen"),
+    ("q3", "talot ja huoneet"),
+    ("q4", "opiskelijan suurimmat"),
+]
+_FINNISH_QUERIES_ORACLE = [
+    ("q1", "kirj kaupung"),
+    ("q2", "pank tietokon"),
+    ("q3", "talo huon"),
+    ("q4", "opiskelij suurim"),
+]
+
+
+def _finnish_tok_sql() -> str:
+    from .preprocessing.snowball_fi import finnish_stem
+    from .preprocessing.stopwords import get_stopwords
+
+    def lit(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    sw = sorted({finnish_stem(w) for w in get_stopwords("finnish")})
+    sw_lits = ", ".join(lit(w) for w in sw)
+    fi_pairs = ", ".join(
+        f"({lit(en)}, {lit(fi)})" for en, fi in sorted(FI_MAP.items())
+    )
+    stem_pairs = ", ".join(
+        f"({lit(fi)}, {lit(finnish_stem(fi))})"
+        for fi in sorted(set(FI_MAP.values()))
+        if fi not in sw
+    )
+    return f"""
+  SELECT r.doc_id, m.stem AS term
+  FROM (
+    SELECT tk.doc_id, fi.fi AS raw
+    FROM (
+      SELECT d.doc_id, t.term
+      FROM documents d,
+           unnest(string_split_regex(trim(d.text), '\\s+')) AS t(term)
+      WHERE t.term <> ''
+    ) tk
+    JOIN (VALUES {fi_pairs}) AS fi(en, fi) ON fi.en = tk.term
+    WHERE fi.fi NOT IN ({sw_lits})
+  ) r
+  JOIN (VALUES {stem_pairs}) AS m(raw, stem) ON m.raw = r.raw"""
+
+
+def q_bm25_finnish(spark, sf_dir):
+    """BM25 over the Finnish-translated corpus through the full Finnish
+    pipeline — the spec-derived agglutinative stemmer end-to-end: the
+    index stores stems, queries arrive in other inflections."""
+    docs = _docs(spark, sf_dir)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(FI_MAP.items()) for x in kv]
+    )
+    docs_fi = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"), lambda t: mapping[t]
+            ),
+            " ",
+        ),
+    )
+    pre = TextPreprocessor(
+        tokenizer="whitespace", stemmer="finnish", stopwords="finnish",
+    )
+    idx = build_index(
+        spark, docs_fi, pre,
+        text_col="text", id_col="doc_id",
+        order_cols=["doc_id"], min_df=1,
+        doc_id_col_precomputed="doc_id",
+    )
+    rows = [
+        (qid, t, 1) for qid, text in FINNISH_QUERIES for t in pre(text)
+    ]
+    qt = spark.createDataFrame(rows, "q_id string, term string, n_occ int")
+    scored = score_query_terms(
+        idx, qt, model="bm25", k1=K1, b=B, cutoff=CUTOFF,
+        precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .select(
+            "q_id",
+            F.col("doc_id"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 # Lancaster (Paice/Husk) full-pipeline pair: same corpus and quirk as
 # bm25_stemmed, but through the aggressive iterative rule stemmer — a
 # second, independently-derived stemmer family exercised end-to-end
@@ -1644,6 +1754,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_french": q_bm25_french,
     "bm25_russian": q_bm25_russian,
+    "bm25_finnish": q_bm25_finnish,
     "bm25_lancaster": q_bm25_lancaster,
     "bm25_arabic": q_bm25_arabic,
     "decontaminate": q_decontaminate,
@@ -2270,6 +2381,14 @@ ORDER BY q_id, rank
 
 ORACLE_SQL["bm25_russian"] = f"""{
     _bm25_ctes(_RUSSIAN_QUERIES_ORACLE, "bm25", tok_sql=_russian_tok_sql())
+}
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+ORACLE_SQL["bm25_finnish"] = f"""{
+    _bm25_ctes(_FINNISH_QUERIES_ORACLE, "bm25", tok_sql=_finnish_tok_sql())
 }
 SELECT q_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= {CUTOFF}

@@ -1,0 +1,185 @@
+"""Finnish Snowball stemmer
+(https://snowballstem.org/algorithms/finnish/stemmer.html).
+
+Clean-room reconstruction of the published algorithm (the reference
+resolves it via nltk's SnowballStemmer("finnish"),
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:10-43).
+Follows the spec's structure: standard R1/R2; step 1 particles (-kin,
+-kaan, ... after n/t/vowel; -sti in R2), step 2 possessives, step 3
+case endings (illative -hXn, -siin/-den/-tten after Vi, -seen after a
+long vowel, -a/-ä after consonant+vowel, -n with long-vowel/ie
+shortening), step 4 comparatives/superlatives in R2, step 5 plural
+i/j/t handling chained off step 3/4 outcomes, step 6 tidying (long
+vowel, cX, oj/uj, jo, final double-consonant undoubling).
+
+Divergence policy: written offline from the published spec; behaviour
+pinned by self-consistency golden vectors in tests/test_snowball.py;
+exact nltk/libstemmer parity NOT claimed (docs/COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+from .snowball_base import in_region, longest_suffix, r1_r2
+
+VOWELS = "aeiouyäö"
+RESTRICTED_VOWELS = "aeiouäö"  # "V" in the spec (no y)
+LONG_VOWELS = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_STEP1_A = ("kin", "kaan", "kään", "ko", "kö", "han", "hän", "pa", "pä")
+_STEP2 = ("si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en")
+_ILLATIVE = {
+    "han": "a", "hen": "e", "hin": "i", "hon": "o",
+    "hun": "u", "hyn": "y", "hän": "ä", "hön": "ö",
+}
+_STEP3_PLAIN = (
+    "ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä", "lta",
+    "ltä", "lle", "na", "nä", "ksi", "ine",
+)
+_STEP3_ALL = (
+    tuple(_ILLATIVE) + ("siin", "den", "tten", "seen")
+    + ("tta", "ttä") + _STEP3_PLAIN + ("a", "ä", "n")
+)
+_STEP4_MP = ("mpi", "mpa", "mpä", "mmi", "mma", "mmä")
+_STEP4_IMP = ("impi", "impa", "impä", "immi", "imma", "immä")
+_STEP4_ALL = _STEP4_IMP + _STEP4_MP + ("eja", "ejä")
+
+
+def _ends_vi(base: str) -> bool:
+    """True when ``base`` ends with a restricted vowel followed by i."""
+    return (
+        len(base) >= 2
+        and base[-1] == "i"
+        and base[-2] in RESTRICTED_VOWELS
+    )
+
+
+def _ends_cv(base: str) -> bool:
+    return (
+        len(base) >= 2
+        and base[-2] not in VOWELS
+        and base[-1] in VOWELS
+    )
+
+
+def finnish_stem(word: str) -> str:
+    word = word.lower()
+    r1, r2 = r1_r2(word, VOWELS)
+
+    # ---- step 1: particles
+    suf = longest_suffix(word, _STEP1_A + ("sti",))
+    if suf == "sti":
+        if in_region(word, suf, r2):
+            word = word[: len(word) - 3]
+    elif suf and in_region(word, suf, r1):
+        base = word[: len(word) - len(suf)]
+        if base and (base[-1] in VOWELS or base[-1] in "nt"):
+            word = base
+
+    # ---- step 2: possessives
+    suf = longest_suffix(word, _STEP2)
+    if suf and in_region(word, suf, r1):
+        base = word[: len(word) - len(suf)]
+        if suf == "si":
+            if not base.endswith("k"):
+                word = base
+        elif suf == "ni":
+            word = base
+            if word.endswith("kse"):
+                word = word[:-3] + "ksi"
+        elif suf in ("nsa", "nsä", "mme", "nne"):
+            word = base
+        elif suf == "an":
+            if base.endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+                word = base
+        elif suf == "än":
+            if base.endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+                word = base
+        else:  # en
+            if base.endswith(("lle", "ine")):
+                word = base
+
+    # ---- step 3: case endings
+    ending_removed = False
+    suf = longest_suffix(word, _STEP3_ALL)
+    if suf and in_region(word, suf, r1):
+        base = word[: len(word) - len(suf)]
+        if suf in _ILLATIVE:
+            # -hXn deletes only when X matches the preceding vowel
+            if base.endswith(_ILLATIVE[suf]):
+                word = base
+                ending_removed = True
+        elif suf in ("siin", "den", "tten"):
+            if _ends_vi(base):
+                word = base
+                ending_removed = True
+        elif suf == "seen":
+            if base.endswith(LONG_VOWELS):
+                word = base
+                ending_removed = True
+        elif suf in ("a", "ä"):
+            if _ends_cv(base):
+                word = base
+                ending_removed = True
+        elif suf in ("tta", "ttä"):
+            if base.endswith("e"):
+                word = base
+                ending_removed = True
+        elif suf in _STEP3_PLAIN:
+            word = base
+            ending_removed = True
+        else:  # n
+            word = base
+            ending_removed = True
+            if word.endswith(LONG_VOWELS) or word.endswith("ie"):
+                word = word[:-1]
+
+    # ---- step 4: other endings (comparative/superlative), R2
+    suf = longest_suffix(word, _STEP4_ALL)
+    if suf and in_region(word, suf, r2):
+        base = word[: len(word) - len(suf)]
+        if suf in _STEP4_MP:
+            if not base.endswith("po"):
+                word = base
+        else:
+            word = base
+
+    # ---- step 5: plurals
+    if ending_removed:
+        if word.endswith(("i", "j")) and in_region(word, "i", r1):
+            word = word[:-1]
+    else:
+        if (
+            word.endswith("t")
+            and in_region(word, "t", r1)
+            and len(word) >= 2
+            and word[-2] in VOWELS
+        ):
+            word = word[:-1]
+            suf = longest_suffix(word, ("imma", "mma"))
+            if suf and in_region(word, suf, r2):
+                base = word[: len(word) - len(suf)]
+                if suf == "imma" or not base.endswith("po"):
+                    word = base
+
+    # ---- step 6: tidying
+    if word.endswith(LONG_VOWELS) and in_region(word, word[-1], r1):
+        word = word[:-1]
+    if (
+        len(word) >= 2
+        and word[-1] in "aäei"
+        and word[-2] not in VOWELS
+        and in_region(word, word[-1], r1)
+    ):
+        word = word[:-1]
+    if word.endswith(("oj", "uj")) and in_region(word, word[-1], r1):
+        word = word[:-1]
+    if word.endswith("jo") and in_region(word, word[-1], r1):
+        word = word[:-1]
+    # undouble a final double consonant followed by zero or more vowels
+    i = len(word) - 1
+    while i >= 0 and word[i] in VOWELS:
+        i -= 1
+    if i >= 1 and word[i] not in VOWELS and word[i] == word[i - 1]:
+        word = word[:i] + word[i + 1 :]
+
+    return word

@@ -1,0 +1,201 @@
+"""Hungarian Snowball stemmer
+(https://snowballstem.org/algorithms/hungarian/stemmer.html).
+
+Clean-room reconstruction of the published algorithm (the reference
+resolves it via nltk's SnowballStemmer("hungarian"),
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:10-43).
+Hungarian is R1-only: if the word begins with a vowel, R1 starts after
+the first consonant or digraph (cs dz dzs gy ly ny sz ty zs); if it
+begins with a consonant, after the first vowel.  Nine suffix-removal
+passes run in order: instrumental (-val/-vel assimilated to -al/-el
+after a doubled consonant, with undoubling), general case endings,
+special cases (-án/-én), -stul/-stül forms, factive -á/-é (with
+undoubling), owned (-é/-éi/-ké...), singular owner, plural owner, and
+plural, restoring a/e for the lengthened á/é where the spec says so.
+
+Divergence policy: written offline from the published spec; behaviour
+pinned by self-consistency golden vectors in tests/test_snowball.py;
+exact nltk/libstemmer parity NOT claimed (docs/COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+from .snowball_base import in_region, longest_suffix
+
+VOWELS = "aáeéiíoóöőuúüű"
+
+_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+
+# doubled consonants (incl. doubled digraphs), longest-first for matching
+_DOUBLES = (
+    "ccs", "ddz", "ddzs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+    "pp", "rr", "ss", "tt", "vv", "zz",
+)
+
+_CASE = (
+    "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val", "vel",
+    "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez", "höz",
+    "nál", "nél", "ig", "at", "et", "ot", "öt", "ért", "képp",
+    "képpen", "kor", "ul", "ül", "vá", "vé", "onként", "enként",
+    "anként", "ként", "en", "on", "an", "ön", "n", "t",
+)
+
+_OWNED_DELETE = ("oké", "öké", "aké", "eké", "ké", "éi", "é")
+_OWNED_A = ("áké", "áéi")
+_OWNED_E = ("éké", "ééi")
+_OWNED_ALL = _OWNED_DELETE + _OWNED_A + _OWNED_E
+
+_SOWNER_DELETE = (
+    "ünk", "unk", "nk", "juk", "jük", "uk", "ük", "em", "om", "am",
+    "m", "od", "ed", "ad", "öd", "d", "ja", "je", "a", "e", "o",
+)
+_SOWNER_A = ("ánk", "ájuk", "ám", "ád", "á")
+_SOWNER_E = ("énk", "éjük", "ém", "éd", "é")
+_SOWNER_ALL = _SOWNER_DELETE + _SOWNER_A + _SOWNER_E
+
+_POWNER_DELETE = (
+    "jaim", "jeim", "aim", "eim", "im", "jaid", "jeid", "aid", "eid",
+    "id", "jai", "jei", "ai", "ei", "i", "jaink", "jeink", "aink",
+    "eink", "ink", "jaitok", "jeitek", "aitok", "eitek", "itek",
+    "jaik", "jeik", "aik", "eik", "ik",
+)
+_POWNER_A = ("áim", "áid", "ái", "áink", "áitok", "áik")
+_POWNER_E = ("éim", "éid", "éi", "éink", "éitek", "éik")
+_POWNER_ALL = _POWNER_DELETE + _POWNER_A + _POWNER_E
+
+
+def _r1(word: str) -> int:
+    n = len(word)
+    if not word:
+        return 0
+    if word[0] in VOWELS:
+        # after the first consonant or digraph
+        i = 1
+        while i < n:
+            if word[i] not in VOWELS:
+                for d in _DIGRAPHS:
+                    if word.startswith(d, i):
+                        return min(n, i + len(d))
+                return min(n, i + 1)
+            i += 1
+        return n
+    # begins with a consonant: after the first vowel
+    for i in range(1, n):
+        if word[i] in VOWELS:
+            return min(n, i + 1)
+    return n
+
+
+def _ends_double(word: str) -> str:
+    """The doubled-consonant cluster ending ``word`` ('' if none)."""
+    return longest_suffix(word, _DOUBLES)
+
+
+def _undouble(word: str) -> str:
+    """Remove one consonant from a trailing double (ll -> l, ssz -> sz,
+    ddzs -> dzs)."""
+    dbl = _ends_double(word)
+    if not dbl:
+        return word
+    # doubled digraphs repeat only the first letter (ssz = s+sz)
+    return word[: len(word) - len(dbl)] + dbl[1:]
+
+
+def _v_ending(word: str, r1: int) -> str:
+    """Restore a/e when the stem now ends in lengthened á/é (in R1)."""
+    if word.endswith("á") and in_region(word, "á", r1):
+        return word[:-1] + "a"
+    if word.endswith("é") and in_region(word, "é", r1):
+        return word[:-1] + "e"
+    return word
+
+
+def hungarian_stem(word: str) -> str:
+    word = word.lower()
+    r1 = _r1(word)
+
+    # ---- step 1: instrumental (-al/-el after a doubled consonant)
+    for suf in ("al", "el"):
+        if word.endswith(suf) and in_region(word, suf, r1):
+            base = word[: len(word) - 2]
+            if _ends_double(base):
+                word = _undouble(base)
+            break
+
+    # ---- step 2: general case endings
+    suf = longest_suffix(word, _CASE)
+    if suf and in_region(word, suf, r1):
+        word = word[: len(word) - len(suf)]
+        word = _v_ending(word, r1)
+
+    # ---- step 3: special cases
+    suf = longest_suffix(word, ("én", "án", "ánként"))
+    if suf and in_region(word, suf, r1):
+        base = word[: len(word) - len(suf)]
+        word = base + ("e" if suf == "én" else "a")
+
+    # ---- step 4: -stul/-stül forms
+    suf = longest_suffix(word, ("astul", "estül", "ástul", "éstül", "stul", "stül"))
+    if suf and in_region(word, suf, r1):
+        base = word[: len(word) - len(suf)]
+        if suf == "ástul":
+            word = base + "a"
+        elif suf == "éstül":
+            word = base + "e"
+        else:
+            word = base
+
+    # ---- step 5: factive -á/-é after a doubled consonant
+    for suf in ("á", "é"):
+        if word.endswith(suf) and in_region(word, suf, r1):
+            base = word[:-1]
+            if _ends_double(base):
+                word = _undouble(base)
+            break
+
+    # ---- step 6: owned
+    suf = longest_suffix(word, _OWNED_ALL)
+    if suf and in_region(word, suf, r1):
+        base = word[: len(word) - len(suf)]
+        if suf in _OWNED_A:
+            word = base + "a"
+        elif suf in _OWNED_E:
+            word = base + "e"
+        else:
+            word = base
+
+    # ---- step 7: singular owner
+    suf = longest_suffix(word, _SOWNER_ALL)
+    if suf and in_region(word, suf, r1):
+        base = word[: len(word) - len(suf)]
+        if suf in _SOWNER_A:
+            word = base + "a"
+        elif suf in _SOWNER_E:
+            word = base + "e"
+        else:
+            word = base
+
+    # ---- step 8: plural owner
+    suf = longest_suffix(word, _POWNER_ALL)
+    if suf and in_region(word, suf, r1):
+        base = word[: len(word) - len(suf)]
+        if suf in _POWNER_A:
+            word = base + "a"
+        elif suf in _POWNER_E:
+            word = base + "e"
+        else:
+            word = base
+
+    # ---- step 9: plural
+    suf = longest_suffix(word, ("ák", "ék", "ök", "ok", "ek", "ak", "k"))
+    if suf and in_region(word, suf, r1):
+        base = word[: len(word) - len(suf)]
+        if suf == "ák":
+            word = base + "a"
+        elif suf == "ék":
+            word = base + "e"
+        else:
+            word = base
+
+    return word

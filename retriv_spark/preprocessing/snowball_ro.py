@@ -1,0 +1,191 @@
+"""Romanian Snowball stemmer
+(https://snowballstem.org/algorithms/romanian/stemmer.html).
+
+Clean-room reconstruction of the published algorithm (the reference
+resolves it via nltk's SnowballStemmer("romanian"),
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:10-43).
+Structure follows the spec: prelude (mark intervocalic i/u as consonants,
+fold comma-below ș/ț to the cedilla forms the spec uses), R1/R2/RV
+regions, step 0 plural removal, step 1 combining-suffix reduction
+(repeated), step 2 standard suffixes in R2, step 3 verb suffixes in RV
+only when steps 1-2 removed nothing, step 4 final-vowel removal in RV,
+postlude unmarking.
+
+Divergence policy: this module is written offline from the published
+spec; where the exact suffix inventory could not be re-derived with
+certainty the closest reading of the spec is used, behaviour is pinned
+by the self-consistency golden vectors in tests/test_snowball.py, and
+exact nltk/libstemmer parity is NOT claimed (docs/COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+from .snowball_base import in_region, longest_suffix, r1_r2, rv_romance
+
+VOWELS = "aăâeiîou"
+
+_STEP0 = (
+    "ul", "ului", "aua", "ea", "ele", "elor", "ii", "iua", "iei",
+    "iile", "iilor", "ilor", "ile", "atei", "aţie", "aţia",
+)
+
+# step 1: combining suffixes -> reduced form (applied repeatedly, R1)
+_STEP1 = {
+    "abilitate": "abil", "abilitati": "abil", "abilităi": "abil",
+    "abilităţi": "abil",
+    "ibilitate": "ibil",
+    "ivitate": "iv", "ivitati": "iv", "ivităi": "iv", "ivităţi": "iv",
+    "icitate": "ic", "icitati": "ic", "icităi": "ic", "icităţi": "ic",
+    "icator": "ic", "icatori": "ic",
+    "iciv": "ic", "iciva": "ic", "icive": "ic", "icivi": "ic",
+    "icivă": "ic",
+    "ical": "ic", "icala": "ic", "icale": "ic", "icali": "ic",
+    "icală": "ic",
+    "ativ": "at", "ativa": "at", "ative": "at", "ativi": "at",
+    "ativă": "at", "aţiune": "at",
+    "atoare": "at", "ator": "at", "atori": "at",
+    "ătoare": "at", "ător": "at", "ători": "at",
+    "itiv": "it", "itiva": "it", "itive": "it", "itivi": "it",
+    "itivă": "it", "iţiune": "it",
+    "itoare": "it", "itor": "it", "itori": "it",
+}
+
+_STEP2_DELETE = (
+    "at", "ata", "ată", "ati", "ate",
+    "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite",
+    "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă",
+    "ibil", "ibila", "ibile", "ibili", "ibilă",
+    "oasa", "oasă", "oase", "os", "osi", "oşi",
+    "ant", "anta", "ante", "anti", "antă",
+    "ator", "atori",
+    "itate", "itati", "ităi", "ităţi",
+    "iv", "iva", "ive", "ivi", "ivă",
+)
+_STEP2_IST = (
+    "ism", "isme", "ist", "ista", "iste", "isti", "istă", "işti",
+)
+_STEP2_ALL = _STEP2_DELETE + _STEP2_IST + ("iune", "iuni")
+
+# step 3 group (a): delete if the preceding char (inside RV) is a
+# consonant or 'u' (spec: "delete if preceded in RV by a consonant or u")
+_STEP3_A = (
+    "are", "ere", "ire", "âre",
+    "ind", "ând", "indu", "ându",
+    "eze", "ează", "ez", "ezi",
+    "esc", "ească", "eşti", "eşte", "ăsc", "ască", "ăşti", "ăşte",
+    "am", "ai", "au",
+    "eam", "eai", "ea", "eaţi", "eau",
+    "iam", "iai", "ia", "iaţi", "iau",
+    "ui", "âi",
+    "aşi", "arăm", "arăţi", "ară",
+    "uşi", "urăm", "urăţi", "ură",
+    "işi", "irăm", "irăţi", "iră",
+    "âşi", "ârăm", "ârăţi", "âră",
+    "asem", "aseşi", "ase", "aserăm", "aserăţi", "aseră",
+    "isem", "iseşi", "ise", "iserăm", "iserăţi", "iseră",
+    "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră",
+    "usem", "useşi", "use", "userăm", "userăţi", "useră",
+)
+# step 3 group (b): delete unconditionally (in RV)
+_STEP3_B = (
+    "ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi",
+    "seşi", "serăm", "serăţi", "seră", "sei", "se",
+    "sesem", "seseşi", "sese", "seserăm", "seserăţi", "seseră",
+)
+_STEP3_ALL = _STEP3_A + _STEP3_B
+
+_STEP4 = ("a", "e", "i", "ie", "ă")
+
+
+def _prelude(word: str) -> str:
+    # fold comma-below forms to the cedilla forms the spec's tables use
+    word = (
+        word.replace("ș", "ş").replace("ț", "ţ")
+        .replace("Ș", "ş").replace("Ț", "ţ")
+    )
+    out = list(word)
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in VOWELS and word[i + 1] in VOWELS:
+            if word[i] == "i":
+                out[i] = "I"
+            elif word[i] == "u":
+                out[i] = "U"
+    return "".join(out)
+
+
+def romanian_stem(word: str) -> str:
+    word = _prelude(word.lower())
+    r1, r2 = r1_r2(word, VOWELS)
+    rv = rv_romance(word, VOWELS)
+
+    # ---- step 0: plurals / simplifications (R1)
+    suf = longest_suffix(word, _STEP0)
+    if suf and in_region(word, suf, r1):
+        base = word[: len(word) - len(suf)]
+        if suf in ("ul", "ului"):
+            word = base
+        elif suf == "aua":
+            word = base + "a"
+        elif suf in ("ea", "ele", "elor"):
+            word = base + "e"
+        elif suf in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+            word = base + "i"
+        elif suf == "ile":
+            if not base.endswith("ab"):
+                word = base + "i"
+        elif suf == "atei":
+            word = base + "at"
+        else:  # aţie / aţia
+            word = base + "aţi"
+
+    # ---- step 1: combining suffixes, repeated (R1)
+    removed = False
+    while True:
+        suf = longest_suffix(word, _STEP1)
+        if suf and in_region(word, suf, r1):
+            word = word[: len(word) - len(suf)] + _STEP1[suf]
+            removed = True
+            continue
+        break
+
+    # ---- step 2: standard suffixes (R2)
+    suf = longest_suffix(word, _STEP2_ALL)
+    if suf and in_region(word, suf, r2):
+        base = word[: len(word) - len(suf)]
+        if suf in ("iune", "iuni"):
+            # delete only when preceded by ţ, turning ţ into t
+            if base.endswith("ţ"):
+                word = base[:-1] + "t"
+                removed = True
+        elif suf in _STEP2_IST:
+            word = base + "ist"
+            removed = True
+        else:
+            word = base
+            removed = True
+
+    # ---- step 3: verb suffixes (RV), only if steps 1-2 removed nothing
+    if not removed:
+        suf = longest_suffix(word, _STEP3_ALL)
+        if suf and in_region(word, suf, rv):
+            base = word[: len(word) - len(suf)]
+            if suf in _STEP3_B:
+                word = base
+            else:
+                # group (a): the preceding char must lie inside RV and be
+                # a consonant or 'u' (longest match wins; no fallback to a
+                # shorter suffix when the condition fails, per among()).
+                prev = len(base) - 1
+                if prev >= rv and (
+                    base[prev] not in VOWELS or base[prev] == "u"
+                ):
+                    word = base
+
+    # ---- step 4: final vowel (RV)
+    suf = longest_suffix(word, _STEP4)
+    if suf and in_region(word, suf, rv):
+        word = word[: len(word) - len(suf)]
+
+    return word.replace("I", "i").replace("U", "u")

@@ -19,10 +19,13 @@ from .porter import porter_stem
 from .porter2 import porter2_stem
 from .snowball_de import german_stem
 from .snowball_es import spanish_stem
+from .snowball_fi import finnish_stem
 from .snowball_fr import french_stem
+from .snowball_hu import hungarian_stem
 from .snowball_it import italian_stem
 from .snowball_nl import dutch_stem
 from .snowball_pt import portuguese_stem
+from .snowball_ro import romanian_stem
 from .snowball_ru import russian_stem
 from .snowball_scand import danish_stem, norwegian_stem, swedish_stem
 from .tokenizer import identity_function
@@ -41,6 +44,16 @@ stemmers_dict = {
     "norwegian": norwegian_stem,
     "swedish": swedish_stem,
     "dutch": dutch_stem,
+    # round-3 additions, reconstructed offline from the published specs
+    # with self-consistency vectors (tests/test_snowball.py) — exact
+    # nltk/libstemmer parity not claimed (docs/COVERAGE.md).  turkish
+    # (and arabic/krovetz, reference stemmer.py:10-43) stay fail-fast:
+    # their suffix state machines are not reproducible offline with
+    # confidence, and shipping unverifiable tables is worse than the
+    # reference-mirroring factory error below.
+    "romanian": romanian_stem,
+    "finnish": finnish_stem,
+    "hungarian": hungarian_stem,
 }
 
 

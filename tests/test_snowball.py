@@ -150,6 +150,84 @@ DUTCH = {
     "eetbaar": "eetbar",
 }
 
+ROMANIAN = {
+    # step 0 plurals/simplifications
+    "copilului": "copil", "lucrurile": "lucrur", "timpul": "timp",
+    "istoria": "istor", "istorie": "istor", "dragostea": "dragost",
+    # step 1 combining suffixes (repeated)
+    "abilitate": "abil", "acţiune": "acţiun", "acţiunea": "acţiun",
+    # step 2 standard suffixes in R2
+    "importantă": "import", "frumoasă": "frumoas", "frumoşi": "frumoş",
+    "naţionale": "naţional", "românesc": "român", "românească": "român",
+    "absolut": "absol",
+    # step 3 verb suffixes in RV
+    "lucrează": "lucr", "cântând": "cânt", "mergeam": "merg",
+    "vorbească": "vorb", "mersese": "mer",
+    # step 3 group (a): the preceding letter must lie INSIDE RV — for
+    # citească/făcusem it sits just before RV, the among match fails,
+    # and (no-retry semantics) only step 4's final vowel applies
+    "citească": "citeasc", "făcusem": "făcusem",
+    # step 4 final vowel + prelude i/u marking (copiii keeps its
+    # consonant-marked I, loses only the final vowel)
+    "bună": "bun", "mare": "mar", "copiii": "copii",
+    "ţara": "ţar", "ţările": "ţăr", "studenţilor": "studenţ",
+    # comma-below ș/ț fold to the cedilla forms the spec's tables use
+    "țara": "ţar", "oamenii": "oamen",
+}
+
+FINNISH = {
+    # step 1 particles (-kin/-kaan after vowel; -sti needs R2)
+    "tyttökin": "tytö", "poikakaan": "poik", "nopeasti": "nopeast",
+    # step 2 possessives
+    "taloonsa": "talo", "isäni": "is", "itseksensä": "itseks",
+    # step 3 case endings: inessive/elative/adessive/ablative/
+    # translative/partitive/genitive/illative
+    "talossa": "talo", "taloissa": "talo", "kirjoissa": "kirj",
+    "kaupungissa": "kaupung", "autolla": "auto", "autoilla": "auto",
+    "tietokoneella": "tietokon", "kalaksi": "kal", "kirjan": "kirj",
+    "talon": "talo", "taloon": "talo", "huoneeseen": "huon",
+    # -hXn illative deletes only when X matches the preceding vowel;
+    # maahan's han also straddles R1, so it survives intact
+    "maahan": "maahan",
+    # step 5 plurals (final t after vowel; i/j after a removed ending)
+    "kirjat": "kirj", "opiskelijat": "opiskelij", "lasten": "last",
+    "tyttöjen": "tyttöj", "vuosien": "vuos", "aikoina": "aiko",
+    # step 4 comparative/superlative in R2 (+ t-plural chaining)
+    "suurin": "suur", "suurimman": "suurim", "vanhempi": "vanhemp",
+    "nopeimmat": "nopeim", "kauneimmat": "kauneim",
+    # step 6 tidying: long-vowel shortening, cX, final-double undouble
+    "järjestelmä": "järjestelm", "järjestelmässä": "järjestelm",
+    "pankki": "pank", "kaunis": "kaunis", "opiskelija": "opiskelij",
+    # bm25_finnish query-side inflections (entry_queries.FI_MAP /
+    # FINNISH_QUERIES): every word the oracle pair stems at runtime is
+    # pinned here so the generated stem table is independently checked
+    "kaupungin": "kaupung", "pankit": "pank", "tietokoneen": "tietokon",
+    "talot": "talo", "huoneet": "huon", "opiskelijan": "opiskelij",
+    "suurimmat": "suurim",
+}
+
+HUNGARIAN = {
+    # step 1 instrumental with undoubling (busszal -> busz is the
+    # spec's own worked example; doubled digraph ssz -> sz)
+    "busszal": "busz", "házzal": "ház", "pénzzel": "pénz",
+    "asszonnyal": "asszony", "könyvekkel": "könyv",
+    # step 2 general case endings + á/é restoration
+    "házakat": "ház", "háznak": "ház", "könyvtárban": "könyvtár",
+    "autóval": "autó", "magyarul": "magyar", "madarat": "madar",
+    "kutyáknak": "kutya", "városában": "város", "kertjében": "kert",
+    # step 5 factive -vá/-vé: the vá/vé case ending drops first, then
+    # nothing doubles, so the stem survives
+    "könyvvé": "könyv",
+    # steps 6-8 owned/owner chains
+    "házéi": "ház", "barátaié": "barát", "barátaim": "barát",
+    "ajtóé": "ajtó", "gyerekeinknek": "gyer",
+    # step 9 plural with á/é restoration
+    "házak": "ház", "madarak": "madar", "emberek": "ember",
+    "kutyák": "kutya", "almák": "alma", "gyerekek": "gyerek",
+    # no suffix: unchanged
+    "ház": "ház", "legnagyobb": "legnagyobb",
+}
+
 VECTORS = {
     "spanish": SPANISH,
     "portuguese": PORTUGUESE,
@@ -161,6 +239,9 @@ VECTORS = {
     "norwegian": NORWEGIAN,
     "swedish": SWEDISH,
     "dutch": DUTCH,
+    "romanian": ROMANIAN,
+    "finnish": FINNISH,
+    "hungarian": HUNGARIAN,
 }
 
 
@@ -186,7 +267,8 @@ def test_stemmer_total_and_stable(lang):
 
 @pytest.mark.parametrize(
     "lang", ["french", "german", "spanish", "italian", "portuguese",
-             "russian", "danish", "norwegian", "swedish", "dutch"]
+             "russian", "danish", "norwegian", "swedish", "dutch",
+             "romanian", "finnish", "hungarian"]
 )
 def test_stopwords_resolve_and_pipeline_runs(lang):
     sw = get_stopwords(lang)
@@ -212,6 +294,12 @@ def test_stopwords_resolve_and_pipeline_runs(lang):
         "norwegian": ("og det huset", ["hus"]),
         "swedish": ("och det flickorna", ["flick"]),
         "dutch": ("de grote bomen", ["grot", "bom"]),
+        # stem-stable, diacritic-free stopwords (the comma-below "și"
+        # stems to cedilla "şi", so the stemmed-stopword quirk would
+        # not drop it — same class of quirk the reference has)
+        "romanian": ("la copiii din casă", ["copii", "cas"]),
+        "finnish": ("ja kirjat talossa", ["kirj", "talo"]),
+        "hungarian": ("és a házak", ["ház"]),
     }
     text, expected = samples[lang]
     assert pre(text) == expected
