@@ -1,0 +1,144 @@
+"""Measure the taat / bmp / bmw kernel crossover on synthetic shards.
+
+Drives make_shard_kernel directly on codec-encoded rows — the exact
+per-shard work applyInPandas dispatches — across posting volumes, skews,
+cutoffs, and batch sizes, and prints per-shape timings plus what
+kernel="auto" routes each shape to.  This calibrates resolve_kernel
+(kernels.py): bmp's pruning pre-pass must pay for itself in avoided
+block decodes, which only happens with a small high-idf cheap anchor
+(>= cutoff docs) against much larger expensive lists.  The job asserts
+auto is never slower than fixed taat beyond a noise margin.
+
+Usage: python jobs/kernel_crossover.py [--quick] [--skip-bmw]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from retriv_spark.index.codec import encode_segment  # noqa: E402
+from retriv_spark.search.kernels import (  # noqa: E402
+    make_shard_kernel,
+    resolve_kernel,
+)
+
+
+def build_rows(rng, span, base, tiers):
+    rows = {}
+    for term, df in tiers.items():
+        docs = base + np.sort(rng.choice(span, size=df, replace=False))
+        tfs = rng.integers(1, 8, size=df)
+        dls = rng.integers(5, 400, size=df)
+        r = encode_segment(docs, tfs, dls, shard_base=base)
+        r["term"] = term
+        r["shard"] = base // span
+        rows[term] = [r]
+    return rows
+
+
+def bench_shape(name, span, tiers, cutoff, n_queries, reps, rng,
+                skip_bmw=False):
+    base = 3 * span
+    rows = build_rows(rng, span, base, tiers)
+    terms = sorted(tiers)
+    # every query hits all terms (worst case for pruning: decode stores
+    # are shared, so distinct anchors would only help bmp)
+    qmap = {i: [(t, 1) for t in terms] for i in range(n_queries)}
+    # global dfs mimic a 64-shard corpus: idf ratios match a real index
+    # where the shard holds 1/64th of each list
+    n_shards = 64
+    df_by_term = {t: df * n_shards for t, df in tiers.items()}
+    doc_count = span * n_shards
+    out = {"shape": name, "span": span, "cutoff": cutoff,
+           "n_queries": n_queries,
+           "postings_per_query_shard": sum(tiers.values())}
+    out["auto_routes_to"] = resolve_kernel(
+        "auto", qmap, df_by_term, cutoff=cutoff,
+        doc_count=doc_count, span=span,
+    )
+    kernels = ["taat", "bmp"] + ([] if skip_bmw else ["bmw"])
+    results = {}
+    for kernel in kernels:
+        fn = make_shard_kernel(
+            qmap, df_by_term, doc_count=doc_count, avg_doc_len=180.0,
+            span=span, cutoff=cutoff, kernel=kernel,
+        )
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = fn(rows, as_arrays=True)
+            best = min(best, time.perf_counter() - t0)
+        results[kernel] = res
+        out[f"{kernel}_ms"] = round(best * 1e3, 2)
+    # equality gate: timings are meaningless if results diverge
+    for k in kernels[1:]:
+        a, b = results["taat"], results[k]
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1]), (
+            name, k, "doc mismatch")
+        assert np.array_equal(
+            a[2].view(np.uint32), b[2].view(np.uint32)), (name, k)
+    out["bmp_speedup"] = round(out["taat_ms"] / out["bmp_ms"], 2)
+    out["auto_ms"] = out[f"{out['auto_routes_to']}_ms"]
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-bmw", action="store_true",
+                    help="bmw is 10-1000x slower; skip to iterate fast")
+    args = ap.parse_args()
+    rng = np.random.default_rng(42)
+    reps = 2 if args.quick else 4
+
+    shapes = []
+    # bmp win regime: small cheap anchor (>= cutoff) + huge hot lists
+    for nq in (1, 4):
+        for hot, rare in [(120_000, 300), (120_000, 600), (60_000, 300)]:
+            shapes.append((f"anchor_h{hot}_r{rare}_q{nq}", 131072,
+                           {"h0": hot, "h1": int(hot * 0.9), "r0": rare},
+                           10, nq))
+    # ratio sweep: exp/(cheap*n_exp) from 1 to 95 — locates the bmp
+    # crossover that calibrates BMP_PRUNE_FACTOR
+    for rare in (28_000, 12_000, 6_000, 3_000, 1_500, 600):
+        ratio = round(114_000 / (2 * rare))
+        shapes.append((f"ratio_{ratio}", 131072,
+                       {"h0": 60_000, "h1": 54_000, "r0": rare}, 10, 4))
+    # taat regimes: fat anchor, theta-starved anchor, flat, big batch
+    shapes += [
+        ("fat_anchor", 131072,
+         {"h0": 120_000, "h1": 108_000, "r0": 2_000}, 10, 1),
+        ("theta_starved", 131072,
+         {"h0": 120_000, "h1": 108_000, "r0": 20}, 100, 4),
+        ("flat", 131072, {"a": 40_000, "b": 40_000, "c": 40_000}, 100, 4),
+        ("batch16", 131072,
+         {"h0": 120_000, "h1": 108_000, "r0": 300}, 10, 16),
+        ("small_volume", 65536, {"h0": 2_000, "r0": 100}, 10, 4),
+    ]
+
+    rows = []
+    for name, span, tiers, cutoff, nq in shapes:
+        r = bench_shape(name, span, tiers, cutoff, nq, reps, rng,
+                        skip_bmw=args.skip_bmw)
+        rows.append(r)
+        print(json.dumps(r))
+    # the auto contract: never slower than fixed taat beyond noise
+    bad = [r for r in rows if r["auto_ms"] > r["taat_ms"] * 1.15]
+    wins = [r for r in rows
+            if r["auto_routes_to"] == "bmp" and r["bmp_speedup"] > 1.0]
+    print(f"# auto-vs-taat violations (>15% slower): {len(bad)}"
+          + (f" {[r['shape'] for r in bad]}" if bad else ""))
+    print(f"# auto bmp wins: "
+          f"{[(r['shape'], r['bmp_speedup']) for r in wins]}")
+    if not args.skip_bmw:
+        slow = [round(r["taat_ms"] / r["bmw_ms"], 3) for r in rows]
+        print(f"# bmw speedup range: {min(slow)}-{max(slow)} "
+              "(always <1 = never auto-selected)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

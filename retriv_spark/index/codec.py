@@ -182,3 +182,43 @@ def decode_block(row, bi: int, shard_base: int = 0):
     gaps[0] += shard_base
     doc_ids = np.cumsum(gaps)
     return doc_ids, tfs, dls
+
+
+def decode_blocks(row, bis):
+    """Decode several blocks of one segment in ONE vectorized pass.
+
+    ``bis``: ascending unique block indexes.  Returns (doc_ids, tfs, dls,
+    counts) where doc_ids are ABSOLUTE (anchored to block_first_doc, so
+    independent of the original encode base) and counts gives each
+    requested block's posting count in order.  Equivalent to concatenated
+    per-block decode_block calls but with three varint passes total and a
+    vectorized per-block cumsum restart — the per-block Python dispatch
+    (~tens of us each) dominates scattered-block gathers otherwise."""
+    n = int(row["n"])
+    bis = np.asarray(bis, dtype=np.int64)
+    lo = bis * BLOCK
+    hi = np.minimum(lo + BLOCK, n)
+    counts = hi - lo
+    total = int(counts.sum())
+
+    def _gather(buf, offs):
+        b = bytes(buf)
+        return b"".join(b[offs[bi]:offs[bi + 1]] for bi in bis.tolist())
+
+    gaps = varint_decode(
+        _gather(row["doc_gaps"], row["block_doc_off"]), total
+    ).astype(np.int64)
+    tfs = varint_decode(
+        _gather(row["tfs"], row["block_tf_off"]), total
+    ).astype(np.int64)
+    dls = varint_decode(
+        _gather(row["dls"], row["block_dl_off"]), total
+    ).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    firsts = np.asarray(row["block_first_doc"], dtype=np.int64)[bis]
+    # zero the restart gaps, cumsum once, then re-anchor each block run to
+    # its absolute first doc
+    gaps[starts] = 0
+    c = np.cumsum(gaps)
+    doc_ids = c + np.repeat(firsts - c[starts], counts)
+    return doc_ids, tfs, dls, counts

@@ -694,7 +694,7 @@ class PackedIndex:
         model: str = "bm25",
         k1: float = 1.2,
         b: float = 0.75,
-        kernel: str = "taat",
+        kernel: str = "auto",
         subset_doc_ids=None,
     ) -> Optional[Dict[str, Dict]]:
         """Reference-protocol batch search: {q_id: {orig_id: score}} with
@@ -750,7 +750,7 @@ class PackedIndex:
         model: str = "bm25",
         k1: float = 1.2,
         b: float = 0.75,
-        kernel: str = "taat",
+        kernel: str = "auto",
         subset_doc_ids=None,
     ) -> DataFrame:
         """Batch search over the packed index.
@@ -759,6 +759,11 @@ class PackedIndex:
         persisted in the manifest.  Returns (q_id, doc_id, score, rank)
         where doc_id is the ORIGINAL id column value.
 
+        kernel="auto" (default): taat on the local path and for AND; on
+        the distributed path block-max-pruned taat (bmp) only when the
+        batch fits bmp's measured win regime (postings volume, per-shard
+        theta achievability, cheap/expensive skew) — see
+        search.kernels.resolve_kernel for the exact gates.
         kernel="taat": vectorized term-at-a-time dense accumulator per
         shard (reference bm25.py:36-49 semantics, float32-faithful).
         kernel="bmw":  document-at-a-time block-max WAND with a bounded

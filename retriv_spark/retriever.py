@@ -496,7 +496,7 @@ class PackedRetriever:
     ``SparseRetriever.save``). Same msearch/search dict outputs as
     SparseRetriever; scoring runs in the per-shard kernels."""
 
-    def __init__(self, spark: SparkSession, path: str, kernel: str = "taat"):
+    def __init__(self, spark: SparkSession, path: str, kernel: str = "auto"):
         from .index.packed import load_packed_index
 
         self.path = path

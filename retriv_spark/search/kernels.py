@@ -7,7 +7,7 @@ one window top-k.  Scores are float32-faithful to the reference TAAT
 kernel (bm25.py:36-49 / tf_idf.py:37-46; see retriv_spark.oracle for the
 numpy replica the tests pin these against).
 
-Two kernels, identical results:
+Three kernels, identical results:
 
   taat — vectorized term-at-a-time: dense float32 accumulator over the
          shard's doc range, one fancy-indexed add per term.  Optimal when
@@ -17,9 +17,36 @@ Two kernels, identical results:
   bmw  — document-at-a-time block-max WAND: posting blocks carry
          (max_tf, min_rel) upper-bound metadata; the kernel keeps a
          bounded top-k heap and advances a pivot, skipping whole blocks
-         whose upper bound cannot beat the current k-th score.  The win is
-         I/O + decode avoidance on 100 TB-scale postings; results are
-         exactly the TAAT top-k (score-preserving pruning).
+         whose upper bound cannot beat the current k-th score.  Results
+         are exactly the TAAT top-k (score-preserving pruning), and the
+         doc-at-a-time structure makes it the independent differential
+         oracle for the other two — but the per-doc Python stepping is
+         2-80x SLOWER than vectorized taat at every measured shape
+         (jobs/kernel_crossover.py), so it is never auto-selected.
+
+  bmp  — block-max-pruned TAAT (vectorized, OR only): per-term per-block
+         upper bounds from the stored (max_tf, min_dl) metadata become a
+         step function over doc space; summing the step functions in the
+         same fl32 term-major order as taat gives a per-interval bound
+         that DOMINATES the real fl32 accumulation (every float op in the
+         score is monotone, and fl is monotone, so ub>=partial survives
+         rounding by induction).  A threshold — the cutoff-th largest
+         single-term partial of the smallest matched list, itself a valid
+         lower bound on the final k-th score — then prunes whole blocks
+         before they are DECODED; survivors go through the same
+         _partial_scores math and fl32 accumulation, so results are
+         bit-identical to taat.  This is the 100 TB long-postings path:
+         decode+score cost scales with surviving blocks, not list length.
+
+  auto (default) — taat on the driver-local path (decoded/vec caches make
+         dense taat unbeatable there) and for AND; on the distributed
+         path, bmp only when the batch fits its MEASURED win regime
+         (see resolve_kernel: postings volume >= 50k/query AND a cheap
+         anchor >= cutoff docs per shard AND cheap union far below the
+         expensive block budget), else taat.  taat is deliberately the
+         analytic-batch default: decoding each term once and amortizing
+         dense adds across the batch beats per-query pruning as soon as
+         queries share their heavy terms (jobs/kernel_crossover.py).
 """
 
 from __future__ import annotations
@@ -31,7 +58,7 @@ from typing import Dict, List
 import numpy as np
 import pandas as pd
 
-from ..index.codec import BLOCK, decode_block, varint_decode
+from ..index.codec import BLOCK, decode_block, decode_blocks, varint_decode
 
 # TAAT tiling geometry (see the taat kernel below).  Module-level because
 # the memory budget must account for the CHUNK×span accumulator slab
@@ -43,6 +70,131 @@ TILE = 4096   # docs per cache-resident tile
 # hit-count slab under AND).  With span ≤ SPAN_MAX (packed.py) both
 # parts are bounded independent of corpus size.
 DENSE_BUDGET_BYTES = 256 * 1024 * 1024
+
+# kernel="auto": bmp is only considered above this many stored postings
+# per query (mean over the batch) on the distributed path — below it the
+# pruning pre-pass costs more than the decode it can avoid.
+BMP_MIN_POSTINGS_PER_QUERY = 50_000
+# cheap/expensive split used by BOTH the bmp kernel and the auto
+# heuristic's win model: a list is cheap when 16x smaller than the
+# query's largest list (the smallest list is always cheap).
+BMP_CHEAP_RATIO = 16
+# Every surviving cheap doc forces block decodes in the expensive lists,
+# so bmp needs the cheap union well under the expensive volume: require
+# BMP_PRUNE_FACTOR * sum(cheap df) * n_exp <= sum(expensive df).
+# Calibrated by the ratio sweep in jobs/kernel_crossover.py: bmp crosses
+# 1.0x at exp/(cheap*n_exp) ~ 10-19 (cutoff-insensitive once theta is
+# achievable), reaches 1.2-1.3x by ~40, and 2.4-11x for sub-1k anchors;
+# 24 takes the wins with margin and leaves the ~1.1x knife-edge to taat.
+BMP_PRUNE_FACTOR = 24
+
+
+def resolve_kernel(
+    kernel: str,
+    qmap: Dict,
+    df_by_term: Dict[str, int],
+    operator: str = "OR",
+    local_serving: bool = False,
+    cutoff: int = 100,
+    doc_count: int = 0,
+    span: int = 0,
+) -> str:
+    """Resolve kernel="auto" to a concrete kernel for this batch.
+
+    Local serving (driver-side decoded/vec caches) always takes taat:
+    steady-state dense accumulation over cached per-term vectors is
+    strictly cheaper than any pruning pre-pass.  AND takes taat: bmp's
+    threshold bound is only valid under OR (a single-term partial does
+    not lower-bound the k-th best of the intersection).  Otherwise bmp
+    is chosen only when EVERY query in the batch fits its measured win
+    regime (jobs/kernel_crossover.py):
+
+      volume — mean stored postings per query clears
+        $RETRIV_SPARK_BMP_MIN_POSTINGS (default 50k); below that taat's
+        one-shot decode+scatter is already cheap.
+      theta — each query's cheap lists must hold >= cutoff docs PER
+        SHARD (approximated as global df / n_shards), else the pruning
+        threshold is 0 in some shards and bmp degenerates to taat plus
+        overhead.
+      skew — each surviving cheap doc marks one block per expensive
+        term for decode, so the batch-wide cheap union must be well
+        under the expensive block budget:
+        BMP_PRUNE_FACTOR * sum(cheap df) * n_exp <= sum(expensive df),
+        over DISTINCT terms (decode stores are shared across the
+        batch's queries, so shared anchors count once).
+
+    taat stays the default for analytic batches — decoding each term
+    once and amortizing dense adds across queries beats per-query
+    pruning as soon as queries share their heavy terms."""
+    if kernel != "auto":
+        return kernel
+    if local_serving or operator.upper() == "AND" or not qmap:
+        return "taat"
+    import os
+
+    raw = os.environ.get("RETRIV_SPARK_BMP_MIN_POSTINGS")
+    try:
+        min_pp = int(raw) if raw else BMP_MIN_POSTINGS_PER_QUERY
+    except ValueError:
+        min_pp = BMP_MIN_POSTINGS_PER_QUERY
+    total = sum(
+        df_by_term.get(t, 0)
+        for terms in qmap.values()
+        for t, _ in terms
+    )
+    if total / len(qmap) < min_pp:
+        return "taat"
+    n_shards = max(1, doc_count // span) if span else 1
+    cheap_terms: set = set()
+    exp_terms: set = set()
+    for terms in qmap.values():
+        dfs = sorted(
+            (df_by_term.get(t, 0), t) for t, _ in terms
+            if df_by_term.get(t, 0) > 0
+        )
+        if not dfs:
+            continue
+        n_max = dfs[-1][0]
+        q_total = sum(d for d, _ in dfs)
+        q_cheap = 0
+        q_exp = 0
+        for i, (d, t) in enumerate(dfs):
+            if i == 0 or (
+                d * BMP_CHEAP_RATIO <= n_max
+                and q_cheap + d <= q_total // 4
+            ):
+                cheap_terms.add(t)
+                q_cheap += d
+            else:
+                exp_terms.add(t)
+                q_exp += 1
+        if not q_exp:
+            return "taat"  # no list big enough to be worth pruning
+        if q_cheap // n_shards < cutoff:
+            return "taat"  # theta unachievable in an average shard
+    cheap_union = sum(df_by_term[t] for t in cheap_terms)
+    exp_total = sum(df_by_term[t] for t in exp_terms)
+    if BMP_PRUNE_FACTOR * cheap_union * len(exp_terms) > exp_total:
+        return "taat"
+    return "bmp"
+
+
+def _topk_select(cand, cs, sub_mask, cutoff):
+    """Deterministic (-score, doc_id) top-k over span-relative candidate
+    positions — the single source of truth for tie semantics shared by
+    every kernel (argpartition alone picks ARBITRARY docs among ties at
+    the k-th score; per-shard vs merged-local runs would otherwise
+    disagree at tie boundaries).  Returns (cand, cs) cut to cutoff."""
+    if sub_mask is not None:
+        keep = sub_mask[cand]
+        cand, cs = cand[keep], cs[keep]
+    if cand.size > cutoff:
+        sel = np.argpartition(-cs, cutoff - 1)[:cutoff]
+        kth = cs[sel].min()
+        keep = cs >= kth
+        cand, cs = cand[keep], cs[keep]
+    order = np.lexsort((cand, -cs.astype(np.float64)))[:cutoff]
+    return cand[order], cs[order]
 
 
 def _idf_bm25(doc_count: int, df: float) -> np.float32:
@@ -105,7 +257,7 @@ def make_shard_kernel(
     model: str = "bm25",
     k1: float = 1.2,
     b: float = 0.75,
-    kernel: str = "taat",
+    kernel: str = "auto",
     subset_doc_ids=None,
     decoded_cache=None,
     vec_cache=None,
@@ -128,6 +280,11 @@ def make_shard_kernel(
     executor closures are re-pickled per job, so a dict would never
     persist there anyway.
     """
+    kernel = resolve_kernel(
+        kernel, qmap, df_by_term, operator,
+        local_serving=decoded_cache is not None,
+        cutoff=cutoff, doc_count=doc_count, span=span,
+    )
     idf_fn = _idf_bm25 if model == "bm25" else _idf_tfidf
     if idf_cache is None:
         idf_by_term = {
@@ -264,23 +421,7 @@ def make_shard_kernel(
             s_chunks: list = []
 
             def _select_topk(q_id, cand, cs):
-                if sub_mask is not None:
-                    keep = sub_mask[cand]
-                    cand, cs = cand[keep], cs[keep]
-                if cand.size > cutoff:
-                    # argpartition alone picks ARBITRARY docs among ties
-                    # at the k-th score — selection must be deterministic
-                    # by (-score, doc_id) no matter how candidates are
-                    # laid out (per-shard vs merged-local runs would
-                    # otherwise disagree at tie boundaries).  Partition,
-                    # then widen to every candidate tied with the k-th
-                    # score before the exact sort below cuts to k.
-                    sel = np.argpartition(-cs, cutoff - 1)[:cutoff]
-                    kth = cs[sel].min()
-                    keep = cs >= kth
-                    cand, cs = cand[keep], cs[keep]
-                order = np.lexsort((cand, -cs.astype(np.float64)))[:cutoff]
-                cand, cs = cand[order], cs[order]
+                cand, cs = _topk_select(cand, cs, sub_mask, cutoff)
                 q_ids_out.append(q_id)
                 q_counts.append(cand.size)
                 d_chunks.append(cand + base)
@@ -387,6 +528,354 @@ def make_shard_kernel(
                     all_touched = np.unique(np.concatenate(touched))
                     acc[all_touched] = 0.0
                     hits[all_touched] = 0
+            if q_ids_out:
+                out_q = np.repeat(
+                    np.asarray(q_ids_out, dtype=np.int32),
+                    np.asarray(q_counts, dtype=np.int64),
+                )
+                out_d = np.concatenate(d_chunks)
+                out_s = np.concatenate(s_chunks)
+        elif kernel == "bmp":
+            # Block-max-pruned TAAT (OR only; resolve_kernel never routes
+            # AND here).  Per query the terms split into CHEAP lists
+            # (small enough to decode outright — their doc positions and
+            # exact partials are then known) and EXPENSIVE lists (block
+            # metadata only).  Three bounds drive the pruning, all
+            # constructed so fl32 rounding cannot break them:
+            #   theta — the cutoff-th largest fl32 sum of a doc's CHEAP
+            #     partials, accumulated in canonical sorted-term order.
+            #     A subset of a doc's terms added in relative order is a
+            #     realized lower bound of its final score (adding the
+            #     remaining non-negative terms later only grows the fl32
+            #     accumulator: fl is monotone), so theta lower-bounds the
+            #     k-th best final score.
+            #   cheap-doc bound — for docs appearing in a cheap list:
+            #     walk ALL query terms in sorted order, adding the exact
+            #     partial for cheap terms and the block upper bound for
+            #     expensive ones.  Same add order as the real taat
+            #     accumulation with each addend >= the real one, so the
+            #     result dominates the real fl32 score by induction.
+            #   interval bound — for docs in NO cheap list: the fl32
+            #     sorted-order sum of the expensive terms' block-ub step
+            #     functions at the merged block boundaries (the doc's
+            #     real score has no cheap addends, so the same induction
+            #     applies).
+            # Only expensive blocks that intersect a surviving interval
+            # or contain a surviving cheap doc are DECODED; survivors go
+            # through the same _partial_scores math and fl32
+            # accumulation, so results are bit-identical to taat.
+            if is_and:
+                raise ValueError("bmp kernel supports operator='OR' only")
+            metas = {}
+            sizes = {}
+            for t, rws in rows_by_term.items():
+                # segments sorted by first doc: build/append invariant —
+                # per-term segment doc ranges are disjoint and appends
+                # carry strictly higher dense ids (packed.py), so sorted
+                # starts tile doc space without interleaving
+                srws = sorted(rws, key=lambda r: r["block_first_doc"][0])
+                starts_l, ubs_l, seg_of_l, bi_of_l = [], [], [], []
+                for si, r in enumerate(srws):
+                    firsts = (
+                        np.asarray(r["block_first_doc"], dtype=np.int64)
+                        - base
+                    )
+                    ub = _partial_scores(
+                        np.asarray(r["block_max_tf"], dtype=np.int64),
+                        np.asarray(r["block_min_dl"], dtype=np.int64),
+                        idf_by_term[t], model, k1, b, avg_doc_len,
+                    )
+                    starts_l.append(firsts)
+                    ubs_l.append(ub)
+                    seg_of_l.append(
+                        np.full(firsts.size, si, dtype=np.int32)
+                    )
+                    bi_of_l.append(np.arange(firsts.size, dtype=np.int32))
+                starts = np.concatenate(starts_l)
+                metas[t] = (
+                    starts, np.append(starts[1:], span),
+                    np.concatenate(ubs_l), np.concatenate(seg_of_l),
+                    np.concatenate(bi_of_l), srws,
+                )
+                sizes[t] = sum(int(r["n"]) for r in rws)
+
+            # decode store shared across the batch's queries:
+            # (term, seg_idx) -> ("full", (pos, tf, dl)) or
+            #                    ("blocks", {bi: (pos, tf, dl)})
+            seg_store: dict = {}
+            part_cache: dict = {}  # term -> (pos, f64 partials), full
+
+            def _seg_full(t, si):
+                st = seg_store.get((t, si))
+                if st is None or st[0] != "full":
+                    d, tf, dl = _decode_segment_row(metas[t][5][si])
+                    st = ("full", (d - base, tf, dl))
+                    seg_store[(t, si)] = st
+                return st[1]
+
+            def _term_partials_full(t):
+                """(sorted positions, f64 partials) over term t's FULL
+                lists — the cheap-term pre-pass."""
+                hit = part_cache.get(t)
+                if hit is None:
+                    parts = [
+                        _seg_full(t, si)
+                        for si in range(len(metas[t][5]))
+                    ]
+                    pos = np.concatenate([p[0] for p in parts])
+                    tf = np.concatenate([p[1] for p in parts])
+                    dl = np.concatenate([p[2] for p in parts])
+                    order = np.argsort(pos)
+                    hit = (
+                        pos[order],
+                        _partial_scores(
+                            tf[order], dl[order], idf_by_term[t],
+                            model, k1, b, avg_doc_len,
+                        ),
+                    )
+                    part_cache[t] = hit
+                return hit
+
+            def _gather_needed(t, needed):
+                """Decoded (pos, tf, dl) covering every needed block of
+                term t (full-decoded segments may add extra postings —
+                the candidate filter downstream drops them)."""
+                _s, _e, _u, seg_of, bi_of, srws = metas[t]
+                out = []
+                for si in range(len(srws)):
+                    m = needed & (seg_of == si)
+                    if not m.any():
+                        continue
+                    st = seg_store.get((t, si))
+                    if st is not None and st[0] == "full":
+                        out.append(st[1])
+                        continue
+                    n_blocks = int((seg_of == si).sum())
+                    want = bi_of[m]
+                    # per-block decode costs ~tens of us per call; past
+                    # half the segment one vectorized full decode is
+                    # cheaper and benefits later queries too
+                    if want.size > n_blocks // 2:
+                        out.append(_seg_full(t, si))
+                        continue
+                    if st is None:
+                        st = ("blocks", {})
+                        seg_store[(t, si)] = st
+                    blocks = st[1]
+                    missing = [
+                        bi for bi in want.tolist() if bi not in blocks
+                    ]
+                    if missing:
+                        # one vectorized pass over all missing blocks
+                        # (decode_blocks anchors to block_first_doc, so
+                        # ids are absolute regardless of the segment's
+                        # original encode base)
+                        d, tf, dl, cnts = decode_blocks(srws[si], missing)
+                        offs = np.concatenate(([0], np.cumsum(cnts)))
+                        for k, bi in enumerate(missing):
+                            sl = slice(int(offs[k]), int(offs[k + 1]))
+                            blocks[bi] = (d[sl] - base, tf[sl], dl[sl])
+                    for bi in want.tolist():
+                        out.append(blocks[bi])
+                if len(out) == 1:
+                    return out[0]
+                return tuple(
+                    np.concatenate([p[i] for p in out]) for i in range(3)
+                )
+
+            def _ub_at(t, pos):
+                """Expensive term t's block upper bound at each doc
+                position in pos (f64; 0 left of the first block)."""
+                starts, _e, ubs = metas[t][:3]
+                idx = np.searchsorted(starts, pos, side="right") - 1
+                return np.where(
+                    idx >= 0, ubs[np.clip(idx, 0, None)], 0.0
+                )
+
+            q_ids_out, q_counts, d_chunks, s_chunks = [], [], [], []
+            for q_id, terms in qmap.items():
+                # qmap term lists are canonically sorted
+                # (_prepare_queries) — the accumulation order both taat
+                # paths use and the order the domination argument needs
+                present = [(t, n) for t, n in terms if t in metas]
+                if not present:
+                    continue
+                total_n = sum(sizes[t] for t, _ in present)
+                n_max = max(sizes[t] for t, _ in present)
+                # cheap set: every list at most 1/16 of the largest,
+                # capped at 1/4 of the query's postings budget (ascending
+                # by size, smallest always included)
+                cheap = set()
+                budget = 0
+                for t, _n in sorted(present, key=lambda tn: sizes[tn[0]]):
+                    if (
+                        not cheap
+                        or (
+                            sizes[t] * BMP_CHEAP_RATIO <= n_max
+                            and budget + sizes[t] <= total_n // 4
+                        )
+                    ):
+                        cheap.add(t)
+                        budget += sizes[t]
+                expensive = [tn for tn in present if tn[0] not in cheap]
+
+                # ---- cheap docs: exact positions + theta
+                ch_pos_l, ch_part_l = [], []
+                for t, n_occ in present:
+                    if t in cheap:
+                        pos, part = _term_partials_full(t)
+                        ch_pos_l.append(pos)
+                        ch_part_l.append(
+                            part if n_occ == 1 else part * n_occ
+                        )
+                ch_docs = np.unique(np.concatenate(ch_pos_l))
+                cheapsum = np.zeros(ch_docs.size, dtype=np.float32)
+                for pos, part in zip(ch_pos_l, ch_part_l):
+                    ii = np.searchsorted(ch_docs, pos)
+                    # f32 gather + f64 add, round on store — dense-slab
+                    # semantics
+                    cheapsum[ii] = cheapsum[ii] + part
+                th_src = cheapsum
+                if sub_mask is not None:
+                    th_src = th_src[sub_mask[ch_docs]]
+                if th_src.size >= cutoff:
+                    theta = np.partition(th_src, th_src.size - cutoff)[
+                        th_src.size - cutoff
+                    ]
+                else:
+                    theta = np.float32(0.0)
+
+                # ---- cheap-doc bound in TRUE sorted-term order
+                bound = np.zeros(ch_docs.size, dtype=np.float32)
+                for t, n_occ in present:
+                    if t in cheap:
+                        pos, part = part_cache[t]
+                        vals = np.zeros(ch_docs.size, dtype=np.float64)
+                        vals[np.searchsorted(ch_docs, pos)] = part
+                    else:
+                        vals = _ub_at(t, ch_docs)
+                    np.add(
+                        bound,
+                        vals if n_occ == 1 else vals * n_occ,
+                        out=bound,
+                        casting="unsafe",
+                    )
+                ch_cand = ch_docs[bound >= theta]
+
+                # ---- interval bound for docs in NO cheap list
+                if expensive:
+                    bset = np.unique(
+                        np.concatenate(
+                            [metas[t][0] for t, _ in expensive]
+                        )
+                    )
+                    acc_ub = np.zeros(bset.size, dtype=np.float32)
+                    for t, n_occ in expensive:
+                        vals = _ub_at(t, bset)
+                        np.add(
+                            acc_ub,
+                            vals if n_occ == 1 else vals * n_occ,
+                            out=acc_ub,
+                            casting="unsafe",
+                        )
+                    m = acc_ub >= theta
+                else:
+                    bset = np.empty(0, dtype=np.int64)
+                    m = np.empty(0, dtype=bool)
+                if m.any():
+                    edge = np.diff(m.astype(np.int8))
+                    run_lo = np.flatnonzero(
+                        np.concatenate(([m[0]], edge == 1))
+                    )
+                    run_hi = np.flatnonzero(
+                        np.concatenate((edge == -1, [m[-1]]))
+                    )
+                    cs_iv = bset[run_lo]
+                    ce_iv = np.where(
+                        run_hi + 1 < bset.size,
+                        bset[np.minimum(run_hi + 1, bset.size - 1)],
+                        span,
+                    )
+                else:
+                    cs_iv = np.empty(0, dtype=np.int64)
+                    ce_iv = np.empty(0, dtype=np.int64)
+
+                def _in_candidates(pos):
+                    """True where pos lies in a surviving interval or is
+                    a surviving cheap doc."""
+                    if cs_iv.size:
+                        k_iv = (
+                            np.searchsorted(cs_iv, pos, side="right") - 1
+                        )
+                        inc = (k_iv >= 0) & (
+                            pos < ce_iv[np.clip(k_iv, 0, None)]
+                        )
+                    else:
+                        inc = np.zeros(pos.size, dtype=bool)
+                    if ch_cand.size:
+                        jj = np.searchsorted(ch_cand, pos)
+                        jj = np.clip(jj, 0, ch_cand.size - 1)
+                        inc |= ch_cand[jj] == pos
+                    return inc
+
+                # ---- decode surviving expensive blocks, exact sparse
+                # taat over all candidate postings
+                pos_by_t, part_by_t = [], []
+                for t, n_occ in present:
+                    if t in cheap:
+                        pos, part = part_cache[t]
+                        inc = _in_candidates(pos)
+                        pos_by_t.append(pos[inc])
+                        p = part[inc]
+                        part_by_t.append(p if n_occ == 1 else p * n_occ)
+                        continue
+                    starts, ends = metas[t][:2]
+                    if cs_iv.size:
+                        j = np.searchsorted(ce_iv, starts, side="right")
+                        needed = (j < cs_iv.size) & (
+                            cs_iv[np.minimum(j, cs_iv.size - 1)] < ends
+                        )
+                    else:
+                        needed = np.zeros(starts.size, dtype=bool)
+                    if ch_cand.size:
+                        bi = (
+                            np.searchsorted(
+                                starts, ch_cand, side="right"
+                            )
+                            - 1
+                        )
+                        needed[bi[bi >= 0]] = True
+                    if not needed.any():
+                        pos_by_t.append(np.empty(0, dtype=np.int64))
+                        part_by_t.append(np.empty(0, dtype=np.float64))
+                        continue
+                    pos, tf, dl = _gather_needed(t, needed)
+                    inc = _in_candidates(pos)
+                    pos, tf, dl = pos[inc], tf[inc], dl[inc]
+                    part = _partial_scores(
+                        tf, dl, idf_by_term[t], model, k1, b,
+                        avg_doc_len,
+                    )
+                    pos_by_t.append(pos)
+                    part_by_t.append(
+                        part if n_occ == 1 else part * n_occ
+                    )
+                cand = np.unique(np.concatenate(pos_by_t))
+                if not cand.size:
+                    continue
+                acc_c = np.zeros(cand.size, dtype=np.float32)
+                for pos, part in zip(pos_by_t, part_by_t):
+                    if pos.size:
+                        ii = np.searchsorted(cand, pos)
+                        acc_c[ii] = acc_c[ii] + part
+                keep = acc_c > 0
+                sel_c, sel_s = _topk_select(
+                    cand[keep], acc_c[keep], sub_mask, cutoff
+                )
+                q_ids_out.append(q_id)
+                q_counts.append(sel_c.size)
+                d_chunks.append(sel_c + base)
+                s_chunks.append(sel_s)
             if q_ids_out:
                 out_q = np.repeat(
                     np.asarray(q_ids_out, dtype=np.int32),

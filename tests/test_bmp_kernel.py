@@ -1,0 +1,217 @@
+"""Block-max-pruned TAAT (bmp) kernel: direct no-Spark differentials.
+
+Drives make_shard_kernel on codec-encoded synthetic shards — the same row
+dicts applyInPandas delivers — so the tiered shapes that exercise the
+pruning paths (hot lists pruned by a rare-term threshold, per-block
+decode, multi-segment appends, nonzero shard bases) run in milliseconds.
+Equality with taat must be EXACT: same docs, same order, bitwise-equal
+float32 scores (bmp is score-preserving pruning, not an approximation).
+"""
+import numpy as np
+import pytest
+
+from retriv_spark.index.codec import encode_segment
+from retriv_spark.search.kernels import (
+    BMP_MIN_POSTINGS_PER_QUERY,
+    make_shard_kernel,
+    resolve_kernel,
+)
+
+
+def _build_rows(rng, span, base, tiers, n_segments=1):
+    """tiers: {term: docs_in_shard}. Returns {term: [segment row dicts]}."""
+    rows = {}
+    for term, df in tiers.items():
+        docs = base + np.sort(rng.choice(span, size=df, replace=False))
+        tfs = rng.integers(1, 8, size=df)
+        dls = rng.integers(5, 400, size=df)
+        cuts = np.linspace(0, df, n_segments + 1).astype(int)
+        rws = []
+        for i in range(n_segments):
+            sl = slice(cuts[i], cuts[i + 1])
+            if sl.start == sl.stop:
+                continue
+            r = encode_segment(docs[sl], tfs[sl], dls[sl], shard_base=base)
+            r["term"] = term
+            r["shard"] = base // span
+            rws.append(r)
+        rows[term] = rws
+    return rows
+
+
+def _run(rows, qmap, df_by_term, span, cutoff, kernel, subset=None,
+         model="bm25"):
+    fn = make_shard_kernel(
+        qmap, df_by_term, doc_count=span * 40, avg_doc_len=180.0,
+        span=span, cutoff=cutoff, model=model, kernel=kernel,
+        subset_doc_ids=subset,
+    )
+    return fn(rows, as_arrays=True)
+
+
+def _assert_exact(a, b, tag):
+    qa, da, sa = a
+    qb, db, sb = b
+    assert np.array_equal(qa, qb), tag
+    assert np.array_equal(da, db), tag
+    assert np.array_equal(sa.view(np.uint32), sb.view(np.uint32)), tag
+
+
+SHAPES = {
+    # the shape that caught the per-block decode re-anchor bug: two hot
+    # lists pruned against a rare-term threshold, so only a few expensive
+    # blocks are needed and the per-block (not full-segment) decode runs
+    "hot2rare1": {"h0": 6000, "h1": 5500, "r0": 12},
+    "hot3rare2": {"h0": 6000, "h1": 5000, "h2": 4000, "r0": 10, "r1": 3},
+    "hot1mid1rare1": {"h0": 7000, "m0": 800, "r0": 6},
+    "allhot": {"h0": 7000, "h1": 6500, "h2": 6000},
+    "allrare": {"r0": 9, "r1": 4, "r2": 15},
+    "single_hot": {"h0": 7000},
+}
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+@pytest.mark.parametrize("n_segments", [1, 3])
+def test_bmp_equals_taat_exactly(shape, n_segments):
+    rng = np.random.default_rng(hash((shape, n_segments)) % 2**32)
+    span = 8192
+    tiers = SHAPES[shape]
+    # nonzero shard base: decode_block's leading gap is relative to the
+    # ORIGINAL encode base — the re-anchor regression only shows here
+    base = 35 * span
+    rows = _build_rows(rng, span, base, tiers, n_segments=n_segments)
+    df_by_term = {t: df * 37 + 11 for t, df in tiers.items()}
+    terms = sorted(tiers)
+    qmap = {
+        0: [(t, 1) for t in terms],
+        1: [(t, 1) for t in terms[: max(1, len(terms) - 1)]],
+        2: [(terms[0], 2)] + [(t, 1) for t in terms[1:]],  # n_occ > 1
+    }
+    for cutoff in (10, 100):
+        a = _run(rows, qmap, df_by_term, span, cutoff, "taat")
+        b = _run(rows, qmap, df_by_term, span, cutoff, "bmp")
+        _assert_exact(a, b, (shape, n_segments, cutoff))
+
+
+def test_bmp_equals_taat_with_subset():
+    rng = np.random.default_rng(5)
+    span = 8192
+    base = 17 * span
+    tiers = SHAPES["hot2rare1"]
+    rows = _build_rows(rng, span, base, tiers, n_segments=2)
+    df_by_term = {t: df * 37 + 11 for t, df in tiers.items()}
+    qmap = {0: [(t, 1) for t in sorted(tiers)]}
+    subset = base + np.sort(
+        rng.choice(span, size=span // 3, replace=False)
+    )
+    a = _run(rows, qmap, df_by_term, span, 25, "taat", subset=subset)
+    b = _run(rows, qmap, df_by_term, span, 25, "bmp", subset=subset)
+    _assert_exact(a, b, "subset")
+    assert a[1].size  # non-vacuous
+
+
+def test_bmp_equals_taat_tfidf():
+    rng = np.random.default_rng(6)
+    span = 8192
+    base = 9 * span
+    tiers = SHAPES["hot3rare2"]
+    rows = _build_rows(rng, span, base, tiers, n_segments=2)
+    df_by_term = {t: df * 37 + 11 for t, df in tiers.items()}
+    qmap = {0: [(t, 1) for t in sorted(tiers)]}
+    a = _run(rows, qmap, df_by_term, span, 20, "taat", model="tf-idf")
+    b = _run(rows, qmap, df_by_term, span, 20, "bmp", model="tf-idf")
+    _assert_exact(a, b, "tf-idf")
+
+
+def test_decode_blocks_matches_per_block():
+    """decode_blocks == concatenated decode_block for arbitrary subsets,
+    with absolute (block_first_doc-anchored) ids."""
+    from retriv_spark.index.codec import decode_block, decode_blocks
+
+    rng = np.random.default_rng(12)
+    base = 70000
+    n = 1000  # 8 blocks, last one partial
+    docs = base + np.sort(rng.choice(50000, size=n, replace=False))
+    tfs = rng.integers(1, 30, size=n)
+    dls = rng.integers(1, 500, size=n)
+    row = encode_segment(docs, tfs, dls, shard_base=base)
+    n_blocks = len(row["block_first_doc"])
+    for bis in ([0], [n_blocks - 1], [0, 3, 4, 7], list(range(n_blocks))):
+        d, tf, dl, cnts = decode_blocks(row, bis)
+        exp_d, exp_tf, exp_dl = [], [], []
+        for bi in bis:
+            db, tb, lb = decode_block(row, bi, shard_base=base)
+            exp_d.append(db)
+            exp_tf.append(tb)
+            exp_dl.append(lb)
+        assert np.array_equal(d, np.concatenate(exp_d)), bis
+        assert np.array_equal(tf, np.concatenate(exp_tf)), bis
+        assert np.array_equal(dl, np.concatenate(exp_dl)), bis
+        assert cnts.sum() == d.size
+
+
+def test_bmp_rejects_and_operator():
+    rng = np.random.default_rng(3)
+    span = 4096
+    rows = _build_rows(rng, span, 0, {"a": 100, "b": 50})
+    fn = make_shard_kernel(
+        {0: [("a", 1), ("b", 1)]}, {"a": 100, "b": 50},
+        doc_count=span, avg_doc_len=100.0, span=span, cutoff=10,
+        operator="AND", kernel="bmp",
+    )
+    with pytest.raises(ValueError, match="OR"):
+        fn(rows, as_arrays=True)
+
+
+# -- auto resolution ---------------------------------------------------------
+
+
+def test_resolve_kernel_auto():
+    qmap = {0: [("hot", 1), ("rare", 1)]}
+    # the measured win regime: huge skewed list + a small (>= cutoff)
+    # cheap anchor
+    win = {"hot": 1_000_000, "rare": 200}
+    # explicit kernels pass through untouched
+    for k in ("taat", "bmw", "bmp"):
+        assert resolve_kernel(k, qmap, win) == k
+    assert resolve_kernel("auto", qmap, win, cutoff=10) == "bmp"
+    # AND and local serving always taat
+    assert resolve_kernel("auto", qmap, win, operator="AND",
+                          cutoff=10) == "taat"
+    assert resolve_kernel("auto", qmap, win, local_serving=True,
+                          cutoff=10) == "taat"
+    # empty batch
+    assert resolve_kernel("auto", {}, win, cutoff=10) == "taat"
+    # volume gate: tiny postings stay taat
+    assert resolve_kernel(
+        "auto", qmap, {"hot": 1000, "rare": 20}, cutoff=10) == "taat"
+    # theta gate: cheap anchor smaller than cutoff stays taat
+    assert resolve_kernel(
+        "auto", qmap, {"hot": 1_000_000, "rare": 5}, cutoff=10) == "taat"
+    # theta gate is per shard: 64 shards dilute a 200-doc anchor below
+    # cutoff, a 6400-doc one stays above it
+    assert resolve_kernel(
+        "auto", qmap, win, cutoff=10,
+        doc_count=64 * 131072, span=131072) == "taat"
+    assert resolve_kernel(
+        "auto", qmap, {"hot": 2_000_000, "rare": 6400}, cutoff=10,
+        doc_count=64 * 131072, span=131072) == "bmp"
+    # skew gate: a fat cheap union forces near-full decode -> taat
+    assert resolve_kernel(
+        "auto", qmap, {"hot": 1_000_000, "rare": 100_000},
+        cutoff=10) == "taat"
+    # no expensive list (flat-ish shapes) -> taat
+    assert resolve_kernel(
+        "auto", {0: [("a", 1)]}, {"a": 1_000_000}, cutoff=10) == "taat"
+
+
+def test_resolve_kernel_env_override(monkeypatch):
+    qmap = {0: [("hot", 1), ("rare", 1)]}
+    dfs = {"hot": 100_000, "rare": 300}  # volume 100.3k, wins by default
+    assert resolve_kernel("auto", qmap, dfs, cutoff=10) == "bmp"
+    monkeypatch.setenv("RETRIV_SPARK_BMP_MIN_POSTINGS", "200000")
+    assert resolve_kernel("auto", qmap, dfs, cutoff=10) == "taat"
+    monkeypatch.setenv("RETRIV_SPARK_BMP_MIN_POSTINGS", "junk")
+    # junk falls back to the 50k default
+    assert resolve_kernel("auto", qmap, dfs, cutoff=10) == "bmp"
+    assert BMP_MIN_POSTINGS_PER_QUERY == 50_000

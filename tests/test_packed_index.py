@@ -120,7 +120,7 @@ QUERY_SET = [
 ]
 
 
-@pytest.mark.parametrize("kernel", ["taat", "bmw"])
+@pytest.mark.parametrize("kernel", ["taat", "bmw", "bmp"])
 def test_packed_matches_oracle(packed, corpus, kernel):
     pre = TextPreprocessor(stemmer=None, stopwords=None)
     oracle = NumpyOracle(corpus, pre=pre)
@@ -137,6 +137,12 @@ def test_taat_equals_bmw_exactly(packed):
     a = _as_dict(packed.msearch_df(QUERY_SET, cutoff=15, kernel="taat"))
     b = _as_dict(packed.msearch_df(QUERY_SET, cutoff=15, kernel="bmw"))
     assert a == b  # bit-identical scores and doc sets
+
+
+def test_taat_equals_bmp_exactly(packed):
+    a = _as_dict(packed.msearch_df(QUERY_SET, cutoff=15, kernel="taat"))
+    b = _as_dict(packed.msearch_df(QUERY_SET, cutoff=15, kernel="bmp"))
+    assert a == b  # score-preserving pruning: bit-identical top-k
 
 
 @pytest.mark.parametrize("kernel", ["taat", "bmw"])
@@ -240,7 +246,7 @@ def test_partitioning_invariance(spark, corpus, tmp_path):
             assert isclose(g[doc_id], score, rel_tol=REL_TOL)
 
 
-@pytest.mark.parametrize("kernel", ["taat", "bmw"])
+@pytest.mark.parametrize("kernel", ["taat", "bmw", "bmp"])
 def test_subset_doc_ids_restriction(spark, packed, kernel):
     """Packed-path subset restriction (reference bm25.py:33-34): results
     are exactly the full results intersected with the subset, scores
@@ -370,7 +376,8 @@ def test_mode_matrix_differential(spark, packed, corpus, operator, model, use_su
         for j in range(6)
     ]
     subset = sorted(qrng.sample(range(300), 120)) if use_subset else None
-    for kern in ("taat", "bmw"):
+    kernels = ("taat", "bmw") if operator == "AND" else ("taat", "bmw", "bmp")
+    for kern in kernels:
         res = packed.msearch_df(
             qs, cutoff=25, operator=operator, model=model,
             kernel=kern, subset_doc_ids=subset,
