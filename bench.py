@@ -33,6 +33,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "token_count",
+    "wordpiece_count",
     "quality_features",
     "lang_id",
     "fingerprint",

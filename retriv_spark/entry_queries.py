@@ -519,6 +519,21 @@ def q_token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_wordpiece_count(spark, sf_dir):
+    """Greedy WordPiece token count against the synthetic 1+2-char
+    vocabulary — the vocab is chosen so the REAL greedy/continuation/unk
+    algorithm (ops/wordpiece.py) has an exact closed-form SQL oracle:
+    ceil(len/2) per clean word, 1 per word with a non-alphabet char."""
+    from retriv_spark.ops.wordpiece import (
+        synthetic_char_vocab, with_wordpiece_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return with_wordpiece_counts(docs, synthetic_char_vocab()).select(
+        "doc_id", "n_wp_tokens"
+    ).orderBy("doc_id")
+
+
 def q_quality_features(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = tokens_col(F.col("text"))
@@ -1734,6 +1749,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "token_count": q_token_count,
+    "wordpiece_count": q_wordpiece_count,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2021,6 +2037,20 @@ SELECT doc_id,
                        t -> t <> '')) AS n_ws_tokens,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
+""",
+    "wordpiece_count": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(list_sum(list_transform(ws, w ->
+         CASE WHEN length(w) > 200 OR regexp_matches(w, '[^a-z]')
+              THEN 1 ELSE (length(w) + 1) // 2 END)), 0)::BIGINT
+         AS n_wp_tokens
+FROM t ORDER BY doc_id
 """,
     "quality_features": f"""
 WITH t AS (

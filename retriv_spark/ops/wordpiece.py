@@ -1,0 +1,137 @@
+"""Real-vocab WordPiece token counting (greedy longest-match-first).
+
+Training-data budgeting (mixture_plan targets, pack_sequences budgets)
+is denominated in TOKENIZER tokens, not whitespace words — this module
+counts them against an actual vocabulary using the published WordPiece
+algorithm (greedy longest prefix; continuation pieces carry a ``##``
+prefix; a word with no decomposition is ONE unk token), with no external
+tokenizer library.
+
+Spark shape: one Arrow-batched pandas UDF over the text column — a
+narrow projection, zero shuffles, scales with input splits.  The vocab
+ships once per executor as a Spark broadcast, and a per-worker
+word -> count memo (closures persist across batches within a worker)
+exploits the Zipfian word distribution: steady-state counting is a dict
+hit per word, not a re-tokenization.
+
+The output column plugs straight into the token-budget ops:
+``mixture_plan(df, ..., token_col="n_wp_tokens")``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Union
+
+from pyspark.sql import DataFrame
+
+# the published WordPiece guard: words longer than this are one unk
+MAX_INPUT_CHARS_PER_WORD = 200
+
+
+def load_wordpiece_vocab(source: Union[str, Iterable[str]]) -> frozenset:
+    """Load a WordPiece vocabulary.
+
+    ``source``: a path to a vocab file (one piece per line, the standard
+    published ``vocab.txt`` format — continuation pieces already carry
+    their ``##`` prefix) or any iterable of piece strings."""
+    if isinstance(source, str):
+        with open(source, encoding="utf-8") as f:
+            pieces = [line.rstrip("\n") for line in f]
+        return frozenset(p for p in pieces if p)
+    return frozenset(source)
+
+
+def synthetic_char_vocab(alphabet: str = "abcdefghijklmnopqrstuvwxyz") -> frozenset:
+    """A closed-form test vocabulary: every 1- and 2-char piece over
+    ``alphabet``, as both word-initial and ``##`` continuation forms.
+
+    Greedy longest-match over it has an exact SQL form — a pure-alphabet
+    word of length L counts ceil(L/2) pieces (2-char pieces preferred,
+    one trailing ``##x`` if L is odd) and any word containing a
+    non-alphabet char is 1 unk — which is what lets the oracle pair pin
+    the real greedy/continuation/unk logic against DuckDB."""
+    singles = list(alphabet)
+    pairs = [a + b for a in alphabet for b in alphabet]
+    return frozenset(
+        singles + pairs + ["##" + p for p in singles + pairs]
+    )
+
+
+def wordpiece_count_word(word: str, vocab, max_piece_len: int) -> int:
+    """Greedy WordPiece piece count for ONE word (the published
+    algorithm, counting instead of materializing pieces).  Returns 1 for
+    an undecomposable word (one unk token)."""
+    n = len(word)
+    if n > MAX_INPUT_CHARS_PER_WORD:
+        return 1
+    start = 0
+    count = 0
+    while start < n:
+        end = min(n, start + max_piece_len)
+        found = 0
+        while end > start:
+            piece = word[start:end]
+            if start > 0:
+                piece = "##" + piece
+            if piece in vocab:
+                found = end
+                break
+            end -= 1
+        if not found:
+            return 1  # no decomposition -> the whole word is one unk
+        count += 1
+        start = found
+    return count
+
+
+def with_wordpiece_counts(
+    df: DataFrame,
+    vocab: Union[str, Iterable[str], frozenset],
+    text_col: str = "text",
+    out_col: str = "n_wp_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Append ``out_col``: the document's WordPiece token count against
+    ``vocab`` (path / iterable / frozenset, see load_wordpiece_vocab).
+
+    Words are whitespace-split (empties dropped), matching the engine's
+    whitespace tokenizer; ``lowercase`` mirrors the uncased-vocab
+    convention.  One ArrowEvalPython projection, zero shuffles; the
+    vocab rides a broadcast and each worker memoizes word counts across
+    batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    vset = (
+        vocab if isinstance(vocab, frozenset)
+        else load_wordpiece_vocab(vocab)
+    )
+    # longest piece bounds the greedy scan; ## is prefix-only metadata
+    max_piece_len = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in vset
+    )
+    bc = df.sparkSession.sparkContext.broadcast(vset)
+    memo: dict = {}  # per-worker word -> count, persists across batches
+
+    @pandas_udf("long")
+    def _count(texts):
+        import pandas as pd
+
+        v = bc.value
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            if lowercase:
+                t = t.lower()
+            total = 0
+            for w in t.split():
+                c = memo.get(w)
+                if c is None:
+                    c = wordpiece_count_word(w, v, max_piece_len)
+                    memo[w] = c
+                total += c
+            out.append(total)
+        return pd.Series(out, dtype="int64")
+
+    return df.withColumn(out_col, _count(df[text_col]))

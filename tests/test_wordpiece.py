@@ -1,0 +1,154 @@
+"""WordPiece token counting: greedy semantics, vocab loading, Spark op."""
+import math
+
+import numpy as np
+import pytest
+
+from retriv_spark.ops.wordpiece import (
+    MAX_INPUT_CHARS_PER_WORD,
+    load_wordpiece_vocab,
+    synthetic_char_vocab,
+    with_wordpiece_counts,
+    wordpiece_count_word,
+)
+
+BERTISH = frozenset(
+    ["un", "##aff", "##able", "aff", "able", "runn", "##ing", "run",
+     "##n", "##er", "the", "a", "##b", "##c", "ab", "##cd"]
+)
+MAXLEN = 6
+
+
+def _count(w, vocab=BERTISH, maxlen=MAXLEN):
+    return wordpiece_count_word(w, vocab, maxlen)
+
+
+def test_greedy_decomposition():
+    assert _count("unaffable") == 3      # un ##aff ##able
+    assert _count("running") == 2        # runn ##ing (longest first!)
+    assert _count("runner") == 2         # runn ##er
+    assert _count("the") == 1
+    assert _count("abcd") == 2           # ab ##cd
+
+
+def test_unk_semantics():
+    # no decomposition at all -> one unk token
+    assert _count("xyz") == 1
+    # PUBLISHED greedy quirk: "a"+"##b..." would work, but greedy takes
+    # "ab" first, strands the tail, and the WHOLE word becomes one unk
+    assert _count("abq") == 1
+    # overlong word is one unk without scanning
+    assert _count("a" * (MAX_INPUT_CHARS_PER_WORD + 1)) == 1
+
+
+def test_greedy_prefers_longest_not_fewest():
+    # published greedy = longest match at each step, NOT fewest pieces:
+    # "abcd" decomposes a+##bcd (2 pieces), but greedy takes ab first
+    # and ends with ab ##c ##d (3) — pin the greedy answer
+    v = frozenset(["a", "##bcd", "ab", "##c", "##d"])
+    assert wordpiece_count_word("abcd", v, 3) == 3
+    # and longest at a continuation step: ab ##ce (2), not ab ##c ##e
+    v2 = frozenset(["ab", "##c", "##ce", "##e"])
+    assert wordpiece_count_word("abce", v2, 2) == 2
+
+
+def test_load_vocab_roundtrip(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("the\n##re\nun\n\n##able\n", encoding="utf-8")
+    v = load_wordpiece_vocab(str(p))
+    assert v == frozenset(["the", "##re", "un", "##able"])
+    assert load_wordpiece_vocab(["a", "##b"]) == frozenset(["a", "##b"])
+
+
+def test_synthetic_char_vocab_closed_form():
+    v = synthetic_char_vocab()
+    rng = np.random.default_rng(4)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    for _ in range(200):
+        n = int(rng.integers(1, 30))
+        w = "".join(rng.choice(list(letters), size=n))
+        assert wordpiece_count_word(w, v, 2) == math.ceil(n / 2), w
+    # any non-alphabet char -> unk
+    assert wordpiece_count_word("ab3cd", v, 2) == 1
+    assert wordpiece_count_word("3", v, 2) == 1
+
+
+def _reference_count(word, vocab, max_piece_len):
+    """Independent slow reference: explicit piece materialization."""
+    if len(word) > MAX_INPUT_CHARS_PER_WORD:
+        return 1
+    pieces = []
+    start = 0
+    while start < len(word):
+        for end in range(min(len(word), start + max_piece_len), start, -1):
+            cand = word[start:end]
+            if start > 0:
+                cand = "##" + cand
+            if cand in vocab:
+                pieces.append(cand)
+                start = end
+                break
+        else:
+            return 1
+    return len(pieces)
+
+
+def test_randomized_differential():
+    rng = np.random.default_rng(17)
+    alphabet = list("abcde")
+    for trial in range(60):
+        n_pieces = int(rng.integers(3, 25))
+        vocab = set()
+        for _ in range(n_pieces):
+            ln = int(rng.integers(1, 4))
+            p = "".join(rng.choice(alphabet, size=ln))
+            vocab.add(p if rng.random() < 0.5 else "##" + p)
+        vocab = frozenset(vocab)
+        maxlen = max(
+            (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
+        )
+        for _ in range(30):
+            w = "".join(rng.choice(alphabet, size=int(rng.integers(1, 12))))
+            assert wordpiece_count_word(w, vocab, maxlen) == \
+                _reference_count(w, vocab, maxlen), (w, sorted(vocab))
+
+
+# -- Spark op -----------------------------------------------------------------
+
+
+def test_with_wordpiece_counts(spark):
+    vocab = synthetic_char_vocab()
+    rows = [
+        (0, "hello world"),          # 3 + 3
+        (1, "  a  bb   ccc "),       # 1 + 1 + 2, empties dropped
+        (2, "num8er clean"),         # unk(1) + 3
+        (3, None),                   # null text -> 0
+        (4, "UPPER Case"),           # lowercased: 3 + 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_wp_tokens"]
+        for r in with_wordpiece_counts(df, vocab).collect()
+    }
+    assert got == {0: 6, 1: 4, 2: 4, 3: 0, 4: 5}
+
+
+def test_wordpiece_feeds_mixture_plan(spark):
+    """The counted column is a valid token_col for the budget ops."""
+    from retriv_spark.ops.curation import mixture_plan
+
+    vocab = synthetic_char_vocab()
+    rows = [
+        (i, "web" if i % 2 else "code", "some text here word " * (i + 1))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    counted = with_wordpiece_counts(df, vocab)
+    plan = mixture_plan(
+        counted, {"web": 100, "code": 100}, token_col="n_wp_tokens"
+    )
+    out = {r["stratum"]: r.asDict() for r in plan.collect()}
+    assert set(out) == {"web", "code"}
+    # ceil(L/2) closed form: "some text here word" -> 2+2+2+2 = 8/rep
+    web_tokens = sum(8 * (i + 1) for i in range(10) if i % 2)
+    assert out["web"]["avail_tokens"] == web_tokens
