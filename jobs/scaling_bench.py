@@ -43,12 +43,58 @@ results_path = os.environ["RETRIV_RESULTS"]
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=max(cpus, 8),
                   # split file scans finely so scan-stage parallelism is
-                  # bounded by cores, not by input file count/size — at the
+                  # bounded by cores, not by input file count/size -- at the
                   # default 128 MB a ~1 GB corpus caps every scan at ~8
                   # tasks and masquerades as serial time in the N-vs-4N
                   # comparison
-                  extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)})
+                  extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+                              # status REST API for straggler stats
+                              "spark.ui.enabled": "true",
+                              "spark.ui.port": "0"})
 spark.sparkContext.setLogLevel("ERROR")
+
+import urllib.request
+
+
+def _api(path):
+    base = spark.sparkContext.uiWebUrl
+    appid = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{appid}{path}", timeout=15
+    ) as r:
+        return json.load(r)
+
+
+def _done_stages():
+    try:
+        return {(s["stageId"], s["attemptId"])
+                for s in _api("/stages?status=COMPLETE")}
+    except Exception:
+        return set()
+
+
+def _straggler(before):
+    # max/median task-duration spread over the 3 heaviest stages run
+    # since `before` -- the local[N] stand-in for the cluster straggler
+    # question (is any single task an outlier that would stall a wave)
+    try:
+        stages = [s for s in _api("/stages?status=COMPLETE")
+                  if (s["stageId"], s["attemptId"]) not in before]
+        stages.sort(key=lambda s: -s.get("executorRunTime", 0))
+        out = []
+        for s in stages[:3]:
+            q = _api(f"/stages/{s['stageId']}/{s['attemptId']}"
+                     "/taskSummary?quantiles=0.5,1.0")
+            med, mx = q["duration"]
+            out.append({
+                "stage": s["stageId"],
+                "tasks": s["numCompleteTasks"],
+                "med_ms": round(med, 1), "max_ms": round(mx, 1),
+                "max_over_med": round(mx / max(med, 1e-9), 2),
+            })
+        return out
+    except Exception as e:  # stats are advisory; never fail the bench
+        return [{"error": str(e)[:200]}]
 
 docs = spark.read.parquet(input_path)
 n_docs = docs.count()
@@ -65,6 +111,7 @@ if os.environ.get("RETRIV_SKIP_BUILD") == "1" and os.path.isfile(
     from retriv_spark.index.packed import load_packed_index as _lpi
     idx = _lpi(spark, index_path)
 else:
+    _pre_build = _done_stages()
     for _rep in range(2):
         if os.path.isdir(index_path):
             shutil.rmtree(index_path)
@@ -93,7 +140,9 @@ os.environ["RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS"] = "0"
 # ends at a DISTRIBUTED sink (json part-files) — collecting 100k rows
 # through the driver would add constant single-threaded time that isn't
 # engine work and poisons the scaling-efficiency measurement.
+build_straggler = _straggler(_pre_build) if build_sec else None
 idx.msearch_df(queries[:8], cutoff=100).count()
+_pre_query = _done_stages()
 res_dir = results_path + ".d"
 query_sec = None
 for _rep in range(2):  # best of 2: damps hypervisor noise spikes
@@ -126,6 +175,8 @@ print(json.dumps({
     "query_sec": round(query_sec, 2),
     "qps": round(len(queries) / query_sec, 1),
     "result_rows": len(rows),
+    "build_straggler": build_straggler,
+    "query_straggler": _straggler(_pre_query),
 }))
 """
 
@@ -241,7 +292,7 @@ with open({queries_path!r}, "w") as f:
         f.write(json.dumps(dict(id=f"q{{i}}", text=" ".join(terms))) + "\\n")
 print("generated")
 """],
-            capture_output=True, text=True, timeout=1200,
+            capture_output=True, text=True, timeout=7200,
         )
     if gen is not None and "generated" not in gen.stdout:
         print(gen.stdout, gen.stderr)
@@ -266,7 +317,7 @@ print("generated")
         )
         out = subprocess.run(
             [sys.executable, "-c", WORKER], env=env,
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=14400,
         )
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if not lines:
@@ -333,6 +384,14 @@ print("generated")
         f"rank-identity across parallelism levels: "
         f"**{'IDENTICAL' if identical else 'MISMATCH'}** "
         f"({lo['result_rows']} result rows compared byte-for-byte)",
+        "",
+        "straggler spread (3 heaviest stages, max/median task duration):",
+        *(
+            f"- local[{c}] {leg}: " + json.dumps(runs[c].get(f"{leg}_straggler"))
+            for c in (args.n, 4 * args.n)
+            for leg in ("build", "query")
+            if runs[c].get(f"{leg}_straggler")
+        ),
         "",
     ]
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
