@@ -321,7 +321,7 @@ print("generated")
         )
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if not lines:
-            print(out.stdout[-3000:], out.stderr[-3000:])
+            print(out.stdout[-8000:], out.stderr[-8000:])
             sys.exit(1)
         runs[cpus] = json.loads(lines[-1])
         print(f"local[{cpus}]: {runs[cpus]}")
