@@ -1,0 +1,85 @@
+"""Profile the single-query local serving path (VERDICT r2 item 8).
+
+Builds the packed index over the sf documents table (same shape as
+bench.py's headline), warms the local caches, then cProfiles N
+one-query ``msearch_dicts`` calls — the reference's `search` protocol.
+
+Usage: python jobs/profile_single_query.py [--n 512] [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import cProfile
+import io
+import os
+import pstats
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from retriv_spark.entry_queries import _docs, _plain_pre
+    from retriv_spark.index.packed import build_packed_index
+    from retriv_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="profile-single", master=f"local[{args.cpus}]",
+        shuffle_partitions=8,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = _docs(spark, args.sf)
+    idx_path = os.path.join(tempfile.gettempdir(), "retriv_profile_idx")
+    if os.path.isdir(idx_path):
+        shutil.rmtree(idx_path)
+    idx = build_packed_index(
+        spark, docs, _plain_pre(), idx_path,
+        text_col="text", id_col="doc_id", order_cols=["doc_id"],
+        doc_id_col_precomputed="doc_id",
+    )
+    vocab = [r["term"] for r in idx.terms.orderBy("term").collect()]
+    rng = random.Random(42)
+    queries = [
+        {"id": f"q{i}", "text": " ".join(rng.sample(vocab, min(3, len(vocab))))}
+        for i in range(args.n)
+    ]
+    # warm caches (postings collect, decoded segments, vectors)
+    idx.msearch_dicts(queries[:64], cutoff=100)
+    for q in queries[:8]:
+        idx.msearch_dicts([q], cutoff=100)
+
+    # timed (no profiler) for the true qps
+    t0 = time.perf_counter()
+    for q in queries:
+        idx.msearch_dicts([q], cutoff=100)
+    dt = time.perf_counter() - t0
+    print(f"single-query: {args.n} queries in {dt:.3f}s = {args.n/dt:.0f} qps "
+          f"({dt/args.n*1000:.3f} ms/q)")
+
+    pr = cProfile.Profile()
+    pr.enable()
+    for q in queries:
+        idx.msearch_dicts([q], cutoff=100)
+    pr.disable()
+    s = io.StringIO()
+    ps = pstats.Stats(pr, stream=s).sort_stats("cumulative")
+    ps.print_stats(40)
+    print(s.getvalue())
+    shutil.rmtree(idx_path, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -407,13 +407,24 @@ class PackedIndex:
         """Stored postings count from build lineage (no Spark job);
         streamed appends are estimated from their row counts at the
         build's postings-per-doc ratio.  Unknown lineage counts as huge
-        (disables the small-index fast path, never the reverse)."""
+        (disables the small-index fast path, never the reverse).
+        Memoized per (doc_count, append-batch count) — the manifest walk
+        measured ~4% of single-query latency, and both inputs change on
+        every mutation that changes the answer."""
+        memo_key = (
+            int(self.manifest.get("doc_count", 0)),
+            len(self.manifest.get("stream_batches", {})),
+        )
+        hit = self.__dict__.get("_postings_memo")
+        if hit is not None and hit[0] == memo_key:
+            return hit[1]
         shards = (
             self.manifest.get("stages", {})
             .get("postings", {})
             .get("shards")
         )
         if not shards:
+            self.__dict__["_postings_memo"] = (memo_key, 1 << 62)
             return 1 << 62
         total = sum(int(v.get("postings", 0)) for v in shards.values())
         appended = sum(
@@ -423,6 +434,7 @@ class PackedIndex:
         if appended:
             built_docs = max(1, self.doc_count - appended)
             total += int(appended * (total / built_docs)) + appended
+        self.__dict__["_postings_memo"] = (memo_key, total)
         return total
 
     def _msearch_local(
@@ -472,6 +484,22 @@ class PackedIndex:
                 np.asarray(maps_pdf["uris"].iloc[i], dtype=object)
                 for i in order
             ]
+            # dense ids are contiguous across segments (initialize_id
+            # mapping numbers 0..N-1 and shard_maps tile that range), so
+            # id resolution is usually ONE flat fancy index; keep the
+            # per-segment path as the fallback for any gapped layout
+            sizes = np.asarray([u.size for u in cache["uri_list"]])
+            contiguous = bool(
+                cache["firsts"].size
+                and cache["firsts"][0] == 0
+                and np.array_equal(
+                    cache["firsts"],
+                    np.concatenate(([0], np.cumsum(sizes)[:-1])),
+                )
+            )
+            cache["uris_flat"] = (
+                np.concatenate(cache["uri_list"]) if contiguous else None
+            )
             cache["decoded"] = {}
             cache["vecs"] = {}
             # Pre-group rows once AND merge every shard into ONE virtual
@@ -554,12 +582,18 @@ class PackedIndex:
             ranks = np.empty(0, dtype=np.int64)
         keep = ranks <= cutoff
         q_s, d_s, s_s, ranks = q_s[keep], d_s[keep], s_s[keep], ranks[keep]
-        # id resolution: vectorized fancy-index per touched segment
-        seg_i = np.searchsorted(firsts, d_s, side="right") - 1
-        docs_col = np.empty(d_s.size, dtype=object)
-        for si in np.unique(seg_i):
-            m = seg_i == si
-            docs_col[m] = uri_list[si][(d_s[m] - firsts[si]).astype(np.int64)]
+        # id resolution: one flat fancy index when the dense id space is
+        # contiguous (the built layout), else per touched segment
+        if cache.get("uris_flat") is not None:
+            docs_col = cache["uris_flat"][d_s.astype(np.int64)]
+        else:
+            seg_i = np.searchsorted(firsts, d_s, side="right") - 1
+            docs_col = np.empty(d_s.size, dtype=object)
+            for si in np.unique(seg_i):
+                m = seg_i == si
+                docs_col[m] = uri_list[si][
+                    (d_s[m] - firsts[si]).astype(np.int64)
+                ]
         return q_s, docs_col, s_s, ranks, to_int
 
     def _msearch_local_table(

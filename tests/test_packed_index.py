@@ -435,3 +435,28 @@ def test_local_path_threshold_env_knob(packed, monkeypatch):
     assert local is not None
     for q_id, docs in baseline.items():
         assert local[q_id] == docs
+
+def test_single_query_fast_path_bit_identical(packed):
+    """One-query batches take the single-query fast path in the taat
+    kernel (sparse gather when Σ df is small vs span, direct untiled
+    dense accumulate otherwise).  Both branches must return EXACTLY the
+    tiled batch path's rows — same docs, bit-identical float32 scores.
+    QUERY_SET spans both regimes on this corpus (w1/w0 are frequent →
+    dense-direct; w40 w55 w59 is rare → sparse gather), plus repeated
+    terms (n_occ > 1) and a single-term query."""
+    batch = packed.msearch_dicts(QUERY_SET, cutoff=20)
+    for q in QUERY_SET:
+        single = packed.msearch_dicts([q], cutoff=20)
+        assert single[q["id"]] == batch[q["id"]], q["id"]
+        # insertion order = rank order must hold on the fast path too
+        scores = list(single[q["id"]].values())
+        assert scores == sorted(scores, reverse=True)
+    # cutoff larger than the match set: fast path keeps every match
+    all_single = packed.msearch_dicts(
+        [{"id": "w", "text": "w0 w1 w2"}], cutoff=10_000
+    )["w"]
+    all_batch = packed.msearch_dicts(
+        [{"id": "w", "text": "w0 w1 w2"}, {"id": "x", "text": "w3"}],
+        cutoff=10_000,
+    )["w"]
+    assert all_single == all_batch
