@@ -50,7 +50,14 @@ spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                   extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
                               # status REST API for straggler stats
                               "spark.ui.enabled": "true",
-                              "spark.ui.port": "0"})
+                              "spark.ui.port": "0",
+                              # shuffle files are only reclaimed when the
+                              # ContextCleaner sees dead refs; under a
+                              # large heap GC may never run during the
+                              # bench, and best-of-2 builds at 10M docs
+                              # accumulate ~25 GB of dead shuffle each —
+                              # ENOSPC killed two 10M runs before this
+                              "spark.cleaner.periodicGC.interval": "60s"})
 spark.sparkContext.setLogLevel("ERROR")
 
 import urllib.request
@@ -125,6 +132,11 @@ else:
         )
         dt = time.perf_counter() - t0
         build_sec = dt if build_sec is None else min(build_sec, dt)
+        # release the finished rep's shuffle files NOW (untimed): the
+        # ContextCleaner only deletes them after a JVM GC notices the
+        # dead references, and the next rep needs the disk headroom
+        spark._jvm.System.gc()
+        time.sleep(3)
 
 with open(queries_path) as f:
     queries = [json.loads(l) for l in f]
@@ -151,6 +163,8 @@ for _rep in range(2):  # best of 2: damps hypervisor noise spikes
     res.write.mode("overwrite").json(res_dir)
     dt = time.perf_counter() - t0
     query_sec = dt if query_sec is None else min(query_sec, dt)
+    spark._jvm.System.gc()  # drop the rep's shuffle files (untimed)
+    time.sleep(3)
 
 # canonicalize (untimed) for the cross-parallelism rank-identity check
 import glob
