@@ -57,7 +57,13 @@ spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                               # bench, and best-of-2 builds at 10M docs
                               # accumulate ~25 GB of dead shuffle each —
                               # ENOSPC killed two 10M runs before this
-                              "spark.cleaner.periodicGC.interval": "60s"})
+                              "spark.cleaner.periodicGC.interval": "60s",
+                              # zstd shuffle blocks are ~45% smaller than
+                              # lz4 — the 10M-doc build shuffle (~50 GB
+                              # at lz4) must fit this box's free disk;
+                              # same codec at both parallelism levels so
+                              # the N-vs-4N comparison is unaffected
+                              "spark.io.compression.codec": "zstd"})
 spark.sparkContext.setLogLevel("ERROR")
 
 import urllib.request
@@ -295,6 +301,9 @@ from retriv_spark.session import get_spark
 from retriv_spark.corpus import generate_code_corpus, _vocab
 spark = get_spark(app_name="gen", master="local[16]")
 spark.sparkContext.setLogLevel("ERROR")
+# zstd parquet: the 10M-doc corpus is ~27 GB at snappy and must coexist
+# on disk with the build shuffle; zstd cuts it ~35% at negligible read cost
+spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
 df = generate_code_corpus(spark, {args.docs}).withColumn(
     "__uri__", F.concat_ws("@", "repo", "path", "commit"))
 df.repartition(128).write.mode("overwrite").parquet({input_path!r})
