@@ -125,7 +125,10 @@ if os.environ.get("RETRIV_SKIP_BUILD") == "1" and os.path.isfile(
     idx = _lpi(spark, index_path)
 else:
     _pre_build = _done_stages()
-    for _rep in range(2):
+    # reps: best-of-N damps hypervisor noise; at 10M docs a single rep
+    # is used instead — each extra build costs ~30 min and a ~25 GB
+    # shuffle-spill peak this box's disk cannot spare
+    for _rep in range(int(os.environ.get("RETRIV_REPS", "2"))):
         if os.path.isdir(index_path):
             shutil.rmtree(index_path)
         spark.catalog.clearCache()
@@ -163,7 +166,7 @@ idx.msearch_df(queries[:8], cutoff=100).count()
 _pre_query = _done_stages()
 res_dir = results_path + ".d"
 query_sec = None
-for _rep in range(2):  # best of 2: damps hypervisor noise spikes
+for _rep in range(int(os.environ.get("RETRIV_REPS", "2"))):  # best-of-N
     t0 = time.perf_counter()
     res = idx.msearch_df(queries, cutoff=100)
     res.write.mode("overwrite").json(res_dir)
@@ -257,6 +260,15 @@ def main():
     ap.add_argument("--input", default=None,
                     help="reuse an existing generated corpus parquet dir "
                          "(skips generation; --docs is ignored)")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="best-of-N timed reps per leg (1 at 10M docs: "
+                         "each extra build costs ~30 min and a ~25 GB "
+                         "shuffle peak)")
+    ap.add_argument("--drop-indexes", action="store_true",
+                    help="delete each leg's index dir once its results "
+                         "are written (the two 28 GB 10M-doc indexes "
+                         "cannot coexist on this box; incompatible with "
+                         "a later --reuse-work of this work dir)")
     ap.add_argument("--reuse-work", default=None,
                     help="an earlier run's work dir: reuse its corpus, "
                          "queries AND built index_{N}/index_{4N} dirs, "
@@ -326,6 +338,7 @@ print("generated")
     for cpus in (args.n, 4 * args.n):
         env = dict(
             os.environ,
+            RETRIV_REPS=str(args.reps),
             RETRIV_SKIP_BUILD="1" if args.reuse_work else "0",
             RETRIV_REPO=REPO,
             # same heap at both levels: local-mode tasks share the driver
@@ -347,7 +360,11 @@ print("generated")
             print(out.stdout[-8000:], out.stderr[-8000:])
             sys.exit(1)
         runs[cpus] = json.loads(lines[-1])
-        print(f"local[{cpus}]: {runs[cpus]}")
+        print(f"local[{cpus}]: {runs[cpus]}", flush=True)
+        if args.drop_indexes:
+            import shutil
+
+            shutil.rmtree(f"{work}/index_{cpus}", ignore_errors=True)
 
     # 3. rank-identity across parallelism levels
     with open(f"{work}/results_{args.n}.jsonl") as f:
