@@ -43,6 +43,7 @@ HEADLINE = [
     "repetition_stats",
     "pii_redact",
     "stratified_sample",
+    "source_reputation",
     "sessionize",
     "pack_sequences",
     "chunk_documents",

@@ -534,6 +534,20 @@ def q_wordpiece_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_source_reputation(spark, sf_dir):
+    """Domain-level curation: per-source exact aggregates (doc count,
+    token volume, distinct-content count) gate whole sources; survivors
+    come back through a BROADCAST left-semi join, so the corpus never
+    shuffles (ops/curation.py source_stats / filter_by_source_reputation).
+    min_mean_tokens=55 splits the synthetic sources (means span 45-62)."""
+    from retriv_spark.ops.curation import filter_by_source_reputation
+
+    docs = _docs(spark, sf_dir)
+    return filter_by_source_reputation(
+        docs, min_docs=2, min_mean_tokens=55
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
 def q_quality_features(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = tokens_col(F.col("text"))
@@ -1750,6 +1764,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "token_count": q_token_count,
     "wordpiece_count": q_wordpiece_count,
+    "source_reputation": q_source_reputation,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2037,6 +2052,26 @@ SELECT doc_id,
                        t -> t <> '')) AS n_ws_tokens,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
+""",
+    "source_reputation": """
+WITH stats AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(len(list_filter(
+               string_split_regex(trim(coalesce(text, '')), '\\s+'),
+               t -> t <> '')))::BIGINT AS n_tokens,
+         count(DISTINCT sha256(coalesce(text, ''))) AS n_distinct
+  FROM documents GROUP BY source
+),
+good AS (
+  SELECT source FROM stats
+  WHERE n_docs >= 2
+    AND n_tokens >= 55 * n_docs
+    AND (n_docs - n_distinct) * 1000 <= 1000 * n_docs
+)
+SELECT d.doc_id, d.source FROM documents d
+JOIN good g ON d.source = g.source
+ORDER BY d.doc_id
 """,
     "wordpiece_count": """
 WITH t AS (

@@ -763,3 +763,67 @@ def quality_filter(
     return df.select(
         "*", reasons.alias("reasons")
     ).withColumn("keep", F.size("reasons") == 0)
+
+
+def source_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source (domain) reputation aggregates: doc count, whitespace
+    token volume, distinct-content count, and exact-duplicate count.
+
+    The standard first step of domain-level curation (a crawl pipeline
+    gates whole domains on these before per-document filters — cf. the
+    per-domain filtering in C4/RefinedWeb-style pipelines).  Scale shape:
+    ONE groupBy(source) aggregation whose shuffle carries (source,
+    sha256-digest) pairs for the distinct count — document bodies never
+    shuffle — and whose output is n_sources rows (domains are ~10^6-10^7
+    even at crawl scale, always driver/broadcast-sized).  All outputs
+    are exact integers so the SQL oracle reproduces them bit-identically.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_tok = F.coalesce(F.size(tokens_col(text)), F.lit(0))
+    out = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok.cast("long")).alias("n_tokens"),
+            F.count_distinct(F.sha2(text, 256)).alias("n_distinct"),
+        )
+        .withColumn("dup_docs", F.col("n_docs") - F.col("n_distinct"))
+    )
+    return out
+
+
+def filter_by_source_reputation(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_docs: int = 1,
+    min_mean_tokens: int = 0,
+    max_dup_per_mille: int = 1000,
+) -> DataFrame:
+    """Keep only documents whose source passes the reputation gate:
+    at least ``min_docs`` documents, mean whitespace tokens per doc
+    >= ``min_mean_tokens``, and exact-duplicate share <=
+    ``max_dup_per_mille`` (per thousand).
+
+    Thresholds are applied with integer arithmetic on the exact
+    aggregates (``n_tokens >= min_mean_tokens * n_docs``;
+    ``dup_docs * 1000 <= max_dup_per_mille * n_docs``) so the decision
+    is engine-portable — no float means.  Plan shape: the stats
+    aggregation (see source_stats) reduces to n_sources rows, and the
+    gate is a BROADCAST left-semi join back onto the corpus — the
+    corpus itself never shuffles.
+    """
+    stats = source_stats(df, text_col=text_col, source_col=source_col)
+    good = stats.where(
+        (F.col("n_docs") >= F.lit(min_docs))
+        & (F.col("n_tokens") >= F.lit(min_mean_tokens) * F.col("n_docs"))
+        & (
+            F.col("dup_docs") * F.lit(1000)
+            <= F.lit(max_dup_per_mille) * F.col("n_docs")
+        )
+    ).select(F.col("source").alias(source_col))
+    return df.join(F.broadcast(good), on=source_col, how="left_semi")

@@ -528,3 +528,50 @@ def test_mixture_sample_token_col_and_empty(spark):
     # no targets at all -> empty result with the epoch column present
     empty = mixture_sample(df, {}, token_col="n_tok")
     assert empty.columns[-1] == "epoch" and empty.count() == 0
+
+
+def test_source_reputation_gate(spark):
+    from retriv_spark.ops.curation import (
+        filter_by_source_reputation,
+        source_stats,
+    )
+
+    rows = (
+        # good: 4 docs, long, no dups
+        [(f"g{i}", "tok " * 20 + f"uniq{i}", "good") for i in range(4)]
+        # dupey: 4 docs, long, 3 of them identical (dup share 500/1000)
+        + [("d0", "tok " * 20 + "same", "dupey"),
+           ("d1", "tok " * 20 + "same", "dupey"),
+           ("d2", "tok " * 20 + "same", "dupey"),
+           ("d3", "tok " * 20 + "other", "dupey")]
+        # short: 4 docs, 2 tokens each
+        + [(f"s{i}", f"a b{i}", "short") for i in range(4)]
+        # tiny: 1 doc only
+        + [("t0", "tok " * 20 + "x", "tiny")]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+    stats = {r["source"]: r.asDict() for r in source_stats(df).collect()}
+    assert stats["good"]["n_docs"] == 4 and stats["good"]["dup_docs"] == 0
+    assert stats["dupey"]["n_distinct"] == 2 and stats["dupey"]["dup_docs"] == 2
+    assert stats["short"]["n_tokens"] == 8
+
+    kept = filter_by_source_reputation(
+        df, min_docs=2, min_mean_tokens=10, max_dup_per_mille=400
+    )
+    assert sorted(r["source"] for r in kept.select("source").distinct().collect()) == ["good"]
+    # all of a surviving source's docs come through, none rewritten
+    assert kept.count() == 4
+
+    # each gate alone: dup share 500 <= 600 per mille passes dupey
+    srcs = {
+        r["source"]
+        for r in filter_by_source_reputation(
+            df, min_docs=2, min_mean_tokens=10, max_dup_per_mille=600
+        ).select("source").distinct().collect()
+    }
+    assert srcs == {"good", "dupey"}
+
+    # the corpus side must NOT shuffle: the gate is a broadcast semi join
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
