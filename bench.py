@@ -44,6 +44,9 @@ HEADLINE = [
     "pii_redact",
     "stratified_sample",
     "source_reputation",
+    "c4_clean",
+    "ngram_lm",
+    "embedding_quantize",
     "sessionize",
     "pack_sequences",
     "chunk_documents",

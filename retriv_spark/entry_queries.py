@@ -548,6 +548,75 @@ def q_source_reputation(spark, sf_dir):
     ).select("doc_id", "source").orderBy("doc_id")
 
 
+def _docs_as_sentences(spark, sf_dir):
+    """Documents rewritten as 4-token lines with a deterministic
+    position-based terminal-punctuation pattern (line i ends in '.' iff
+    i % 3 != 0) so the C4 line rules see both passing and failing lines.
+    Pure column algebra — reproduced token-for-token by the oracle."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_chunks = F.ceil(F.size(toks) / F.lit(4)).cast("int")
+    lines = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 4 + 1, 4), " "),
+                F.when(i % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.withColumn("text", F.array_join(lines, "\n"))
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4-style line-level cleaning (ops/curation.py c4_clean, Raffel et
+    al. 2020 §2.2 heuristics): keep lines ending in terminal punctuation
+    with >= 4 words and no banned word ('spark' here so the rule fires
+    on the synthetic vocabulary), then gate docs needing >= 9 surviving
+    lines.  Zero-shuffle whole-stage-codegen column algebra; the oracle
+    replays the line synthesis and every rule, pinning the cleaned text
+    byte stream via md5."""
+    from .ops.curation import c4_clean
+
+    docs = _docs_as_sentences(spark, sf_dir)
+    out = c4_clean(docs, min_words_per_line=4, min_lines=9, drop_word="spark")
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_lines_kept",
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_ngram_lm(spark, sf_dir):
+    """Bigram-LM quality scoring (ops/lm.py ngram_lm_score): add-k
+    smoothed mean bigram log-likelihood under a top-k-pruned LM trained
+    on the corpus itself (the CCNet quality signal).  Two count shuffles
+    + broadcast-joined scoring; exact integer counts drive the smoothed
+    probabilities so the oracle reproduces them."""
+    from .ops.lm import ngram_lm_score
+
+    docs = _docs(spark, sf_dir)
+    return ngram_lm_score(docs, alpha=0.5, top_k=1000).orderBy("doc_id")
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 per-vector quantization (ops/similarity.py
+    quantize_embeddings): q = floor(x/amax*127 + 0.5) on IEEE doubles —
+    engine-portable rounding, exploded per element so the oracle checks
+    every quantized value exactly.  Narrow, zero shuffle."""
+    from .ops.similarity import quantize_embeddings
+
+    emb = _embeddings(spark, sf_dir)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "amax", F.posexplode("embedding_q").alias("pos", "q")
+    ).orderBy("vec_id", "pos")
+
+
 def q_quality_features(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = tokens_col(F.col("text"))
@@ -1765,6 +1834,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "wordpiece_count": q_wordpiece_count,
     "source_reputation": q_source_reputation,
+    "c4_clean": q_c4_clean,
+    "ngram_lm": q_ngram_lm,
+    "embedding_quantize": q_embedding_quantize,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3255,4 +3327,92 @@ SELECT doc_id,
        (CASE WHEN sha256(text) IN (SELECT digest FROM prior)
              THEN 1 ELSE 0 END)::INT AS in_prior
 FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["c4_clean"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+syn AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_transform(generate_series(0, ((len(toks) + 3) // 4) - 1),
+             i -> array_to_string(list_slice(toks, i*4 + 1, i*4 + 4), ' ')
+                  || CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END)
+         ELSE []::VARCHAR[] END AS ls
+  FROM t
+),
+doc AS (
+  SELECT doc_id, coalesce(array_to_string(ls, chr(10)), '') AS text, ls
+  FROM syn
+),
+k AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(ls, x -> trim(x)),
+           l -> regexp_matches(l, '[.!?"]$')
+                AND len(list_filter(string_split_regex(l, '\\s+'),
+                                    w -> w <> '')) >= 4
+                AND NOT contains(lower(l), 'spark')) AS kept
+  FROM doc
+)
+SELECT doc_id,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+       len(kept) AS n_lines_kept,
+       CASE WHEN len(kept) >= 9
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(lower(text), '{') THEN 1 ELSE 0 END AS keep
+FROM k ORDER BY doc_id
+"""
+
+ORACLE_SQL["ngram_lm"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+uni_all AS (
+  SELECT term AS w1, count(*) AS c1
+  FROM t, unnest(toks) AS u(term) GROUP BY term
+),
+vsz AS (SELECT count(*) AS v FROM uni_all),
+uni AS (SELECT w1, c1 FROM uni_all ORDER BY c1 DESC, w1 LIMIT 1000),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+),
+bi_all AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+bi AS (SELECT w1, w2, c2 FROM bi_all ORDER BY c2 DESC, w1, w2 LIMIT 1000),
+sc AS (
+  SELECT bg.doc_id, coalesce(bi.c2, 0) AS c2, coalesce(uni.c1, 0) AS c1
+  FROM bg
+  LEFT JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+  LEFT JOIN uni ON bg.w1 = uni.w1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(avg(ln((c2::DOUBLE + 0.5)
+                    / (c1::DOUBLE + 0.5 * (SELECT v FROM vsz)))), 4)
+         AS avg_logprob
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["embedding_quantize"] = """
+WITH e AS (
+  SELECT vec_id,
+         coalesce(list_max(list_transform(embedding,
+                                          x -> abs(x::DOUBLE))), 0.0)
+           AS amax,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+)
+SELECT vec_id, amax, pos,
+       CASE WHEN amax = 0.0 THEN 0
+            ELSE floor(v / amax * 127 + 0.5)::INT END AS q
+FROM e ORDER BY vec_id, pos
 """

@@ -765,6 +765,75 @@ def quality_filter(
     ).withColumn("keep", F.size("reasons") == 0)
 
 
+def _c4_kept_lines(
+    text: Column,
+    min_words_per_line: int,
+    require_terminal_punct: bool,
+    drop_word: str,
+) -> Column:
+    """Array of the lines of ``text`` that pass the C4 line rules."""
+    lines = F.transform(
+        F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: F.trim(l)
+    )
+
+    def _keep(l: Column) -> Column:
+        words_ok = F.size(
+            F.filter(F.split(l, r"\s+"), lambda t: t != F.lit(""))
+        ) >= F.lit(min_words_per_line)
+        cond = words_ok & ~F.contains(F.lower(l), F.lit(drop_word))
+        if require_terminal_punct:
+            cond = cond & l.rlike('[.!?"]$')
+        return cond
+
+    return F.filter(lines, _keep)
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    require_terminal_punct: bool = True,
+    drop_word: str = "javascript",
+    drop_brace_docs: bool = True,
+    drop_phrase: str = "lorem ipsum",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the public
+    heuristics): keep only lines that (a) end in terminal punctuation
+    ``. ! ? "``, (b) have at least ``min_words_per_line`` whitespace
+    words, and (c) do not contain ``drop_word`` (default "javascript");
+    then gate whole documents — ``keep`` is false when fewer than
+    ``min_lines`` lines survive, when the original text contains
+    ``drop_phrase`` ("lorem ipsum"), or (``drop_brace_docs``, disable for
+    code corpora) when it contains ``{``.
+
+    Adds ``{text_col}_clean`` (surviving lines joined with newlines),
+    ``n_lines_kept``, and ``keep``.  Rows are never dropped — callers
+    filter on ``keep`` so the rejected stream stays inspectable.
+
+    Scale shape: pure built-in column algebra (split / transform / filter
+    higher-order functions) — ZERO shuffles, zero Python, one
+    whole-stage-codegen pass over the scan; cost is O(bytes scanned)
+    regardless of cluster size.  Reference parity: the reference has no
+    curation surface; heuristics follow the published C4 pipeline.
+    """
+    text = F.col(text_col)
+    kept = _c4_kept_lines(
+        text, min_words_per_line, require_terminal_punct, drop_word
+    )
+    lower = F.lower(F.coalesce(text, F.lit("")))
+    keep = F.size(kept) >= F.lit(min_lines)
+    keep = keep & ~F.contains(lower, F.lit(drop_phrase))
+    if drop_brace_docs:
+        keep = keep & ~F.contains(lower, F.lit("{"))
+    return df.select(
+        "*",
+        F.array_join(kept, "\n").alias(f"{text_col}_clean"),
+        F.size(kept).alias("n_lines_kept"),
+        keep.alias("keep"),
+    )
+
+
 def source_stats(
     df: DataFrame,
     text_col: str = "text",

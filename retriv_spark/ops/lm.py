@@ -1,0 +1,145 @@
+"""Distributed n-gram language-model quality scoring.
+
+The CCNet / Wikipedia-LM quality signal a pretraining pipeline runs at
+crawl scale: train token statistics over a (reference or self) corpus,
+then score every document by its smoothed per-bigram log-likelihood —
+low-likelihood documents are gibberish, boilerplate, or wrong-language
+and get down-weighted or dropped.  Real pipelines ship a pruned KenLM
+binary to workers; this operator is the same shape built from Spark
+primitives, with add-k smoothing so every probability is a closed-form
+rational over exact integer counts (SQL-oracle reproducible).
+
+Scale shape:
+  * training — two aggregation shuffles (unigrams, bigrams), both
+    absorbing duplicates in the map-side partial combine so the exchange
+    carries near-distinct n-grams, not corpus tokens;
+  * pruning — ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject: a per-partition partial top-k before a single
+    driver merge, bounded by ``top_k`` (the standard LM-pruning move —
+    the shipped model must fit on every worker anyway);
+  * scoring — the pruned tables ride BROADCAST hash joins onto the
+    exploded doc bigrams (narrow, no corpus shuffle); the only exchange
+    is the per-doc aggregation whose map-side partial reduces it to one
+    row per doc per partition.  No Python anywhere — the whole scoring
+    pass is whole-stage-codegen column algebra.
+
+Determinism: counts are exact integers; ``V`` (smoothing denominator) is
+the exact pre-prune vocabulary size; top-k pruning tiebreaks on
+``(count DESC, token ASC)`` so the shipped model is bit-identical across
+cluster sizes and engines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+
+def _lm_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens (empties dropped)."""
+    return tokens_col(F.lower(text))
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, w1, w2)`` — one row per adjacent token pair per document.
+
+    Narrow: split + slice + zip + explode in one codegen stage; documents
+    with fewer than two tokens contribute no rows.
+    """
+    toks = _lm_tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1_000_000,
+) -> Tuple[DataFrame, DataFrame, int]:
+    """Count unigrams and bigrams over the corpus and prune both tables
+    to their ``top_k`` heaviest entries (tiebreak ``count DESC, token
+    ASC`` — deterministic across parallelism).
+
+    Returns ``(unigrams(w1, c1), bigrams(w1, w2, c2), vocab_size)`` where
+    ``vocab_size`` is the EXACT pre-prune distinct-unigram count (the
+    add-k smoothing denominator must not shrink when the table is
+    pruned, or scores would drift with ``top_k``).
+    """
+    toks = _lm_tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab_size = uni.count()
+    uni_top = uni.orderBy(F.col("c1").desc(), F.col("w1")).limit(top_k)
+    bi = (
+        _doc_bigrams(df, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    bi_top = bi.orderBy(
+        F.col("c2").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)
+    return uni_top, bi_top, vocab_size
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    top_k: int = 1_000_000,
+    lm: Optional[Tuple[DataFrame, DataFrame, int]] = None,
+) -> DataFrame:
+    """Score each document by its mean add-k-smoothed bigram
+    log-likelihood under a bigram LM (trained on ``df`` itself unless a
+    ``(unigrams, bigrams, vocab_size)`` triple from ``train_bigram_lm``
+    over a reference corpus is passed as ``lm``).
+
+    Per bigram: ``ln((c2 + alpha) / (c1 + alpha * V))`` with counts 0
+    when pruned/unseen.  Output per document (docs with >= 1 bigram):
+    ``n_bigrams`` and ``n_oov`` (exact integers; ``n_oov`` counts
+    bigrams absent from the pruned table) and ``avg_logprob`` (float64,
+    rounded to 4 decimals for cross-engine comparison).
+
+    Plan: exploded doc bigrams -> two BROADCAST joins (pruned tables are
+    ``top_k``-bounded by construction) -> one per-doc aggregation whose
+    map-side partial combine carries one row per doc per partition.  The
+    corpus never shuffles; nothing leaves the JVM.
+    """
+    uni, bi, vocab_size = lm if lm is not None else train_bigram_lm(
+        df, text_col, id_col, top_k
+    )
+    bg = _doc_bigrams(df, text_col, id_col)
+    joined = (
+        bg.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), ["w1"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+        )
+    )
+    lp = F.log(
+        (F.col("c2").cast("double") + F.lit(float(alpha)))
+        / (F.col("c1").cast("double") + F.lit(float(alpha) * vocab_size))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum((F.col("c2") == 0).cast("long")).alias("n_oov"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+    )

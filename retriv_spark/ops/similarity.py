@@ -336,3 +336,51 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of an embedding column:
+    ``q_i = floor(x_i / amax * (2^(bits-1) - 1) + 0.5)`` with
+    ``amax = max_i |x_i|`` (all-zero vectors quantize to zeros).
+
+    The standard 4x memory/bandwidth cut before ANN serving (int8 beats
+    float32 on scan throughput and the shipped-index footprint; recall
+    loss is bounded by the per-vector scale).  Adds ``{vec_col}_q``
+    (array<int>) and ``amax`` (double — the exact float32 input value,
+    so dequantization ``q * amax / qmax`` is reproducible).
+
+    Determinism/portability: the rounding is ``floor(v + 0.5)`` on IEEE
+    doubles — identical in any engine (no banker's-rounding ambiguity) —
+    and ``amax`` is an exact input value, so the op is bit-reproducible
+    across cluster sizes and in ANSI SQL.
+
+    Scale shape: pure higher-order-function column algebra — narrow,
+    ZERO shuffles, zero Python, one whole-stage-codegen pass.
+    """
+    if not 2 <= bits <= 32:
+        raise ValueError(f"bits must be in [2, 32], got {bits}")
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        v.isNull(), F.lit(None)
+    ).when(
+        F.coalesce(amax, F.lit(0.0)) == 0.0,
+        F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(
+                x.cast("double") / amax * F.lit(qmax) + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return df.select(
+        "*",
+        q.alias(f"{vec_col}_q"),
+        F.coalesce(amax, F.lit(0.0)).alias("amax"),
+    )

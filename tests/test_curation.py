@@ -575,3 +575,54 @@ def test_source_reputation_gate(spark):
     # the corpus side must NOT shuffle: the gate is a broadcast semi join
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    from pyspark.sql import functions as F
+
+    from retriv_spark.ops.curation import c4_clean
+
+    rows = [
+        # 3 good lines + 1 short + 1 no-punct + 1 javascript -> keep
+        (1, "This is a good long line with punctuation.\n"
+            "short line.\n"
+            "no terminal punct here despite plenty of words\n"
+            "Another fine sentence stands right here!\n"
+            "Please enable javascript to view this page.\n"
+            'He said the quoted line counts as terminal."'),
+        # enough lines but contains lorem ipsum -> page dropped
+        (2, "lorem ipsum dolor sit amet this sentence ends properly.\n"
+            "Another good long line right here with punct.\n"
+            "Third long line also ends with proper punct."),
+        # curly brace -> page dropped unless drop_brace_docs=False
+        (3, "{ code block } with lots of words ending properly.\n"
+            "Another good long line right here with punct.\n"
+            "Third long line also ends with proper punct."),
+        (4, None),
+        (5, "only one good long line that ends with a period."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+    assert out[1]["n_lines_kept"] == 3 and out[1]["keep"]
+    kept1 = out[1]["text_clean"].split("\n")
+    assert "short line." not in kept1
+    assert all("javascript" not in l for l in kept1)
+    assert kept1[-1].endswith('"')  # quote is terminal punctuation
+    assert out[2]["n_lines_kept"] == 3 and not out[2]["keep"]
+    assert out[3]["n_lines_kept"] == 3 and not out[3]["keep"]
+    assert out[4]["text_clean"] == "" and not out[4]["keep"]
+    assert out[5]["n_lines_kept"] == 1 and not out[5]["keep"]
+
+    # code corpora: brace gate off, relaxed line rules
+    relaxed = {
+        r["doc_id"]: r
+        for r in c4_clean(
+            df, min_lines=3, drop_brace_docs=False
+        ).collect()
+    }
+    assert relaxed[3]["keep"]
+
+    # zero shuffle: the whole op is one narrow codegen pass
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,110 @@
+"""Bigram-LM quality scoring (ops/lm.py): hand-computed goldens,
+pruning semantics, reference-corpus scoring, and plan-shape guards."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.lm import (
+    _doc_bigrams,
+    ngram_lm_score,
+    train_bigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "The cat sat"),
+            (3, "zz yy"),
+            (4, "one"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_doc_bigrams_edges(spark, tiny_docs):
+    got = {
+        (r["doc_id"], r["w1"], r["w2"])
+        for r in _doc_bigrams(tiny_docs, "text", "doc_id").collect()
+    }
+    assert ("doc_id" and (2, "the", "cat")) in got  # lowercased
+    assert (3, "zz", "yy") in got
+    # <2-token and NULL docs contribute nothing
+    assert not any(d in (4, 5) for d, _, _ in got)
+
+
+def test_train_bigram_lm_counts_and_prune(spark, tiny_docs):
+    uni, bi, v = train_bigram_lm(tiny_docs, top_k=100)
+    uc = {r["w1"]: r["c1"] for r in uni.collect()}
+    bc = {(r["w1"], r["w2"]): r["c2"] for r in bi.collect()}
+    assert v == 8  # the cat sat on mat zz yy one
+    assert uc["the"] == 3 and uc["cat"] == 2 and uc["one"] == 1
+    assert bc[("the", "cat")] == 2 and bc[("cat", "sat")] == 2
+    assert bc[("on", "the")] == 1
+
+    # pruning keeps the heaviest entries with a deterministic tiebreak
+    uni2, bi2, v2 = train_bigram_lm(tiny_docs, top_k=2)
+    assert v2 == 8  # V never shrinks with pruning
+    assert [r["w1"] for r in uni2.collect()] == ["the", "cat"]
+    assert [(r["w1"], r["w2"]) for r in bi2.collect()] == [
+        ("cat", "sat"),
+        ("the", "cat"),
+    ]
+
+
+def test_ngram_lm_score_golden(spark, tiny_docs):
+    out = {r["doc_id"]: r for r in ngram_lm_score(tiny_docs).collect()}
+    assert set(out) == {1, 2, 3}  # <2-token docs drop out
+
+    # doc 2: bigrams (the,cat) c2=2 c1=3, (cat,sat) c2=2 c1=2; V=8
+    exp2 = (
+        math.log((2 + 0.5) / (3 + 0.5 * 8))
+        + math.log((2 + 0.5) / (2 + 0.5 * 8))
+    ) / 2
+    assert out[2]["n_bigrams"] == 2 and out[2]["n_oov"] == 0
+    assert out[2]["avg_logprob"] == pytest.approx(round(exp2, 4), abs=1e-9)
+    # self-trained model: nothing is OOV
+    assert all(r["n_oov"] == 0 for r in out.values())
+
+
+def test_ngram_lm_score_pruned_oov_and_reference_lm(spark, tiny_docs):
+    # prune to 2 bigrams: doc 1 has (sat,on) (on,the) (the,mat) OOV
+    out = {
+        r["doc_id"]: r
+        for r in ngram_lm_score(tiny_docs, top_k=2).collect()
+    }
+    assert out[1]["n_oov"] == 3 and out[3]["n_oov"] == 1
+
+    # score a held-out corpus under the tiny_docs LM
+    lm = train_bigram_lm(tiny_docs, top_k=100)
+    held = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "qq ww")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in ngram_lm_score(held, lm=lm).collect()
+    }
+    assert got[10]["n_oov"] == 0
+    # fully-unseen bigram: ln(0.5 / (0 + 0.5*8)) = ln(1/8)
+    assert got[11]["n_oov"] == 1
+    assert got[11]["avg_logprob"] == pytest.approx(
+        round(math.log(1 / 8), 4), abs=1e-9
+    )
+
+
+def test_ngram_lm_plan_shape(spark, tiny_docs):
+    lm = train_bigram_lm(tiny_docs, top_k=100)
+    plan = (
+        ngram_lm_score(tiny_docs, lm=lm)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # pruned LM tables ride broadcast joins; the only exchange is the
+    # per-doc aggregation
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -768,3 +768,54 @@ def test_release_span_hash_caches(spark, span_df):
     assert all(
         not (f.storageLevel.useMemory or f.storageLevel.useDisk) for f in cached
     )
+
+
+def test_quantize_embeddings_golden(spark):
+    from retriv_spark.ops.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25]),
+            (2, [0.0, 0.0]),
+            (3, None),
+            (4, [-0.5, 0.125]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # floor(x/amax*127 + 0.5): 0.5 -> 64 (63.5+0.5), -1.0 -> -127, 0.25 -> 32
+    assert list(out[1]["embedding_q"]) == [64, -127, 32]
+    assert out[1]["amax"] == 1.0
+    assert list(out[2]["embedding_q"]) == [0, 0] and out[2]["amax"] == 0.0
+    assert out[3]["embedding_q"] is None and out[3]["amax"] == 0.0
+    # amax from a negative component; -0.5 -> -127, 0.125 -> floor(32.25)
+    assert list(out[4]["embedding_q"]) == [-127, 32]
+    assert out[4]["amax"] == 0.5
+
+    # bits=4 -> qmax 7
+    out4 = {r["vec_id"]: r for r in quantize_embeddings(df, bits=4).collect()}
+    assert list(out4[1]["embedding_q"]) == [4, -7, 2]
+    with pytest.raises(ValueError):
+        quantize_embeddings(df, bits=1)
+
+    # narrow: zero shuffle
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quantize_embeddings_dequant_error_bound(spark):
+    import numpy as np
+
+    from retriv_spark.ops.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16).astype(np.float32)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in quantize_embeddings(df).collect():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        deq = np.asarray(r["embedding_q"], dtype=np.float64) * r["amax"] / 127.0
+        # symmetric quantization error is at most half a step
+        assert np.max(np.abs(x - deq)) <= r["amax"] / 127.0 * 0.5 + 1e-12
