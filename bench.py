@@ -47,6 +47,8 @@ HEADLINE = [
     "c4_clean",
     "ngram_lm",
     "embedding_quantize",
+    "ann_int8_topk",
+    "minhash_incremental",
     "sessionize",
     "pack_sequences",
     "chunk_documents",

@@ -603,6 +603,44 @@ def q_ngram_lm(spark, sf_dir):
     return ngram_lm_score(docs, alpha=0.5, top_k=1000).orderBy("doc_id")
 
 
+def q_ann_int8_topk(spark, sf_dir):
+    """Quantized brute-force top-k (ops/similarity.py int8_topk): the
+    int8 serving path — exact 64-bit integer dot products of the
+    quantized vectors rescaled by the two per-vector amax scales, so
+    ranking is bit-reproducible at any parallelism (no float-sum order
+    sensitivity).  Same broadcast/scan/topk plan as ann_cosine_topk."""
+    from .ops.similarity import int8_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return int8_topk(emb, queries, k=5).orderBy("q_id", "rank")
+
+
+def q_minhash_incremental(spark, sf_dir):
+    """NEAR-dup incremental dedup (ops/dedup.py minhash_novel_against):
+    today's batch (all docs) vs the prior snapshot (doc_id%3==0, the
+    same split as the exact-digest dedup_incremental pair) — banded
+    signature join across the two corpora, novel iff no prior candidate
+    reaches est_jaccard 0.5.  Prior docs match themselves (est 1.0) so
+    the flag also proves snapshot containment."""
+    from .ops.dedup import minhash_novel_against
+
+    docs = _docs(spark, sf_dir)
+    prior = docs.where(F.col("doc_id") % 3 == 0)
+    return (
+        minhash_novel_against(docs, prior, threshold=0.5)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_prior_candidates",
+            "max_est_jaccard",
+            "novel",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 per-vector quantization (ops/similarity.py
     quantize_embeddings): q = floor(x/amax*127 + 0.5) on IEEE doubles —
@@ -1837,6 +1875,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
     "embedding_quantize": q_embedding_quantize,
+    "ann_int8_topk": q_ann_int8_topk,
+    "minhash_incremental": q_minhash_incremental,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3415,4 +3455,77 @@ SELECT vec_id, amax, pos,
        CASE WHEN amax = 0.0 THEN 0
             ELSE floor(v / amax * 127 + 0.5)::INT END AS q
 FROM e ORDER BY vec_id, pos
+"""
+
+ORACLE_SQL["ann_int8_topk"] = """
+WITH e AS (
+  SELECT vec_id,
+         coalesce(list_max(list_transform(embedding,
+                                          x -> abs(x::DOUBLE))), 0.0)
+           AS amax,
+         embedding
+  FROM embeddings
+),
+qe AS (
+  SELECT vec_id, amax,
+         CASE WHEN amax = 0.0
+              THEN list_transform(embedding, x -> 0::BIGINT)
+              ELSE list_transform(embedding,
+                     x -> floor(x::DOUBLE / amax * 127 + 0.5)::BIGINT)
+         END AS qv
+  FROM e
+),
+sc AS (
+  SELECT q.vec_id AS q_id, c.vec_id,
+         list_sum(list_transform(generate_series(1, len(c.qv)),
+                                 i -> c.qv[i] * q.qv[i]))::BIGINT AS idot,
+         c.amax AS c_amax, q.amax AS q_amax
+  FROM qe c, (SELECT * FROM qe WHERE vec_id < 5) q
+  WHERE c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT q_id, vec_id,
+         idot::DOUBLE * c_amax * q_amax / 16129.0 AS s,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY idot::DOUBLE * c_amax * q_amax / 16129.0 DESC, vec_id
+         ) AS rank
+  FROM sc
+)
+SELECT q_id, vec_id, round(s, 6) AS score, rank
+FROM r WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+# Signature chain (tok..bands) shared with the pair/cluster oracles;
+# the incremental oracle swaps the self-join for a new-vs-prior join.
+_MINHASH_SIG_CTES = _MINHASH_CTES.split(",\ncand AS (")[0]
+assert _MINHASH_SIG_CTES.rstrip().endswith(")"), "sig CTE split failed"
+
+ORACLE_SQL["minhash_incremental"] = f"""
+WITH {_MINHASH_SIG_CTES},
+cand AS (
+  SELECT n.doc_id AS id, p.doc_id AS prior_id
+  FROM bands n
+  JOIN bands p ON n.band = p.band AND n.band_key = p.band_key
+  WHERE p.doc_id % 3 = 0
+  GROUP BY 1, 2
+),
+ej AS (
+  SELECT c.id, c.prior_id,
+         sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 16.0 AS ej
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id
+  JOIN sig sb ON sb.doc_id = c.prior_id AND sb.j = sa.j
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT id, count(*) AS n_prior_candidates, max(ej) AS mx
+  FROM ej GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(a.n_prior_candidates, 0) AS n_prior_candidates,
+       round(coalesce(a.mx, 0.0), 4) AS max_est_jaccard,
+       CASE WHEN coalesce(a.mx, 0.0) < 0.5 THEN 1 ELSE 0 END AS novel
+FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+ORDER BY d.doc_id
 """

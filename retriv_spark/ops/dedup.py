@@ -321,6 +321,35 @@ def minhash_signature(
     )
 
 
+def _band_keys(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, sig, band, band_key) — one row per LSH band of each
+    signature; band_key is the comma-joined hash slice.  Narrow."""
+    r = n_hashes // bands
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[bi * r + j].cast("string")
+                                for j in range(r)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -349,30 +378,13 @@ def minhash_lsh_pairs(
     pairs score identically with or without the cap.
     """
     assert n_hashes % bands == 0
-    r = n_hashes // bands
     # The banded self-join consumes its input twice; without a persist the
     # whole shingle→md5→min-agg signature pipeline (the expensive part)
     # executes twice.  Signatures are n_hashes longs per doc — the persist
     # is doc_count × ~150 B, negligible next to the corpus.
     sigs = minhash_signature(df, text_col, id_col, n_hashes, k, unit).persist()
 
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
-                        ).alias("band_key"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    banded = _band_keys(sigs, n_hashes, bands)
     if max_bucket_df is not None:
         banded = prune_hot_buckets(banded, ["band", "band_key"], max_bucket_df)
 
@@ -403,6 +415,93 @@ def minhash_lsh_pairs(
         "id_b",
         "n_bands_match",
         F.round(eq_positions / F.lit(float(n_hashes)), 4).alias("est_jaccard"),
+    )
+
+
+def minhash_novel_against(
+    new_df: DataFrame,
+    prior_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    unit: str = "word",
+    threshold: float = 0.5,
+    max_bucket_df: Optional[int] = None,
+) -> DataFrame:
+    """NEAR-dup incremental dedup: flag documents of ``new_df`` whose
+    minhash signature collides (>= 1 LSH band) with the PRIOR snapshot
+    ``prior_df`` and whose full-signature Jaccard estimate reaches
+    ``threshold`` — the daily-crawl increment shape (cf. exact-digest
+    :func:`flag_in_prior`), without ever re-pairing the prior corpus
+    with itself.
+
+    Returns one row per new doc: ``(id, n_prior_candidates,
+    max_est_jaccard, novel)`` with ``novel = 1`` iff no prior candidate
+    reaches ``threshold`` (``est_jaccard`` is the signature-agreement
+    estimator, an exact multiple of 1/n_hashes — engine-portable).
+
+    Scale shape: signatures on each side are one id-keyed aggregation
+    with full map-side combine (see :func:`minhash_signature`); the
+    cross-corpus join is keyed on ``(band, band_key)`` so cost is
+    new x prior COLLISIONS only — the snapshots themselves never
+    cartesian; ``max_bucket_df`` prunes hot buckets on each side
+    independently (same guard as :func:`minhash_lsh_pairs`); the final
+    per-new-doc aggregation carries candidate pairs only, and the
+    result joins back to the new ids with a LEFT join so shingle-less
+    docs still get a (trivially novel) row.
+    """
+    assert n_hashes % bands == 0
+    nb = _band_keys(
+        minhash_signature(new_df, text_col, id_col, n_hashes, k, unit),
+        n_hashes,
+        bands,
+    )
+    pb = _band_keys(
+        minhash_signature(prior_df, text_col, id_col, n_hashes, k, unit),
+        n_hashes,
+        bands,
+    )
+    if max_bucket_df is not None:
+        nb = prune_hot_buckets(nb, ["band", "band_key"], max_bucket_df)
+        pb = prune_hot_buckets(pb, ["band", "band_key"], max_bucket_df)
+    pairs = (
+        nb.join(
+            pb.select(
+                F.col("id").alias("prior_id"),
+                F.col("sig").alias("sig_p"),
+                "band",
+                "band_key",
+            ),
+            ["band", "band_key"],
+        )
+        .groupBy("id", "prior_id")
+        .agg(F.first("sig").alias("sig"), F.first("sig_p").alias("sig_p"))
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig", "sig_p", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(n_hashes))
+    agg = (
+        pairs.select("id", est.alias("ej"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_prior_candidates"),
+            F.max("ej").alias("mx"),
+        )
+    )
+    mx = F.coalesce(F.col("mx"), F.lit(0.0))
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_prior_candidates"), F.lit(0)).alias(
+                "n_prior_candidates"
+            ),
+            F.round(mx, 4).alias("max_est_jaccard"),
+            (mx < F.lit(float(threshold))).cast("int").alias("novel"),
+        )
     )
 
 

@@ -819,3 +819,122 @@ def test_quantize_embeddings_dequant_error_bound(spark):
         deq = np.asarray(r["embedding_q"], dtype=np.float64) * r["amax"] / 127.0
         # symmetric quantization error is at most half a step
         assert np.max(np.abs(x - deq)) <= r["amax"] / 127.0 * 0.5 + 1e-12
+
+
+def test_int8_topk_matches_exact_ranking_on_separated_data(spark):
+    import numpy as np
+
+    from retriv_spark.ops.similarity import brute_force_topk, int8_topk
+
+    # three well-separated clusters: int8 quantization noise cannot
+    # reorder neighbors across clusters
+    rng = np.random.default_rng(3)
+    centers = np.eye(3, 8) * 10.0
+    rows = [
+        (i, [float(x) for x in (centers[i % 3] + rng.normal(0, 0.05, 8)).astype(np.float32)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = int8_topk(df, queries, k=5).collect()
+    g = {(r["q_id"], r["rank"]): r["vec_id"] for r in got}
+    # every int8 neighbor stays inside the query's cluster, self excluded
+    for r in got:
+        assert r["vec_id"] % 3 == r["q_id"] % 3
+        assert r["vec_id"] != r["q_id"]
+    # int8 ranks by approximate DOT PRODUCT: top-1 must agree with the
+    # exact float64 dot-product ranking (well-separated clusters mean
+    # quantization noise cannot flip it)
+    mat = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    for q_id in (0, 1, 2):
+        best = max(
+            (i for i in mat if i != q_id),
+            key=lambda i: (float(mat[q_id] @ mat[i]), -i),
+        )
+        assert g[(q_id, 1)] == best
+    # sanity: cosine brute force still runs on the same inputs
+    assert len(brute_force_topk(df, queries, k=5).collect()) == 15
+
+
+def test_int8_topk_score_formula(spark):
+    import numpy as np
+
+    from retriv_spark.ops.similarity import int8_topk
+
+    rows = [(1, [1.0, 0.5]), (2, [-0.5, 0.25]), (3, [0.2, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(1, [1.0, 0.5])], "q_id long, q_vec array<float>")
+    got = {r["vec_id"]: r["score"] for r in int8_topk(df, q, k=5).collect()}
+
+    def ref(vec, qvec):
+        def quant(v):
+            amax = max(abs(x) for x in v)
+            return [int(np.floor(x / amax * 127 + 0.5)) for x in v], amax
+
+        qv, am = quant(vec)
+        qq, aq = quant(qvec)
+        return round(sum(a * b for a, b in zip(qv, qq)) * am * aq / 16129.0, 6)
+
+    assert got[2] == pytest.approx(ref([-0.5, 0.25], [1.0, 0.5]), abs=1e-9)
+    assert got[3] == pytest.approx(ref([0.2, 0.8], [1.0, 0.5]), abs=1e-9)
+    assert 1 not in got  # self excluded
+
+
+def test_minhash_novel_against(spark):
+    from retriv_spark.ops.dedup import minhash_novel_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    prior = spark.createDataFrame(
+        [(100, base), (101, "completely different prior content "
+                           "about spark shuffles and partitions at scale")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                       # exact copy of prior 100
+            (2, base + " with a tiny tail"), # near-dup of prior 100
+            (3, "genuinely novel text that shares nothing with any "
+                "snapshot document at all today"),
+            (4, ""),                          # shingle-less -> trivially novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in minhash_novel_against(new, prior).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["max_est_jaccard"] == 1.0 and out[1]["novel"] == 0
+    assert out[2]["novel"] == 0 and out[2]["n_prior_candidates"] >= 1
+    assert out[3]["novel"] == 1 and out[3]["n_prior_candidates"] == 0
+    assert out[4]["novel"] == 1 and out[4]["max_est_jaccard"] == 0.0
+
+    # est_jaccard is always a multiple of 1/16 (exact, engine-portable)
+    for r in out.values():
+        assert (r["max_est_jaccard"] * 16) == int(r["max_est_jaccard"] * 16)
+
+
+def test_minhash_novel_against_bucket_cap(spark):
+    from retriv_spark.ops.dedup import minhash_novel_against
+
+    boiler = "identical boilerplate page body repeated across the crawl"
+    prior = spark.createDataFrame(
+        [(i, boiler) for i in range(100, 140)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, boiler) for i in range(5)]
+        + [(9, "unique new page content entirely unlike the boilerplate")],
+        "doc_id long, text string",
+    )
+    # cap prunes the hot bucket on both sides: boilerplate docs pair with
+    # nothing (the caller should exact-dedup first), novel content intact
+    out = {
+        r["id"]: r
+        for r in minhash_novel_against(new, prior, max_bucket_df=10).collect()
+    }
+    assert all(out[i]["n_prior_candidates"] == 0 for i in range(5))
+    assert out[9]["novel"] == 1
+    # without the cap the same shape fans out 5x40 candidate pairs
+    uncapped = {
+        r["id"]: r for r in minhash_novel_against(new, prior).collect()
+    }
+    assert uncapped[0]["n_prior_candidates"] == 40
