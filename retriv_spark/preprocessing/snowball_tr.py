@@ -1,0 +1,493 @@
+"""Turkish Snowball stemmer
+(https://snowballstem.org/algorithms/turkish/stemmer.html, algorithm by
+Evren (Kapusuz) Çilden).
+
+Clean-room reconstruction of the published algorithm (the reference
+resolves it via nltk's SnowballStemmer("turkish"),
+/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:10-43).
+Turkish is an agglutinative language; the algorithm strips NOMINAL
+suffix chains only (noun inflection + the nominal-verb "to be" forms),
+guarded by two phonotactic checks applied to every suffix:
+
+* vowel harmony between the last two vowels of the current word
+  (a<-{a,ı,o,u}, e<-{e,i,ö,ü}, ı<-{a,ı}, i<-{e,i}, o/u<-{o,u},
+  ö/ü<-{ö,ü});
+* buffer consonants y/n/s and the optional U vowel attach only in
+  their licensed environment (buffer consonant preceded by a vowel;
+  optional U preceded by a consonant; when the optional element is
+  absent, the character run before the suffix must still be
+  consonant-after-vowel shaped).
+
+Flow: words with fewer than two vowels are left untouched; one pass of
+nominal-verb suffix chains (-(y)mUş/-(y)DU/-(y)sA/-(y)ken/-cAsInA/
+person endings/-DUr, with -lAr(DUr) short-circuiting further noun
+stemming); one pass of noun suffix chains (case + possessive + plural,
+including the recursive -ki chain: evdekilerden -> ev, while
+evdekiler alone parses as nominal-verb plural and stops at evdeki); postlude
+(reserved stems "ad"/"soyad" kept verbatim; stems ending d/g get the
+harmony-matching high vowel appended; final b/c/d/ğ devoiced to
+p/ç/t/k).
+
+Divergence policy: written offline from the published spec; behaviour
+pinned by self-consistency golden vectors in tests/test_snowball.py
+over real Turkish inflection paradigms; exact nltk/libstemmer parity
+NOT claimed (docs/COVERAGE.md) — in particular the relative order of
+the case/possessive alternatives decides which of the overlapping
+-(y)U / -(s)U parses wins on vowel-final stems, and this
+reconstruction follows the published alternative order to the best of
+an offline reading.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+VOWELS = "aeıioöuü"
+U_VOWELS = "ıiuü"
+
+_HARMONY = {
+    "a": "aıou",
+    "e": "eiöü",
+    "ı": "aı",
+    "i": "ei",
+    "o": "ou",
+    "ö": "öü",
+    "u": "ou",
+    "ü": "öü",
+}
+
+
+def _check_harmony(w: str) -> bool:
+    """Vowel harmony between the last two vowels of ``w``."""
+    i = len(w) - 1
+    while i >= 0 and w[i] not in VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    last = w[i]
+    i -= 1
+    while i >= 0 and w[i] not in VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    return w[i] in _HARMONY[last]
+
+
+def _opt_consonant(w: str, c: int, cons: str) -> Optional[int]:
+    """Optional buffer consonant ``cons`` before position ``c``:
+    consume it when present (must be preceded by a vowel); when absent
+    the preceding run must be one non-``cons`` character with a vowel
+    before it (Snowball mark_suffix_with_optional_{y,n,s}_consonant)."""
+    if c >= 1 and w[c - 1] == cons:
+        if c >= 2 and w[c - 2] in VOWELS:
+            return c - 1
+        return None
+    if c >= 2 and w[c - 2] in VOWELS:
+        return c
+    return None
+
+
+def _opt_u_vowel(w: str, c: int) -> Optional[int]:
+    """Optional high vowel U before position ``c``: consume it when
+    present (must be preceded by a consonant); when absent the
+    preceding run must be one non-U character with a consonant before
+    it (Snowball mark_suffix_with_optional_U_vowel)."""
+    if c >= 1 and w[c - 1] in U_VOWELS:
+        if c >= 2 and w[c - 2] not in VOWELS:
+            return c - 1
+        return None
+    if c >= 2 and w[c - 2] not in VOWELS:
+        return c
+    return None
+
+
+def _ends_any(w: str, c: int, suffixes) -> Optional[int]:
+    """Longest ``suffix`` ending w[:c]; new cursor or None."""
+    best = None
+    for s in suffixes:
+        if best is not None and len(s) <= best[0]:
+            continue
+        if c >= len(s) and w.endswith(s, 0, c):
+            best = (len(s), c - len(s))
+    return None if best is None else best[1]
+
+
+# ---- suffix marks (each: word, cursor -> new cursor or None) ------------
+# Harmony is checked on the word up to the current cursor, mirroring the
+# spec where every chained mark re-tests harmony after prior deletions.
+
+_SUN = ("sın", "sin", "sun", "sün")
+_SUNUZ = ("sınız", "siniz", "sunuz", "sünüz")
+_LAR = ("lar", "ler")
+_LARI = ("ları", "leri")
+_NUZ = ("nız", "niz", "nuz", "nüz")
+_DUR = ("dır", "dir", "dur", "dür", "tır", "tir", "tur", "tür")
+_YDU = ("dı", "di", "du", "dü", "tı", "ti", "tu", "tü")
+_YMUS = ("mış", "miş", "muş", "müş")
+_POSS = ("mız", "miz", "muz", "müz", "nız", "niz", "nuz", "nüz", "m", "n")
+_NU = ("nı", "ni", "nu", "nü")
+_DA = ("da", "de", "ta", "te")
+_NDA = ("nda", "nde")
+_DAN = ("dan", "den", "tan", "ten")
+_NDAN = ("ndan", "nden")
+# -cA assimilates to -çA after voiceless consonants (orthographic);
+# the ç forms are included so real Turkish text matches.
+_CASINA = ("casına", "cesine", "çasına", "çesine")
+
+
+def _mark_plain(suffixes, harmony=True):
+    def mark(w: str, c: int) -> Optional[int]:
+        if harmony and not _check_harmony(w[:c]):
+            return None
+        return _ends_any(w, c, suffixes)
+
+    return mark
+
+
+def _mark_opt(suffixes, cons, harmony=True):
+    def mark(w: str, c: int) -> Optional[int]:
+        if harmony and not _check_harmony(w[:c]):
+            return None
+        nc = _ends_any(w, c, suffixes)
+        if nc is None:
+            return None
+        return _opt_consonant(w, nc, cons)
+
+    return mark
+
+
+def _mark_u(w: str, c: int, cons: str) -> Optional[int]:
+    """U with an optional buffer consonant before it (-(y)U, -(s)U)."""
+    if not _check_harmony(w[:c]):
+        return None
+    if c < 1 or w[c - 1] not in U_VOWELS:
+        return None
+    return _opt_consonant(w, c - 1, cons)
+
+
+mark_sUn = _mark_plain(_SUN)
+mark_sUnUz = _mark_plain(_SUNUZ)
+mark_lAr = _mark_plain(_LAR)
+mark_lArI = _mark_plain(_LARI)
+mark_nUz = _mark_plain(_NUZ)
+mark_DUr = _mark_plain(_DUR)
+mark_cAsInA = _mark_plain(_CASINA)
+mark_nU = _mark_plain(_NU)
+mark_nA = _mark_plain(("na", "ne"))
+mark_DA = _mark_plain(_DA)
+mark_nDA = _mark_plain(_NDA)
+mark_DAn = _mark_plain(_DAN)
+mark_nDAn = _mark_plain(_NDAN)
+
+mark_yDU = _mark_opt(_YDU, "y")
+mark_ysA = _mark_opt(("sa", "se"), "y")
+mark_ymUs = _mark_opt(_YMUS, "y")
+mark_yUm = _mark_opt(("ım", "im", "um", "üm"), "y")
+mark_yUz = _mark_opt(("ız", "iz", "uz", "üz"), "y")
+mark_yA = _mark_opt(("a", "e"), "y")
+mark_ylA = _mark_opt(("la", "le"), "y")
+mark_ncA = _mark_opt(("ca", "ce", "ça", "çe"), "n")
+
+
+def mark_yken(w: str, c: int) -> Optional[int]:
+    nc = _ends_any(w, c, ("ken",))
+    if nc is None:
+        return None
+    return _opt_consonant(w, nc, "y")
+
+
+def mark_ki(w: str, c: int) -> Optional[int]:
+    return _ends_any(w, c, ("ki",))
+
+
+def mark_yU(w: str, c: int) -> Optional[int]:
+    return _mark_u(w, c, "y")
+
+
+def mark_sU(w: str, c: int) -> Optional[int]:
+    return _mark_u(w, c, "s")
+
+
+def mark_nUn(w: str, c: int) -> Optional[int]:
+    if not _check_harmony(w[:c]):
+        return None
+    nc = _ends_any(w, c, ("ın", "in", "un", "ün"))
+    if nc is None:
+        return None
+    return _opt_consonant(w, nc, "n")
+
+
+def mark_possessives(w: str, c: int) -> Optional[int]:
+    if not _check_harmony(w[:c]):
+        return None
+    nc = _ends_any(w, c, _POSS)
+    if nc is None:
+        return None
+    return _opt_u_vowel(w, nc)
+
+
+# ---- suffix chains -------------------------------------------------------
+
+
+def _stem_nominal_verb(w: str):
+    """One pass of the nominal-verb ("to be") suffix chains.
+    Returns (word, continue_with_noun_suffixes)."""
+    n = len(w)
+
+    # -(y)mUş / -(y)DU / -(y)sA / -(y)ken
+    for mk in (mark_ymUs, mark_yDU, mark_ysA, mark_yken):
+        c = mk(w, n)
+        if c is not None:
+            return w[:c], True
+
+    # -cAsInA with optional person ending, then required -(y)mUş
+    c = mark_cAsInA(w, n)
+    if c is not None:
+        c2 = None
+        for mk in (mark_sUnUz, mark_lAr, mark_yUm, mark_sUn, mark_yUz):
+            c2 = mk(w, c)
+            if c2 is not None:
+                break
+        mid = c2 if c2 is not None else c
+        c3 = mark_ymUs(w, mid)
+        if c3 is not None:
+            return w[:c3], True
+
+    # -lAr(-DUr/-(y)DU/-(y)sA/-(y)mUş): plural "to be" — stop noun pass
+    c = mark_lAr(w, n)
+    if c is not None:
+        w = w[:c]
+        for mk in (mark_DUr, mark_yDU, mark_ysA, mark_ymUs):
+            c2 = mk(w, len(w))
+            if c2 is not None:
+                w = w[:c2]
+                break
+        return w, False
+
+    # -nUz(-(y)DU/-(y)sA)
+    c = mark_nUz(w, n)
+    if c is not None:
+        for mk in (mark_yDU, mark_ysA):
+            c2 = mk(w, c)
+            if c2 is not None:
+                return w[:c2], True
+
+    # person endings, then optional -(y)mUş
+    for mk in (mark_sUnUz, mark_yUz, mark_sUn, mark_yUm):
+        c = mk(w, n)
+        if c is not None:
+            w = w[:c]
+            c2 = mark_ymUs(w, len(w))
+            if c2 is not None:
+                w = w[:c2]
+            return w, True
+
+    # -DUr with optional person ending, then required -(y)mUş
+    c = mark_DUr(w, n)
+    if c is not None:
+        w2 = w[:c]
+        c2 = None
+        for mk in (mark_sUnUz, mark_lAr, mark_yUm, mark_sUn, mark_yUz):
+            c2 = mk(w2, len(w2))
+            if c2 is not None:
+                break
+        mid = c2 if c2 is not None else len(w2)
+        c3 = mark_ymUs(w2, mid)
+        if c3 is not None:
+            w2 = w2[:c3]
+        return w2, True
+
+    return w, True
+
+
+def _try_lar_then_ki(w: str) -> str:
+    c = mark_lAr(w, len(w))
+    if c is not None:
+        return _ki_chain(w[:c])
+    return w
+
+
+def _poss_or_su_then_lar_ki(w: str) -> Optional[str]:
+    c = mark_possessives(w, len(w))
+    if c is None:
+        c = mark_sU(w, len(w))
+    if c is None:
+        return None
+    return _try_lar_then_ki(w[:c])
+
+
+def _ki_chain(w: str) -> str:
+    """The recursive -ki chain: -DAki / -(n)Unki / -nDAki plus trailing
+    plural/possessive layers (evdekilerden's inner evdeki -> ev)."""
+    n = len(w)
+    c = mark_ki(w, n)
+    if c is None:
+        return w
+
+    c2 = mark_DA(w, c)
+    if c2 is not None:
+        w2 = w[:c2]
+        c3 = mark_lAr(w2, len(w2))
+        if c3 is not None:
+            return _ki_chain(w2[:c3])
+        r = _poss_or_su_then_lar_ki(w2)
+        return r if r is not None else w2
+
+    c2 = mark_nUn(w, c)
+    if c2 is not None:
+        w2 = w[:c2]
+        c3 = mark_lArI(w2, len(w2))
+        if c3 is not None:
+            return w2[:c3]
+        r = _poss_or_su_then_lar_ki(w2)
+        return r if r is not None else _ki_chain(w2)
+
+    c2 = mark_nDA(w, c)
+    if c2 is not None:
+        c3 = mark_lArI(w, c2)
+        if c3 is not None:
+            return w[:c3]
+        c3 = mark_sU(w, c2)
+        if c3 is not None:
+            return _try_lar_then_ki(w[:c3])
+        return _ki_chain(w[:c2]) if _ki_chain(w[:c2]) != w[:c2] else w
+
+    return w
+
+
+def _stem_noun(w: str) -> str:
+    """One pass of the noun suffix chains (published alternative order:
+    lAr, ncA, nDA/nA, nDAn/nU, DAn, nUn/ylA, lArI, ki, DA/yU/yA,
+    possessives/sU)."""
+    n = len(w)
+
+    c = mark_lAr(w, n)
+    if c is not None:
+        return _ki_chain(w[:c])
+
+    c = mark_ncA(w, n)
+    if c is not None:
+        w2 = w[:c]
+        c2 = mark_lArI(w2, len(w2))
+        if c2 is not None:
+            return w2[:c2]
+        r = _poss_or_su_then_lar_ki(w2)
+        if r is not None:
+            return r
+        return _try_lar_then_ki(w2)
+
+    c = mark_nDA(w, n)
+    if c is None:
+        c = mark_nA(w, n)
+    if c is not None:
+        c2 = mark_lArI(w, c)
+        if c2 is not None:
+            return w[:c2]
+        c2 = mark_sU(w, c)
+        if c2 is not None:
+            return _try_lar_then_ki(w[:c2])
+        k = _ki_chain(w[:c])
+        if k != w[:c]:
+            return k
+        return w[:c]
+
+    c = mark_nDAn(w, n)
+    if c is None:
+        c = mark_nU(w, n)
+    if c is not None:
+        c2 = mark_sU(w, c)
+        if c2 is not None:
+            return _try_lar_then_ki(w[:c2])
+        c2 = mark_lArI(w, c)
+        if c2 is not None:
+            return w[:c2]
+        return w[:c]
+
+    c = mark_DAn(w, n)
+    if c is not None:
+        w2 = w[:c]
+        c2 = mark_possessives(w2, len(w2))
+        if c2 is not None:
+            return _try_lar_then_ki(w2[:c2])
+        c2 = mark_lAr(w2, len(w2))
+        if c2 is not None:
+            return _ki_chain(w2[:c2])
+        return _ki_chain(w2)
+
+    c = mark_nUn(w, n)
+    if c is None:
+        c = mark_ylA(w, n)
+    if c is not None:
+        # Snowball deletions persist across failed alternatives, so a
+        # stripped lAr stays stripped even when no ki chain follows.
+        w2 = w[:c]
+        c2 = mark_lAr(w2, len(w2))
+        if c2 is not None:
+            return _ki_chain(w2[:c2])
+        r = _poss_or_su_then_lar_ki(w2)
+        if r is not None:
+            return r
+        return _ki_chain(w2)
+
+    c = mark_lArI(w, n)
+    if c is not None:
+        return w[:c]
+
+    k = _ki_chain(w)
+    if k != w:
+        return k
+
+    c = mark_DA(w, n)
+    if c is None:
+        c = mark_yU(w, n)
+    if c is None:
+        c = mark_yA(w, n)
+    if c is not None:
+        w2 = w[:c]
+        c2 = mark_possessives(w2, len(w2))
+        if c2 is not None:
+            w2 = w2[:c2]
+            c3 = mark_lAr(w2, len(w2))
+            if c3 is not None:
+                w2 = w2[:c3]
+        else:
+            c2 = mark_lAr(w2, len(w2))
+            if c2 is not None:
+                w2 = w2[:c2]
+        return _ki_chain(w2)
+
+    r = _poss_or_su_then_lar_ki(w)
+    if r is not None:
+        return r
+    return w
+
+
+# ---- postlude ------------------------------------------------------------
+
+_DEVOICE = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+_APPEND_U = {"a": "ı", "ı": "ı", "e": "i", "i": "i",
+             "o": "u", "u": "u", "ö": "ü", "ü": "ü"}
+
+
+def _postlude(w: str) -> str:
+    if w in ("ad", "soyad"):  # reserved: keep "ad(ı)"/"soyad(ı)" intact
+        return w
+    if w and w[-1] in "dg":
+        i = len(w) - 1
+        while i >= 0 and w[i] not in VOWELS:
+            i -= 1
+        if i >= 0:
+            return w + _APPEND_U[w[i]]
+    if w and w[-1] in _DEVOICE:
+        return w[:-1] + _DEVOICE[w[-1]]
+    return w
+
+
+def turkish_stem(word: str) -> str:
+    word = word.lower()
+    if sum(ch in VOWELS for ch in word) < 2:
+        return word
+    w, cont = _stem_nominal_verb(word)
+    if cont:
+        w = _stem_noun(w)
+    return _postlude(w)

@@ -28,6 +28,7 @@ from .snowball_pt import portuguese_stem
 from .snowball_ro import romanian_stem
 from .snowball_ru import russian_stem
 from .snowball_scand import danish_stem, norwegian_stem, swedish_stem
+from .snowball_tr import turkish_stem
 from .tokenizer import identity_function
 
 stemmers_dict = {
@@ -46,14 +47,15 @@ stemmers_dict = {
     "dutch": dutch_stem,
     # round-3 additions, reconstructed offline from the published specs
     # with self-consistency vectors (tests/test_snowball.py) — exact
-    # nltk/libstemmer parity not claimed (docs/COVERAGE.md).  turkish
-    # (and arabic/krovetz, reference stemmer.py:10-43) stay fail-fast:
-    # their suffix state machines are not reproducible offline with
-    # confidence, and shipping unverifiable tables is worse than the
-    # reference-mirroring factory error below.
+    # nltk/libstemmer parity not claimed (docs/COVERAGE.md).  arabic
+    # (x3 variants) and krovetz (reference stemmer.py:10-43) stay
+    # fail-fast: their suffix state machines are not reproducible
+    # offline with confidence, and shipping unverifiable tables is
+    # worse than the reference-mirroring factory error below.
     "romanian": romanian_stem,
     "finnish": finnish_stem,
     "hungarian": hungarian_stem,
+    "turkish": turkish_stem,
 }
 
 

@@ -228,6 +228,37 @@ HUNGARIAN = {
     "ház": "ház", "legnagyobb": "legnagyobb",
 }
 
+TURKISH = {
+    # noun inflection paradigms: plural / possessive / case chains all
+    # converge on the bare stem, with final-consonant devoicing
+    # (kitabı: -(y)U strips, then postlude b->p)
+    "kitaplar": "kitap", "kitapları": "kitap", "kitabı": "kitap",
+    "kitaplarından": "kitap", "kitap": "kitap",
+    "arabalar": "araba", "arabam": "araba", "arabayı": "araba",
+    "arabaya": "araba", "arabanızdan": "araba", "arabasında": "araba",
+    "ağaçlar": "ağaç", "ağacı": "ağaç",
+    "okullarımla": "okul", "gözlerimden": "göz", "paralarla": "para",
+    "insanlarla": "insan", "insanların": "insan",
+    "şehirlerde": "şehir", "yıllarca": "yıl",
+    # the recursive -ki chain; bare -lAr after -ki parses as the
+    # nominal-verb plural and stops (spec behavior)
+    "evdeki": "ev", "evdekilerden": "ev", "evdekiler": "evdeki",
+    "evlerinde": "ev", "evinde": "ev", "evinden": "ev", "evden": "ev",
+    "evi": "ev", "ev": "ev",
+    # nominal-verb ("to be") chains incl. -cAsInA with ç assimilation
+    "güzelmişçesine": "güzel", "güzeldir": "güzel", "güzelce": "güzel",
+    "evdeyken": "ev", "değildir": "değil", "buradasınız": "bura",
+    "gelmiş": "gel", "geldi": "gel",
+    # reserved stems survive postlude devoicing
+    "adı": "ad", "soyadı": "soyad", "ad": "ad",
+    # single-syllable words are never stemmed
+    "ve": "ve", "bir": "bir", "çok": "çok",
+    # documented quirks of the published algorithm, kept for fidelity:
+    # -(y)U outranks -(s)U in the alternative order (arabası), and the
+    # harmony+buffer checks let yA strip a bare vowel (türkiye)
+    "arabası": "arabas", "türkiye": "türki", "bundan": "bu",
+}
+
 VECTORS = {
     "spanish": SPANISH,
     "portuguese": PORTUGUESE,
@@ -242,6 +273,7 @@ VECTORS = {
     "romanian": ROMANIAN,
     "finnish": FINNISH,
     "hungarian": HUNGARIAN,
+    "turkish": TURKISH,
 }
 
 
@@ -268,11 +300,13 @@ def test_stemmer_total_and_stable(lang):
 @pytest.mark.parametrize(
     "lang", ["french", "german", "spanish", "italian", "portuguese",
              "russian", "danish", "norwegian", "swedish", "dutch",
-             "romanian", "finnish", "hungarian"]
+             "romanian", "finnish", "hungarian", "turkish"]
 )
 def test_stopwords_resolve_and_pipeline_runs(lang):
     sw = get_stopwords(lang)
-    assert len(sw) > 90  # the standard danish list is 94 entries
+    # the standard turkish list is 53 entries, danish 94 — the two
+    # shortest among the shipped languages
+    assert len(sw) >= (53 if lang == "turkish" else 90)
     pre = TextPreprocessor(stemmer=lang, stopwords=lang)
     # a phrase per language exercising stopword removal + stemming
     samples = {
@@ -300,6 +334,8 @@ def test_stopwords_resolve_and_pipeline_runs(lang):
         "romanian": ("la copiii din casă", ["copii", "cas"]),
         "finnish": ("ja kirjat talossa", ["kirj", "talo"]),
         "hungarian": ("és a házak", ["ház"]),
+        # "ve" is single-syllable (never stemmed), so stem-stable
+        "turkish": ("ve evdeki kitaplar", ["ev", "kitap"]),
     }
     text, expected = samples[lang]
     assert pre(text) == expected
