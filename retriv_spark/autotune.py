@@ -2,12 +2,14 @@
 
 Reference: /root/reference/retriv/autotune/bm25_autotune.py:10-38 — optuna
 TPE (seed 42) over b ∈ [0,1] step .01, k1 ∈ [0,10] step .1 maximizing a
-ranking metric over batch-search runs.  optuna is not available here (and a
-driver-side loop resubmitting Spark jobs doesn't need it): a seeded
-coarse-to-fine random search over the same grid gives a deterministic,
-dependency-free equivalent.  The evaluation metric (ndcg@k / mrr@k /
-recall@k) is itself computed distributed — a join of the run against qrels
-and window math, never a driver loop over queries.
+ranking metric over batch-search runs.  optuna is not available here; the
+default optimizer is our clean-room TPE (:mod:`retriv_spark.tpe`,
+Bergstra et al. 2011 — the algorithm behind optuna's default sampler) over
+the same grids: seeded random startup, then propose-from-l/g density
+ratio.  ``sampler="random"`` keeps the plain seeded random search.  The
+evaluation metric (ndcg@k / mrr@k / recall@k) is itself computed
+distributed — a join of the run against qrels and window math, never a
+driver loop over queries.
 """
 
 from __future__ import annotations
@@ -17,6 +19,8 @@ from typing import Dict, List
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .tpe import TPESampler
 
 
 def per_query_metrics(run: DataFrame, qrels: DataFrame, k: int = 100) -> DataFrame:
@@ -120,26 +124,58 @@ def tune_merger(
     n_trials: int = 24,
     cutoff: int = 100,
     seed: int = 42,
+    sampler: str = "tpe",
 ) -> Dict:
-    """Grid over the 3 norms × seeded random weight vectors (reference:
-    autotune/merger_autotune.py:4-33 — 3 norms × optuna weight search).
-    ``runs`` are (q_id, id, score) DataFrames; returns
+    """Tune (norm, weights) jointly with TPE over the reference grids
+    (reference: autotune/merger_autotune.py:4-33 — norm + per-run weight
+    in {0, .1, …, 1} via optuna's TPE).  The equal-weights baseline is
+    evaluated once per norm first (the reference's enqueued default),
+    then the sampler drives the remaining budget.  ``runs`` are
+    (q_id, id, score) DataFrames; returns
     {"norm": ..., "weights": [...], "score": ...}."""
     from .merger import _NORMS, fuse
 
-    rng = random.Random(seed)
-    trials = [[1.0 / len(runs)] * len(runs)] + [
-        [rng.randint(0, 10) / 10.0 for _ in runs] for _ in range(n_trials - 1)
-    ]
+    grid_w = [round(i * 0.1, 1) for i in range(11)]
+    grids = {"norm": sorted(_NORMS)}
+    for i in range(len(runs)):
+        grids[f"w{i}"] = grid_w
+    tpe = TPESampler(grids, seed=seed)
+
     best = {"norm": None, "weights": None, "score": -1.0}
-    for norm in sorted(_NORMS):
-        for weights in trials:
-            if sum(weights) == 0:
-                continue
-            fused = fuse(runs, norm=norm, weights=weights, cutoff=cutoff)
-            score = eval_run(fused, qrels, metric=metric, k=cutoff)
-            if score > best["score"]:
-                best = {"norm": norm, "weights": list(weights), "score": score}
+    rng = random.Random(seed)
+
+    def consider(norm: str, weights: List[float]) -> None:
+        nonlocal best
+        params = {"norm": norm, **{f"w{i}": w for i, w in enumerate(weights)}}
+        if sum(weights) == 0:
+            tpe.tell(params, -1.0)  # degenerate point: never propose again
+            return
+        fused = fuse(runs, norm=norm, weights=weights, cutoff=cutoff)
+        score = eval_run(fused, qrels, metric=metric, k=cutoff)
+        tpe.tell(params, score)
+        if score > best["score"]:
+            best = {"norm": norm, "weights": list(weights), "score": score}
+
+    budget = n_trials
+    for norm in sorted(_NORMS):  # seeded defaults, one per norm
+        if budget <= 0:
+            break
+        consider(norm, [1.0] * len(runs))
+        budget -= 1
+    while budget > 0:
+        if sampler == "random":
+            params = {
+                "norm": rng.choice(grids["norm"]),
+                **{
+                    f"w{i}": rng.choice(grid_w) for i in range(len(runs))
+                },
+            }
+        else:
+            params = tpe.suggest()
+        consider(
+            params["norm"], [params[f"w{i}"] for i in range(len(runs))]
+        )
+        budget -= 1
     return best
 
 
@@ -151,9 +187,12 @@ def tune_bm25(
     n_trials: int = 32,
     cutoff: int = 100,
     seed: int = 42,
+    sampler: str = "tpe",
 ) -> Dict[str, float]:
-    """Seeded random search over the reference grid (b step .01 in [0,1],
-    k1 step .1 in [0,10]); returns the best {b, k1}."""
+    """TPE over the reference grid (b step .01 in [0,1], k1 step .1 in
+    [0,10] — reference bm25_autotune.py:10-38, optuna TPE seed 42);
+    ``sampler="random"`` falls back to seeded random search.  Applies
+    and returns the best {b, k1}."""
     rng = random.Random(seed)
     spark = retriever.spark
     qrel_rows = [
@@ -165,18 +204,24 @@ def tune_bm25(
 
     grid_b = [round(i * 0.01, 2) for i in range(101)]
     grid_k1 = [round(i * 0.1, 1) for i in range(101)]
+    tpe = TPESampler({"b": grid_b, "k1": grid_k1}, seed=seed)
     best, best_score = dict(retriever.hyperparams), -1.0
     tried = set()
     for _ in range(n_trials):
-        b, k1 = rng.choice(grid_b), rng.choice(grid_k1)
-        if (b, k1) in tried:
-            continue
+        if sampler == "random":
+            b, k1 = rng.choice(grid_b), rng.choice(grid_k1)
+            if (b, k1) in tried:
+                continue
+        else:
+            p = tpe.suggest()
+            b, k1 = p["b"], p["k1"]
         tried.add((b, k1))
         retriever.hyperparams = dict(b=b, k1=k1)
         run = retriever.msearch_df(queries, cutoff=cutoff).withColumn(
             "id", F.col("id").cast("string")
         )
         score = eval_run(run, qrels_df, metric=metric, k=cutoff)
+        tpe.tell({"b": b, "k1": k1}, score)
         if score > best_score:
             best, best_score = dict(b=b, k1=k1), score
     retriever.hyperparams = best

@@ -1,0 +1,292 @@
+"""Embedding clustering + semantic dedup.
+
+Two ops a training-data pipeline runs over an embedding column that the
+reference (an in-RAM ANN searcher, /root/reference/retriv/dense_retriever)
+has no distributed counterpart for:
+
+- :func:`kmeans_int8` — Lloyd k-means over int8-quantized vectors
+  (:func:`retriv_spark.ops.similarity.quantize_embeddings` output) with
+  EXACT integer arithmetic end to end: integer squared-L2 assignment,
+  integer per-dimension sums, round-half-away-from-zero re-quantized
+  centroids.  Every step is order-independent, so the result is
+  bit-identical at any parallelism AND reproducible by an ANSI-SQL
+  oracle — the property float k-means (whose partial sums reorder under
+  repartitioning) cannot give.
+
+- :func:`semantic_dedup` — SemDeDup (Abbas et al. 2023,
+  arXiv:2303.09540): cluster the corpus, compare embeddings only within
+  a cluster, and among near-duplicate pairs (cos >= 1 - eps) KEEP the
+  example least similar to its cluster centroid (the paper's choice:
+  edge-of-cluster examples carry the most training signal), dropping
+  the rest.
+
+Scale shape (100 TB):
+- kmeans_int8: per iteration, one fused Arrow pass over the corpus
+  (assign + per-partition partial sums) and a shuffle of only
+  ``partitions x k x dims`` tiny rows — the corpus itself NEVER
+  shuffles; centroids ride UDF closures (k x dims ints, broadcast-sized
+  by construction).
+- semantic_dedup: one narrow assignment pass, then a self-join keyed on
+  the cluster id.  Candidate fan-out is sum(|cluster|^2); pick
+  ``n_clusters`` proportional to corpus size to bound it, and
+  ``max_cluster_df`` (same broadcast anti-join prune as the minhash /
+  simhash / embedding-bucket ops) hard-caps pathological clusters —
+  over-cap clusters pass through UNFLAGGED rather than going quadratic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .textstats import portable_hash64
+
+
+def _assign_int_udf(centroids: Sequence[Sequence[int]]):
+    """Pandas UDF: nearest centroid by exact integer squared-L2,
+    ties -> lowest cluster index (np.argmin keeps first minimum)."""
+    C = np.asarray(centroids, dtype=np.int64)  # (k, d)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack([np.asarray(x, dtype=np.int64) for x in vecs])
+        # (n, k) exact integer distances; d * 254^2 per term, no overflow
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    # deterministic in value; the flag only stops Catalyst from cloning
+    # the Python pass into pushed-down filters (same rationale as
+    # similarity._make_centroid_assign_udf)
+    return assign.asNondeterministic()
+
+
+def _round_half_away_div(s: int, n: int) -> int:
+    """round(s / n) half away from zero, exact integers (n > 0)."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((-2 * s + n) // (2 * n))
+
+
+def kmeans_int8(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding_q",
+    salt: str = "km",
+    return_centroids: bool = False,
+):
+    """Deterministic distributed Lloyd k-means over integer vectors.
+
+    Init: the ``k`` vectors with the smallest
+    ``(portable_hash64(salt|id), id)`` — a seeded, engine-portable draw
+    (clusters are numbered 0..k-1 in that order).  Then ``n_iter``
+    rounds of {assign to nearest centroid by integer squared-L2 (ties
+    -> lowest cluster), recompute centroids as the round-half-away
+    integer mean per dimension (empty cluster keeps its centroid)}.
+    Returns the assignment under the FINAL centroids as
+    ``(id_col, cluster)``; with ``return_centroids=True`` returns
+    ``(assignments, centroids_list)`` instead.
+
+    Null vectors are excluded (they have no distance); callers wanting
+    them back can left-join the result.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    c = c.filter(F.col("_v").isNotNull())
+
+    # seeded init — k rows, a bounded collect by construction
+    init_rows = (
+        c.withColumn(
+            "_h",
+            portable_hash64(
+                F.concat(F.lit(salt + "|"), F.col("_id").cast("string"))
+            ),
+        )
+        .orderBy(F.asc("_h"), F.asc("_id"))
+        .limit(k)
+        .select("_v")
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError("kmeans_int8: empty input")
+    centroids: List[List[int]] = [list(r["_v"]) for r in init_rows]
+    dims = len(centroids[0])
+    kk = len(centroids)  # may be < k when the corpus is tiny
+
+    part_schema = "cluster int, pos int, s long, n long"
+
+    for _ in range(n_iter):
+        C = np.asarray(centroids, dtype=np.int64)
+
+        def partial_sums(
+            batches: Iterator[pd.DataFrame], C=C, kk=kk, dims=dims
+        ) -> Iterator[pd.DataFrame]:
+            # fused assign + map-side combine: emits k x dims rows per
+            # PARTITION (not per row) — the corpus never shuffles
+            S = np.zeros((kk, dims), dtype=np.int64)
+            N = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(
+                    [np.asarray(x, dtype=np.int64) for x in pdf["_v"]]
+                )
+                d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                for j in range(kk):
+                    m = a == j
+                    if m.any():
+                        S[j] += V[m].sum(axis=0)
+                        N[j] += int(m.sum())
+            live = np.nonzero(N)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(live, dims).astype("int32"),
+                    "pos": np.tile(np.arange(dims, dtype="int32"), len(live)),
+                    "s": S[live].reshape(-1),
+                    "n": np.repeat(N[live], dims),
+                }
+            )
+
+        sums = (
+            c.mapInPandas(partial_sums, schema=part_schema)
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()  # bounded: k x dims rows
+        )
+        new_c = [list(cv) for cv in centroids]  # empty clusters carry over
+        for r in sums:
+            new_c[r["cluster"]][r["pos"]] = _round_half_away_div(
+                int(r["s"]), int(r["n"])
+            )
+        centroids = new_c
+
+    out = c.select(
+        F.col("_id").alias(id_col),
+        _assign_int_udf(centroids)(F.col("_v")).alias("cluster"),
+    )
+    if return_centroids:
+        return out, centroids
+    return out
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    eps: float = 0.05,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_df: Optional[int] = None,
+) -> DataFrame:
+    """SemDeDup near-duplicate flags over an embedding column.
+
+    Pipeline (Abbas et al. 2023, arXiv:2303.09540 §3): cluster the
+    corpus, compute pairwise cosine only WITHIN a cluster, call a pair
+    duplicates when ``cos >= 1 - eps``, and drop every member that has
+    a near-duplicate LESS similar to the cluster centroid than itself
+    (ties -> lower id wins) — so each duplicate clique keeps exactly
+    its least-central member, the paper's rule.  Returns one row per
+    input vector: ``(id_col, cluster, cent_cos, is_dup)`` where
+    ``is_dup`` marks the rows SemDeDup would drop.
+
+    The coarse quantizer is the same deterministic one as
+    :func:`retriv_spark.ops.similarity.ivf_topk` — the ``n_clusters``
+    lowest-id vectors, assignment by argmax cosine rounded to 6
+    decimals (ties -> lowest centroid id) — so an ANSI-SQL oracle
+    reproduces clustering, candidate generation, and the keep rule
+    exactly.  Swap in :func:`kmeans_int8` labels for production
+    clustering; the plan shape is identical.
+    """
+    from .similarity import _make_centroid_assign_udf, cosine_sim
+
+    c0 = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("emb")
+    ).filter(F.col("emb").isNotNull())
+
+    cent_rows = sorted(
+        c0.orderBy(F.col("id").asc())
+        .limit(n_clusters)
+        .select(F.col("id").alias("cent_id"), F.col("emb").alias("cent_vec"))
+        .collect(),
+        key=lambda r: r["cent_id"],
+    )
+
+    assign1 = _make_centroid_assign_udf(cent_rows, out=1)
+    cent_map = {str(r["cent_id"]): r["cent_vec"] for r in cent_rows}
+
+    assigned = c0.withColumn(
+        "cluster", F.element_at(assign1(F.col("emb")), 1)
+    )
+
+    # cent_cos: exact cosine to the assigned centroid, rounded like every
+    # cosine in this module — a join against the tiny centroid table
+    # (broadcast by construction)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, list(vec)) for cid, vec in cent_map.items()],
+        schema="cluster string, cent_vec array<double>",
+    )
+    assigned = assigned.join(F.broadcast(cent_df), "cluster").select(
+        "id",
+        "emb",
+        "cluster",
+        F.round(cosine_sim(F.col("emb"), F.col("cent_vec")), 6).alias(
+            "cent_cos"
+        ),
+    )
+
+    pair_side = assigned
+    if max_cluster_df is not None:
+        from .dedup import prune_hot_buckets
+
+        pair_side = prune_hot_buckets(assigned, ["cluster"], max_cluster_df)
+
+    a = pair_side.select(
+        F.col("id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("cent_cos").alias("cc_a"),
+        "cluster",
+    )
+    b = pair_side.select(
+        F.col("id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("cent_cos").alias("cc_b"),
+        "cluster",
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), 6)
+        )
+        .filter(F.col("cos") >= F.lit(1.0 - eps))
+    )
+    # per dup pair the LOSER is the member MORE similar to its centroid
+    # (higher cent_cos; ties -> higher id) — SemDeDup keeps the edge point
+    losers = pairs.select(
+        F.when(
+            (F.col("cc_a") > F.col("cc_b"))
+            | ((F.col("cc_a") == F.col("cc_b")) & (F.col("id_a") > F.col("id_b"))),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias("id")
+    ).distinct()
+
+    return assigned.join(
+        losers.withColumn("is_dup", F.lit(True)), "id", "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("cluster").cast("string").alias("cluster"),
+        "cent_cos",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )

@@ -1,0 +1,74 @@
+"""CISTEM German stemmer.
+
+Clean-room implementation of the published algorithm of Weißweiler &
+Fraser, "Developing a Stemmer for German Based on a Comparative
+Analysis of Publicly Available Stemmers" (GSCL 2017), Figure 1 — the
+stemmer the reference exposes as ``"cistem"``
+(/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:16,
+``nltk.stem.Cistem``).  nltk is not installed here; this follows the
+paper's pseudocode directly.
+
+Algorithm (verbatim from the paper, in prose):
+
+1. remember whether the first letter was uppercase, then lowercase;
+2. fold umlauts (ä→a, ö→o, ü→u) and ß→ss;
+3. strip a leading ``ge`` when the word has ≥6 characters;
+4. protect multigraphs: ``sch``→$, ``ei``→%, ``ie``→&, and collapse
+   doubled letters ``xx``→``x*``;
+5. while the word is longer than 3: strip ``em``/``er``/``nd`` when
+   longer than 5; strip ``t`` only when the original was not
+   capitalized (German nouns are capitalized; ``t`` is a verb suffix)
+   or in case-insensitive mode; strip ``e``/``s``/``n``; stop when no
+   rule fires;
+6. undo step 4's substitutions.
+
+Golden vectors in tests/test_cistem.py include the paper's own
+examples (Speicherbehältern→speicherbehalt, Grenzpostens→grenzpost,
+Ausgefeiltere→ausgefeilt) plus hand-traced cases; the retriv pipeline
+lowercases before stemming, so the capitalization-sensitive ``t`` rule
+sees ``upper=False`` on the default path — the same inputs nltk's
+Cistem would see there.
+"""
+
+from __future__ import annotations
+
+import re
+
+_DOUBLE = re.compile(r"(.)\1")
+_DOUBLE_BACK = re.compile(r"(.)\*")
+
+
+def cistem_stem(word: str, case_insensitive: bool = False) -> str:
+    """Stem one German word per the published CISTEM algorithm."""
+    if not word:
+        return word
+    upper = word[0].isupper()
+    word = word.lower()
+    word = (
+        word.replace("ü", "u")
+        .replace("ö", "o")
+        .replace("ä", "a")
+        .replace("ß", "ss")
+    )
+    if word.startswith("ge") and len(word) >= 6:
+        word = word[2:]
+    word = word.replace("sch", "$").replace("ei", "%").replace("ie", "&")
+    word = _DOUBLE.sub(r"\1*", word)
+
+    while len(word) > 3:
+        if len(word) > 5 and (
+            word.endswith("em") or word.endswith("er") or word.endswith("nd")
+        ):
+            word = word[:-2]
+            continue
+        if (not upper or case_insensitive) and word.endswith("t"):
+            word = word[:-1]
+            continue
+        if word[-1] in "esn":
+            word = word[:-1]
+            continue
+        break
+
+    word = _DOUBLE_BACK.sub(r"\1\1", word)
+    word = word.replace("%", "ei").replace("&", "ie").replace("$", "sch")
+    return word

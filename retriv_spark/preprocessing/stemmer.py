@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Callable, Union
 
+from .cistem import cistem_stem
 from .lancaster import lancaster_stem
 from .porter import porter_stem
 from .porter2 import porter2_stem
@@ -56,6 +57,10 @@ stemmers_dict = {
     "finnish": finnish_stem,
     "hungarian": hungarian_stem,
     "turkish": turkish_stem,
+    # CISTEM (reference stemmer.py:16, nltk.stem.Cistem) — clean-room
+    # from the published Weißweiler & Fraser 2017 pseudocode, pinned by
+    # the paper's own examples (tests/test_cistem.py)
+    "cistem": cistem_stem,
 }
 
 

@@ -1,0 +1,186 @@
+"""Tree-structured Parzen Estimator over discrete hyperparameter grids.
+
+Clean-room implementation of the categorical TPE of Bergstra, Bardenet,
+Bengio & Kégl, "Algorithms for Hyper-Parameter Optimization" (NeurIPS
+2011) — the algorithm behind optuna's default sampler, which the
+reference uses for both tuners (reference
+autotune/bm25_autotune.py:10-38 and autotune/merger_autotune.py:4-33,
+``optuna.create_study`` with a seeded TPE sampler).  optuna is not
+installed in this environment, so this module reproduces the algorithm
+from the paper — same *shape* of trajectory (random startup, then
+propose-from-l/g density ratio), not optuna's bit-exact draws.
+
+The reference's search spaces are finite grids (b in [0,1] step .01,
+k1 in [0,10] step .1, fusion weights in {0,.1,…,1}), so every
+dimension is categorical and the Parzen "densities" are smoothed
+category pmfs, exactly the categorical arm of the paper's estimator:
+
+- after ``n_startup`` seeded-random trials, observations are split into
+  the top ``gamma`` fraction by objective ("good", distribution *l*)
+  and the rest ("bad", distribution *g*);
+- each dimension's pmf is Laplace-smoothed category counts
+  ``p(v) = (c_v + alpha) / (n + alpha*K)``;
+- ``n_ei_candidates`` vectors are drawn from *l* and the one maximizing
+  ``sum_d log l_d(x_d) - log g_d(x_d)`` (the paper's EI surrogate) is
+  proposed next.
+
+Everything is driven by one seeded ``random.Random`` — trajectories are
+deterministic, which the tests pin.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, Hashable, List, Sequence, Tuple
+
+
+def _smoothed_pmf(
+    values: Sequence[Hashable], grid: Sequence[Hashable], alpha: float = 1.0
+) -> Dict[Hashable, float]:
+    """Laplace-smoothed category pmf over ``grid`` from observed ``values``."""
+    counts: Dict[Hashable, int] = {v: 0 for v in grid}
+    for v in values:
+        counts[v] += 1
+    denom = len(values) + alpha * len(grid)
+    return {v: (c + alpha) / denom for v, c in counts.items()}
+
+
+def _sample_pmf(pmf: Dict[Hashable, float], rng: random.Random) -> Hashable:
+    u = rng.random()
+    acc = 0.0
+    last = None
+    for v, p in pmf.items():
+        acc += p
+        last = v
+        if u < acc:
+            return v
+    return last  # float round-off fallthrough
+
+
+class TPESampler:
+    """Sequential proposer over a dict of named discrete grids.
+
+    Usage::
+
+        s = TPESampler({"b": grid_b, "k1": grid_k1}, seed=42)
+        for _ in range(n_trials):
+            params = s.suggest()
+            s.tell(params, objective(params))   # maximize
+
+    ``suggest`` never repeats an already-told parameter vector while
+    untried points remain (the grids are finite; repeats waste a Spark
+    job per trial here, where optuna would tolerate them).
+    """
+
+    def __init__(
+        self,
+        grids: Dict[str, Sequence[Hashable]],
+        seed: int = 42,
+        n_startup: int = 10,
+        gamma: float = 0.25,
+        n_ei_candidates: int = 24,
+        alpha: float = 1.0,
+    ):
+        if not grids:
+            raise ValueError("grids must be non-empty")
+        for name, g in grids.items():
+            if len(g) == 0:
+                raise ValueError(f"grid {name!r} is empty")
+        self.grids = {k: list(v) for k, v in grids.items()}
+        self.rng = random.Random(seed)
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_ei_candidates = n_ei_candidates
+        self.alpha = alpha
+        self.history: List[Tuple[Dict[str, Hashable], float]] = []
+        self._seen: set = set()
+        self._space = 1
+        for g in self.grids.values():
+            self._space *= len(g)
+
+    # -- internal ----------------------------------------------------
+
+    def _key(self, params: Dict[str, Hashable]) -> tuple:
+        return tuple(params[k] for k in self.grids)
+
+    def _random_params(self) -> Dict[str, Hashable]:
+        return {k: self.rng.choice(g) for k, g in self.grids.items()}
+
+    def _untried(self, params: Dict[str, Hashable]) -> bool:
+        return self._key(params) not in self._seen
+
+    def _fresh_random(self) -> Dict[str, Hashable]:
+        """A not-yet-told random point (bounded retry, then linear scan)."""
+        for _ in range(64):
+            p = self._random_params()
+            if self._untried(p):
+                return p
+        # tiny residual space: deterministic scan in grid order
+        names = list(self.grids)
+
+        def rec(i: int, acc: Dict[str, Hashable]):
+            if i == len(names):
+                return dict(acc) if self._untried(acc) else None
+            for v in self.grids[names[i]]:
+                acc[names[i]] = v
+                out = rec(i + 1, acc)
+                if out is not None:
+                    return out
+            acc.pop(names[i], None)
+            return None
+
+        out = rec(0, {})
+        return out if out is not None else self._random_params()
+
+    # -- public ------------------------------------------------------
+
+    def suggest(self) -> Dict[str, Hashable]:
+        if len(self._seen) >= self._space:
+            # grid exhausted — only repeats remain
+            return self._random_params()
+        if len(self.history) < self.n_startup:
+            return self._fresh_random()
+
+        ordered = sorted(
+            self.history, key=lambda t: t[1], reverse=True
+        )  # maximize
+        n_good = max(1, math.ceil(self.gamma * len(ordered)))
+        good = [p for p, _ in ordered[:n_good]]
+        bad = [p for p, _ in ordered[n_good:]] or good
+
+        l_pmf = {
+            name: _smoothed_pmf([p[name] for p in good], grid, self.alpha)
+            for name, grid in self.grids.items()
+        }
+        g_pmf = {
+            name: _smoothed_pmf([p[name] for p in bad], grid, self.alpha)
+            for name, grid in self.grids.items()
+        }
+
+        scored: List[Tuple[float, Dict[str, Hashable]]] = []
+        for _ in range(self.n_ei_candidates):
+            cand = {
+                name: _sample_pmf(l_pmf[name], self.rng) for name in self.grids
+            }
+            ei = sum(
+                math.log(l_pmf[name][cand[name]])
+                - math.log(g_pmf[name][cand[name]])
+                for name in self.grids
+            )
+            scored.append((ei, cand))
+        scored.sort(key=lambda t: t[0], reverse=True)
+        for _, cand in scored:
+            if self._untried(cand):
+                return cand
+        return self._fresh_random()
+
+    def tell(self, params: Dict[str, Hashable], score: float) -> None:
+        self.history.append((dict(params), float(score)))
+        self._seen.add(self._key(params))
+
+    @property
+    def best(self) -> Tuple[Dict[str, Hashable], float]:
+        if not self.history:
+            raise ValueError("no trials told yet")
+        return max(self.history, key=lambda t: t[1])

@@ -1,0 +1,192 @@
+"""kmeans_int8 + semantic_dedup (ops/clustering.py).
+
+Pins the two properties the module sells: bit-identical results at any
+parallelism (integer-exact k-means) and the SemDeDup keep rule
+(each duplicate clique keeps its least-centroid-similar member).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.clustering import (
+    _round_half_away_div,
+    kmeans_int8,
+    semantic_dedup,
+)
+
+
+def _blob_df(spark, n_parts=4):
+    # two integer blobs around (100, 100, 0, 0) and (-100, -100, 0, 0)
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        base = [100, 100, 0, 0] if i % 2 == 0 else [-100, -100, 0, 0]
+        vec = [int(b + d) for b, d in zip(base, rng.randint(-5, 6, 4))]
+        rows.append((i, vec))
+    return spark.createDataFrame(
+        rows, "vec_id int, embedding_q array<int>"
+    ).repartition(n_parts)
+
+
+def test_round_half_away_div():
+    assert _round_half_away_div(5, 2) == 3
+    assert _round_half_away_div(-5, 2) == -3
+    assert _round_half_away_div(4, 8) == 1
+    assert _round_half_away_div(-4, 8) == -1
+    assert _round_half_away_div(3, 8) == 0
+    assert _round_half_away_div(7, 7) == 1
+
+
+def test_kmeans_separates_blobs_and_is_deterministic(spark):
+    df = _blob_df(spark)
+    a1 = {r["vec_id"]: r["cluster"] for r in kmeans_int8(df, k=2, n_iter=3).collect()}
+    a2 = {r["vec_id"]: r["cluster"] for r in kmeans_int8(df, k=2, n_iter=3).collect()}
+    assert a1 == a2
+    evens = {a1[i] for i in range(0, 40, 2)}
+    odds = {a1[i] for i in range(1, 40, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def test_kmeans_bit_identical_across_parallelism(spark):
+    # the selling point: integer sums are order-independent, so local[1]
+    # and local[32]-shaped partitionings give byte-identical assignments
+    a = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_int8(_blob_df(spark, n_parts=1), k=3, n_iter=2).collect()
+    }
+    b = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_int8(_blob_df(spark, n_parts=13), k=3, n_iter=2).collect()
+    }
+    assert a == b
+
+
+def test_kmeans_centroids_are_exact_integer_means(spark):
+    # one cluster (k=1): centroid must be the exact rounded mean
+    df = spark.createDataFrame(
+        [(0, [0, 10]), (1, [1, 10]), (2, [2, 13])],
+        "vec_id int, embedding_q array<int>",
+    )
+    out, cents = kmeans_int8(df, k=1, n_iter=1, return_centroids=True)
+    assert cents == [[1, 11]]  # mean (1.0, 11.0)
+    assert {r["cluster"] for r in out.collect()} == {0}
+
+
+def test_kmeans_empty_cluster_carries_centroid(spark):
+    # k=3 over 2 tight blobs: at least one cluster may end up empty;
+    # the op must not crash and must keep exactly 3 valid centroids
+    df = _blob_df(spark)
+    out, cents = kmeans_int8(df, k=3, n_iter=3, return_centroids=True)
+    assert len(cents) == 3
+    assert out.count() == 40
+
+
+def test_kmeans_excludes_null_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, None), (2, [3, 4])],
+        "vec_id int, embedding_q array<int>",
+    )
+    got = kmeans_int8(df, k=1, n_iter=1)
+    assert {r["vec_id"] for r in got.collect()} == {0, 2}
+
+
+def test_kmeans_rejects_bad_k_and_empty_input(spark):
+    df = spark.createDataFrame([(0, [1, 2])], "vec_id int, embedding_q array<int>")
+    with pytest.raises(ValueError):
+        kmeans_int8(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans_int8(df.filter(F.col("vec_id") < 0), k=2)
+
+
+def _semdedup_df(spark):
+    # cluster A: 3-clique of near-identical vectors + the centroid seed;
+    # cluster B: an isolated distinct vector (also a centroid seed)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # centroid 0
+        (1, [0.0, 1.0, 0.0]),        # centroid 1 (its own cluster)
+        (10, [0.9, 0.1, 0.0]),       # near-dup clique...
+        (11, [0.9, 0.1, 0.001]),
+        (12, [0.9, 0.1, 0.002]),
+        (20, [0.7, 0.0, 0.7]),       # same cluster as 0, not a dup of the clique
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_semantic_dedup_keeps_least_central_member(spark):
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            _semdedup_df(spark), eps=0.001, n_clusters=2
+        ).collect()
+    }
+    assert len(out) == 6
+    clique = [out[10], out[11], out[12]]
+    flagged = [r["vec_id"] for r in clique if r["is_dup"]]
+    kept = [r for r in clique if not r["is_dup"]]
+    assert len(kept) == 1 and len(flagged) == 2
+    # the survivor has the LOWEST cent_cos in the clique
+    assert kept[0]["cent_cos"] == min(r["cent_cos"] for r in clique)
+    # non-duplicates untouched
+    assert not out[0]["is_dup"] and not out[1]["is_dup"] and not out[20]["is_dup"]
+
+
+def test_semantic_dedup_differential_vs_numpy(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 8)
+    # plant duplicates: 57..59 copy 5..7 with tiny noise
+    for i in range(3):
+        vecs[57 + i] = vecs[5 + i] + 1e-4
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    eps, k = 0.02, 4
+    got = {r["vec_id"]: r for r in semantic_dedup(df, eps=eps, n_clusters=k).collect()}
+
+    # numpy replica of the documented semantics
+    def rnd6(x):
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cents = vecs[:k]
+    assign, ccos = {}, {}
+    for i in range(60):
+        sims = [rnd6(cos(vecs[i], c)) for c in cents]
+        j = int(np.argmax(sims))  # first max = lowest centroid id
+        assign[i], ccos[i] = j, sims[j]
+    dup = set()
+    for a in range(60):
+        for b in range(a + 1, 60):
+            if assign[a] != assign[b]:
+                continue
+            if rnd6(cos(vecs[a], vecs[b])) >= 1 - eps:
+                loser = (
+                    a
+                    if (ccos[a], a) > (ccos[b], b)
+                    else b
+                )
+                dup.add(loser)
+    for i in range(60):
+        assert got[i]["is_dup"] == (i in dup), f"vec {i}"
+        assert str(assign[i]) == got[i]["cluster"], f"vec {i} cluster"
+
+
+def test_semantic_dedup_cap_passes_hot_cluster_through_unflagged(spark):
+    # 30 identical-direction vectors -> one hot cluster; with a cap of 10
+    # the op must emit all rows, none flagged, instead of 30^2 pairs
+    rows = [(i, [1.0, 0.0]) for i in range(30)] + [(100, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = semantic_dedup(df, eps=0.01, n_clusters=2, max_cluster_df=10)
+    rows_out = out.collect()
+    assert len(rows_out) == 31
+    assert not any(r["is_dup"] for r in rows_out)
+
+
+def test_semantic_dedup_row_count_matches_nonnull_input(spark):
+    df = _semdedup_df(spark).union(
+        _semdedup_df(spark).sparkSession.createDataFrame(
+            [(99, None)], "vec_id int, embedding array<double>"
+        )
+    )
+    assert semantic_dedup(df, n_clusters=2).count() == 6

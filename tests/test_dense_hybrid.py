@@ -122,7 +122,10 @@ def test_tune_merger_picks_scored_combo(spark):
     qrels = spark.createDataFrame(
         [("q1", "d3", 1.0)], "q_id string, id string, rel double"
     )
-    best = tune_merger([run1, run2], qrels, metric="mrr", n_trials=8)
+    # n_trials now counts total evaluations (TPE over norm+weights
+    # jointly), not weight vectors per norm — 12 evals here, vs the old
+    # accounting's 8x3; still fewer Spark jobs, same found optimum.
+    best = tune_merger([run1, run2], qrels, metric="mrr", n_trials=12)
     assert best["norm"] in {"min-max", "max", "sum"}
     assert len(best["weights"]) == 2
     # d3 is the only relevant doc and run2 ranks it first: the winning
