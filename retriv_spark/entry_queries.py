@@ -655,6 +655,42 @@ def q_embedding_quantize(spark, sf_dir):
     ).orderBy("vec_id", "pos")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (ops/clustering.py semantic_dedup, Abbas et al. 2023):
+    deterministic coarse clusters (4 lowest-id vectors as centroids,
+    argmax rounded cosine), within-cluster pairwise cosine, and the
+    paper's keep rule — every member with a near-dup (cos >= 1-eps)
+    less centroid-similar than itself is flagged.  The oracle replays
+    clustering, candidate generation, and the keep rule exactly."""
+    from .ops.clustering import semantic_dedup
+
+    return (
+        semantic_dedup(_embeddings(spark, sf_dir), eps=0.65, n_clusters=4)
+        .select(
+            "vec_id",
+            "cluster",
+            "cent_cos",
+            F.col("is_dup").cast("int").alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_kmeans_int8(spark, sf_dir):
+    """Integer-exact distributed k-means (ops/clustering.py kmeans_int8)
+    over int8-quantized embeddings: seeded hash init, 2 Lloyd rounds of
+    {integer squared-L2 assignment, round-half-away integer centroid
+    means}, output = assignment under the final centroids.  Every step
+    is order-independent integer math, so the result is bit-identical
+    at any parallelism AND fully SQL-reproducible — including both
+    intermediate centroid updates."""
+    from .ops.clustering import kmeans_int8
+    from .ops.similarity import quantize_embeddings
+
+    emb = quantize_embeddings(_embeddings(spark, sf_dir))
+    return kmeans_int8(emb, k=4, n_iter=2).orderBy("vec_id")
+
+
 def q_quality_features(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = tokens_col(F.col("text"))
@@ -1876,6 +1912,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_lm": q_ngram_lm,
     "embedding_quantize": q_embedding_quantize,
     "ann_int8_topk": q_ann_int8_topk,
+    "semantic_dedup": q_semantic_dedup,
+    "kmeans_int8": q_kmeans_int8,
     "minhash_incremental": q_minhash_incremental,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
@@ -3528,4 +3566,170 @@ SELECT d.doc_id,
        CASE WHEN coalesce(a.mx, 0.0) < 0.5 THEN 1 ELSE 0 END AS novel
 FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+# Replays all three SemDeDup stages: the deterministic coarse clustering
+# (4 lowest-id centroids, argmax cosine rounded to 6, ties -> lowest
+# centroid id), within-cluster candidate pairs, and the keep rule (drop
+# the more-centroid-similar member of every near-dup pair).
+ORACLE_SQL["semantic_dedup"] = """
+WITH fe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fe GROUP BY 1),
+cent AS (SELECT * FROM fe WHERE vec_id < 4),
+vc AS (
+  SELECT f.vec_id, c.vec_id AS cent_id,
+         round(sum(f.v * c.v) / (nf.nrm * nc.nrm), 6) AS cc
+  FROM fe f
+  JOIN cent c ON c.i = f.i
+  JOIN nrm nf ON nf.vec_id = f.vec_id
+  JOIN nrm nc ON nc.vec_id = c.vec_id
+  GROUP BY f.vec_id, c.vec_id, nf.nrm, nc.nrm
+),
+assign AS (
+  SELECT vec_id, cent_id AS cluster, cc AS cent_cos FROM (
+    SELECT vec_id, cent_id, cc,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC
+           ) AS r
+    FROM vc
+  ) WHERE r = 1
+),
+cand AS (
+  SELECT a.vec_id AS ia, a.cent_cos AS ca, b.vec_id AS ib, b.cent_cos AS cb
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT cd.ia, cd.ib, cd.ca, cd.cb, sum(fa.v * fb.v) AS dot
+  FROM cand cd
+  JOIN fe fa ON fa.vec_id = cd.ia
+  JOIN fe fb ON fb.vec_id = cd.ib AND fb.i = fa.i
+  GROUP BY 1, 2, 3, 4
+),
+sim AS (
+  SELECT d.ia, d.ib, d.ca, d.cb,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.ia
+  JOIN nrm nb ON nb.vec_id = d.ib
+),
+losers AS (
+  SELECT DISTINCT
+         CASE WHEN (ca > cb) OR (ca = cb AND ia > ib) THEN ia ELSE ib END
+           AS vec_id
+  FROM sim WHERE cos >= 1.0 - 0.65
+)
+SELECT a.vec_id, CAST(a.cluster AS VARCHAR) AS cluster, a.cent_cos,
+       CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+FROM assign a LEFT JOIN losers l ON l.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+# Integer-exact k-means, all stages replayed: int8 quantization (the
+# embedding_quantize expression), seeded portable-hash init (4 lowest
+# (hash, id)), two Lloyd rounds — integer squared-L2 assignment with
+# lowest-cluster tie-break, round-half-away integer centroid means with
+# empty-cluster carry — and the final assignment.
+ORACLE_SQL["kmeans_int8"] = f"""
+WITH e AS (
+  SELECT vec_id,
+         coalesce(list_max(list_transform(embedding,
+                                          x -> abs(x::DOUBLE))), 0.0)
+           AS amax,
+         generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, i,
+         CASE WHEN amax = 0.0 THEN 0
+              ELSE floor(v / amax * 127 + 0.5)::BIGINT END AS qv
+  FROM e
+),
+ids AS (SELECT DISTINCT vec_id FROM q),
+init AS (
+  SELECT vec_id, r - 1 AS cluster FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY h ASC, vec_id ASC) AS r
+    FROM (SELECT vec_id,
+                 {_PH64.format(x="'km|' || vec_id::VARCHAR")} AS h
+          FROM ids)
+  ) WHERE r <= 4
+),
+c0 AS (
+  SELECT init.cluster, q.i, q.qv AS cv
+  FROM init JOIN q ON q.vec_id = init.vec_id
+),
+d1 AS (
+  SELECT qq.vec_id, c.cluster,
+         sum((qq.qv - c.cv) * (qq.qv - c.cv)) AS d2
+  FROM q qq JOIN c0 c ON c.i = qq.i
+  GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC
+           ) AS r
+    FROM d1
+  ) WHERE r = 1
+),
+u1 AS (
+  SELECT a1.cluster, q.i, sum(q.qv) AS s, count(*) AS n
+  FROM a1 JOIN q ON q.vec_id = a1.vec_id
+  GROUP BY 1, 2
+),
+c1 AS (
+  SELECT c0.cluster, c0.i,
+         CASE WHEN u1.n IS NULL THEN c0.cv
+              WHEN u1.s >= 0 THEN (2 * u1.s + u1.n) // (2 * u1.n)
+              ELSE -((-2 * u1.s + u1.n) // (2 * u1.n)) END AS cv
+  FROM c0 LEFT JOIN u1 ON u1.cluster = c0.cluster AND u1.i = c0.i
+),
+d2s AS (
+  SELECT qq.vec_id, c.cluster,
+         sum((qq.qv - c.cv) * (qq.qv - c.cv)) AS d2
+  FROM q qq JOIN c1 c ON c.i = qq.i
+  GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC
+           ) AS r
+    FROM d2s
+  ) WHERE r = 1
+),
+u2 AS (
+  SELECT a2.cluster, q.i, sum(q.qv) AS s, count(*) AS n
+  FROM a2 JOIN q ON q.vec_id = a2.vec_id
+  GROUP BY 1, 2
+),
+c2 AS (
+  SELECT c1.cluster, c1.i,
+         CASE WHEN u2.n IS NULL THEN c1.cv
+              WHEN u2.s >= 0 THEN (2 * u2.s + u2.n) // (2 * u2.n)
+              ELSE -((-2 * u2.s + u2.n) // (2 * u2.n)) END AS cv
+  FROM c1 LEFT JOIN u2 ON u2.cluster = c1.cluster AND u2.i = c1.i
+),
+d3 AS (
+  SELECT qq.vec_id, c.cluster,
+         sum((qq.qv - c.cv) * (qq.qv - c.cv)) AS d2
+  FROM q qq JOIN c2 c ON c.i = qq.i
+  GROUP BY 1, 2
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC
+         ) AS r
+  FROM d3
+) WHERE r = 1
+ORDER BY vec_id
 """
