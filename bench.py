@@ -48,6 +48,8 @@ HEADLINE = [
     "ngram_lm",
     "embedding_quantize",
     "ann_int8_topk",
+    "semantic_dedup",
+    "kmeans_int8",
     "minhash_incremental",
     "sessionize",
     "pack_sequences",
