@@ -67,6 +67,50 @@ def _assign_int_udf(centroids: Sequence[Sequence[int]]):
     return assign.asNondeterministic()
 
 
+def _iteration_sums(c: DataFrame, centroids: Sequence[Sequence[int]]) -> DataFrame:
+    """One Lloyd round's per-cluster/per-dimension integer sums.
+
+    Fused assign + map-side combine: each PARTITION emits at most
+    k x dims tiny rows (cluster, pos, s, n) — the corpus itself never
+    shuffles; the only Exchange in this plan moves those partial rows
+    into the final k x dims aggregate.  ``c`` must have columns
+    (_id, _v) with _v non-null."""
+    C = np.asarray(centroids, dtype=np.int64)
+    kk, dims = C.shape
+
+    def partial_sums(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        S = np.zeros((kk, dims), dtype=np.int64)
+        N = np.zeros(kk, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["_v"]])
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for j in range(kk):
+                m = a == j
+                if m.any():
+                    S[j] += V[m].sum(axis=0)
+                    N[j] += int(m.sum())
+        live = np.nonzero(N)[0]
+        yield pd.DataFrame(
+            {
+                "cluster": np.repeat(live, dims).astype("int32"),
+                "pos": np.tile(np.arange(dims, dtype="int32"), len(live)),
+                "s": S[live].reshape(-1),
+                "n": np.repeat(N[live], dims),
+            }
+        )
+
+    return (
+        c.mapInPandas(partial_sums, schema="cluster int, pos int, s long, n long")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
 def _round_half_away_div(s: int, n: int) -> int:
     """round(s / n) half away from zero, exact integers (n > 0)."""
     if s >= 0:
@@ -122,47 +166,8 @@ def kmeans_int8(
     dims = len(centroids[0])
     kk = len(centroids)  # may be < k when the corpus is tiny
 
-    part_schema = "cluster int, pos int, s long, n long"
-
     for _ in range(n_iter):
-        C = np.asarray(centroids, dtype=np.int64)
-
-        def partial_sums(
-            batches: Iterator[pd.DataFrame], C=C, kk=kk, dims=dims
-        ) -> Iterator[pd.DataFrame]:
-            # fused assign + map-side combine: emits k x dims rows per
-            # PARTITION (not per row) — the corpus never shuffles
-            S = np.zeros((kk, dims), dtype=np.int64)
-            N = np.zeros(kk, dtype=np.int64)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                V = np.stack(
-                    [np.asarray(x, dtype=np.int64) for x in pdf["_v"]]
-                )
-                d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                a = np.argmin(d2, axis=1)
-                for j in range(kk):
-                    m = a == j
-                    if m.any():
-                        S[j] += V[m].sum(axis=0)
-                        N[j] += int(m.sum())
-            live = np.nonzero(N)[0]
-            yield pd.DataFrame(
-                {
-                    "cluster": np.repeat(live, dims).astype("int32"),
-                    "pos": np.tile(np.arange(dims, dtype="int32"), len(live)),
-                    "s": S[live].reshape(-1),
-                    "n": np.repeat(N[live], dims),
-                }
-            )
-
-        sums = (
-            c.mapInPandas(partial_sums, schema=part_schema)
-            .groupBy("cluster", "pos")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()  # bounded: k x dims rows
-        )
+        sums = _iteration_sums(c, centroids).collect()  # k x dims rows
         new_c = [list(cv) for cv in centroids]  # empty clusters carry over
         for r in sums:
             new_c[r["cluster"]][r["pos"]] = _round_half_away_div(

@@ -190,3 +190,42 @@ def test_semantic_dedup_row_count_matches_nonnull_input(spark):
         )
     )
     assert semantic_dedup(df, n_clusters=2).count() == 6
+
+
+def test_kmeans_iteration_shuffles_only_tiny_rows(spark):
+    """Scale shape: the corpus never shuffles — the single Exchange in a
+    Lloyd round sits ABOVE the mapInPandas partial-sum stage, moving
+    only partitions x k x dims rows."""
+    from retriv_spark.ops.clustering import _iteration_sums
+
+    df = _blob_df(spark).select(
+        F.col("vec_id").alias("_id"), F.col("embedding_q").alias("_v")
+    )
+    plan = (
+        _iteration_sums(df, [[100, 100, 0, 0], [-100, -100, 0, 0]])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    # one shuffle Exchange (the fixture's own .repartition is not a shuffle
+    # the op introduced)
+    shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "REPARTITION" not in l
+    ]
+    assert len(shuffles) == 1, plan
+    # tree prints parents first: the Exchange must be above the Python stage
+    assert plan.index(shuffles[0].strip()) < plan.index("MapInPandas")
+
+
+def test_semantic_dedup_centroid_join_broadcasts(spark):
+    """The centroid table rides a broadcast join — the corpus side of
+    cent_cos computation never shuffles."""
+    plan = (
+        semantic_dedup(_semdedup_df(spark), eps=0.001, n_clusters=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
