@@ -1,0 +1,216 @@
+"""Two-parallelism scaling evidence for kmeans_int8 (+ bit-identity).
+
+Same protocol as jobs/scaling_bench.py (the sandbox stand-in for the
+north rule's N-vs-4N criterion): one deterministic synthetic input, the
+same job at local[N] and local[4N] in separate JVMs, throughput at both,
+efficiency = (T_N / T_4N) / 4, and a BYTE-level identity check on the
+assignments — the property integer k-means guarantees and float k-means
+cannot.
+
+Usage: python jobs/clustering_scaling.py [--vecs 1000000] [--dims 64]
+           [--k 64] [--iters 2] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["RETRIV_REPO"])
+from retriv_spark.session import get_spark
+from retriv_spark.ops.clustering import kmeans_int8
+
+cpus = int(os.environ["RETRIV_CPUS"])
+spark = get_spark(
+    app_name=f"kmeans-scaling-{cpus}", master=f"local[{cpus}]",
+    shuffle_partitions=max(cpus, 8),
+    extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+df = spark.read.parquet(os.environ["RETRIV_INPUT"])
+k = int(os.environ["RETRIV_K"]); iters = int(os.environ["RETRIV_ITERS"])
+
+t0 = time.perf_counter()
+out = kmeans_int8(df, k=k, n_iter=iters, id_col="vec_id",
+                  vec_col="embedding_q")
+# parallel write — the identity digest orders rows itself, so a
+# single-file (coalesce(1)) serial write would only pollute the timing
+out.write.mode("overwrite").parquet(os.environ["RETRIV_RESULTS"])
+wall = time.perf_counter() - t0
+
+n = df.count()
+print(json.dumps({"cpus": cpus, "wall_s": round(wall, 2),
+                  "vecs_per_s": round(n / wall, 1), "n": n}))
+"""
+
+
+def synth_input(path: str, n_vecs: int, dims: int, n_centers: int) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(42)
+    centers = rng.randint(-100, 101, size=(n_centers, dims))
+    assign = rng.randint(0, n_centers, size=n_vecs)
+    noise = rng.randint(-10, 11, size=(n_vecs, dims))
+    vecs = np.clip(centers[assign] + noise, -127, 127).astype(np.int32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64)),
+            "embedding_q": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), dims
+            ).cast(pa.list_(pa.int32())),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd", row_group_size=65536)
+
+
+def run_leg(cpus: int, env_extra: dict) -> dict:
+    env = dict(os.environ, RETRIV_REPO=REPO, RETRIV_CPUS=str(cpus),
+               **env_extra)
+    p = subprocess.run(
+        [sys.executable, "-c", WORKER], env=env,
+        capture_output=True, text=True, timeout=3600,
+    )
+    if p.returncode != 0:
+        sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:] + "\n")
+        raise SystemExit(f"leg local[{cpus}] failed rc={p.returncode}")
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def _kernel_burn(seed: int) -> int:
+    """One unit of the exact work the kmeans pass does per batch —
+    int64 argmin-matmul over (100k x 64) vectors vs 64 centroids —
+    with zero Spark/IO around it.  Mapping this over a process pool at
+    n and 4n workers measures the MACHINE's ceiling for this workload
+    class (int64 matmul is ALU + DRAM-stream heavy; a single box shares
+    memory channels across cores, a real N->4N executor scale-out does
+    not), so engine efficiency is read against hardware, not hope."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    V = rng.randint(-127, 128, size=(100_000, 64)).astype(np.int64)
+    C = rng.randint(-127, 128, size=(64, 64)).astype(np.int64)
+    acc = 0
+    for _ in range(4):
+        rel = -2 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+        acc += int(np.argmin(rel, axis=1).sum())
+    return acc
+
+
+def _stream_burn(seed: int) -> float:
+    """STREAM-like DRAM burn (same class as jobs/scaling_bench.py's
+    bandwidth control).  The Spark pass around the kernel moves ~10x
+    more bytes per flop than the bare kernel (parquet decompress +
+    Arrow IPC both ways + the int64 widening copy), so its same-box
+    ceiling sits between the ALU-ish kernel control and this one."""
+    import numpy as np
+
+    a = np.random.default_rng(seed).random(12_000_000)
+    b = np.empty_like(a)
+    for _ in range(30):
+        np.add(a, 1.0, out=b)
+        np.add(b, 1.0, out=a)
+    return float(a[0])
+
+
+def machine_ceiling(n: int, fn=_kernel_burn) -> dict:
+    """Best-case n->4n speedup for a workload class (mp pool, best of
+    2), same protocol as jobs/scaling_bench.py's controls."""
+    import multiprocessing as mp
+    import time as _t
+
+    best = {}
+    for workers in (n, 4 * n):
+        times = []
+        for _ in range(2):
+            with mp.Pool(workers) as p:
+                t0 = _t.perf_counter()
+                p.map(fn, range(64))
+                times.append(_t.perf_counter() - t0)
+        best[workers] = min(times)
+    speedup = best[n] / best[4 * n]
+    return {"wall_n": round(best[n], 2), "wall_4n": round(best[4 * n], 2),
+            "speedup": round(speedup, 2), "efficiency": round(speedup / 4, 3)}
+
+
+def result_digest(result_dir: str) -> str:
+    """Order-insensitive content digest of the (vec_id, cluster) rows."""
+    import duckdb
+
+    con = duckdb.connect()
+    row = con.execute(
+        "SELECT count(*), md5(string_agg(vec_id::VARCHAR || ':' || "
+        "cluster::VARCHAR, ',' ORDER BY vec_id)) "
+        f"FROM read_parquet('{result_dir}/*.parquet')"
+    ).fetchone()
+    return f"{row[0]}:{row[1]}"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vecs", type=int, default=1_000_000)
+    ap.add_argument("--dims", type=int, default=64)
+    ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH",
+                                                  "clustering_scaling_r3.json"))
+    args = ap.parse_args()
+
+    with tempfile.TemporaryDirectory(prefix="kmeans_scale_") as tmp:
+        inp = os.path.join(tmp, "vectors.parquet")
+        synth_input(inp, args.vecs, args.dims, args.k)
+
+        legs = {}
+        digests = {}
+        for cpus in (args.n, args.n * 4):
+            res_dir = os.path.join(tmp, f"res_{cpus}")
+            legs[cpus] = run_leg(cpus, {
+                "RETRIV_INPUT": inp, "RETRIV_RESULTS": res_dir,
+                "RETRIV_K": str(args.k), "RETRIV_ITERS": str(args.iters),
+            })
+            digests[cpus] = result_digest(res_dir)
+            print(f"local[{cpus}]: {legs[cpus]}  digest={digests[cpus]}")
+
+        lo, hi = args.n, args.n * 4
+        speedup = legs[lo]["wall_s"] / legs[hi]["wall_s"]
+        # controls run after the legs: no concurrent JVM
+        control = machine_ceiling(args.n)
+        bw_control = machine_ceiling(args.n, _stream_burn)
+        report = {
+            "op": "kmeans_int8",
+            "vecs": args.vecs, "dims": args.dims, "k": args.k,
+            "iters": args.iters,
+            "legs": legs,
+            "identical": digests[lo] == digests[hi],
+            "digest": digests[lo],
+            "speedup": round(speedup, 2),
+            "efficiency": round(speedup / 4, 3),
+            "kernel_class_control": control,
+            "bandwidth_control": bw_control,
+            "efficiency_vs_kernel_control": round(
+                speedup / (control["efficiency"] * 4), 3
+            ),
+            "efficiency_vs_bandwidth_control": round(
+                speedup / (bw_control["efficiency"] * 4), 3
+            ),
+        }
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report))
+        if not report["identical"]:
+            raise SystemExit("FAIL: assignments differ across parallelism")
+
+
+if __name__ == "__main__":
+    main()

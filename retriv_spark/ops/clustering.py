@@ -39,73 +39,86 @@ from __future__ import annotations
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from .textstats import portable_hash64
 
 
-def _assign_int_udf(centroids: Sequence[Sequence[int]]):
-    """Pandas UDF: nearest centroid by exact integer squared-L2,
-    ties -> lowest cluster index (np.argmin keeps first minimum)."""
-    C = np.asarray(centroids, dtype=np.int64)  # (k, d)
+def _argmin_sqdist(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_c |v - c|^2 per row, EXACT int64: |v|^2 is constant per
+    row, so argmin(-2 v.C^T + |c|^2) — one integer matmul, no (n,k,d)
+    broadcast temp (at d=k=64, batch 10k that temp is 320 MB; the
+    matmul form is O(n*k) memory).  int64 matmul is exact in numpy
+    (no BLAS float path); values bounded by 2*d*127^2 — no overflow.
+    Ties -> lowest cluster index (np.argmin keeps the first minimum)."""
+    rel = -2 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+    return np.argmin(rel, axis=1)
 
-    @pandas_udf("int")
-    def assign(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int32")
-        V = np.stack([np.asarray(x, dtype=np.int64) for x in vecs])
-        # (n, k) exact integer distances; d * 254^2 per term, no overflow
-        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
 
-    # deterministic in value; the flag only stops Catalyst from cloning
-    # the Python pass into pushed-down filters (same rationale as
-    # similarity._make_centroid_assign_udf)
-    return assign.asNondeterministic()
+def _batch_matrix(arr: "pa.Array", dims: int) -> np.ndarray:
+    """(n, dims) int64 matrix straight from an Arrow list array's values
+    buffer — no per-row Python (np.stack over 100k object rows was the
+    measured hot spot at ~10 µs/row; this path is one vectorized copy).
+    ``flatten()`` honors offsets/slicing; the reshape fails loudly on
+    ragged rows or null slots, which kmeans filters upstream."""
+    if pa.types.is_fixed_size_list(arr.type):
+        vals = arr.values.to_numpy(zero_copy_only=False)
+    else:
+        vals = arr.flatten().to_numpy(zero_copy_only=False)
+    if vals.size != len(arr) * dims:
+        raise ValueError(
+            f"expected uniform {dims}-dim vectors, got {vals.size} values "
+            f"for {len(arr)} rows"
+        )
+    return vals.reshape(len(arr), dims).astype(np.int64, copy=False)
 
 
 def _iteration_sums(c: DataFrame, centroids: Sequence[Sequence[int]]) -> DataFrame:
     """One Lloyd round's per-cluster/per-dimension integer sums.
 
-    Fused assign + map-side combine: each PARTITION emits at most
-    k x dims tiny rows (cluster, pos, s, n) — the corpus itself never
-    shuffles; the only Exchange in this plan moves those partial rows
-    into the final k x dims aggregate.  ``c`` must have columns
-    (_id, _v) with _v non-null."""
+    Fused assign + map-side combine in ONE Arrow pass (mapInArrow, so
+    vectors stay in the Arrow values buffer — never per-row Python
+    objects): each PARTITION emits at most k x dims tiny rows
+    (cluster, pos, s, n) — the corpus itself never shuffles; the only
+    Exchange in this plan moves those partial rows into the final
+    k x dims aggregate.  ``c`` must have a ``_v`` column, non-null."""
     C = np.asarray(centroids, dtype=np.int64)
     kk, dims = C.shape
 
     def partial_sums(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
         S = np.zeros((kk, dims), dtype=np.int64)
         N = np.zeros(kk, dtype=np.int64)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["_v"]])
-            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
-            for j in range(kk):
-                m = a == j
-                if m.any():
-                    S[j] += V[m].sum(axis=0)
-                    N[j] += int(m.sum())
+            V = _batch_matrix(batch.column(0), dims)
+            a = _argmin_sqdist(V, C)
+            # scatter-add, O(n*d) — no per-cluster masking loop
+            np.add.at(S, a, V)
+            N += np.bincount(a, minlength=kk).astype(np.int64)
         live = np.nonzero(N)[0]
-        yield pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {
-                "cluster": np.repeat(live, dims).astype("int32"),
-                "pos": np.tile(np.arange(dims, dtype="int32"), len(live)),
-                "s": S[live].reshape(-1),
-                "n": np.repeat(N[live], dims),
+                "cluster": pa.array(
+                    np.repeat(live, dims).astype("int32"), pa.int32()
+                ),
+                "pos": pa.array(
+                    np.tile(np.arange(dims, dtype="int32"), len(live)),
+                    pa.int32(),
+                ),
+                "s": pa.array(S[live].reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(N[live], dims), pa.int64()),
             }
         )
 
     return (
-        c.mapInPandas(partial_sums, schema="cluster int, pos int, s long, n long")
+        c.select("_v")
+        .mapInArrow(partial_sums, schema="cluster int, pos int, s long, n long")
         .groupBy("cluster", "pos")
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
     )
@@ -175,10 +188,26 @@ def kmeans_int8(
             )
         centroids = new_c
 
-    out = c.select(
-        F.col("_id").alias(id_col),
-        _assign_int_udf(centroids)(F.col("_v")).alias("cluster"),
+    C = np.asarray(centroids, dtype=np.int64)
+
+    def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _batch_matrix(batch.column(1), dims)
+            a = _argmin_sqdist(V, C).astype("int32")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(a, pa.int32())],
+                names=[id_col, "cluster"],
+            )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, c.schema["_id"].dataType),
+            StructField("cluster", IntegerType()),
+        ]
     )
+    out = c.mapInArrow(assign, schema=out_schema)
     if return_centroids:
         return out, centroids
     return out

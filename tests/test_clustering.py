@@ -194,7 +194,7 @@ def test_semantic_dedup_row_count_matches_nonnull_input(spark):
 
 def test_kmeans_iteration_shuffles_only_tiny_rows(spark):
     """Scale shape: the corpus never shuffles — the single Exchange in a
-    Lloyd round sits ABOVE the mapInPandas partial-sum stage, moving
+    Lloyd round sits ABOVE the mapInArrow partial-sum stage, moving
     only partitions x k x dims rows."""
     from retriv_spark.ops.clustering import _iteration_sums
 
@@ -207,7 +207,7 @@ def test_kmeans_iteration_shuffles_only_tiny_rows(spark):
         .executedPlan()
         .toString()
     )
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     # one shuffle Exchange (the fixture's own .repartition is not a shuffle
     # the op introduced)
     shuffles = [
@@ -216,7 +216,7 @@ def test_kmeans_iteration_shuffles_only_tiny_rows(spark):
     ]
     assert len(shuffles) == 1, plan
     # tree prints parents first: the Exchange must be above the Python stage
-    assert plan.index(shuffles[0].strip()) < plan.index("MapInPandas")
+    assert plan.index(shuffles[0].strip()) < plan.index("MapInArrow")
 
 
 def test_semantic_dedup_centroid_join_broadcasts(spark):
