@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_int8_topk",
     "semantic_dedup",
     "kmeans_int8",
+    "dsir_resample",
     "minhash_incremental",
     "sessionize",
     "pack_sequences",

@@ -603,6 +603,21 @@ def q_ngram_lm(spark, sf_dir):
     return ngram_lm_score(docs, alpha=0.5, top_k=1000).orderBy("doc_id")
 
 
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (ops/dsir.py, Xie et al. 2023): fit
+    hashed-n-gram multinomials on a target slice (lang='en') and the
+    full corpus, weight every document by the multinomial log-likelihood
+    ratio, and Gumbel-top-k sample 50 docs proportional to importance.
+    Exact integer counts + the portable 60-bit hash make every stage
+    SQL-replayable; the one order-sensitive float sum is rounded to 4
+    decimals (the ngram_lm contract)."""
+    from .ops.dsir import dsir_resample
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_resample(docs, k=50, target=target, n_buckets=512)
+
+
 def q_ann_int8_topk(spark, sf_dir):
     """Quantized brute-force top-k (ops/similarity.py int8_topk): the
     int8 serving path — exact 64-bit integer dot products of the
@@ -1914,6 +1929,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_int8_topk": q_ann_int8_topk,
     "semantic_dedup": q_semantic_dedup,
     "kmeans_int8": q_kmeans_int8,
+    "dsir_resample": q_dsir_resample,
     "minhash_incremental": q_minhash_incremental,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
@@ -3634,6 +3650,60 @@ ORDER BY a.vec_id
 # (hash, id)), two Lloyd rounds — integer squared-L2 assignment with
 # lowest-cluster tie-break, round-half-away integer centroid means with
 # empty-cluster carry — and the final assignment.
+ORACLE_SQL["dsir_resample"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, term AS gram FROM t, unnest(toks) AS u(term)
+  UNION ALL
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+),
+gb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % 512 AS bucket
+  FROM grams
+),
+tc AS (
+  SELECT bucket, count(*) AS c FROM gb
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY bucket
+),
+rc AS (SELECT bucket, count(*) AS c FROM gb GROUP BY bucket),
+tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS tt,
+         (SELECT coalesce(sum(c), 0) FROM rc) AS rt
+),
+spine AS (SELECT range AS bucket FROM range(512)),
+ratio AS (
+  SELECT spine.bucket,
+         ln((coalesce(tc.c, 0) + 1)::DOUBLE
+            / ((SELECT tt FROM tot) + 512)::DOUBLE)
+         - ln((coalesce(rc.c, 0) + 1)::DOUBLE
+              / ((SELECT rt FROM tot) + 512)::DOUBLE) AS log_ratio
+  FROM spine LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+),
+sc AS (
+  SELECT gb.doc_id, round(sum(ratio.log_ratio), 4) AS dsir_logw
+  FROM gb JOIN ratio USING (bucket) GROUP BY gb.doc_id
+),
+keyed AS (
+  SELECT doc_id, dsir_logw,
+         round(dsir_logw
+               + -ln(-ln((('0x' || substr(md5('dsir|' || doc_id::VARCHAR),
+                                          1, 15))::BIGINT::DOUBLE + 0.5)
+                         / 1152921504606846976.0)), 4) AS key
+  FROM sc
+)
+SELECT doc_id, dsir_logw, key
+FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 50
+"""
+
 ORACLE_SQL["kmeans_int8"] = f"""
 WITH e AS (
   SELECT vec_id,

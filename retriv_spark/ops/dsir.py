@@ -1,0 +1,210 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169).
+
+The standard pretraining-data selection move: pick raw-corpus examples
+whose hashed-n-gram distribution looks like a TARGET corpus (e.g. a
+high-quality reference set), by importance resampling:
+
+1. featurize every document as a bag of hashed n-grams — unigrams and
+   bigrams hashed into ``n_buckets`` buckets (the paper's 10k default);
+2. fit two bag-of-buckets multinomials — ``p`` on the target corpus and
+   ``q`` on the raw corpus — with add-1 smoothing over exact integer
+   counts;
+3. per raw document, the log importance weight is the multinomial
+   log-likelihood ratio ``Σ_g  log p(bucket(g)) - log q(bucket(g))``
+   over its n-gram occurrences ``g``;
+4. resample ``k`` documents without replacement with the Gumbel
+   top-k trick: rank by ``logw + Gumbel(0,1)`` and keep the top ``k``.
+
+Everything is engine-portable so a DuckDB oracle replays it exactly:
+bucket ids come from the shared 60-bit md5 hash
+(:func:`retriv_spark.ops.textstats.portable_hash64`), the multinomials
+are closed-form rationals over exact integer counts, the Gumbel draw is
+a deterministic function of a seeded per-document hash, and the one
+order-sensitive float reduction (the per-document log-ratio sum) is
+rounded to 4 decimals like :mod:`retriv_spark.ops.lm` scores.
+
+Scale shape (100 TB):
+  * fitting — one explode + bucket aggregation per corpus; the map-side
+    partial combine collapses the n-gram fan-out to at most
+    ``n_buckets`` rows per partition, so each Exchange carries
+    ``partitions x n_buckets`` tiny rows, never corpus tokens;
+  * the log-ratio table is ``n_buckets`` rows — broadcast by
+    construction;
+  * scoring — exploded doc n-grams -> ONE broadcast join -> per-doc
+    aggregation whose map-side partial carries one row per doc per
+    partition.  The corpus never shuffles; no Python anywhere — the
+    whole pipeline is whole-stage-codegen column algebra;
+  * resampling — ``orderBy(key desc).limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition partial top-k, one bounded
+    driver merge).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .lm import _doc_bigrams, _lm_tokens
+from .textstats import portable_hash64
+
+# Gumbel uniforms live strictly inside (0, 1): u = (h + 0.5) / 2^60
+# with h the 60-bit portable hash — exact in float64 (2^60 is a power
+# of two; h + 0.5 needs 61 significand bits but rounds identically in
+# both engines since both compute (h + 0.5) then one division).
+_U_DENOM = float(1 << 60)
+
+
+def _doc_grams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, gram)`` — one row per unigram AND per space-joined bigram
+    occurrence (the paper's hashed n-gram featurization).  Narrow:
+    split/slice/zip/explode in one codegen stage."""
+    toks = _lm_tokens(F.col(text_col))
+    uni = df.select(F.col(id_col), F.explode(toks).alias("gram"))
+    bi = _doc_bigrams(df, text_col, id_col).select(
+        id_col, F.concat_ws(" ", "w1", "w2").alias("gram")
+    )
+    return uni.unionByName(bi)
+
+
+def _bucket(gram: Column, n_buckets: int) -> Column:
+    """Hash a gram into [0, n_buckets) — portable_hash64 is a non-
+    negative 60-bit value, so plain ``%`` matches DuckDB's ``%``."""
+    return (portable_hash64(gram) % n_buckets).alias("bucket")
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """``(bucket, cnt)`` gram-occurrence counts, at most ``n_buckets``
+    rows; the partial combine bounds the Exchange at
+    ``partitions x n_buckets`` rows."""
+    return (
+        _doc_grams(df, text_col, id_col)
+        .select(_bucket(F.col("gram"), n_buckets))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_log_ratio(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-bucket importance log-ratio table (exactly ``n_buckets`` rows):
+
+    ``log_ratio(b) = ln((tc_b + 1) / (T + B)) - ln((rc_b + 1) / (R + B))``
+
+    with ``tc/rc`` the exact bucket counts on the target/raw corpus,
+    ``T/R`` their totals, and ``B = n_buckets`` (add-1 smoothing, so
+    empty buckets are defined and the table stays a closed-form rational
+    over integers).  The table is COMPLETE -- all ``n_buckets`` rows via
+    a ``spark.range`` spine -- so scoring a shard the ratio was not fit
+    on (the production shape: fit once, score many shards) still finds
+    every bucket.
+    """
+    tc = _bucket_counts(target, text_col, id_col, n_buckets)
+    rc = _bucket_counts(raw, text_col, id_col, n_buckets)
+    # two bounded scalar aggs (exact totals ride the smoothing constants)
+    t_total = int(tc.agg(F.sum("cnt")).collect()[0][0] or 0)
+    r_total = int(rc.agg(F.sum("cnt")).collect()[0][0] or 0)
+    spine = target.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    # both count tables are <= n_buckets rows — broadcast by construction
+    return (
+        spine.join(F.broadcast(tc.withColumnRenamed("cnt", "tc")), "bucket", "left")
+        .join(F.broadcast(rc.withColumnRenamed("cnt", "rc")), "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1)).cast("double")
+                    / F.lit(float(t_total + n_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(1)).cast("double")
+                    / F.lit(float(r_total + n_buckets))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: Optional[DataFrame] = None,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    log_ratio: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-document DSIR log importance weight.
+
+    Pass either a ``target`` corpus (the ratio table is fit here) or a
+    precomputed ``log_ratio`` table from :func:`dsir_log_ratio` (the
+    production shape: fit once, score many shards).  Output per raw
+    document with >= 1 token: ``n_grams`` (exact) and ``dsir_logw``
+    (sum of per-occurrence log-ratios, rounded to 4 decimals for
+    cross-engine comparison — same contract as ``ngram_lm`` scores).
+    """
+    if log_ratio is None:
+        if target is None:
+            raise ValueError("pass target= or log_ratio=")
+        log_ratio = dsir_log_ratio(target, raw, n_buckets, text_col, id_col)
+    grams = _doc_grams(raw, text_col, id_col).select(
+        id_col, _bucket(F.col("gram"), n_buckets)
+    )
+    return (
+        grams.join(F.broadcast(log_ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("log_ratio"), 4).alias("dsir_logw"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    k: int,
+    target: Optional[DataFrame] = None,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+    log_ratio: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Gumbel top-k importance resampling: the ``k`` raw documents with
+    the largest ``dsir_logw + Gumbel(0,1)`` key, sampled WITHOUT
+    replacement with probability proportional to their importance
+    weight (the Gumbel-max trick).
+
+    The Gumbel draw is deterministic and engine-portable:
+    ``u = (portable_hash64(seed|id) + 0.5) / 2^60`` (strictly inside
+    (0,1)), ``g = -ln(-ln(u))``.  The ranking key is rounded to 4
+    decimals with ties broken by ascending id, so the selected set is
+    identical at any parallelism and replayable in SQL.  Returns
+    ``(id_col, dsir_logw, key)`` for the selected documents,
+    highest key first.
+    """
+    scores = dsir_scores(
+        raw, target, n_buckets, text_col, id_col, log_ratio=log_ratio
+    )
+    u = (
+        portable_hash64(
+            F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_U_DENOM)
+    keyed = scores.select(
+        id_col,
+        "dsir_logw",
+        F.round(F.col("dsir_logw") + -F.log(-F.log(u)), 4).alias("key"),
+    )
+    return keyed.orderBy(F.col("key").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,187 @@
+"""DSIR importance resampling (ops/dsir.py): pure-Python differential,
+smoothing/spine semantics, Gumbel resampling determinism, plan shape."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.dsir import (
+    _doc_grams,
+    dsir_log_ratio,
+    dsir_resample,
+    dsir_scores,
+)
+
+B = 64
+
+RAW_ROWS = [
+    (1, "the cat sat on the mat"),
+    (2, "dog dog dog barks loud"),
+    (3, "the quick brown fox"),
+    (4, "buy cheap pills now now"),
+    (5, "a cat and a dog"),
+    (6, None),
+    (7, "   "),
+]
+TGT_ROWS = [
+    (101, "the cat sat quietly"),
+    (102, "a quick brown cat"),
+]
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return spark.createDataFrame(RAW_ROWS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def tgt(spark):
+    return spark.createDataFrame(TGT_ROWS, "doc_id long, text string")
+
+
+def _ph64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
+
+
+def _grams(text: str):
+    toks = [t for t in text.lower().strip().split() if t]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _bucket_counts(rows):
+    c = {}
+    for _, t in rows:
+        if not t or not t.strip():
+            continue
+        for g in _grams(t):
+            b = _ph64(g) % B
+            c[b] = c.get(b, 0) + 1
+    return c
+
+
+def _expected_scores():
+    tc, rc = _bucket_counts(TGT_ROWS), _bucket_counts(RAW_ROWS)
+    T, R = sum(tc.values()), sum(rc.values())
+
+    def ratio(b):
+        return math.log((tc.get(b, 0) + 1) / (T + B)) - math.log(
+            (rc.get(b, 0) + 1) / (R + B)
+        )
+
+    exp = {}
+    for did, t in RAW_ROWS:
+        if not t or not t.strip():
+            continue
+        gs = _grams(t)
+        exp[did] = (len(gs), round(sum(ratio(_ph64(g) % B) for g in gs), 4))
+    return exp
+
+
+def test_doc_grams_unigrams_plus_bigrams(spark):
+    df = spark.createDataFrame([(1, "A b c")], "doc_id long, text string")
+    got = sorted(r["gram"] for r in _doc_grams(df, "text", "doc_id").collect())
+    assert got == ["a", "a b", "b", "b c", "c"]
+
+
+def test_scores_match_python_differential(raw, tgt):
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logw"])
+        for r in dsir_scores(raw, target=tgt, n_buckets=B).collect()
+    }
+    exp = _expected_scores()
+    assert set(got) == set(exp)  # null/blank docs excluded
+    for d, (n, lw) in exp.items():
+        assert got[d][0] == n
+        assert got[d][1] == pytest.approx(lw, abs=2e-4)
+
+
+def test_target_like_docs_score_highest(raw, tgt):
+    scores = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_scores(raw, target=tgt, n_buckets=B).collect()
+    }
+    # doc 3 shares "quick brown" with the target; docs 2/4 share nothing
+    assert scores[3] > scores[1]
+    assert scores[3] > scores[2]
+    assert scores[3] > scores[4]
+
+
+def test_log_ratio_is_complete_spine(raw, tgt):
+    lr = dsir_log_ratio(tgt, raw, n_buckets=B).collect()
+    assert len(lr) == B
+    assert sorted(r["bucket"] for r in lr) == list(range(B))
+    # a bucket unseen in both corpora gets the closed-form default
+    tc, rc = _bucket_counts(TGT_ROWS), _bucket_counts(RAW_ROWS)
+    T, R = sum(tc.values()), sum(rc.values())
+    default = math.log(1.0 / (T + B)) - math.log(1.0 / (R + B))
+    empty = [r for r in lr if r["bucket"] not in tc and r["bucket"] not in rc]
+    assert empty, "fixture should leave some buckets empty"
+    for r in empty:
+        assert r["log_ratio"] == pytest.approx(default, rel=1e-12)
+
+
+def test_scores_with_prefit_ratio_match_inline_fit(raw, tgt):
+    lr = dsir_log_ratio(tgt, raw, n_buckets=B)
+    a = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_scores(raw, target=tgt, n_buckets=B).collect()
+    }
+    b = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_scores(raw, n_buckets=B, log_ratio=lr).collect()
+    }
+    assert a == b
+
+
+def test_scores_require_target_or_ratio(raw):
+    with pytest.raises(ValueError):
+        dsir_scores(raw, n_buckets=B)
+
+
+def test_resample_deterministic_across_parallelism(raw, tgt):
+    sel1 = [
+        r["doc_id"]
+        for r in dsir_resample(raw, k=2, target=tgt, n_buckets=B).collect()
+    ]
+    sel13 = [
+        r["doc_id"]
+        for r in dsir_resample(
+            raw.repartition(13), k=2, target=tgt, n_buckets=B
+        ).collect()
+    ]
+    assert len(sel1) == 2
+    assert sel1 == sel13
+
+
+def test_resample_seed_changes_draw_not_weights(raw, tgt):
+    a = dsir_resample(raw, k=3, target=tgt, n_buckets=B, seed="s1").collect()
+    b = dsir_resample(raw, k=3, target=tgt, n_buckets=B, seed="s2").collect()
+    wa = {r["doc_id"]: r["dsir_logw"] for r in a}
+    wb = {r["doc_id"]: r["dsir_logw"] for r in b}
+    for d in set(wa) & set(wb):
+        assert wa[d] == wb[d]
+    # keys (logw + gumbel) must differ under a different seed
+    ka = {r["doc_id"]: r["key"] for r in a}
+    kb = {r["doc_id"]: r["key"] for r in b}
+    assert any(ka[d] != kb[d] for d in set(ka) & set(kb))
+
+
+def test_resample_k_larger_than_corpus(raw, tgt):
+    sel = dsir_resample(raw, k=100, target=tgt, n_buckets=B).collect()
+    assert len(sel) == 5  # null/blank docs have no grams
+
+
+def test_scoring_plan_broadcasts_ratio_no_corpus_shuffle(raw, tgt):
+    """Scale shape: the ratio table rides a BroadcastHashJoin; the only
+    Exchange below the final agg is the per-doc partial-combined one."""
+    lr = dsir_log_ratio(tgt, raw, n_buckets=B)
+    plan = (
+        dsir_scores(raw, n_buckets=B, log_ratio=lr)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
