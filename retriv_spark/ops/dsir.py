@@ -103,36 +103,36 @@ def dsir_log_ratio(
     with ``tc/rc`` the exact bucket counts on the target/raw corpus,
     ``T/R`` their totals, and ``B = n_buckets`` (add-1 smoothing, so
     empty buckets are defined and the table stays a closed-form rational
-    over integers).  The table is COMPLETE -- all ``n_buckets`` rows via
-    a ``spark.range`` spine -- so scoring a shard the ratio was not fit
-    on (the production shape: fit once, score many shards) still finds
-    every bucket.
+    over integers).  The table is COMPLETE -- all ``n_buckets`` rows --
+    so scoring a shard the ratio was not fit on (the production shape:
+    fit once, score many shards) still finds every bucket.
     """
-    tc = _bucket_counts(target, text_col, id_col, n_buckets)
-    rc = _bucket_counts(raw, text_col, id_col, n_buckets)
-    # two bounded scalar aggs (exact totals ride the smoothing constants)
-    t_total = int(tc.agg(F.sum("cnt")).collect()[0][0] or 0)
-    r_total = int(rc.agg(F.sum("cnt")).collect()[0][0] or 0)
-    spine = target.sparkSession.range(n_buckets).select(
-        F.col("id").cast("long").alias("bucket")
-    )
-    # both count tables are <= n_buckets rows — broadcast by construction
-    return (
-        spine.join(F.broadcast(tc.withColumnRenamed("cnt", "tc")), "bucket", "left")
-        .join(F.broadcast(rc.withColumnRenamed("cnt", "rc")), "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1)).cast("double")
-                    / F.lit(float(t_total + n_buckets))
-                )
-                - F.log(
-                    (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(1)).cast("double")
-                    / F.lit(float(r_total + n_buckets))
-                )
-            ).alias("log_ratio"),
+    import math
+
+    # ONE aggregation pass per corpus; the results are <= n_buckets rows
+    # BY CONSTRUCTION, so collecting them is bounded (same contract as
+    # centroid collects) and the totals + ratios are computed locally
+    # instead of re-running the gram explosion once per downstream
+    # action (a lazy plan re-exploded each corpus up to three times).
+    tc = {
+        int(r["bucket"]): int(r["cnt"])
+        for r in _bucket_counts(target, text_col, id_col, n_buckets).collect()
+    }
+    rc = {
+        int(r["bucket"]): int(r["cnt"])
+        for r in _bucket_counts(raw, text_col, id_col, n_buckets).collect()
+    }
+    t_total, r_total = sum(tc.values()), sum(rc.values())
+    rows = [
+        (
+            b,
+            math.log((tc.get(b, 0) + 1) / (t_total + n_buckets))
+            - math.log((rc.get(b, 0) + 1) / (r_total + n_buckets)),
         )
+        for b in range(n_buckets)
+    ]
+    return target.sparkSession.createDataFrame(
+        rows, "bucket long, log_ratio double"
     )
 
 
