@@ -51,6 +51,7 @@ HEADLINE = [
     "semantic_dedup",
     "kmeans_int8",
     "dsir_resample",
+    "ann_ivf_kmeans",
     "minhash_incremental",
     "sessionize",
     "pack_sequences",

@@ -766,6 +766,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     ).select("q_id", "vec_id", "cos", "rank").orderBy("q_id", "rank")
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """Production IVF: coarse quantizer = integer-exact k-means
+    directions (ops/clustering.py kmeans_ivf_centroids over the int8-
+    quantized embeddings, seeded init + 2 Lloyd rounds), then the same
+    2-probe / exact-cosine-verify plan as ann_ivf_topk.  The oracle
+    replays the ENTIRE pipeline — quantization, both Lloyd rounds, the
+    centroid-cosine assignment, probe selection, and verification."""
+    from .ops.clustering import kmeans_ivf_centroids
+    from .ops.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    cents = kmeans_ivf_centroids(emb, n_centroids=4, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(
+        emb, queries, k=5, n_probe=2, centroids=cents
+    ).select("q_id", "vec_id", "cos", "rank").orderBy("q_id", "rank")
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-bit LSH bucket self-join,
     exact cosine verify within the bucket (ops/similarity.py —
@@ -1930,6 +1950,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "kmeans_int8": q_kmeans_int8,
     "dsir_resample": q_dsir_resample,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "minhash_incremental": q_minhash_incremental,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
@@ -3704,7 +3725,11 @@ SELECT doc_id, dsir_logw, key
 FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 50
 """
 
-ORACLE_SQL["kmeans_int8"] = f"""
+# Shared CTE prefix: quantize -> seeded init -> 2 exact Lloyd rounds;
+# ends with c2 = the FINAL integer centroids (cluster, i, cv).  Used by
+# the kmeans_int8 pair (final assignment) and the ann_ivf_kmeans pair
+# (kmeans-seeded IVF probe + exact-cosine verify).
+_KMEANS_C2_CTES = f"""
 WITH e AS (
   SELECT vec_id,
          coalesce(list_max(list_transform(embedding,
@@ -3787,7 +3812,9 @@ c2 AS (
               WHEN u2.s >= 0 THEN (2 * u2.s + u2.n) // (2 * u2.n)
               ELSE -((-2 * u2.s + u2.n) // (2 * u2.n)) END AS cv
   FROM c1 LEFT JOIN u2 ON u2.cluster = c1.cluster AND u2.i = c1.i
-),
+)"""
+
+ORACLE_SQL["kmeans_int8"] = f"""{_KMEANS_C2_CTES},
 d3 AS (
   SELECT qq.vec_id, c.cluster,
          sum((qq.qv - c.cv) * (qq.qv - c.cv)) AS d2
@@ -3803,3 +3830,67 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
 ) WHERE r = 1
 ORDER BY vec_id
 """
+
+ORACLE_SQL["ann_ivf_kmeans"] = f"""{_KMEANS_C2_CTES},
+fe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fe GROUP BY 1),
+cnrm AS (SELECT cluster, sqrt(sum(cv * cv)) AS nrm FROM c2 GROUP BY 1),
+vc AS (
+  SELECT f.vec_id, c.cluster,
+         round(sum(f.v * c.cv) / (nf.nrm * cn.nrm), 6) AS cc
+  FROM fe f
+  JOIN c2 c ON c.i = f.i
+  JOIN nrm nf ON nf.vec_id = f.vec_id
+  JOIN cnrm cn ON cn.cluster = c.cluster
+  GROUP BY f.vec_id, c.cluster, nf.nrm, cn.nrm
+),
+assign AS (
+  SELECT vec_id, cluster AS list_id FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY cc DESC, cluster ASC
+           ) AS r
+    FROM vc
+  ) WHERE r = 1
+),
+probe AS (
+  SELECT vec_id AS q_id, cluster AS list_id FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY cc DESC, cluster ASC
+           ) AS r
+    FROM vc WHERE vec_id < 5
+  ) WHERE r <= 2
+),
+cand AS (
+  SELECT DISTINCT p.q_id, a.vec_id
+  FROM probe p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.q_id
+),
+dots AS (
+  SELECT cd.q_id, cd.vec_id, sum(qf.v * ef.v) AS dot
+  FROM cand cd
+  JOIN fe qf ON qf.vec_id = cd.q_id
+  JOIN fe ef ON ef.vec_id = cd.vec_id AND ef.i = qf.i
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT d.q_id, d.vec_id, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.q_id
+  JOIN nrm nb ON nb.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank
+  FROM cosd
+)
+SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+

@@ -213,6 +213,39 @@ def kmeans_int8(
     return out
 
 
+def kmeans_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km",
+) -> List[Tuple[str, List[float]]]:
+    """Production coarse quantizer for
+    :func:`retriv_spark.ops.similarity.ivf_topk` (``centroids=``):
+    int8-quantize the embedding column, run integer-exact Lloyd rounds
+    (:func:`kmeans_int8`), and return the final integer centroids as
+    ``[(str(cluster), [float, ...]), ...]`` direction pairs — cosine
+    assignment is scale-invariant per centroid, so the integer
+    directions partition a float corpus directly.  Deterministic end to
+    end (seeded hash init + exact integer arithmetic), so the IVF lists
+    they induce are identical at any parallelism and SQL-replayable
+    (pair ``ann_ivf_kmeans``)."""
+    from .similarity import quantize_embeddings
+
+    q = quantize_embeddings(corpus.select(id_col, vec_col), vec_col=vec_col)
+    _, cents = kmeans_int8(
+        q,
+        k=n_centroids,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=f"{vec_col}_q",
+        salt=salt,
+        return_centroids=True,
+    )
+    return [(str(j), [float(x) for x in c]) for j, c in enumerate(cents)]
+
+
 def semantic_dedup(
     corpus: DataFrame,
     eps: float = 0.05,

@@ -294,41 +294,52 @@ def ivf_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     exclude_self: bool = True,
+    centroids=None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
     only the ``n_probe`` nearest lists per query, exact cosine inside.
 
-    The coarse quantizer here is DETERMINISTIC — the ``n_centroids``
-    lowest-id vectors serve as centroids (swap in seeded k-means
-    centroids in production; the plan shape is identical).  Assignment =
-    argmax cosine to a centroid with (cos rounded to 6, lowest centroid
-    id) tie-break, so an ANSI-SQL oracle reproduces candidate generation
-    AND verification exactly.
+    The default coarse quantizer is DETERMINISTIC — the ``n_centroids``
+    lowest-id vectors serve as centroids.  For production pass
+    ``centroids=`` an explicit ``[(cent_id, vector), ...]`` sequence —
+    e.g. from :func:`retriv_spark.ops.clustering.kmeans_ivf_centroids`
+    (integer-exact k-means directions); the plan shape is identical and
+    ``n_centroids`` is ignored.  Assignment = argmax cosine to a
+    centroid with (cos rounded to 6, first-listed centroid) tie-break,
+    so an ANSI-SQL oracle reproduces candidate generation AND
+    verification exactly.
 
     Scale shape: centroids broadcast (tiny); assignment is a narrow map
     over the corpus; the probe is a join on the list id — each query
     touches n_probe inverted lists instead of the full corpus, exactly
     the bucket-join plan of ``lsh_topk`` with a learned-ish partitioner.
     """
-    # "lowest-id" via orderBy, not `id < n_centroids`: the comparison
-    # silently casts non-numeric ids to null (string ids -> zero
-    # centroids -> empty results); ordering works for any orderable id
-    # type and coincides with the filter for dense 0-based int ids.
-    # The centroid set is tiny by construction — collect it and ship it
-    # in the UDF closure, so corpus-to-centroid assignment is a NARROW
-    # projection over the scan (VERDICT r1 #3: the old plan materialized
-    # corpus × n_centroids rows and ran a corpus-sized window shuffle
-    # for what is a per-row argmax).
-    cent_rows = sorted(
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("cent_vec"),
+    if centroids is not None:
+        # caller order IS the tie-break order (kmeans cluster ids are
+        # dense ints stringified, so position == numeric order)
+        cent_rows = [
+            {"cent_id": cid, "cent_vec": list(vec)} for cid, vec in centroids
+        ]
+    else:
+        # "lowest-id" via orderBy, not `id < n_centroids`: the comparison
+        # silently casts non-numeric ids to null (string ids -> zero
+        # centroids -> empty results); ordering works for any orderable id
+        # type and coincides with the filter for dense 0-based int ids.
+        # The centroid set is tiny by construction — collect it and ship it
+        # in the UDF closure, so corpus-to-centroid assignment is a NARROW
+        # projection over the scan (VERDICT r1 #3: the old plan materialized
+        # corpus × n_centroids rows and ran a corpus-sized window shuffle
+        # for what is a per-row argmax).
+        cent_rows = sorted(
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_vec"),
+            )
+            .collect(),
+            key=lambda r: r["cent_id"],
         )
-        .collect(),
-        key=lambda r: r["cent_id"],
-    )
 
     assign1 = _make_centroid_assign_udf(cent_rows, out=1)
     assignP = _make_centroid_assign_udf(cent_rows, out=n_probe)

@@ -229,3 +229,65 @@ def test_semantic_dedup_centroid_join_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_ivf_centroids_shape_and_determinism(spark):
+    from retriv_spark.ops.clustering import kmeans_ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(6)])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    c1 = kmeans_ivf_centroids(emb, n_centroids=3, n_iter=2)
+    c2 = kmeans_ivf_centroids(emb.repartition(7), n_centroids=3, n_iter=2)
+    assert c1 == c2  # exact equality across parallelism
+    assert [cid for cid, _ in c1] == ["0", "1", "2"]
+    assert all(len(vec) == 6 for _, vec in c1)
+    assert all(isinstance(x, float) and x == int(x) for _, v in c1 for x in v)
+
+
+def test_ivf_explicit_centroids_reproduce_default_quantizer(spark):
+    from retriv_spark.ops.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 9 - 4) for j in range(6)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    low = sorted(
+        emb.orderBy("vec_id").limit(4).collect(), key=lambda r: r["vec_id"]
+    )
+    explicit = [(str(r["vec_id"]), list(r["embedding"])) for r in low]
+    key = lambda rows: sorted(
+        (x["q_id"], x["vec_id"], x["cos"], x["rank"]) for x in rows
+    )
+    assert key(ivf_topk(emb, q, k=4, n_centroids=4, n_probe=2).collect()) \
+        == key(ivf_topk(emb, q, k=4, n_probe=2, centroids=explicit).collect())
+
+
+def test_ivf_kmeans_full_probe_equals_brute_force(spark):
+    from retriv_spark.ops.clustering import kmeans_ivf_centroids
+    from retriv_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 9 - 4) for j in range(6)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = kmeans_ivf_centroids(emb, n_centroids=4, n_iter=2)
+    got = {
+        (x["q_id"], x["rank"]): x["vec_id"]
+        for x in ivf_topk(emb, q, k=4, n_probe=4, centroids=cents).collect()
+    }
+    exp = {
+        (x["q_id"], x["rank"]): x["vec_id"]
+        for x in brute_force_topk(emb, q, k=4).collect()
+    }
+    assert got == exp
