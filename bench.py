@@ -57,6 +57,7 @@ HEADLINE = [
     "pack_sequences",
     "chunk_documents",
     "boilerplate_removal",
+    "paragraph_dedup",
     "quality_filter",
     "strip_spans",
     "mixture_sample",

@@ -1821,6 +1821,63 @@ def q_boilerplate_removal(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _docs_as_paragraphs(spark, sf_dir):
+    """Documents rewritten as 3-token paragraphs joined by newlines —
+    small-vocab Zipf text makes 3-grams recur across docs, giving the
+    paragraph-dedup ops a realistic duplicate rate."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    docs = docs.withColumn("_toks", toks)
+    n_chunks = F.ceil(F.size("_toks") / F.lit(3)).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(F.col("_toks"), i * 3 + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.withColumn("text", F.array_join(chunks, "\n")).drop("_toks")
+
+
+def q_paragraph_dup_stats(spark, sf_dir):
+    """Corpus-wide duplicate-paragraph table (ops/curation.py
+    duplicate_paragraph_stats): paragraphs with >= 2 occurrences, their
+    doc/occurrence counts, and the global first occurrence the dedup
+    rewrite keeps."""
+    from .ops.curation import duplicate_paragraph_stats
+
+    return (
+        duplicate_paragraph_stats(_docs_as_paragraphs(spark, sf_dir))
+        .select(
+            "para",
+            "n_occurrences",
+            "n_docs",
+            "keep_id",
+            F.col("keep_pos").cast("long").alias("keep_pos"),
+        )
+        .orderBy("para")
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph keep-first dedup rewrite (ops/curation.py
+    dedup_paragraphs, RefinedWeb/Dolma granularity): every duplicated
+    paragraph survives only at its minimal (doc_id, pos); runs the
+    Bloom+join scale path (the exact path is pinned equal in tests);
+    output pins the md5 of each rewritten document."""
+    from .ops.curation import dedup_paragraphs
+
+    out = dedup_paragraphs(
+        _docs_as_paragraphs(spark, sf_dir), method="join"
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text_dedup"), F.lit(""))).alias("dedup_md5"),
+    ).orderBy("doc_id")
+
+
 def q_quality_filter(spark, sf_dir):
     """Gopher-style hard-threshold quality gate (ops/curation.py
     quality_filter): failed-rule reasons + keep flag; every ratio is an
@@ -1984,6 +2041,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "boilerplate_stats": q_boilerplate_stats,
     "boilerplate_removal": q_boilerplate_removal,
+    "paragraph_dup_stats": q_paragraph_dup_stats,
+    "paragraph_dedup": q_paragraph_dedup,
     "quality_filter": q_quality_filter,
     "repeated_spans": q_repeated_spans,
     "strip_spans": q_strip_spans,
@@ -3288,6 +3347,64 @@ agg AS (
   FROM kept GROUP BY doc_id
 )
 SELECT t.doc_id, md5(coalesce(agg.txt, '')) AS clean_md5
+FROM t LEFT JOIN agg USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+_PARAS_SQL = """t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+cidx AS (
+  SELECT doc_id,
+         unnest(generate_series(1, CAST(ceil(len(toks) / 3.0) AS INT)))
+           AS ci,
+         toks
+  FROM t
+),
+px AS (
+  SELECT doc_id, ci - 1 AS pos,
+         array_to_string(
+           list_slice(toks, (ci - 1) * 3 + 1, least(ci * 3, len(toks))),
+           ' '
+         ) AS para
+  FROM cidx
+)"""
+
+ORACLE_SQL["paragraph_dup_stats"] = f"""
+WITH {_PARAS_SQL},
+r AS (
+  SELECT para, doc_id, pos,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM px
+),
+g AS (
+  SELECT para, count(*)::BIGINT AS n_occurrences,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM px GROUP BY para HAVING count(*) >= 2
+)
+SELECT g.para, g.n_occurrences, g.n_docs,
+       r.doc_id AS keep_id, CAST(r.pos AS BIGINT) AS keep_pos
+FROM g JOIN r ON r.para = g.para AND r.rn = 1
+ORDER BY g.para
+"""
+
+ORACLE_SQL["paragraph_dedup"] = f"""
+WITH {_PARAS_SQL},
+w AS (
+  SELECT doc_id, pos, para,
+         count(*) OVER (PARTITION BY para) AS cnt,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM px
+),
+kept AS (SELECT doc_id, pos, para FROM w WHERE cnt = 1 OR rn = 1),
+agg AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, md5(coalesce(agg.txt, '')) AS dedup_md5
 FROM t LEFT JOIN agg USING (doc_id)
 ORDER BY t.doc_id
 """

@@ -702,6 +702,203 @@ def remove_boilerplate_lines(
     return df.withColumn(f"{text_col}_clean", _clean(F.col(text_col)))
 
 
+# -- paragraph keep-first dedup (RefinedWeb / Dolma) -------------------------
+
+
+def paragraphs_exploded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """``(id, pos, para)`` — one row per ``delimiter``-split segment of
+    each document, position preserved.  Narrow (split + posexplode);
+    the delimiter is taken literally (``\\Q…\\E`` regex quoting)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "\\Q" + delimiter + "\\E",
+            )
+        ).alias("pos", "para"),
+    )
+
+
+def duplicate_paragraph_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicate-paragraph table: non-blank paragraphs with
+    ``>= min_count`` total occurrences, plus the global first occurrence
+    (``keep_id``, ``keep_pos`` — minimal ``(id, pos)``), which
+    :func:`dedup_paragraphs` preserves while dropping every other copy.
+
+    This is the paragraph-granularity dedup of the RefinedWeb /
+    Dolma pipelines (doc-level near-dup misses pages that share half
+    their paragraphs; line-level boilerplate removal —
+    :func:`boilerplate_line_stats` — strips EVERY copy, while dedup
+    must keep exactly one).
+
+    Scale shape: one groupBy on the paragraph text — duplicate
+    paragraphs collapse in the map-side partial aggregate (like
+    exact-dedup digests), so the exchange carries near-distinct
+    paragraphs; the keeper is a ``min(struct(id, pos))``, which also
+    combines map-side.  Output is duplicate paragraphs only.
+    """
+    ex = paragraphs_exploded(df, text_col, id_col, delimiter).filter(
+        F.trim(F.col("para")) != ""
+    )
+    return (
+        ex.groupBy("para")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("keep_id"),
+                    F.col("pos").alias("keep_pos"),
+                )
+            ).alias("_k"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .select(
+            "para",
+            "n_occurrences",
+            "n_docs",
+            F.col("_k.keep_id").alias("keep_id"),
+            F.col("_k.keep_pos").alias("keep_pos"),
+        )
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    method: str = "exact",
+    max_dup_paragraphs: int = 2_000_000,
+    fp_rate: float = 1e-5,
+) -> DataFrame:
+    """Rewrite every document so each duplicated non-blank paragraph
+    survives ONLY at its global first occurrence (minimal ``(id, pos)``
+    — deterministic at any parallelism, unlike the sequential Bloom
+    scan the single-node pipelines use).  Blank segments are always
+    kept (they are structure, not content).  Adds ``{text_col}_dedup``;
+    NULL text stays NULL.
+
+    ``method="exact"``: one aggregation shuffle builds the duplicate
+    table (see :func:`duplicate_paragraph_stats`), the ``hash →
+    (keep_id, keep_pos)`` map rides to executors as ONE Spark broadcast
+    inside an Arrow-batched UDF, and the rewrite is ZERO-shuffle —
+    document bodies never move.  Driver-bounded by
+    ``max_dup_paragraphs`` (fails fast with instructions).
+
+    ``method="join"``: the no-driver-materialization scale path.  A
+    Bloom filter of the duplicate hashes (built distributed, driver
+    holds one bitmap) prefilters exploded paragraphs to the duplicate
+    candidates — typically a tiny fraction — which alone join the
+    duplicate table to decide drops; per-doc drop-position lists come
+    back through one aggregation bounded by |drops|, and the final
+    rewrite is pure higher-order-function column algebra (zero
+    Python).  The corpus-sized frame shuffles at most once (the
+    ``id``-keyed join, broadcast under AQE when the drop set is small).
+    Bloom false positives cost only a wasted join probe, never a wrong
+    drop — the join is exact.
+
+    Both methods produce identical output (pinned in tests).
+    """
+    from .textstats import ph64_py
+
+    dup = duplicate_paragraph_stats(df, text_col, id_col, delimiter).select(
+        portable_hash64(F.col("para")).alias("h"), "keep_id", "keep_pos"
+    )
+    spark = df.sparkSession
+    arr = F.split(
+        F.coalesce(F.col(text_col), F.lit("")), "\\Q" + delimiter + "\\E"
+    )
+
+    if method == "exact":
+        rows = dup.limit(max_dup_paragraphs + 1).collect()
+        if len(rows) > max_dup_paragraphs:
+            raise ValueError(
+                f"duplicate paragraph set exceeds max_dup_paragraphs="
+                f"{max_dup_paragraphs}; raise the cap or pass "
+                f"method='join'"
+            )
+        bc = spark.sparkContext.broadcast(
+            {r.h: (r.keep_id, r.keep_pos) for r in rows}
+        )
+
+        @pandas_udf("string")
+        def _rewrite(ids: pd.Series, texts: pd.Series) -> pd.Series:
+            keep = bc.value
+            out = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    out.append(None)
+                    continue
+                kept = []
+                for pos, p in enumerate(t.split(delimiter)):
+                    if p.strip() == "":
+                        kept.append(p)
+                        continue
+                    k = keep.get(ph64_py(p))
+                    if k is None or k == (i, pos):
+                        kept.append(p)
+                out.append(delimiter.join(kept))
+            return pd.Series(out)
+
+        return df.withColumn(
+            f"{text_col}_dedup", _rewrite(F.col(id_col), F.col(text_col))
+        )
+
+    if method != "join":
+        raise ValueError(f"unknown method {method!r} (exact|join)")
+
+    from .bloom import BloomFilter, contains_col
+
+    bloom = BloomFilter.from_df(dup.select("h"), "h", fp_rate=fp_rate)
+    ex = paragraphs_exploded(df, text_col, id_col, delimiter).filter(
+        F.trim(F.col("para")) != ""
+    )
+    flagged = ex.withColumn("h", portable_hash64(F.col("para"))).filter(
+        contains_col(bloom, F.col("h"), spark.sparkContext)
+    )
+    drops = (
+        flagged.join(dup, "h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("keep_id"))
+                & (F.col("pos") == F.col("keep_pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    drop_lists = drops.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_drop_pos")
+    )
+    kept = F.filter(
+        arr,
+        lambda p, i: (F.trim(p) == "")
+        | ~F.coalesce(F.array_contains(F.col("_drop_pos"), i), F.lit(False)),
+    )
+    return (
+        df.join(drop_lists, id_col, "left")
+        .withColumn(
+            f"{text_col}_dedup",
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.array_join(kept, delimiter)
+            ),
+        )
+        .drop("_drop_pos")
+    )
+
+
 # -- Gopher-style threshold filter ------------------------------------------
 
 

@@ -63,7 +63,7 @@ _TB_CONTRACTIONS = [
     re.compile(r"(?i)\b(gon)(na)\b"),
     re.compile(r"(?i)\b(got)(ta)\b"),
     re.compile(r"(?i)\b(lem)(me)\b"),
-    re.compile(r"(?i)\b(mor)('n)\b"),
+    re.compile(r"(?i)\b(more)('n)\b"),
     re.compile(r"(?i)\b(wan)(na)\s"),
     re.compile(r"(?i) ('t)(is)\b"),
     re.compile(r"(?i) ('t)(was)\b"),

@@ -626,3 +626,111 @@ def test_c4_clean_line_and_page_rules(spark):
     # zero shuffle: the whole op is one narrow codegen pass
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# -- paragraph keep-first dedup -----------------------------------------------
+
+
+@pytest.fixture()
+def para_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\n\ngamma"),
+            (2, "beta\ndelta\n  \nalpha"),
+            (3, None),
+            (4, "epsilon"),
+            (5, "delta\nbeta"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicate_paragraph_stats(para_df):
+    from retriv_spark.ops.curation import duplicate_paragraph_stats
+
+    got = {
+        r.para: (r.n_occurrences, r.n_docs, r.keep_id, r.keep_pos)
+        for r in duplicate_paragraph_stats(para_df).collect()
+    }
+    # in-doc repeats count toward n_occurrences; keeper is the global
+    # minimal (id, pos); blanks never appear
+    assert got == {
+        "alpha": (3, 2, 1, 0),
+        "beta": (3, 3, 1, 1),
+        "delta": (2, 2, 2, 1),
+    }
+
+
+def test_dedup_paragraphs_keep_first(para_df):
+    from retriv_spark.ops.curation import dedup_paragraphs
+
+    got = {
+        r.doc_id: r.text_dedup
+        for r in dedup_paragraphs(para_df, method="exact").collect()
+    }
+    assert got[1] == "alpha\nbeta\n\ngamma"  # in-doc repeat dropped too
+    assert got[2] == "delta\n  "             # blank segment preserved
+    assert got[3] is None                    # NULL stays NULL
+    assert got[4] == "epsilon"
+    assert got[5] == ""                      # everything was a later copy
+
+
+def test_dedup_paragraphs_join_equals_exact(spark):
+    """The Bloom+join scale path and the broadcast exact path must
+    produce byte-identical rewrites on a corpus with heavy sharing."""
+    import random
+
+    from retriv_spark.ops.curation import dedup_paragraphs
+
+    rng = random.Random(7)
+    vocab = [f"p{i}" for i in range(12)]
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+        for i in range(60)
+    ] + [(60, None), (61, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r.doc_id: r.text_dedup
+        for r in dedup_paragraphs(df, method="exact").collect()
+    }
+    b = {
+        r.doc_id: r.text_dedup
+        for r in dedup_paragraphs(df, method="join").collect()
+    }
+    assert a == b
+    # every duplicated paragraph survives exactly once corpus-wide
+    seen = {}
+    for i in sorted(a):
+        t = a[i]
+        for p in (t.split("\n") if t else []):
+            if p.strip():
+                assert p not in seen, f"{p} kept twice (docs {seen[p]}, {i})"
+                seen[p] = i
+
+
+def test_dedup_paragraphs_exact_rewrite_is_zero_shuffle(para_df):
+    from retriv_spark.ops.curation import dedup_paragraphs
+
+    out = dedup_paragraphs(para_df, method="exact")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # bodies never move
+
+
+def test_dedup_paragraphs_cap_raises(para_df):
+    from retriv_spark.ops.curation import dedup_paragraphs
+
+    with pytest.raises(ValueError, match="max_dup_paragraphs"):
+        dedup_paragraphs(para_df, max_dup_paragraphs=1)
+
+
+def test_dedup_paragraphs_custom_delimiter(spark):
+    from retriv_spark.ops.curation import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a||b||a"), (2, "b||c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.text_dedup
+        for r in dedup_paragraphs(df, delimiter="||").collect()
+    }
+    assert got == {1: "a||b", 2: "c"}

@@ -115,6 +115,13 @@ def test_treebank_word_tokenizer():
     assert treebank_word_tokenize('"We beat him," she said.') == [
         "``", "We", "beat", "him", ",", "''", "she", "said", ".",
     ]
+    # MacIntyre contraction list uses (more)('n), not (mor)('n)
+    assert treebank_word_tokenize("I want more'n that") == [
+        "I", "want", "more", "'n", "that",
+    ]
+    assert treebank_word_tokenize("'Twas gonna rain.") == [
+        "'T", "was", "gon", "na", "rain", ".",
+    ]
 
 
 def test_sent_tokenizer():
