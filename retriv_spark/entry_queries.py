@@ -1650,6 +1650,54 @@ def q_streaming_ingest(spark, sf_dir):
     )
 
 
+def q_streaming_search(spark, sf_dir):
+    """Streaming query serving (streaming/search.py search_batch — the
+    foreachBatch core wired by stream_search): BM25_QUERIES split into
+    two micro-batches scored against the packed index, the first batch
+    REPLAYED to exercise the idempotent per-batch overwrite, results
+    read back from the per-batch parquet dirs.  Rank-only output: the
+    packed kernels are float32-faithful to the reference while the SQL
+    oracle computes float64, so ranks (identical — score gaps on this
+    corpus dwarf f32 error, ties break on doc_id in both) are the
+    cross-engine-comparable surface; score parity is pinned by the
+    float64 pairs (bm25_topk) and the reference-golden fixtures."""
+    import os
+    import shutil
+    import tempfile
+
+    from .index.packed import build_packed_index
+    from .streaming.search import search_batch
+
+    docs = _docs(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"retriv_qstream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    idx_path, res_path = base + "_idx", base + "_res"
+    shutil.rmtree(idx_path, ignore_errors=True)
+    shutil.rmtree(res_path, ignore_errors=True)
+    idx = build_packed_index(
+        spark, docs, _plain_pre(), idx_path,
+        text_col="text", id_col="doc_id", order_cols=["doc_id"],
+        doc_id_col_precomputed="doc_id",
+    )
+    batches = [BM25_QUERIES[:3], BM25_QUERIES[3:]]
+    for bid, qs in enumerate(batches):
+        qdf = spark.createDataFrame(qs, "id string, text string")
+        search_batch(idx, qdf, bid, res_path, cutoff=CUTOFF)
+    # redeliver batch 0: the idempotent sink must overwrite, not append
+    search_batch(
+        idx,
+        spark.createDataFrame(batches[0], "id string, text string"),
+        0, res_path, cutoff=CUTOFF,
+    )
+    return (
+        spark.read.parquet(res_path)
+        .select("q_id", "doc_id", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination stats (ops/curation.py
     decontaminate_stats): per-document distinct-3-gram overlap against a
@@ -2043,6 +2091,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_removal": q_boilerplate_removal,
     "paragraph_dup_stats": q_paragraph_dup_stats,
     "paragraph_dedup": q_paragraph_dedup,
+    "streaming_search": q_streaming_search,
     "quality_filter": q_quality_filter,
     "repeated_spans": q_repeated_spans,
     "strip_spans": q_strip_spans,
@@ -2068,6 +2117,13 @@ WHERE d.df >= greatest(n.doc_count // 10, 1)
 ORDER BY d.term
 """,
     "bm25_topk": _bm25_sql(BM25_QUERIES, "bm25"),
+    # rank-only: the streaming pair serves through the float32-faithful
+    # packed kernels, the oracle computes float64 — ranks are the
+    # cross-engine surface (see q_streaming_search docstring)
+    "streaming_search": f"""{_bm25_ctes(BM25_QUERIES, "bm25")}
+SELECT q_id, doc_id, rank FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+""",
     "bm25_and": _bm25_sql(AND_QUERIES, "bm25", operator="AND"),
     "tfidf_topk": _bm25_sql(BM25_QUERIES, "tf-idf"),
     "bm25_filtered": _bm25_sql(

@@ -1,0 +1,119 @@
+"""Continuous query serving over a packed index (Structured Streaming).
+
+The reference serves queries one blocking call at a time (``search`` /
+``msearch``, /root/reference/retriv/sparse_retriever/sparse_retriever.py:
+263-330); this engine additionally serves a STREAM of queries: a
+``readStream`` of ``(id, text)`` rows is scored per micro-batch against
+the packed index with the same kernels, and each micro-batch's results
+land as their own deterministic parquet directory.
+
+Exactly-once: ``foreachBatch`` alone is at-least-once on retry.  The
+sink here is IDEMPOTENT — micro-batch ``b`` writes to
+``results_path/batch=<b>`` with ``mode="overwrite"``, and ``msearch_df``
+is deterministic, so a replayed batch overwrites its own output with
+identical bytes instead of duplicating rows (the standard
+idempotent-sink construction for non-transactional stores; the
+``batch=`` naming doubles as a partition column when the results
+directory is read back as one table).
+
+Scale shape: the query micro-batch is collected to the driver (bounded
+by the trigger size and ``max_batch_queries``, fail-fast) because
+queries are the SMALL side by construction; scoring then runs on the
+distributed packed-index plan (or the measured local fast path below
+the small-index threshold) exactly as interactive ``msearch`` does —
+the index shards never move.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+
+def search_batch(
+    index,
+    batch_df: DataFrame,
+    batch_id: int,
+    results_path: str,
+    cutoff: int = 100,
+    operator: str = "OR",
+    model: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_batch_queries: int = 100_000,
+    scorer=None,
+) -> None:
+    """Score ONE micro-batch of queries and write its results
+    idempotently to ``results_path/batch=<batch_id>``.
+
+    ``scorer`` (optional): ``callable(queries: list[dict]) -> DataFrame``
+    overriding the default ``index.msearch_df`` — e.g. a float64 scorer
+    for oracle replay.  The foreachBatch orchestration and the
+    idempotent sink are identical either way.
+    """
+    rows = (
+        batch_df.select(id_col, text_col)
+        .limit(max_batch_queries + 1)
+        .collect()
+    )
+    if len(rows) > max_batch_queries:
+        raise ValueError(
+            f"query micro-batch exceeds max_batch_queries="
+            f"{max_batch_queries}; shrink the trigger or raise the cap"
+        )
+    if not rows:
+        return
+    queries = [{"id": r[0], "text": r[1]} for r in rows]
+    if scorer is not None:
+        res = scorer(queries)
+    else:
+        res = index.msearch_df(
+            queries, cutoff=cutoff, operator=operator,
+            model=model, k1=k1, b=b,
+        )
+    res.write.mode("overwrite").parquet(f"{results_path}/batch={batch_id}")
+
+
+def stream_search(
+    queries_stream: DataFrame,
+    index,
+    results_path: str,
+    checkpoint_dir: str,
+    cutoff: int = 100,
+    operator: str = "OR",
+    model: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_batch_queries: int = 100_000,
+    trigger: Optional[dict] = None,
+):
+    """Wire :func:`search_batch` into a Structured Streaming sink.
+
+    ``queries_stream`` is a streaming DataFrame of ``(id, text)`` rows
+    (e.g. ``spark.readStream.schema(...).parquet(dir)`` or a Kafka
+    source projected to those columns).  Checkpointing + the idempotent
+    per-batch overwrite give end-to-end exactly-once.  Returns the
+    StreamingQuery.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        search_batch(
+            index, batch_df, batch_id, results_path,
+            cutoff=cutoff, operator=operator, model=model, k1=k1, b=b,
+            id_col=id_col, text_col=text_col,
+            max_batch_queries=max_batch_queries,
+        )
+
+    writer = (
+        queries_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -146,3 +146,113 @@ def test_structured_streaming_end_to_end(spark, tmp_path):
         assert set(got[q_id]) == set(exp[q_id])
         for d, s in exp[q_id].items():
             assert isclose(got[q_id][d], s, rel_tol=REL_TOL)
+
+
+# -- streaming query serving ---------------------------------------------------
+
+
+def test_search_batch_idempotent_replay(spark, tmp_path):
+    """A redelivered micro-batch overwrites its own output — row-for-row
+    identical, never duplicated (the exactly-once sink construction)."""
+    from retriv_spark.streaming.search import search_batch
+
+    path = str(tmp_path / "qidx")
+    idx = build_packed_index(
+        spark,
+        spark.createDataFrame(
+            [(d["id"], d["text"]) for d in _docs(0, 60)],
+            "id long, text string",
+        ),
+        _pre(), path, id_col="id", order_cols=["id"], n_shards=2,
+    )
+    res_path = str(tmp_path / "qres")
+    qdf = spark.createDataFrame(
+        [(q["id"], q["text"]) for q in QUERIES], "id string, text string"
+    )
+    search_batch(idx, qdf, 3, res_path, cutoff=10)
+    first = sorted(
+        map(tuple, spark.read.parquet(res_path).collect())
+    )
+    search_batch(idx, qdf, 3, res_path, cutoff=10)  # redelivery
+    second = sorted(
+        map(tuple, spark.read.parquet(res_path).collect())
+    )
+    assert first == second and len(first) > 0
+
+
+def test_search_batch_cap_raises(spark, tmp_path):
+    from retriv_spark.streaming.search import search_batch
+
+    path = str(tmp_path / "qidx2")
+    idx = build_packed_index(
+        spark,
+        spark.createDataFrame(
+            [(d["id"], d["text"]) for d in _docs(0, 10)],
+            "id long, text string",
+        ),
+        _pre(), path, id_col="id", order_cols=["id"],
+    )
+    qdf = spark.createDataFrame(
+        [(q["id"], q["text"]) for q in QUERIES], "id string, text string"
+    )
+    with pytest.raises(ValueError, match="max_batch_queries"):
+        search_batch(idx, qdf, 0, str(tmp_path / "r"), max_batch_queries=1)
+
+
+def test_stream_search_end_to_end(spark, tmp_path):
+    """Real Structured Streaming run: two query files → two micro-batch
+    result dirs; union equals one batch msearch_df bit-for-bit (same
+    kernels, same code path)."""
+    from retriv_spark.streaming.search import stream_search
+
+    path = str(tmp_path / "qidx3")
+    idx = build_packed_index(
+        spark,
+        spark.createDataFrame(
+            [(d["id"], d["text"]) for d in _docs(0, 80)],
+            "id long, text string",
+        ),
+        _pre(), path, id_col="id", order_cols=["id"], n_shards=2,
+    )
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    for qs, name in [(QUERIES[:2], "a"), (QUERIES[2:], "b")]:
+        spark.createDataFrame(
+            [(q["id"], q["text"]) for q in qs], "id string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    res_path = str(tmp_path / "qout")
+    stream = (
+        spark.readStream.schema("id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = stream_search(
+        stream, idx, res_path, str(tmp_path / "qckpt"), cutoff=30
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                got = spark.read.parquet(res_path)
+                if {r["q_id"] for r in got.collect()} == {"a", "b", "c"}:
+                    break
+            except Exception:
+                pass
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in spark.read.parquet(res_path)
+        .select("q_id", "doc_id", "score", "rank")
+        .collect()
+    )
+    exp = sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in idx.msearch_df(QUERIES, cutoff=30).collect()
+    )
+    assert got == exp and len(got) > 0
+    # two micro-batches → two partition dirs
+    assert {r["batch"] for r in spark.read.parquet(res_path).select("batch").collect()} == {0, 1}
