@@ -1650,6 +1650,61 @@ def q_streaming_ingest(spark, sf_dir):
     )
 
 
+def q_compacted_index(spark, sf_dir):
+    """Segment compaction (index/compact.py compact_index): packed index
+    built over the first 40% of the documents table, then THREE
+    deliberately span-misaligned micro-batch appends (each shard
+    accumulates per-batch segment piles — the production fragmentation
+    shape), then a compaction rewriting segments to canonical geometry.
+    Output: the SAME global (term, df) + doc_count contract as the
+    streaming_ingest pair — compaction must change layout, never the
+    logical index — plus the in-pair assertion that the segment count
+    actually dropped."""
+    import os
+    import shutil
+    import tempfile
+
+    from .index.compact import compact_index
+    from .index.packed import build_packed_index
+    from .streaming.ingest import append_batch
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    bounds = [
+        (2 * n) // 5, (2 * n) // 5 + (n // 7) or 1, (7 * n) // 10, n,
+    ]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"retriv_compact_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    idx = build_packed_index(
+        spark, docs.filter(F.col("doc_id") < bounds[0]), _plain_pre(), path,
+        text_col="text", id_col="doc_id", order_cols=["doc_id"],
+        doc_id_col_precomputed="doc_id",
+    )
+    for bid, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        idx = append_batch(
+            spark, path,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            batch_id=bid, order_cols=["doc_id"],
+        )
+    before = idx.io.read("postings").count()
+    idx = compact_index(spark, path)
+    comp = idx.manifest["compactions"][-1]
+    assert comp["segments_before"] == before
+    assert comp["segments_after"] <= before
+    doc_count = int(idx.manifest["doc_count"])
+    threshold = max(doc_count // 10, 1)
+    return (
+        idx.terms.groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") >= F.lit(threshold))
+        .withColumn("doc_count", F.lit(doc_count).cast("long"))
+        .orderBy("term")
+    )
+
+
 def q_streaming_search(spark, sf_dir):
     """Streaming query serving (streaming/search.py search_batch — the
     foreachBatch core wired by stream_search): BM25_QUERIES split into
@@ -2091,6 +2146,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_removal": q_boilerplate_removal,
     "paragraph_dup_stats": q_paragraph_dup_stats,
     "paragraph_dedup": q_paragraph_dedup,
+    "compacted_index": q_compacted_index,
     "streaming_search": q_streaming_search,
     "quality_filter": q_quality_filter,
     "repeated_spans": q_repeated_spans,
@@ -2105,8 +2161,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _EN_STOP) + "]"
 
-ORACLE_SQL: Dict[str, str] = {
-    "streaming_ingest": f"""
+_INGEST_TERMS_SQL = f"""
 WITH tok AS ({_TOK_SQL}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
@@ -2115,7 +2170,13 @@ SELECT d.term, d.df, n.doc_count
 FROM dfreq d CROSS JOIN n
 WHERE d.df >= greatest(n.doc_count // 10, 1)
 ORDER BY d.term
-""",
+"""
+
+ORACLE_SQL: Dict[str, str] = {
+    "streaming_ingest": _INGEST_TERMS_SQL,
+    # same logical-index contract as streaming_ingest: compaction may
+    # only change layout
+    "compacted_index": _INGEST_TERMS_SQL,
     "bm25_topk": _bm25_sql(BM25_QUERIES, "bm25"),
     # rank-only: the streaming pair serves through the float32-faithful
     # packed kernels, the oracle computes float64 — ranks are the

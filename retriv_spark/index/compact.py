@@ -1,0 +1,214 @@
+"""Segment compaction for streamed-into packed indexes.
+
+Every streaming append (``streaming/ingest.py``) adds its own
+``(shard, term)`` segment rows — correct at any point (the kernels are
+multi-segment-native), but after many micro-batches a hot term in a hot
+shard is spread over one tiny segment per batch: more parquet rows to
+scan, more per-segment decode dispatches, more block-metadata overhead.
+This is the Lucene-merge / Iceberg-rewrite problem, solved the same
+way: periodically rewrite fragmented segments into the canonical
+geometry.  The daily-increment shape is "append all day, compact
+nightly".
+
+``compact_index`` decodes the live posting segments (NO re-tokenization
+— the expensive content pass never reruns), re-encodes each shard with
+the exact builder encoder (``_encode_group``: one segment per
+``(shard, term)`` up to SEG_MAX), and swaps the rewritten tables in:
+
+  * postings — decoded via one Arrow-batched ``mapInPandas`` projection,
+    re-encoded per shard by ONE shard-keyed shuffle (the only shuffle;
+    bounded by span, the same guarantee as the build);
+  * terms — re-derived as Σ n per term from the compacted segments
+    (exact global df, replacing the base+delta row pile);
+  * shard_maps — re-aggregated to canonical MAP_SEG rows from the doc
+    mapping.
+
+Everything else (doc_lens, docs, tokenized, the manifest's doc_count /
+avgdl / stream-batch registry) is untouched: compaction changes the
+LAYOUT, never the logical index — ``msearch`` results are bit-identical
+before and after (pinned in tests), and the exactly-once batch registry
+keeps rejecting replays of pre-compaction batches.
+
+Swap discipline: in Iceberg mode ``TableIO.write(mode="overwrite")`` is
+already an atomic v2 REPLACE (readers keep the old snapshot until the
+commit).  In path mode each table is written to ``<name>__compact``
+first and swapped in by directory rename, so a crash mid-compaction
+leaves the live table intact; the manifest records the compaction only
+after every swap lands.  At 100 TB you would partition ``postings`` by
+shard and rewrite only shards whose fragmentation crosses a threshold
+(Iceberg ``rewrite_data_files`` shape); the sandbox layout keeps one
+directory per table, so this implementation rewrites the table — same
+plan per shard, coarser commit unit.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..tableio import TableIO
+from .builder import DOC_ID
+from .packed import (
+    MAP_SEG,
+    POSTINGS_SCHEMA,
+    PackedIndex,
+    _encode_group,
+    _load_manifest,
+    _write_manifest,
+)
+
+_FLAT_SCHEMA = (
+    "shard int, term string, doc_id long, tf long, doc_len float, df long"
+)
+
+
+def _decode_postings_flat(iter_pdfs):
+    """mapInPandas kernel: segment rows → one flat posting row each.
+    Runs the same per-segment decoder the query kernels use, so the
+    round-trip is exact by construction."""
+    from ..search.kernels import _decode_segment_row
+
+    for pdf in iter_pdfs:
+        frames = []
+        for r in pdf.to_dict("records"):
+            doc_ids, tfs, dls = _decode_segment_row(r)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "shard": np.full(
+                            len(doc_ids), int(r["shard"]), dtype=np.int32
+                        ),
+                        "term": r["term"],
+                        "doc_id": doc_ids,
+                        "tf": tfs,
+                        "doc_len": dls.astype(np.float32),
+                        "df": np.full(
+                            len(doc_ids), int(r["df"]), dtype=np.int64
+                        ),
+                    }
+                )
+            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+
+def _replace_table(io: TableIO, df, name: str) -> None:
+    """Materialize ``df`` (which may read the live table) into a staging
+    table, then swap it in.  Iceberg: atomic v2 replace via a staging
+    name would lose history for nothing — but the staged write is still
+    required because ``df`` READS the table it replaces, so both modes
+    stage first."""
+    tmp = name + "__compact"
+    io.drop(tmp)
+    io.write(df, tmp, mode="overwrite")
+    if io.catalog:
+        io.write(io.read(tmp), name, mode="overwrite")
+        io.drop(tmp)
+        return
+    live, staged = io._path(name), io._path(tmp)
+    old = io._path(name + "__old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live, old)
+    os.rename(staged, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_index(spark: SparkSession, index_path: str) -> PackedIndex:
+    """Rewrite a packed index's fragmented segments into canonical
+    geometry.  Returns a freshly loaded :class:`PackedIndex` (driver
+    caches of the old instance do not see the new layout — use the
+    returned handle)."""
+    manifest = _load_manifest(index_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no index manifest at {index_path}")
+    span = int(manifest["span"])
+    io = TableIO(spark, index_path)
+
+    before = io.read("postings").count()
+
+    flat = io.read("postings").mapInPandas(
+        _decode_postings_flat, _FLAT_SCHEMA
+    )
+    packed = flat.groupBy("shard").applyInPandas(
+        _encode_group(span), POSTINGS_SCHEMA
+    )
+    _replace_table(
+        io, packed.repartition("shard").sortWithinPartitions("term"),
+        "postings",
+    )
+
+    # terms: Σ n over compacted segments IS the exact global df (one
+    # segment row set per (shard, term), disjoint doc ranges)
+    _replace_table(
+        io,
+        io.read("postings")
+        .groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df")),
+        "terms",
+    )
+
+    # shard_maps: back to one row per (shard, MAP_SEG range)
+    if manifest.get("stages", {}).get("shard_maps", {}).get("completed"):
+        orig_col = manifest["orig_id_col"]
+        parts = []
+        if manifest.get("docmeta_in_tokenized"):
+            parts.append(io.read("tokenized").select(DOC_ID, orig_col))
+            if io.exists("doc_map"):  # streaming appends land here
+                parts.append(io.read("doc_map").select(DOC_ID, orig_col))
+        else:
+            parts.append(io.read("doc_map").select(DOC_ID, orig_col))
+        dmap = parts[0]
+        for p in parts[1:]:
+            dmap = dmap.unionByName(p)
+        maps = (
+            dmap.select(
+                (F.col(DOC_ID) / F.lit(span)).cast("int").alias("shard"),
+                ((F.col(DOC_ID) % F.lit(span)) / F.lit(MAP_SEG))
+                .cast("int")
+                .alias("mseg"),
+                F.col(DOC_ID).alias("d"),
+                F.col(orig_col).cast("string").alias("u"),
+            )
+            .groupBy("shard", "mseg")
+            .agg(
+                F.min("d").alias("first_doc"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "u"))),
+                    lambda x: x["u"],
+                ).alias("uris"),
+            )
+            .select("shard", "first_doc", "uris")
+        )
+        _replace_table(io, maps, "shard_maps")
+
+    after_rows = (
+        io.read("postings")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("segments"), F.sum("n").alias("postings"))
+        .collect()
+    )
+    after = sum(int(r["segments"]) for r in after_rows)
+    manifest.setdefault("compactions", []).append(
+        {
+            "doc_count": int(manifest["doc_count"]),
+            "segments_before": int(before),
+            "segments_after": int(after),
+        }
+    )
+    # refresh the per-shard lineage audit trail
+    stages = manifest.setdefault("stages", {})
+    if "postings" in stages:
+        stages["postings"]["shards"] = {
+            str(r["shard"]): {
+                "segments": int(r["segments"]),
+                "postings": int(r["postings"]),
+            }
+            for r in after_rows
+        }
+    _write_manifest(index_path, manifest)
+    return PackedIndex(spark=spark, path=index_path, manifest=manifest)

@@ -1,0 +1,113 @@
+"""Segment compaction: layout changes, logical index does not."""
+
+from retriv_spark.index.compact import compact_index
+from retriv_spark.index.packed import build_packed_index, load_packed_index
+from retriv_spark.preprocessing import TextPreprocessor
+from retriv_spark.streaming.ingest import append_batch
+
+
+def _docs(i0, i1):
+    return [
+        {"id": i, "text": " ".join(f"w{(i * 7 + j) % 25}" for j in range(12))}
+        for i in range(i0, i1)
+    ]
+
+
+def _pre():
+    return TextPreprocessor(stemmer=None, stopwords=None)
+
+
+QUERIES = [
+    {"id": "a", "text": "w0 w3"},
+    {"id": "b", "text": "w11 w24 w7"},
+    {"id": "c", "text": "w5"},
+]
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(d["id"], d["text"]) for d in _docs(lo, hi)], "id long, text string"
+    )
+
+
+def _results(idx):
+    return sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in idx.msearch_df(QUERIES, cutoff=200).collect()
+    )
+
+
+def _segments(idx):
+    return idx.io.read("postings").count()
+
+
+def test_compaction_preserves_results_and_merges_segments(spark, tmp_path):
+    path = str(tmp_path / "cidx")
+    build_packed_index(
+        spark, _df(spark, 0, 40), _pre(), path,
+        id_col="id", order_cols=["id"], n_shards=2,
+    )
+    # micro-batches far smaller than the shard span (the production
+    # shape): each shard accumulates one segment pile per batch
+    bounds = [40, 47, 54, 61, 68, 75, 82, 89, 100]
+    for bid, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        idx = append_batch(spark, path, _df(spark, lo, hi), batch_id=bid)
+
+    before_res = _results(idx)
+    before_seg = _segments(idx)
+
+    cidx = compact_index(spark, path)
+    after_seg = _segments(cidx)
+
+    # every batch wrote its own per-(shard, term) segments; the canonical
+    # rewrite merges them (small corpus: one segment per (shard, term))
+    assert after_seg < before_seg
+    assert _results(cidx) == before_res  # bit-identical scores and ranks
+    assert cidx.doc_count == 100
+    comp = cidx.manifest["compactions"][-1]
+    assert comp["segments_before"] == before_seg
+    assert comp["segments_after"] == after_seg
+
+    # exact df invariant: one terms row per term, Σ preserved
+    terms = cidx.terms.groupBy("term").count().collect()
+    assert all(r["count"] == 1 for r in terms)
+
+
+def test_compaction_keeps_append_registry_and_future_appends(spark, tmp_path):
+    path = str(tmp_path / "cidx2")
+    build_packed_index(
+        spark, _df(spark, 0, 30), _pre(), path, id_col="id",
+        order_cols=["id"], n_shards=2,
+    )
+    append_batch(spark, path, _df(spark, 30, 50), batch_id=0)
+    cidx = compact_index(spark, path)
+
+    # a pre-compaction batch replay is still rejected (exactly-once)
+    replay = append_batch(spark, path, _df(spark, 30, 50), batch_id=0)
+    assert replay.doc_count == 50
+
+    # appends keep working on the compacted layout
+    idx2 = append_batch(spark, path, _df(spark, 50, 70), batch_id=1)
+    assert idx2.doc_count == 70
+
+    # compacted+appended ≡ one batch rebuild over the union
+    ref = build_packed_index(
+        spark, _df(spark, 0, 70), _pre(), str(tmp_path / "cref"),
+        id_col="id", order_cols=["id"], n_shards=2,
+    )
+    assert _results(load_packed_index(spark, path)) == _results(ref)
+
+
+def test_compaction_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "cidx3")
+    build_packed_index(
+        spark, _df(spark, 0, 20), _pre(), path, id_col="id",
+        order_cols=["id"],
+    )
+    append_batch(spark, path, _df(spark, 20, 33), batch_id=0)
+    append_batch(spark, path, _df(spark, 33, 40), batch_id=1)
+    once = compact_index(spark, path)
+    seg1, res1 = _segments(once), _results(once)
+    twice = compact_index(spark, path)
+    assert _segments(twice) == seg1
+    assert _results(twice) == res1
