@@ -1,0 +1,183 @@
+"""Two-parallelism compaction bench (segment compaction scale evidence).
+
+Shape: build a packed index over the first 60% of a synthetic
+source-code corpus, append the rest in span-misaligned micro-batches
+(each shard accumulates one segment pile per batch — the production
+fragmentation), then time ``compact_index``.  Run once per parallelism
+level in SEPARATE JVMs (same input, same batch plan) and report
+compaction throughput at both plus the scaling efficiency; assert
+msearch results are identical before/after compaction AND across
+parallelism levels.
+
+Usage: python jobs/compaction_bench.py [--docs 1000000] [--n 8]
+         [--batches 8] [--out BENCH/compaction_scaling.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import hashlib, json, os, sys, time
+sys.path.insert(0, os.environ["RETRIV_REPO"])
+from pyspark.sql import functions as F
+from retriv_spark.session import get_spark
+from retriv_spark.preprocessing import TextPreprocessor
+from retriv_spark.index.compact import compact_index
+from retriv_spark.index.packed import build_packed_index
+from retriv_spark.streaming.ingest import append_batch
+
+cpus = int(os.environ["RETRIV_CPUS"])
+input_path = os.environ["RETRIV_INPUT"]
+n_batches = int(os.environ["RETRIV_BATCHES"])
+index_path = os.environ["RETRIV_INDEX"]
+out_path = os.environ["RETRIV_OUT"]
+
+spark = get_spark(app_name=f"compact-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=max(cpus, 8),
+                  extra_conf={"spark.sql.files.maxPartitionBytes":
+                              str(8 * 1024 * 1024),
+                              "spark.cleaner.periodicGC.interval": "60s",
+                              "spark.io.compression.codec": "zstd"})
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet(input_path)
+n = docs.count()
+base_hi = (3 * n) // 5
+pre = TextPreprocessor(stemmer=None, stopwords=None)
+
+idx = build_packed_index(
+    spark, docs.filter(F.col("row_id") < base_hi), pre, index_path,
+    text_col="content", id_col="row_id", order_cols=["row_id"],
+    doc_id_col_precomputed="row_id",
+)
+# span-misaligned batch bounds: N equal slices of the tail (never a
+# multiple of the span by construction below)
+step = max(1, (n - base_hi) // n_batches)
+bounds = list(range(base_hi, n, step)) + [n]
+for bid, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+    idx = append_batch(
+        spark, index_path,
+        docs.filter((F.col("row_id") >= lo) & (F.col("row_id") < hi)),
+        batch_id=bid, order_cols=["row_id"],
+    )
+
+QUERIES = [{"id": f"q{i}", "text": "import return for hash"}
+           for i in range(4)] + [
+    {"id": "q4", "text": "shuffle partition"},
+    {"id": "q5", "text": "def class"},
+]
+
+def results(ix):
+    rows = ix.msearch_df(QUERIES, cutoff=100).collect()
+    return hashlib.md5(json.dumps(sorted(
+        (r["q_id"], int(r["doc_id"]), float(r["score"]), int(r["rank"]))
+        for r in rows
+    )).encode()).hexdigest(), len(rows)
+
+seg_before = idx.io.read("postings").count()
+res_before = results(idx)
+
+t0 = time.perf_counter()
+cidx = compact_index(spark, index_path)
+compact_s = time.perf_counter() - t0
+
+seg_after = cidx.io.read("postings").count()
+res_after = results(cidx)
+postings = int(cidx.io.read("postings").agg(F.sum("n")).collect()[0][0])
+
+json.dump({
+    "cpus": cpus, "docs": n, "batches": n_batches,
+    "segments_before": seg_before, "segments_after": seg_after,
+    "postings": postings, "compact_seconds": round(compact_s, 2),
+    "postings_per_sec": round(postings / compact_s, 1),
+    "identical_before_after": res_before == res_after,
+    "result_md5": res_before[0], "result_rows": res_before[1],
+}, open(out_path, "w"))
+spark.stop()
+"""
+
+
+def run_leg(cpus, input_path, batches, work):
+    out = os.path.join(work, f"compact_{cpus}.json")
+    env = dict(
+        os.environ,
+        RETRIV_REPO=REPO,
+        RETRIV_CPUS=str(cpus),
+        RETRIV_INPUT=input_path,
+        RETRIV_BATCHES=str(batches),
+        RETRIV_INDEX=os.path.join(work, f"index_{cpus}"),
+        RETRIV_OUT=out,
+    )
+    subprocess.run(
+        [sys.executable, "-c", WORKER], env=env, check=True,
+        cwd=REPO,
+    )
+    return json.load(open(out))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH",
+                                                  "compaction_scaling.json"))
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="retriv_compactbench_")
+    input_path = os.path.join(work, "corpus")
+    gen = f"""
+import os, sys
+sys.path.insert(0, os.environ['RETRIV_REPO'])
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from retriv_spark.session import get_spark
+from retriv_spark.corpus import generate_code_corpus
+s = get_spark(master='local[32]')
+s.sparkContext.setLogLevel('ERROR')
+df = generate_code_corpus(s, {args.docs})
+# dense deterministic row ids (file index is embedded in path)
+df = df.withColumn(
+    'row_id',
+    (F.regexp_extract('path', r'file_(\\d+)\\.', 1)).cast('long'),
+)
+df.write.mode('overwrite').parquet('{input_path}')
+s.stop()
+"""
+    env = dict(os.environ, RETRIV_REPO=REPO)
+    subprocess.run([sys.executable, "-c", gen], env=env, check=True, cwd=REPO)
+
+    legs = {}
+    for cpus in (args.n, 4 * args.n):
+        t0 = time.time()
+        legs[cpus] = run_leg(cpus, input_path, args.batches, work)
+        print(f"local[{cpus}]: {legs[cpus]}  ({time.time()-t0:.0f}s leg)",
+              flush=True)
+
+    lo, hi = legs[args.n], legs[4 * args.n]
+    assert lo["result_md5"] == hi["result_md5"], "results differ across levels"
+    assert lo["identical_before_after"] and hi["identical_before_after"]
+    speed = lo["compact_seconds"] / hi["compact_seconds"]
+    report = {
+        "docs": lo["docs"], "batches": args.batches,
+        "legs": legs,
+        "speedup": round(speed, 2),
+        "efficiency": round(speed / 4, 3),
+        "rank_identity": "IDENTICAL",
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    json.dump(report, open(args.out, "w"), indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
