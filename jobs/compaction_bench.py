@@ -83,8 +83,26 @@ def results(ix):
         for r in rows
     )).encode()).hexdigest(), len(rows)
 
+BATCH = [{"id": f"b{i}", "text": "import return for hash shuffle"}
+         for i in range(64)]
+
+def serve_seconds(ix):
+    # best-of-3 64-query batches over a COLD index object each rep
+    # (reload drops the driver-side decoded-segment caches, so the
+    # timing reflects segment decode work, where fragmentation bites)
+    from retriv_spark.index.packed import load_packed_index
+    best = None
+    for _ in range(3):
+        cold = load_packed_index(spark, index_path)
+        t0 = time.perf_counter()
+        cold.msearch_df(BATCH, cutoff=100).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return best
+
 seg_before = idx.io.read("postings").count()
 res_before = results(idx)
+serve_before = serve_seconds(idx)
 
 t0 = time.perf_counter()
 cidx = compact_index(spark, index_path)
@@ -92,6 +110,7 @@ compact_s = time.perf_counter() - t0
 
 seg_after = cidx.io.read("postings").count()
 res_after = results(cidx)
+serve_after = serve_seconds(cidx)
 postings = int(cidx.io.read("postings").agg(F.sum("n")).collect()[0][0])
 
 json.dump({
@@ -101,6 +120,8 @@ json.dump({
     "postings_per_sec": round(postings / compact_s, 1),
     "identical_before_after": res_before == res_after,
     "result_md5": res_before[0], "result_rows": res_before[1],
+    "serve64_before_s": round(serve_before, 3),
+    "serve64_after_s": round(serve_after, 3),
 }, open(out_path, "w"))
 spark.stop()
 """

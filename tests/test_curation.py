@@ -734,3 +734,63 @@ def test_dedup_paragraphs_custom_delimiter(spark):
         for r in dedup_paragraphs(df, delimiter="||").collect()
     }
     assert got == {1: "a||b", 2: "c"}
+
+
+def _py_keep_first(rows):
+    """Pure-python model of keep-first paragraph dedup."""
+    occ = {}
+    for i, t in sorted(rows):
+        if t is None:
+            continue
+        for pos, p in enumerate(t.split("\n")):
+            if p.strip() == "":
+                continue
+            occ.setdefault(p, []).append((i, pos))
+    keeper = {p: min(v) for p, v in occ.items() if len(v) >= 2}
+    out = {}
+    for i, t in rows:
+        if t is None:
+            out[i] = None
+            continue
+        kept = [
+            p
+            for pos, p in enumerate(t.split("\n"))
+            if p.strip() == ""
+            or p not in keeper
+            or keeper[p] == (i, pos)
+        ]
+        out[i] = "\n".join(kept)
+    return out
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_para_corpus = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "", "  "]),
+            max_size=5,
+        ).map(lambda ps: "\n".join(ps)),
+    ),
+    min_size=1,
+    max_size=12,
+).map(lambda ts: [(i, t) for i, t in enumerate(ts)])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_para_corpus)
+def test_dedup_paragraphs_matches_python_model(spark, rows):
+    from retriv_spark.ops.curation import dedup_paragraphs
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_dedup
+        for r in dedup_paragraphs(df, method="exact").collect()
+    }
+    assert got == _py_keep_first(rows)
