@@ -1,0 +1,53 @@
+"""spark-submit entry point: compact a streamed-into packed index.
+
+The nightly step of the append-all-day pipeline (see
+retriv_spark/index/compact.py): rewrites per-batch segment piles into
+canonical geometry without re-tokenizing.  Layout-only — results are
+bit-identical, the exactly-once batch registry is preserved.
+
+Examples:
+  spark-submit --py-files retriv_spark.zip jobs/compact.py --index /indexes/code
+  python jobs/compact.py --index /tmp/idx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    args = ap.parse_args()
+
+    from retriv_spark.index.compact import compact_index
+    from retriv_spark.session import get_spark
+
+    spark = get_spark(app_name="retriv-compact")
+    spark.sparkContext.setLogLevel("WARN")
+
+    t0 = time.perf_counter()
+    idx = compact_index(spark, args.index)
+    comp = idx.manifest["compactions"][-1]
+    print(
+        json.dumps(
+            {
+                "index": args.index,
+                "doc_count": int(idx.manifest["doc_count"]),
+                "segments_before": comp["segments_before"],
+                "segments_after": comp["segments_after"],
+                "seconds": round(time.perf_counter() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
