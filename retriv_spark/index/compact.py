@@ -59,6 +59,7 @@ from .packed import (
     PackedIndex,
     _encode_group,
     _load_manifest,
+    _recover_swapped_tables,
     _write_manifest,
 )
 
@@ -128,6 +129,7 @@ def compact_index(spark: SparkSession, index_path: str) -> PackedIndex:
         raise FileNotFoundError(f"no index manifest at {index_path}")
     span = int(manifest["span"])
     io = TableIO(spark, index_path)
+    _recover_swapped_tables(io)
 
     before = io.read("postings").count()
 

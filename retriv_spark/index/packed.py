@@ -1386,8 +1386,30 @@ def build_packed_index(
     return PackedIndex(spark=spark, path=path, manifest=manifest, io=io)
 
 
+def _recover_swapped_tables(io: TableIO) -> None:
+    """Heal a crash inside a compaction table swap (index/compact.py).
+    The only vulnerable window is between ``rename(live → old)`` and
+    ``rename(staged → live)``: the live directory is missing while
+    ``__old`` (the complete pre-compaction table) exists.  Recovery
+    restores ``__old`` — always consistent — and discards any staging
+    dir; a rerun of the compaction starts clean.  No-op on Iceberg
+    (v2 replace is atomic) and on healthy layouts."""
+    if io.catalog:
+        return
+    import shutil
+
+    for name in ("postings", "terms", "shard_maps"):
+        live, old = io._path(name), io._path(name + "__old")
+        if not os.path.isdir(live) and os.path.isdir(old):
+            os.rename(old, live)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(io._path(name + "__compact"), ignore_errors=True)
+
+
 def load_packed_index(spark: SparkSession, path: str) -> PackedIndex:
     manifest = _load_manifest(path)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {path}")
-    return PackedIndex(spark=spark, path=path, manifest=manifest)
+    idx = PackedIndex(spark=spark, path=path, manifest=manifest)
+    _recover_swapped_tables(idx.io)
+    return idx

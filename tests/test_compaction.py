@@ -111,3 +111,35 @@ def test_compaction_is_idempotent(spark, tmp_path):
     twice = compact_index(spark, path)
     assert _segments(twice) == seg1
     assert _results(twice) == res1
+
+
+def test_crash_mid_swap_recovers(spark, tmp_path):
+    """Simulate the one vulnerable swap window (live renamed away,
+    staged not yet renamed in): a plain load and a compaction rerun
+    must both heal the layout from __old."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "cidx4")
+    build_packed_index(
+        spark, _df(spark, 0, 30), _pre(), path, id_col="id",
+        order_cols=["id"], n_shards=2,
+    )
+    append_batch(spark, path, _df(spark, 30, 43), batch_id=0)
+    idx = append_batch(spark, path, _df(spark, 43, 50), batch_id=1)
+    want = _results(idx)
+
+    # crash state: postings moved to __old, a stale staging dir around
+    os.rename(os.path.join(path, "postings"),
+              os.path.join(path, "postings__old"))
+    shutil.copytree(os.path.join(path, "terms"),
+                    os.path.join(path, "terms__compact"))
+
+    healed = load_packed_index(spark, path)
+    assert _results(healed) == want
+    assert not os.path.isdir(os.path.join(path, "postings__old"))
+    assert not os.path.isdir(os.path.join(path, "terms__compact"))
+
+    # and the compaction rerun completes from the healed state
+    cidx = compact_index(spark, path)
+    assert _results(cidx) == want
