@@ -34,6 +34,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "token_count",
     "wordpiece_count",
+    "wordpiece_encode",
     "quality_features",
     "lang_id",
     "fingerprint",

@@ -534,6 +534,24 @@ def q_wordpiece_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_wordpiece_encode(spark, sf_dir):
+    """Greedy WordPiece ENCODING to token ids (ops/wordpiece.py
+    with_wordpiece_ids) against the synthetic vocab with closed-form ids
+    (synthetic_char_vocab_ids): every piece id is an arithmetic function
+    of its characters, so the oracle replays the full id stream —
+    greedy pairing, ##-continuation band, unk — in SQL.  Exploded per
+    position so the value hash pins every token id."""
+    from retriv_spark.ops.wordpiece import (
+        synthetic_char_vocab_ids, with_wordpiece_ids,
+    )
+
+    docs = _docs(spark, sf_dir)
+    enc = with_wordpiece_ids(docs, synthetic_char_vocab_ids())
+    return enc.select(
+        "doc_id", F.posexplode("wp_ids").alias("pos", "token_id")
+    ).orderBy("doc_id", "pos")
+
+
 def q_source_reputation(spark, sf_dir):
     """Domain-level curation: per-source exact aggregates (doc count,
     token volume, distinct-content count) gate whole sources; survivors
@@ -2102,6 +2120,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "token_count": q_token_count,
     "wordpiece_count": q_wordpiece_count,
+    "wordpiece_encode": q_wordpiece_encode,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -2449,6 +2468,51 @@ SELECT doc_id,
               THEN 1 ELSE (length(w) + 1) // 2 END)), 0)::BIGINT
          AS n_wp_tokens
 FROM t ORDER BY doc_id
+""",
+    "wordpiece_encode": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+w AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+  FROM t
+),
+ids AS (
+  SELECT doc_id, wi,
+    CASE WHEN length(w) > 200 OR regexp_matches(w, '[^a-z]')
+      THEN [0]::BIGINT[]
+      ELSE list_transform(range(((length(w) + 1) // 2)::BIGINT), k ->
+        CASE
+          WHEN 2 * k + 2 <= length(w) THEN
+            CASE WHEN k = 0
+              THEN 100 + 26 * (ascii(substring(w, 1, 1)) - 97)
+                       + (ascii(substring(w, 2, 1)) - 97)
+              ELSE 2000 + 26 * (ascii(substring(w, (2 * k + 1)::INT, 1)) - 97)
+                        + (ascii(substring(w, (2 * k + 2)::INT, 1)) - 97)
+            END
+          ELSE
+            CASE WHEN k = 0
+              THEN 1 + (ascii(substring(w, 1, 1)) - 97)
+              ELSE 1000 + (ascii(substring(w, (2 * k + 1)::INT, 1)) - 97)
+            END
+        END)
+    END AS tids
+  FROM w
+),
+flat AS (
+  SELECT doc_id, wi, generate_subscripts(tids, 1) AS pi,
+         unnest(tids) AS token_id
+  FROM ids
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY wi, pi) - 1)::INT
+         AS pos,
+       token_id::INT AS token_id
+FROM flat
+ORDER BY doc_id, pos
 """,
     "quality_features": f"""
 WITH t AS (

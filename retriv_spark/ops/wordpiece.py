@@ -20,7 +20,7 @@ The output column plugs straight into the token-budget ops:
 
 from __future__ import annotations
 
-from typing import Iterable, Union
+from typing import Dict, Iterable, List, Mapping, Optional, Union
 
 from pyspark.sql import DataFrame
 
@@ -82,6 +82,154 @@ def wordpiece_count_word(word: str, vocab, max_piece_len: int) -> int:
         count += 1
         start = found
     return count
+
+
+def load_wordpiece_vocab_ids(
+    source: Union[str, Iterable[str], Mapping[str, int]],
+) -> Dict[str, int]:
+    """Load a WordPiece vocabulary WITH ids.
+
+    ``source``: a ``vocab.txt`` path (the standard published format:
+    the id of a piece IS its 0-based line number), an iterable of piece
+    strings (enumeration order assigns ids), or an explicit
+    ``piece -> id`` mapping (passed through)."""
+    if isinstance(source, Mapping):
+        return {p: int(i) for p, i in source.items()}
+    if isinstance(source, str):
+        with open(source, encoding="utf-8") as f:
+            pieces = [line.rstrip("\n") for line in f]
+        return {p: i for i, p in enumerate(pieces) if p}
+    return {p: i for i, p in enumerate(source)}
+
+
+def synthetic_char_vocab_ids(
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz",
+) -> Dict[str, int]:
+    """The :func:`synthetic_char_vocab` pieces with CLOSED-FORM ids —
+    every id is an arithmetic function of the piece's characters, which
+    is what lets the ``wordpiece_encode`` oracle pair replay the full
+    ENCODING (not just the count) in SQL::
+
+        [UNK]    -> 0
+        c        -> 1    + pos(c)
+        c1c2     -> 100  + len(alphabet)*pos(c1) + pos(c2)
+        ##c      -> 1000 + pos(c)
+        ##c1c2   -> 2000 + len(alphabet)*pos(c1) + pos(c2)
+
+    (``pos`` = 0-based index in ``alphabet``; the bands never collide
+    for alphabets up to 26 letters.)"""
+    n = len(alphabet)
+    if n > 26:
+        raise ValueError("id bands collide beyond 26 letters")
+    ids: Dict[str, int] = {"[UNK]": 0}
+    for i, c in enumerate(alphabet):
+        ids[c] = 1 + i
+        ids["##" + c] = 1000 + i
+    for i, a in enumerate(alphabet):
+        for j, b in enumerate(alphabet):
+            ids[a + b] = 100 + n * i + j
+            ids["##" + a + b] = 2000 + n * i + j
+    return ids
+
+
+def wordpiece_pieces_word(
+    word: str, vocab, max_piece_len: int
+) -> Optional[List[str]]:
+    """Greedy WordPiece decomposition for ONE word → the piece strings
+    (continuations carry their ``##`` prefix), or ``None`` when the word
+    is undecomposable / overlong (the caller emits one unk token).
+    Same greedy-longest-prefix walk as :func:`wordpiece_count_word`;
+    ``vocab`` is any membership container (set or dict)."""
+    n = len(word)
+    if n > MAX_INPUT_CHARS_PER_WORD:
+        return None
+    start = 0
+    pieces: List[str] = []
+    while start < n:
+        end = min(n, start + max_piece_len)
+        hit = None
+        while end > start:
+            piece = word[start:end]
+            if start > 0:
+                piece = "##" + piece
+            if piece in vocab:
+                hit = piece
+                break
+            end -= 1
+        if hit is None:
+            return None
+        pieces.append(hit)
+        start = end
+    return pieces
+
+
+def _max_piece_len(pieces: Iterable[str]) -> int:
+    return max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in pieces
+    )
+
+
+def with_wordpiece_ids(
+    df: DataFrame,
+    vocab: Union[str, Iterable[str], Mapping[str, int]],
+    text_col: str = "text",
+    out_col: str = "wp_ids",
+    lowercase: bool = True,
+    unk_piece: str = "[UNK]",
+) -> DataFrame:
+    """Append ``out_col``: the document ENCODED as WordPiece token ids
+    (``array<int>``) against ``vocab`` (path / iterable / piece->id
+    mapping, see :func:`load_wordpiece_vocab_ids`).
+
+    Published semantics: greedy longest-match-first per whitespace word;
+    an undecomposable or overlong word contributes ONE ``unk_piece`` id
+    (which must be in the vocab, per the standard convention).  The id
+    stream is what ``assign_sequences`` / ``chunk_documents`` budgets
+    actually denominate — ``F.size(out_col)`` is the exact token count.
+
+    Spark shape: identical to :func:`with_wordpiece_counts` — one
+    ArrowEvalPython projection, zero shuffles, broadcast vocab,
+    per-worker ``word -> ids`` memo riding the Zipfian distribution."""
+    from pyspark.sql.functions import pandas_udf
+
+    ids = load_wordpiece_vocab_ids(vocab)
+    if unk_piece not in ids:
+        raise ValueError(
+            f"unk piece {unk_piece!r} missing from the vocabulary"
+        )
+    unk_id = int(ids[unk_piece])
+    max_piece_len = _max_piece_len(ids)
+    bc = df.sparkSession.sparkContext.broadcast(ids)
+    memo: dict = {}  # per-worker word -> tuple(ids), persists per worker
+
+    @pandas_udf("array<int>")
+    def _encode(texts):
+        import pandas as pd
+
+        v = bc.value
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            if lowercase:
+                t = t.lower()
+            row: List[int] = []
+            for w in t.split():
+                r = memo.get(w)
+                if r is None:
+                    pieces = wordpiece_pieces_word(w, v, max_piece_len)
+                    r = (
+                        (unk_id,)
+                        if pieces is None
+                        else tuple(v[p] for p in pieces)
+                    )
+                    memo[w] = r
+                row.extend(r)
+            out.append(row)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _encode(df[text_col]))
 
 
 def with_wordpiece_counts(

@@ -152,3 +152,140 @@ def test_wordpiece_feeds_mixture_plan(spark):
     # ceil(L/2) closed form: "some text here word" -> 2+2+2+2 = 8/rep
     web_tokens = sum(8 * (i + 1) for i in range(10) if i % 2)
     assert out["web"]["avail_tokens"] == web_tokens
+
+
+# -- Encoding (ids) -----------------------------------------------------------
+
+
+def test_pieces_word_matches_count_and_materializes():
+    from retriv_spark.ops.wordpiece import wordpiece_pieces_word
+
+    assert wordpiece_pieces_word("unaffable", BERTISH, MAXLEN) == [
+        "un", "##aff", "##able",
+    ]
+    assert wordpiece_pieces_word("running", BERTISH, MAXLEN) == [
+        "runn", "##ing",
+    ]
+    # undecomposable / stranded-tail / overlong -> None (one unk)
+    assert wordpiece_pieces_word("xyz", BERTISH, MAXLEN) is None
+    assert wordpiece_pieces_word("abq", BERTISH, MAXLEN) is None
+    assert (
+        wordpiece_pieces_word("a" * (MAX_INPUT_CHARS_PER_WORD + 1),
+                              BERTISH, MAXLEN)
+        is None
+    )
+
+
+def test_pieces_word_count_differential():
+    """len(pieces) must equal wordpiece_count_word on random vocabs."""
+    from retriv_spark.ops.wordpiece import wordpiece_pieces_word
+
+    rng = np.random.default_rng(23)
+    alphabet = list("abcd")
+    for _ in range(40):
+        vocab = set()
+        for _ in range(int(rng.integers(3, 20))):
+            p = "".join(rng.choice(alphabet, size=int(rng.integers(1, 4))))
+            vocab.add(p if rng.random() < 0.5 else "##" + p)
+        maxlen = max(
+            (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
+        )
+        for _ in range(25):
+            w = "".join(rng.choice(alphabet, size=int(rng.integers(1, 10))))
+            pieces = wordpiece_pieces_word(w, vocab, maxlen)
+            cnt = wordpiece_count_word(w, vocab, maxlen)
+            assert (1 if pieces is None else len(pieces)) == cnt
+            if pieces is not None:
+                assert "".join(p.lstrip("#") for p in pieces) == w.replace(
+                    "#", ""
+                )
+
+
+def test_load_vocab_ids_line_numbers(tmp_path):
+    from retriv_spark.ops.wordpiece import load_wordpiece_vocab_ids
+
+    p = tmp_path / "vocab.txt"
+    # blank line keeps its line number reserved (standard vocab.txt: id
+    # IS the line number)
+    p.write_text("[UNK]\nthe\n\n##re\n", encoding="utf-8")
+    ids = load_wordpiece_vocab_ids(str(p))
+    assert ids == {"[UNK]": 0, "the": 1, "##re": 3}
+    assert load_wordpiece_vocab_ids(["a", "##b"]) == {"a": 0, "##b": 1}
+    assert load_wordpiece_vocab_ids({"x": 7}) == {"x": 7}
+
+
+def test_synthetic_char_vocab_ids_formula():
+    from retriv_spark.ops.wordpiece import (
+        synthetic_char_vocab_ids,
+        synthetic_char_vocab,
+    )
+
+    ids = synthetic_char_vocab_ids()
+    # same piece set as the count vocab, plus [UNK]
+    assert set(ids) == set(synthetic_char_vocab()) | {"[UNK]"}
+    # ids are collision-free
+    assert len(set(ids.values())) == len(ids)
+    # spot-check every band of the closed form
+    assert ids["[UNK]"] == 0
+    assert ids["a"] == 1 and ids["z"] == 26
+    assert ids["ab"] == 100 + 26 * 0 + 1
+    assert ids["zz"] == 100 + 26 * 25 + 25
+    assert ids["##a"] == 1000 and ids["##zz"] == 2000 + 26 * 25 + 25
+
+
+def test_with_wordpiece_ids(spark):
+    from retriv_spark.ops.wordpiece import (
+        synthetic_char_vocab_ids,
+        with_wordpiece_ids,
+    )
+
+    ids = synthetic_char_vocab_ids()
+    rows = [
+        (0, "ab c"),        # [ids['ab'], ids['c']]
+        (1, "abc"),         # ab ##c
+        (2, "x7"),          # unk
+        (3, None),          # []
+        (4, "  Ab  "),      # lowercased, trimmed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["wp_ids"]
+        for r in with_wordpiece_ids(df, ids).collect()
+    }
+    assert got[0] == [ids["ab"], ids["c"]]
+    assert got[1] == [ids["ab"], ids["##c"]]
+    assert got[2] == [0]
+    assert got[3] == []
+    assert got[4] == [ids["ab"]]
+
+
+def test_with_wordpiece_ids_requires_unk(spark):
+    from retriv_spark.ops.wordpiece import with_wordpiece_ids
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unk"):
+        with_wordpiece_ids(df, {"a": 1})
+
+
+def test_wordpiece_ids_feed_assign_sequences(spark):
+    """size(wp_ids) is the exact token count for the packing budget —
+    the real-tokenizer version of the tokenize->pack loop."""
+    from pyspark.sql import functions as F
+
+    from retriv_spark.ops.packing import assign_sequences
+    from retriv_spark.ops.wordpiece import (
+        synthetic_char_vocab_ids,
+        with_wordpiece_ids,
+        with_wordpiece_counts,
+        synthetic_char_vocab,
+    )
+
+    rows = [(i, f"doc{i} " + "token stream " * (i + 1)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    enc = with_wordpiece_ids(df, synthetic_char_vocab_ids()).withColumn(
+        "n_wp", F.size("wp_ids")
+    )
+    a = assign_sequences(enc, budget=32, tokens_count_col="n_wp")
+    cnt = with_wordpiece_counts(df, synthetic_char_vocab())
+    b = assign_sequences(cnt, budget=32, tokens_count_col="n_wp_tokens")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
