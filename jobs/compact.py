@@ -24,6 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
+    ap.add_argument(
+        "--min-frag", type=float, default=None,
+        help="selective mode: re-encode only shards with >= this many "
+        "segment rows per distinct term (e.g. 1.5); clean shards pass "
+        "through byte-for-byte; no-op when nothing qualifies",
+    )
     args = ap.parse_args()
 
     from retriv_spark.index.compact import compact_index
@@ -32,16 +38,26 @@ def main():
     spark = get_spark(app_name="retriv-compact")
     spark.sparkContext.setLogLevel("WARN")
 
+    from retriv_spark.index.packed import _load_manifest
+
+    n_before = len(
+        (_load_manifest(args.index) or {}).get("compactions", [])
+    )
     t0 = time.perf_counter()
-    idx = compact_index(spark, args.index)
-    comp = idx.manifest["compactions"][-1]
+    idx = compact_index(spark, args.index, min_frag=args.min_frag)
+    comps = idx.manifest.get("compactions", [])
+    ran = len(comps) > n_before  # selective mode may be a no-op
+    comp = comps[-1] if ran else {}
     print(
         json.dumps(
             {
                 "index": args.index,
                 "doc_count": int(idx.manifest["doc_count"]),
-                "segments_before": comp["segments_before"],
-                "segments_after": comp["segments_after"],
+                "compacted": ran,
+                "segments_before": comp.get("segments_before"),
+                "segments_after": comp.get("segments_after"),
+                "shards_rewritten": comp.get("shards_rewritten"),
+                "shards_total": comp.get("shards_total"),
                 "seconds": round(time.perf_counter() - t0, 2),
             }
         )

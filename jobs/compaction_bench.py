@@ -104,9 +104,12 @@ seg_before = idx.io.read("postings").count()
 res_before = results(idx)
 serve_before = serve_seconds(idx)
 
+min_frag = os.environ.get("RETRIV_MIN_FRAG")
+min_frag = float(min_frag) if min_frag else None
 t0 = time.perf_counter()
-cidx = compact_index(spark, index_path)
+cidx = compact_index(spark, index_path, min_frag=min_frag)
 compact_s = time.perf_counter() - t0
+comp = (cidx.manifest.get("compactions") or [{}])[-1]
 
 seg_after = cidx.io.read("postings").count()
 res_after = results(cidx)
@@ -115,6 +118,9 @@ postings = int(cidx.io.read("postings").agg(F.sum("n")).collect()[0][0])
 
 json.dump({
     "cpus": cpus, "docs": n, "batches": n_batches,
+    "min_frag": min_frag,
+    "shards_rewritten": comp.get("shards_rewritten"),
+    "shards_total": comp.get("shards_total"),
     "segments_before": seg_before, "segments_after": seg_after,
     "postings": postings, "compact_seconds": round(compact_s, 2),
     "postings_per_sec": round(postings / compact_s, 1),
@@ -127,7 +133,7 @@ spark.stop()
 """
 
 
-def run_leg(cpus, input_path, batches, work):
+def run_leg(cpus, input_path, batches, work, min_frag=None):
     out = os.path.join(work, f"compact_{cpus}.json")
     env = dict(
         os.environ,
@@ -137,6 +143,7 @@ def run_leg(cpus, input_path, batches, work):
         RETRIV_BATCHES=str(batches),
         RETRIV_INDEX=os.path.join(work, f"index_{cpus}"),
         RETRIV_OUT=out,
+        RETRIV_MIN_FRAG="" if min_frag is None else str(min_frag),
     )
     subprocess.run(
         [sys.executable, "-c", WORKER], env=env, check=True,
@@ -152,6 +159,11 @@ def main():
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH",
                                                   "compaction_scaling.json"))
+    ap.add_argument(
+        "--min-frag", type=float, default=None,
+        help="selective compaction threshold (segments per distinct "
+        "term); default None = full rewrite",
+    )
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="retriv_compactbench_")
@@ -180,7 +192,9 @@ s.stop()
     legs = {}
     for cpus in (args.n, 4 * args.n):
         t0 = time.time()
-        legs[cpus] = run_leg(cpus, input_path, args.batches, work)
+        legs[cpus] = run_leg(
+            cpus, input_path, args.batches, work, min_frag=args.min_frag
+        )
         print(f"local[{cpus}]: {legs[cpus]}  ({time.time()-t0:.0f}s leg)",
               flush=True)
 

@@ -119,11 +119,35 @@ def _replace_table(io: TableIO, df, name: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def compact_index(spark: SparkSession, index_path: str) -> PackedIndex:
+# isin() bound for the selective-shard predicate: beyond this many hot
+# shards a literal In() costs more than it saves, so the compaction
+# falls back to the full rewrite (which is what that fragmentation
+# level calls for anyway)
+_MAX_ISIN_SHARDS = 100_000
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    min_frag: float | None = None,
+) -> PackedIndex:
     """Rewrite a packed index's fragmented segments into canonical
     geometry.  Returns a freshly loaded :class:`PackedIndex` (driver
     caches of the old instance do not see the new layout — use the
-    returned handle)."""
+    returned handle).
+
+    ``min_frag``: selective mode — only shards whose fragmentation
+    (segment rows / distinct terms; 1.0 is canonical apart from SEG_MAX
+    splits) is ``>= min_frag`` are decoded and re-encoded; every other
+    shard's rows pass through BYTE-FOR-BYTE (pinned in tests).  This is
+    the Iceberg ``rewrite_data_files``-with-a-filter shape: a nightly
+    job over a mostly-clean index pays decode+encode only where appends
+    actually landed.  ``None`` (default) rewrites every shard.  When NO
+    shard qualifies the index is returned untouched — no table swap, no
+    manifest write (safe to run on a tight schedule).  The per-shard
+    stats drive a driver-side selection bounded by shard count; at a
+    scale where that matters the postings table is partitioned by shard
+    and the same predicate is partition pruning."""
     manifest = _load_manifest(index_path)
     if manifest is None:
         raise FileNotFoundError(f"no index manifest at {index_path}")
@@ -131,14 +155,44 @@ def compact_index(spark: SparkSession, index_path: str) -> PackedIndex:
     io = TableIO(spark, index_path)
     _recover_swapped_tables(io)
 
-    before = io.read("postings").count()
-
-    flat = io.read("postings").mapInPandas(
-        _decode_postings_flat, _FLAT_SCHEMA
+    live = io.read("postings")
+    shard_stats = (
+        live.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("segments"),
+            F.countDistinct("term").alias("terms"),
+        )
+        .collect()
     )
+    before = sum(int(r["segments"]) for r in shard_stats)
+
+    hot = None  # None = rewrite everything
+    if min_frag is not None:
+        hot = sorted(
+            int(r["shard"])
+            for r in shard_stats
+            if int(r["segments"]) >= min_frag * int(r["terms"])
+        )
+        if not hot:
+            return PackedIndex(
+                spark=spark, path=index_path, manifest=manifest
+            )
+        if len(hot) == len(shard_stats) or len(hot) > _MAX_ISIN_SHARDS:
+            hot = None
+
+    cold = None
+    src = live
+    if hot is not None:
+        pred = F.col("shard").isin(hot)  # In() prunes parquet row groups
+        src = live.filter(pred)
+        cold = live.filter(~pred)
+
+    flat = src.mapInPandas(_decode_postings_flat, _FLAT_SCHEMA)
     packed = flat.groupBy("shard").applyInPandas(
         _encode_group(span), POSTINGS_SCHEMA
     )
+    if cold is not None:
+        packed = packed.unionByName(cold.select(packed.columns))
     _replace_table(
         io, packed.repartition("shard").sortWithinPartitions("term"),
         "postings",
@@ -200,6 +254,10 @@ def compact_index(spark: SparkSession, index_path: str) -> PackedIndex:
             "doc_count": int(manifest["doc_count"]),
             "segments_before": int(before),
             "segments_after": int(after),
+            "shards_rewritten": (
+                len(hot) if hot is not None else len(shard_stats)
+            ),
+            "shards_total": len(shard_stats),
         }
     )
     # refresh the per-shard lineage audit trail

@@ -143,3 +143,63 @@ def test_crash_mid_swap_recovers(spark, tmp_path):
     # and the compaction rerun completes from the healed state
     cidx = compact_index(spark, path)
     assert _results(cidx) == want
+
+
+def test_selective_compaction_rewrites_only_fragmented_shards(
+    spark, tmp_path
+):
+    """min_frag mode: clean shards pass through byte-for-byte, only the
+    append-fragmented shards are decoded and re-encoded."""
+    path = str(tmp_path / "cidx5")
+    build_packed_index(
+        spark, _df(spark, 0, 40), _pre(), path,
+        id_col="id", order_cols=["id"], n_shards=2,
+    )
+    # micro-batches land entirely beyond the built range: shards 0-1
+    # (docs 0-39) stay canonical, the new tail shards fragment
+    bounds = [40, 47, 54, 61, 68, 75, 82, 89, 100]
+    for bid, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        idx = append_batch(spark, path, _df(spark, lo, hi), batch_id=bid)
+    before_res = _results(idx)
+    before_seg = _segments(idx)
+
+    def shard_rows(ix, shard):
+        rows = ix.io.read("postings").filter(f"shard = {shard}").collect()
+        return sorted(tuple(r) for r in rows)
+
+    clean_before = shard_rows(idx, 0)
+
+    cidx = compact_index(spark, path, min_frag=1.5)
+    comp = cidx.manifest["compactions"][-1]
+    assert 0 < comp["shards_rewritten"] < comp["shards_total"]
+    assert comp["segments_before"] == before_seg
+    assert _segments(cidx) < before_seg          # tail shards merged
+    assert _results(cidx) == before_res          # logical index unchanged
+    assert shard_rows(cidx, 0) == clean_before   # cold shard: byte-for-byte
+
+    # once canonical, the same threshold finds nothing: a true no-op —
+    # no table swap, no manifest write
+    n_comp = len(cidx.manifest["compactions"])
+    again = compact_index(spark, path, min_frag=1.5)
+    assert len(again.manifest.get("compactions", [])) == n_comp
+    assert _results(again) == before_res
+
+
+def test_selective_threshold_covering_everything_matches_full(
+    spark, tmp_path
+):
+    """min_frag low enough to select every shard must produce the same
+    table as the unconditional rewrite (the hot==all fast path)."""
+    pa, pb = str(tmp_path / "ca"), str(tmp_path / "cb")
+    for p in (pa, pb):
+        build_packed_index(
+            spark, _df(spark, 0, 30), _pre(), p, id_col="id",
+            order_cols=["id"], n_shards=2,
+        )
+        append_batch(spark, p, _df(spark, 30, 50), batch_id=0)
+    a = compact_index(spark, pa)                     # full
+    b = compact_index(spark, pb, min_frag=0.0)       # selective, all hot
+    ra = sorted(tuple(r) for r in a.io.read("postings").collect())
+    rb = sorted(tuple(r) for r in b.io.read("postings").collect())
+    assert ra == rb
+    assert _results(a) == _results(b)
