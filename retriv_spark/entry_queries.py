@@ -2096,6 +2096,22 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-smoothed mixture plan (ops/curation.py
+    mixture_plan_temperature): per-stratum targets from the XLM/mT5
+    ``p ∝ n^alpha`` rule at alpha=0.5, then the integer sampling
+    thresholds.  The single float op (``floor(n^alpha·1000 + .5)``)
+    runs driver-side through the same C libm DuckDB uses; every later
+    step is exact integer arithmetic, so the whole plan is
+    SQL-reproducible."""
+    from .ops.curation import mixture_plan_temperature
+
+    docs = _docs(spark, sf_dir)
+    return mixture_plan_temperature(
+        spark, docs, total_tokens=50_000, alpha=0.5, max_epochs=4
+    ).orderBy("stratum")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -2172,6 +2188,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_spans": q_strip_spans,
     "mixture_plan": q_mixture_plan,
     "mixture_sample": q_mixture_sample,
+    "mixture_temperature": q_mixture_temperature,
     "dedup_incremental": q_dedup_incremental,
 }
 
@@ -3730,6 +3747,31 @@ FROM e, unnest(generate_series(0, c)) AS u(epoch)
 WHERE epoch < c
    OR {_PH64.format(x="'mx|' || doc_id::VARCHAR")} % 10000 < f
 ORDER BY doc_id, epoch
+"""
+
+ORACLE_SQL["mixture_temperature"] = f"""
+WITH {_MIX_AVAIL_SQL},
+w AS (
+  SELECT source AS stratum, avail,
+         CAST(floor(pow(avail, 0.5) * 1000 + 0.5) AS BIGINT) AS weight
+  FROM avail WHERE avail > 0
+),
+tw AS (SELECT sum(weight)::BIGINT AS total_w FROM w),
+p AS (
+  SELECT w.stratum, w.avail::BIGINT AS avail_tokens, w.weight,
+         ((50000 * w.weight) // tw.total_w)::BIGINT AS target_tokens
+  FROM w, tw
+),
+t AS (
+  SELECT *,
+         greatest(least((target_tokens * 10000) // avail_tokens, 40000),
+                  0)::BIGINT AS threshold
+  FROM p
+)
+SELECT stratum, avail_tokens, weight, target_tokens, threshold,
+       (threshold // 10000)::BIGINT AS copies,
+       (threshold % 10000)::BIGINT AS frac_threshold
+FROM t ORDER BY stratum
 """
 
 ORACLE_SQL["dedup_incremental"] = """

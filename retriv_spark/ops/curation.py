@@ -41,10 +41,11 @@ build brief requires.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Optional
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -506,6 +507,124 @@ def mixture_sample(
     return out.where(
         (F.col(epoch_col) < F.col("_copies")) | (bucket < F.col("_frac"))
     ).drop("_copies", "_frac")
+
+
+def temperature_targets(
+    df: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+    weight_scale: int = 1000,
+) -> Dict[str, int]:
+    """Temperature-smoothed per-stratum token targets: the multilingual
+    XLM / mT5 mixing rule ``p_i ∝ n_i^alpha`` (Conneau & Lample 2019
+    §3.1; Xue et al. 2021 §3.2) — ``alpha < 1`` upweights low-resource
+    strata, ``alpha = 1`` is proportional (identity mixture), ``alpha =
+    0`` is uniform.  Returns absolute integer token targets summing to
+    ≤ ``total_tokens``, ready for :func:`mixture_plan` /
+    :func:`mixture_sample`.
+
+    Determinism/portability: the ONLY floating-point operation is
+    ``w_i = floor(n_i**alpha * weight_scale + 0.5)``, computed
+    DRIVER-SIDE in Python (C libm ``pow`` — the same bits DuckDB's
+    ``pow`` produces, pinned by the oracle pair); everything after is
+    exact integer arithmetic (``target_i = total * w_i div Σw``), so the
+    allocation is bit-identical across engines, runs, and cluster sizes.
+
+    Scale shape: one partial-aggregated ``groupBy(stratum)`` over a
+    two-column projection is the only corpus-sized work; the collect is
+    |strata| rows (mixing configs are dozens of domains).
+    """
+    if token_col is not None:
+        tok = F.col(token_col).cast("long")
+    else:
+        tok = (
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.size(tokens_col(F.col(text_col))),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    rows = (
+        df.select(F.col(strata_col).alias("stratum"), tok.alias("_t"))
+        .groupBy("stratum")
+        .agg(F.sum("_t").alias("avail"))
+        .collect()  # bounded: one row per stratum (domain/source/lang)
+    )
+    avail = {r.stratum: int(r.avail) for r in rows if int(r.avail) > 0}
+    w = {
+        k: int(math.floor(n**float(alpha) * weight_scale + 0.5))
+        for k, n in avail.items()
+    }
+    w = {k: v for k, v in w.items() if v > 0}
+    total_w = sum(w.values())
+    if total_w == 0:
+        return {}
+    return {
+        k: (int(total_tokens) * v) // total_w for k, v in sorted(w.items())
+    }
+
+
+def mixture_plan_temperature(
+    spark: SparkSession,
+    df: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+    weight_scale: int = 1000,
+    denom: int = 10_000,
+    max_epochs: int = 16,
+) -> DataFrame:
+    """Full temperature-mixture plan as a DataFrame: per stratum the
+    available tokens, the scaled weight ``n^alpha``, the allocated
+    target, and the :func:`mixture_plan` sampling threshold /
+    copies / fractional threshold — one corpus aggregation total (the
+    plan math re-runs on the collected |strata|-row stats rather than
+    re-scanning the corpus the way ``mixture_plan(targets)`` would).
+    Feed the ``(stratum → target_tokens)`` mapping — or this frame —
+    into :func:`mixture_sample` to materialize.
+    """
+    if token_col is not None:
+        tok = F.col(token_col).cast("long")
+    else:
+        tok = (
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.size(tokens_col(F.col(text_col))),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    rows = (
+        df.select(F.col(strata_col).alias("stratum"), tok.alias("_t"))
+        .groupBy("stratum")
+        .agg(F.sum("_t").alias("avail"))
+        .collect()  # bounded: one row per stratum
+    )
+    avail = {r.stratum: int(r.avail) for r in rows if int(r.avail) > 0}
+    w = {
+        k: int(math.floor(n**float(alpha) * weight_scale + 0.5))
+        for k, n in avail.items()
+    }
+    w = {k: v for k, v in w.items() if v > 0}
+    total_w = sum(w.values())
+    out = []
+    for k in sorted(w):
+        n, wk = avail[k], w[k]
+        tgt = (int(total_tokens) * wk) // total_w
+        thr = max(min((tgt * denom) // n, max_epochs * denom), 0)
+        out.append((k, n, wk, tgt, thr, thr // denom, thr % denom))
+    return spark.createDataFrame(
+        out,
+        "stratum string, avail_tokens long, weight long, "
+        "target_tokens long, threshold long, copies long, "
+        "frac_threshold long",
+    )
 
 
 # -- sessionization --------------------------------------------------------

@@ -530,6 +530,66 @@ def test_mixture_sample_token_col_and_empty(spark):
     assert empty.columns[-1] == "epoch" and empty.count() == 0
 
 
+def test_temperature_targets_math(spark, mix_df):
+    from retriv_spark.ops.curation import temperature_targets
+
+    # equal-size strata: any alpha splits the budget evenly
+    t = temperature_targets(mix_df, total_tokens=1000, alpha=0.5)
+    assert t == {f"src{i}": 250 for i in range(4)}
+
+    # unequal strata via a precomputed token column: a=100, b=400 tokens
+    df = spark.createDataFrame(
+        [(0, "a", 100), (1, "b", 400)],
+        "doc_id long, source string, n_tok long",
+    )
+    # alpha=0.5: w = (10000, 20000) -> (300, 600) of 900
+    assert temperature_targets(df, 900, alpha=0.5, token_col="n_tok") == {
+        "a": 300, "b": 600,
+    }
+    # alpha=1 is proportional: (180, 720)
+    assert temperature_targets(df, 900, alpha=1.0, token_col="n_tok") == {
+        "a": 180, "b": 720,
+    }
+    # alpha=0 is uniform
+    assert temperature_targets(df, 900, alpha=0.0, token_col="n_tok") == {
+        "a": 450, "b": 450,
+    }
+    # alpha<1 strictly upweights the low-resource stratum vs proportional
+    assert (
+        temperature_targets(df, 900, alpha=0.3, token_col="n_tok")["a"]
+        > 180
+    )
+    # empty corpus -> empty mapping
+    assert temperature_targets(df.limit(0), 900, token_col="n_tok") == {}
+
+
+def test_mixture_plan_temperature_matches_plan(spark, mix_df):
+    """The one-scan plan frame must agree with composing
+    temperature_targets into the two-scan mixture_plan."""
+    from retriv_spark.ops.curation import (
+        mixture_plan,
+        mixture_plan_temperature,
+        temperature_targets,
+    )
+
+    one = {
+        r.stratum: r
+        for r in mixture_plan_temperature(
+            spark, mix_df, total_tokens=3000, alpha=0.5, max_epochs=4
+        ).collect()
+    }
+    targets = temperature_targets(mix_df, total_tokens=3000, alpha=0.5)
+    two = {
+        r.stratum: r
+        for r in mixture_plan(mix_df, targets, max_epochs=4).collect()
+    }
+    assert set(one) == set(two) == {f"src{i}" for i in range(4)}
+    for k in one:
+        for col in ("avail_tokens", "target_tokens", "threshold",
+                    "copies", "frac_threshold"):
+            assert getattr(one[k], col) == getattr(two[k], col), (k, col)
+
+
 def test_source_reputation_gate(spark):
     from retriv_spark.ops.curation import (
         filter_by_source_reputation,
