@@ -1886,6 +1886,20 @@ def q_pack_sequences(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_deterministic_shuffle(spark, sf_dir):
+    """Reproducible training-order shuffle (ops/packing.py
+    deterministic_shuffle): total integer position as a pure function of
+    (salt, doc_id) — bucketed window rank + broadcast bucket offsets.
+    The oracle replays the (bucket, hash, id) total order with one
+    window."""
+    from .ops.packing import deterministic_shuffle
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return deterministic_shuffle(
+        docs, id_col="doc_id", n_buckets=16, salt="sh"
+    ).orderBy("doc_id")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding token windows (ops/packing.py chunk_documents):
     chunk_size=32, overlap=8.  Narrow array algebra; the oracle slices
@@ -2176,6 +2190,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "sessionize": q_sessionize,
     "pack_sequences": q_pack_sequences,
+    "deterministic_shuffle": q_deterministic_shuffle,
     "chunk_documents": q_chunk_documents,
     "boilerplate_stats": q_boilerplate_stats,
     "boilerplate_removal": q_boilerplate_removal,
@@ -3488,6 +3503,32 @@ SELECT doc_id, bucket::BIGINT AS bucket, n_tokens,
        (strt // 256)::BIGINT AS seq,
        (strt - 256 * (strt // 256))::BIGINT AS seq_offset
 FROM c ORDER BY doc_id
+"""
+
+ORACLE_SQL["deterministic_shuffle"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_PH64.format(x="'sh|' || doc_id::VARCHAR")} AS h
+  FROM documents
+),
+b AS (SELECT doc_id, h, h % 16 AS bucket FROM t),
+r AS (
+  SELECT doc_id, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1
+           AS rnk
+  FROM b
+),
+sz AS (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY bucket),
+off AS (
+  SELECT bucket,
+         coalesce(sum(n) OVER (ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off
+  FROM sz
+)
+SELECT r.doc_id, (off.off + r.rnk)::BIGINT AS shuffle_pos
+FROM r JOIN off USING (bucket)
+ORDER BY doc_id
 """
 
 ORACLE_SQL["chunk_documents"] = """

@@ -114,6 +114,68 @@ def sequence_stats(assigned: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "id",
+    n_buckets: int = 1024,
+    salt: str = "shuf",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Reproducible global training-order shuffle (the Dolma/olmo-style
+    "deterministic shuffle" step that fixes example order before
+    packing): every row gets a total integer position ``pos_col`` that
+    is a pure function of ``(salt, id)`` — identical on 8 cores or
+    8,000 executors, across engines, and across reruns, unlike
+    ``DataFrame.sample``/``rand()`` orderings.
+
+    Order definition: rows sort by ``(bucket, h, id)`` where ``h =
+    portable_hash64(salt || '|' || id)`` and ``bucket = h % n_buckets``;
+    the position is the 0-based rank in that total order.  A different
+    ``salt`` draws an independent permutation (epoch reshuffles).
+
+    Scale shape: ONE shuffle keyed on ``bucket`` (``n_buckets >>
+    executors`` bounds per-task sort size — 2**17 at petabyte scale);
+    within-bucket rank is a window sort over that partition.  The
+    bucket offsets that turn per-bucket ranks into the global position
+    come from an ``n_buckets``-row aggregate joined back by broadcast —
+    the document body never shuffles if you project ``(id)`` first and
+    join the order back on ``id``.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    h = portable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
+    withb = df.withColumn("_h", h).withColumn(
+        "_bucket", F.pmod(F.col("_h"), F.lit(n_buckets))
+    )
+    w = Window.partitionBy("_bucket").orderBy("_h", id_col)
+    ranked = withb.withColumn("_rank", F.row_number().over(w) - 1)
+    sizes = (
+        withb.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bucket", "_offset")
+    )
+    return (
+        ranked.join(F.broadcast(sizes), "_bucket")
+        .withColumn(
+            pos_col, (F.col("_offset") + F.col("_rank")).cast("long")
+        )
+        .drop("_h", "_bucket", "_rank", "_offset")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int,

@@ -188,3 +188,62 @@ def test_chunk_reassembly_roundtrip(spark):
         .collect()
     ]
     assert " ".join(parts) == " ".join(text.split())
+
+
+# -- deterministic shuffle ----------------------------------------------------
+
+
+def _python_shuffle(ids, n_buckets, salt):
+    """Reference total order in plain Python: sort by (bucket, h, id),
+    position = rank."""
+    keyed = sorted(
+        (
+            _ph64(f"{salt}|{i}") % n_buckets,
+            _ph64(f"{salt}|{i}"),
+            i,
+        )
+        for i in ids
+    )
+    return {i: pos for pos, (_, _, i) in enumerate(keyed)}
+
+
+def test_deterministic_shuffle_matches_python(spark):
+    from retriv_spark.ops.packing import deterministic_shuffle
+
+    ids = ["d%03d" % i for i in range(100)]
+    df = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = {
+        r.id: r.shuffle_pos
+        for r in deterministic_shuffle(
+            df, id_col="id", n_buckets=7, salt="s"
+        ).collect()
+    }
+    assert got == _python_shuffle(ids, 7, "s")
+    # bijection onto 0..n-1
+    assert sorted(got.values()) == list(range(100))
+
+
+def test_deterministic_shuffle_parallelism_and_salt(spark):
+    from retriv_spark.ops.packing import deterministic_shuffle
+
+    ids = [("r%02d" % i,) for i in range(60)]
+    a = spark.createDataFrame(ids, "id string").repartition(1)
+    b = spark.createDataFrame(ids, "id string").repartition(13)
+    pa = {
+        r.id: r.shuffle_pos
+        for r in deterministic_shuffle(a, id_col="id", salt="e0").collect()
+    }
+    pb = {
+        r.id: r.shuffle_pos
+        for r in deterministic_shuffle(b, id_col="id", salt="e0").collect()
+    }
+    assert pa == pb  # identical order at any parallelism
+    pc = {
+        r.id: r.shuffle_pos
+        for r in deterministic_shuffle(a, id_col="id", salt="e1").collect()
+    }
+    assert pc != pa  # a different salt draws a different permutation
+    assert sorted(pc.values()) == sorted(pa.values())
+
+    with pytest.raises(ValueError):
+        deterministic_shuffle(a, id_col="id", n_buckets=0)
