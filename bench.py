@@ -36,6 +36,7 @@ HEADLINE = [
     "wordpiece_count",
     "wordpiece_encode",
     "quality_features",
+    "entropy_features",
     "lang_id",
     "fingerprint",
     "dedup_embedding",
@@ -62,6 +63,8 @@ HEADLINE = [
     "quality_filter",
     "strip_spans",
     "mixture_sample",
+    "mixture_temperature",
+    "deterministic_shuffle",
     "dedup_incremental",
 ]
 

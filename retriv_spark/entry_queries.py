@@ -724,6 +724,27 @@ def q_kmeans_int8(spark, sf_dir):
     return kmeans_int8(emb, k=4, n_iter=2).orderBy("vec_id")
 
 
+def q_entropy_features(spark, sf_dir):
+    """Shannon-entropy quality signals (ops/textstats.py with_entropy):
+    char/token entropy + exact distinct-token count via one
+    Arrow-batched projection.  Entropies are float64 with libm log2 on
+    both sides; rounded to 4 decimals for the cross-engine hash (the
+    bm25-pair convention)."""
+    from .ops.textstats import with_entropy
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return (
+        with_entropy(docs)
+        .select(
+            "doc_id",
+            F.round("char_entropy", 4).alias("char_entropy"),
+            F.round("token_entropy", 4).alias("token_entropy"),
+            "n_distinct_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_quality_features(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = tokens_col(F.col("text"))
@@ -2162,6 +2183,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "minhash_incremental": q_minhash_incremental,
     "quality_features": q_quality_features,
+    "entropy_features": q_entropy_features,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -3813,6 +3835,39 @@ SELECT stratum, avail_tokens, weight, target_tokens, threshold,
        (threshold // 10000)::BIGINT AS copies,
        (threshold % 10000)::BIGINT AS frac_threshold
 FROM t ORDER BY stratum
+"""
+
+ORACLE_SQL["entropy_features"] = r"""
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 1) AS c
+  FROM documents, unnest(generate_series(1, len(text))) AS u(i)
+),
+cc AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+ce AS (
+  SELECT doc_id,
+         log2(sum(k)) - sum(k * log2(k)) / sum(k) AS char_entropy
+  FROM cc GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+tc AS (SELECT doc_id, w, count(*)::DOUBLE AS k FROM tok GROUP BY 1, 2),
+te AS (
+  SELECT doc_id,
+         log2(sum(k)) - sum(k * log2(k)) / sum(k) AS token_entropy,
+         count(*)::BIGINT AS n_distinct_tokens
+  FROM tc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(ce.char_entropy, 0.0), 4) AS char_entropy,
+       round(coalesce(te.token_entropy, 0.0), 4) AS token_entropy,
+       coalesce(te.n_distinct_tokens, 0)::BIGINT AS n_distinct_tokens
+FROM documents d
+LEFT JOIN ce USING (doc_id) LEFT JOIN te USING (doc_id)
+ORDER BY d.doc_id
 """
 
 ORACLE_SQL["dedup_incremental"] = """

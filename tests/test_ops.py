@@ -938,3 +938,71 @@ def test_minhash_novel_against_bucket_cap(spark):
         r["id"]: r for r in minhash_novel_against(new, prior).collect()
     }
     assert uncapped[0]["n_prior_candidates"] == 40
+
+
+def test_entropy_features_hand_values(spark):
+    import math
+
+    from retriv_spark.ops.textstats import with_entropy
+
+    df = spark.createDataFrame(
+        [
+            (0, "aabb"),          # chars a:2 b:2 -> 1 bit; one token
+            (1, "a b a b"),       # tokens a:2 b:2 -> 1 bit
+            (2, "aaaa"),          # zero entropy
+            (3, ""),              # empty -> 0 bits, 0 tokens
+            (4, None),            # NULL counts as empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in with_entropy(df).collect()}
+    assert got[0].char_entropy == pytest.approx(1.0)
+    assert got[0].n_distinct_tokens == 1
+    assert got[0].token_entropy == 0.0
+    assert got[1].token_entropy == pytest.approx(1.0)
+    # "a b a b": a:2 b:2 space:3 over n=7
+    want = math.log2(7) - (2 * 1.0 + 2 * 1.0 + 3 * math.log2(3)) / 7
+    assert got[1].char_entropy == pytest.approx(want)
+    assert got[2].char_entropy == 0.0 and got[2].token_entropy == 0.0
+    for d in (3, 4):
+        assert (got[d].char_entropy, got[d].token_entropy,
+                got[d].n_distinct_tokens) == (0.0, 0.0, 0)
+
+
+def test_entropy_features_python_differential(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from retriv_spark.ops.textstats import with_entropy
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            " ".join(
+                rng.choice(["ab", "cd", "efg", "x", "longword"])
+                for _ in range(rng.randint(1, 30))
+            ),
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ent(counts):
+        n = sum(counts)
+        return (
+            math.log2(n) - sum(k * math.log2(k) for k in counts) / n
+            if n
+            else 0.0
+        )
+
+    got = {r.doc_id: r for r in with_entropy(df).collect()}
+    for i, text in rows:
+        assert got[i].char_entropy == pytest.approx(
+            ent(list(Counter(text).values())), abs=1e-12
+        )
+        assert got[i].token_entropy == pytest.approx(
+            ent(list(Counter(text.split()).values())), abs=1e-12
+        )
+        assert got[i].n_distinct_tokens == len(set(text.split()))
