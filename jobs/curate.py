@@ -1,0 +1,95 @@
+"""spark-submit entry point: checkpoint-resumable curation pipeline.
+
+Runs the standard clean -> quality gate -> entropy gate -> exact dedup
+-> deterministic shuffle chain (ops/pipeline.py) over a parquet
+document table, checkpointing every stage into the work dir.  Re-running
+the same command resumes from the first incomplete stage; a changed
+configuration fails fast unless --force.
+
+Examples:
+  spark-submit --py-files retriv_spark.zip jobs/curate.py \
+      --input /data/docs --work /curation/run1 --id-col doc_id
+
+  python jobs/curate.py --input /root/testdata/sf0.01/documents.parquet \
+      --work /tmp/cur1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="parquet path of the document table")
+    ap.add_argument("--work", required=True,
+                    help="work dir for stage checkpoints + manifest")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--min-char-entropy", type=float, default=2.0)
+    ap.add_argument("--shuffle-salt", default="cur")
+    ap.add_argument("--no-terminal-punct", action="store_true",
+                    help="disable the C4 terminal-punctuation line rule "
+                         "(for corpora without sentence punctuation)")
+    ap.add_argument("--prose-corpus", action="store_true",
+                    help="enable the C4 brace gate (off by default for "
+                         "source code)")
+    ap.add_argument("--force", action="store_true",
+                    help="discard an existing incompatible manifest")
+    args = ap.parse_args()
+
+    from retriv_spark.ops.pipeline import (
+        run_pipeline,
+        standard_curation_stages,
+    )
+    from retriv_spark.session import get_spark
+
+    spark = get_spark(app_name="retriv-curate")
+    spark.sparkContext.setLogLevel("WARN")
+
+    stages = standard_curation_stages(
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_tokens=args.min_tokens,
+        min_char_entropy=args.min_char_entropy,
+        shuffle_salt=args.shuffle_salt,
+        code_corpus=not args.prose_corpus,
+        require_terminal_punct=not args.no_terminal_punct,
+    )
+    t0 = time.perf_counter()
+    df, manifest = run_pipeline(
+        spark, spark.read.parquet(args.input), stages, args.work,
+        force=args.force,
+    )
+    print(
+        json.dumps(
+            {
+                "work": args.work,
+                "seconds": round(time.perf_counter() - t0, 2),
+                "stages": {
+                    name: {
+                        k: ent[k]
+                        for k in ("rows_out", "n_files", "seconds")
+                    }
+                    for name, ent in manifest["stages"].items()
+                },
+                "final_rows": manifest["stages"][stages[-1].name][
+                    "rows_out"
+                ],
+            },
+            sort_keys=True,
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

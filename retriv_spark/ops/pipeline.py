@@ -1,0 +1,240 @@
+"""Checkpoint-resumable curation pipeline runner.
+
+The north-rule discipline the index build already has — staged writes,
+a JSON manifest of completed stages, per-partition lineage, idempotent
+resume — applied to the curation loop (clean → gate → dedup → mix →
+shuffle).  A 100 TB curation run is hours of cluster time across many
+stages; when an executor pool dies at stage 5 of 7 the rerun must not
+repeat stages 1-4.
+
+Design:
+
+* Each stage is a named ``DataFrame -> DataFrame`` function plus a
+  ``params`` dict that feeds the pipeline's CONFIG SIGNATURE; the
+  signature is stored in the manifest and a resume with different
+  stages/params fails fast instead of silently mixing outputs
+  (``force=True`` starts over).
+* Stage outputs are parquet directories under the work dir, written to
+  ``<out>__staging`` and atomically renamed — a crash mid-write leaves
+  the previous state intact (the same swap discipline as
+  ``index/compact.py``).  The manifest entry is written only AFTER the
+  rename; a crash in between simply recomputes that stage on rerun
+  (stages are deterministic, so the overwrite is idempotent).
+* Per-partition lineage is read from the parquet FOOTERS (pyarrow
+  metadata — no Spark job): every output file's row count is recorded,
+  so an auditor can verify rows_out = Σ file rows without a scan.
+* Resume reads the completed stage's parquet instead of recomputing —
+  which also truncates the logical plan (each stage is a materialization
+  barrier, the iterative-lineage guard Spark needs at this depth).
+
+Scale notes: the runner adds NO Spark work beyond the stages themselves
+(footer reads are driver-side file metadata); each stage's shuffle
+behaviour is its own documented contract (see docs/PLANS.md).  The
+file-lineage list is capped (``MAX_LINEAGE_FILES``) so a million-file
+stage records a truncated sample plus exact totals.
+
+No counterpart in the reference (batch-rebuild only,
+sparse_retriever.py:201-226); this covers the build brief's
+checkpoint-resume requirement for the training-data pipeline ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+MAX_LINEAGE_FILES = 4096
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[DataFrame], DataFrame]
+    params: Dict = field(default_factory=dict)
+
+
+def _config_signature(stages: List[Stage]) -> str:
+    payload = json.dumps(
+        [[s.name, dict(sorted(s.params.items()))] for s in stages],
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _manifest_path(work_dir: str) -> str:
+    return os.path.join(work_dir, "pipeline_manifest.json")
+
+
+def _load_manifest(work_dir: str) -> Optional[dict]:
+    try:
+        with open(_manifest_path(work_dir)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _write_manifest(work_dir: str, manifest: dict) -> None:
+    os.makedirs(work_dir, exist_ok=True)
+    tmp = _manifest_path(work_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, _manifest_path(work_dir))
+
+
+def _file_lineage(out_dir: str) -> Tuple[int, int, List[dict], bool]:
+    """(rows, n_files, per-file lineage, truncated) from parquet footers
+    only — no Spark job, no data scan."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    rows = 0
+    lineage = []
+    for f in files:
+        n = pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        rows += int(n)
+        if len(lineage) < MAX_LINEAGE_FILES:
+            lineage.append({"file": f, "rows": int(n)})
+    return rows, len(files), lineage, len(files) > MAX_LINEAGE_FILES
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_df: DataFrame,
+    stages: List[Stage],
+    work_dir: str,
+    force: bool = False,
+) -> Tuple[DataFrame, dict]:
+    """Run ``stages`` over ``input_df`` with per-stage checkpointing.
+
+    Returns ``(final DataFrame, manifest)``.  A completed stage (marked
+    in the manifest AND present on disk) is read back instead of
+    recomputed; the first incomplete stage and everything after it run
+    live.  ``force=True`` discards any existing manifest/outputs (use
+    after changing stage logic without renaming it — the signature only
+    sees names + params).
+    """
+    names = [s.name for s in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+    sig = _config_signature(stages)
+    manifest = None if force else _load_manifest(work_dir)
+    if manifest is not None and manifest.get("config_sig") != sig:
+        raise ValueError(
+            "work dir holds a pipeline with a different configuration "
+            f"(manifest sig {manifest.get('config_sig')!r} != {sig!r}); "
+            "pass force=True to start over or use a fresh work dir"
+        )
+    if manifest is None:
+        if os.path.isdir(work_dir):
+            for entry in os.listdir(work_dir):
+                p = os.path.join(work_dir, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        manifest = {"config_sig": sig, "stages": {}}
+        _write_manifest(work_dir, manifest)
+
+    df = input_df
+    for i, st in enumerate(stages):
+        out = os.path.join(work_dir, f"stage_{i:02d}_{st.name}")
+        ent = manifest["stages"].get(st.name)
+        if ent and ent.get("completed") and os.path.isdir(out):
+            df = spark.read.parquet(out)
+            continue
+        t0 = time.perf_counter()
+        result = st.fn(df)
+        staging = out + "__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        result.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(staging, out)
+        rows, n_files, lineage, truncated = _file_lineage(out)
+        manifest["stages"][st.name] = {
+            "completed": True,
+            "stage_index": i,
+            "rows_out": rows,
+            "n_files": n_files,
+            "seconds": round(time.perf_counter() - t0, 3),
+            "params": {k: str(v) for k, v in sorted(st.params.items())},
+            "files": lineage,
+            "files_truncated": truncated,
+        }
+        _write_manifest(work_dir, manifest)
+        df = spark.read.parquet(out)
+    return df, manifest
+
+
+def standard_curation_stages(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    min_char_entropy: float = 2.0,
+    shuffle_salt: str = "cur",
+    code_corpus: bool = True,
+    require_terminal_punct: bool = True,
+) -> List[Stage]:
+    """The default clean → gate → dedup → shuffle chain from the ops
+    this package ships.  Each stage's scale contract is documented on
+    the op itself; the chain drops rows only at gates and dedup.
+    """
+    from .curation import c4_clean, quality_filter
+    from .dedup import exact_dedup
+    from .packing import deterministic_shuffle
+    from .textstats import with_entropy
+
+    def s_clean(df: DataFrame) -> DataFrame:
+        cleaned = c4_clean(
+            df,
+            text_col=text_col,
+            min_words_per_line=3,
+            min_lines=1,
+            require_terminal_punct=require_terminal_punct,
+            drop_brace_docs=not code_corpus,
+        )
+        return (
+            cleaned.where("keep")
+            .drop(text_col, "keep", "n_lines_kept")
+            .withColumnRenamed(f"{text_col}_clean", text_col)
+        )
+
+    def s_quality(df: DataFrame) -> DataFrame:
+        return quality_filter(
+            df, text_col=text_col, min_tokens=min_tokens, min_stop_hits=0
+        ).where("keep").drop("keep", "reasons")
+
+    def s_entropy(df: DataFrame) -> DataFrame:
+        return (
+            with_entropy(df, text_col=text_col)
+            .where(f"char_entropy >= {float(min_char_entropy)}")
+            .drop("char_entropy", "token_entropy", "n_distinct_tokens")
+        )
+
+    def s_dedup(df: DataFrame) -> DataFrame:
+        return exact_dedup(
+            df, text_col=text_col, id_col=id_col, canonicalize=True
+        )
+
+    def s_shuffle(df: DataFrame) -> DataFrame:
+        return deterministic_shuffle(df, id_col=id_col, salt=shuffle_salt)
+
+    return [
+        Stage("c4_clean", s_clean,
+              {"min_words_per_line": 3, "min_lines": 1,
+               "code_corpus": code_corpus,
+               "require_terminal_punct": require_terminal_punct}),
+        Stage("quality_gate", s_quality, {"min_tokens": min_tokens}),
+        Stage("entropy_gate", s_entropy,
+              {"min_char_entropy": min_char_entropy}),
+        Stage("exact_dedup", s_dedup, {"canonicalize": True}),
+        Stage("shuffle", s_shuffle, {"salt": shuffle_salt}),
+    ]

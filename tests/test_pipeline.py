@@ -1,0 +1,138 @@
+"""Checkpoint-resumable curation pipeline (ops/pipeline.py): end-to-end
+chain, resume-skips-completed, crash-mid-stage recovery, lineage
+integrity, and config-signature fail-fast."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.pipeline import (
+    Stage,
+    run_pipeline,
+    standard_curation_stages,
+)
+
+
+@pytest.fixture(scope="module")
+def cur_docs(spark):
+    rows = []
+    for i in range(40):
+        body = " ".join(f"tok{i}w{j} word{j} more{j}" for j in range(12))
+        rows.append((i, f"Line one of doc {i} is fine. {body}."))
+    # exact duplicates (canonicalized whitespace) of doc 0
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1].replace(" ", "  ")))  # spacing variant
+    # low-entropy garbage and too-short rows the gates must drop
+    rows.append((102, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa aaaa aaaa."))
+    rows.append((103, "short."))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _positions(df):
+    return {r.doc_id: r.shuffle_pos for r in df.collect()}
+
+
+def test_standard_chain_end_to_end(spark, cur_docs, tmp_path):
+    work = str(tmp_path / "p1")
+    out, manifest = run_pipeline(
+        spark, cur_docs, standard_curation_stages(), work
+    )
+    got = _positions(out)
+    # dups collapsed to the first occurrence, garbage/short gated out
+    assert 0 in got and 100 not in got and 101 not in got
+    assert 102 not in got and 103 not in got
+    assert sorted(got.values()) == list(range(len(got)))
+    # every stage completed with footer-lineage that sums to rows_out
+    assert set(manifest["stages"]) == {
+        "c4_clean", "quality_gate", "entropy_gate", "exact_dedup",
+        "shuffle",
+    }
+    for name, ent in manifest["stages"].items():
+        assert ent["completed"], name
+        assert ent["rows_out"] == sum(f["rows"] for f in ent["files"])
+    assert manifest["stages"]["shuffle"]["rows_out"] == len(got)
+
+
+def test_resume_skips_completed_stages(spark, cur_docs, tmp_path):
+    work = str(tmp_path / "p2")
+    calls = {"a": 0, "b": 0}
+
+    def mk(name, fn):
+        def wrapped(df):
+            calls[name] += 1
+            return fn(df)
+
+        return wrapped
+
+    stages = [
+        Stage("a", mk("a", lambda df: df.where("doc_id < 100"))),
+        Stage("b", mk("b", lambda df: df.withColumn(
+            "flag", F.lit(1)))),
+    ]
+    first, m1 = run_pipeline(spark, cur_docs, stages, work)
+    assert calls == {"a": 1, "b": 1}
+    again, m2 = run_pipeline(spark, cur_docs, stages, work)
+    assert calls == {"a": 1, "b": 1}  # nothing recomputed
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in first.collect()
+    )
+
+
+def test_crash_mid_stage_recovers(spark, cur_docs, tmp_path):
+    """A stage that dies mid-write leaves only __staging; the rerun
+    recomputes that stage and completes."""
+    work = str(tmp_path / "p3")
+
+    state = {"boom": True}
+
+    def flaky(df):
+        out = df.where("doc_id < 50")
+        if state["boom"]:
+            # simulate dying after partial work: write garbage staging
+            os.makedirs(
+                os.path.join(work, "stage_01_flaky__staging"),
+                exist_ok=True,
+            )
+            raise RuntimeError("executor pool died")
+        return out
+
+    stages = [
+        Stage("head", lambda df: df.where("doc_id >= 0")),
+        Stage("flaky", flaky),
+    ]
+    with pytest.raises(RuntimeError):
+        run_pipeline(spark, cur_docs, stages, work)
+    # stage 0 completed and is not recomputed on rerun
+    m = __import__(
+        "retriv_spark.ops.pipeline", fromlist=["_load_manifest"]
+    )._load_manifest(work)
+    assert m["stages"]["head"]["completed"]
+    assert "flaky" not in m["stages"]
+
+    state["boom"] = False
+    out, manifest = run_pipeline(spark, cur_docs, stages, work)
+    assert manifest["stages"]["flaky"]["completed"]
+    assert out.count() == 40  # ids 0..39; 100/101/102/103 are >= 50
+    assert not os.path.exists(
+        os.path.join(work, "stage_01_flaky__staging")
+    )
+
+
+def test_config_signature_fail_fast(spark, cur_docs, tmp_path):
+    work = str(tmp_path / "p4")
+    s1 = [Stage("only", lambda df: df, {"v": 1})]
+    run_pipeline(spark, cur_docs, s1, work)
+    s2 = [Stage("only", lambda df: df, {"v": 2})]
+    with pytest.raises(ValueError, match="different configuration"):
+        run_pipeline(spark, cur_docs, s2, work)
+    # force starts over cleanly
+    out, _ = run_pipeline(spark, cur_docs, s2, work, force=True)
+    assert out.count() == cur_docs.count()
+
+    with pytest.raises(ValueError, match="duplicate stage names"):
+        run_pipeline(
+            spark, cur_docs,
+            [Stage("x", lambda d: d), Stage("x", lambda d: d)],
+            str(tmp_path / "p5"),
+        )
