@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--min-char-entropy", type=float, default=2.0)
     ap.add_argument("--shuffle-salt", default="cur")
+    ap.add_argument("--prior", default=None,
+                    help="parquet path of the prior-snapshot table: adds "
+                         "an incremental stage that drops rows already "
+                         "present (canonicalized digest) before anything "
+                         "else runs")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet path of eval-set texts: adds an n-gram "
+                         "decontamination stage after dedup")
     ap.add_argument("--no-terminal-punct", action="store_true",
                     help="disable the C4 terminal-punctuation line rule "
                          "(for corpora without sentence punctuation)")
@@ -63,6 +71,12 @@ def main():
         shuffle_salt=args.shuffle_salt,
         code_corpus=not args.prose_corpus,
         require_terminal_punct=not args.no_terminal_punct,
+        prior_df=(
+            spark.read.parquet(args.prior) if args.prior else None
+        ),
+        benchmark_df=(
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        ),
     )
     t0 = time.perf_counter()
     df, manifest = run_pipeline(

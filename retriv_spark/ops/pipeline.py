@@ -182,13 +182,23 @@ def standard_curation_stages(
     shuffle_salt: str = "cur",
     code_corpus: bool = True,
     require_terminal_punct: bool = True,
+    prior_df: Optional[DataFrame] = None,
+    benchmark_df: Optional[DataFrame] = None,
+    decontam_threshold: float = 0.5,
 ) -> List[Stage]:
     """The default clean → gate → dedup → shuffle chain from the ops
     this package ships.  Each stage's scale contract is documented on
     the op itself; the chain drops rows only at gates and dedup.
+
+    ``prior_df``: the nightly-increment shape — an ``incremental``
+    stage drops rows whose canonicalized digest already exists in the
+    prior snapshot (``flag_in_prior``) before anything else runs, so
+    the expensive stages see only genuinely new documents.
+    ``benchmark_df``: adds a ``decontaminate`` stage (n-gram overlap vs
+    the eval sets) after dedup.
     """
-    from .curation import c4_clean, quality_filter
-    from .dedup import exact_dedup
+    from .curation import c4_clean, decontaminate, quality_filter
+    from .dedup import exact_dedup, flag_in_prior
     from .packing import deterministic_shuffle
     from .textstats import with_entropy
 
@@ -227,7 +237,30 @@ def standard_curation_stages(
     def s_shuffle(df: DataFrame) -> DataFrame:
         return deterministic_shuffle(df, id_col=id_col, salt=shuffle_salt)
 
-    return [
+    def s_incremental(df: DataFrame) -> DataFrame:
+        return (
+            flag_in_prior(
+                df, prior_df, text_col=text_col, canonicalize=True
+            )
+            .where("in_prior = 0")
+            .drop("in_prior")
+        )
+
+    def s_decontam(df: DataFrame) -> DataFrame:
+        return decontaminate(
+            df,
+            benchmark_df,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=decontam_threshold,
+        )
+
+    stages: List[Stage] = []
+    if prior_df is not None:
+        stages.append(
+            Stage("incremental", s_incremental, {"canonicalize": True})
+        )
+    stages += [
         Stage("c4_clean", s_clean,
               {"min_words_per_line": 3, "min_lines": 1,
                "code_corpus": code_corpus,
@@ -236,5 +269,11 @@ def standard_curation_stages(
         Stage("entropy_gate", s_entropy,
               {"min_char_entropy": min_char_entropy}),
         Stage("exact_dedup", s_dedup, {"canonicalize": True}),
-        Stage("shuffle", s_shuffle, {"salt": shuffle_salt}),
     ]
+    if benchmark_df is not None:
+        stages.append(
+            Stage("decontaminate", s_decontam,
+                  {"threshold": decontam_threshold, "n": 3}),
+        )
+    stages.append(Stage("shuffle", s_shuffle, {"salt": shuffle_salt}))
+    return stages

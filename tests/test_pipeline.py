@@ -136,3 +136,33 @@ def test_config_signature_fail_fast(spark, cur_docs, tmp_path):
             [Stage("x", lambda d: d), Stage("x", lambda d: d)],
             str(tmp_path / "p5"),
         )
+
+
+def test_incremental_and_decontaminate_stages(spark, cur_docs, tmp_path):
+    """prior_df prepends an incremental stage; benchmark_df appends a
+    decontamination stage — both drop exactly the expected rows."""
+    # prior snapshot holds docs 0-9 verbatim
+    prior = cur_docs.where("doc_id < 10").select("text")
+    # benchmark quotes doc 20's text -> 3-gram overlap 100%
+    bench = cur_docs.where("doc_id = 20").select(
+        F.col("text").alias("bench_text")
+    )
+    stages = standard_curation_stages(
+        prior_df=prior,
+        benchmark_df=bench.withColumnRenamed("bench_text", "text"),
+    )
+    assert [s.name for s in stages] == [
+        "incremental", "c4_clean", "quality_gate", "entropy_gate",
+        "exact_dedup", "decontaminate", "shuffle",
+    ]
+    out, manifest = run_pipeline(
+        spark, cur_docs, stages, str(tmp_path / "p6")
+    )
+    got = set(r.doc_id for r in out.collect())
+    assert got.isdisjoint(set(range(10)))  # prior rows dropped up front
+    assert 20 not in got                   # contaminated row dropped
+    assert 21 in got and 39 in got
+    # dups of doc 0 (ids 100/101) also die at incremental: same
+    # canonical digest as prior row 0
+    assert 100 not in got and 101 not in got
+    assert manifest["stages"]["incremental"]["rows_out"] == 32
