@@ -1894,6 +1894,29 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, gap_s=900).orderBy("user_id", "session_idx")
 
 
+def q_windowed_events(spark, sf_dir):
+    """Event-time tumbling-window rollup (streaming/windows.py
+    windowed_event_stats, batch mode — the same plan the streaming path
+    runs with a watermark): per (1-day window, event_type) counts and
+    value sums.  Epoch-aligned windows match DuckDB's time_bucket;
+    window bounds compare as timestamps, value_sum at the 4-decimal
+    convention."""
+    from .streaming.windows import windowed_event_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        windowed_event_stats(ev, window_duration="1 day")
+        .select(
+            "window_start",
+            "window_end",
+            "event_type",
+            "n_events",
+            F.round("value_sum", 4).alias("value_sum"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-then-split sequence packing (ops/packing.py
     assign_sequences): deterministic (bucket, id) layout cut every 256
@@ -2213,6 +2236,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "pack_sequences": q_pack_sequences,
     "deterministic_shuffle": q_deterministic_shuffle,
+    "windowed_events": q_windowed_events,
     "chunk_documents": q_chunk_documents,
     "boilerplate_stats": q_boilerplate_stats,
     "boilerplate_removal": q_boilerplate_removal,
@@ -3835,6 +3859,17 @@ SELECT stratum, avail_tokens, weight, target_tokens, threshold,
        (threshold // 10000)::BIGINT AS copies,
        (threshold % 10000)::BIGINT AS frac_threshold
 FROM t ORDER BY stratum
+"""
+
+ORACLE_SQL["windowed_events"] = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
 """
 
 ORACLE_SQL["entropy_features"] = r"""

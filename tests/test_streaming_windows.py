@@ -1,0 +1,101 @@
+"""Watermarked event-time window aggregation (streaming/windows.py):
+batch ≡ streaming parity, exactly-once finalized windows via the file
+sink, and watermark late-data drop semantics."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+
+
+def _mk(spark, src, name, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / name))
+
+
+def test_batch_mode_matches_manual_groupby(spark):
+    from retriv_spark.streaming.windows import windowed_event_stats
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, T + dt.timedelta(minutes=37 * i), "t%d" % (i % 2), float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.value_sum)
+        for r in windowed_event_stats(df, "1 hour").collect()
+    }
+    want = {}
+    for i, ts, et, v in rows:
+        start = ts.replace(minute=0, second=0, microsecond=0)
+        k = (str(start), et)
+        n, s = want.get(k, (0, 0.0))
+        want[k] = (n + 1, s + v)
+    assert got == want
+    # sliding windows: every row lands in exactly 2 windows at slide=1/2
+    slid = windowed_event_stats(df, "1 hour", slide="30 minutes")
+    assert (
+        slid.agg(F.sum("n_events")).collect()[0][0] == 2 * len(rows)
+    )
+
+
+def test_stream_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode streaming windows: a row arriving after the watermark
+    passed its window's end is dropped; finalized windows are emitted
+    exactly once with on-time rows only."""
+    from retriv_spark.streaming.windows import stream_windowed_stats
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "wout"), str(tmp_path / "wckpt")
+    T = dt.datetime(2024, 1, 1)
+
+    def at(h, m):
+        return T.replace(hour=h, minute=m)
+
+    # batch 1: two clicks in [10:00,11:00); a 12:30 event pushes the
+    # watermark (delay 1h) to 11:30 > 11:00, finalizing that window
+    _mk(spark, src, "b1", [
+        (1, at(10, 0), "click", 1.0),
+        (2, at(10, 40), "click", 2.0),
+        (3, at(12, 30), "view", 1.0),
+    ])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = stream_windowed_stats(
+        stream, out, ckpt, window_duration="1 hour", watermark="1 hour"
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE click at 10:50 (watermark already 11:30 —
+        # must be dropped) plus a 14:30 event advancing to 13:30
+        _mk(spark, src, "b2", [
+            (4, at(10, 50), "click", 100.0),
+            (5, at(14, 30), "view", 1.0),
+        ])
+        q.processAllAvailable()
+        # batch 3: far-future row flushes every earlier window
+        _mk(spark, src, "b3", [(6, at(20, 0), "flush", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.value_sum)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the finalized [10,11) window holds ONLY the two on-time clicks —
+    # the late 100.0 row is nowhere in the output
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert all(v[1] < 100.0 for v in got.values())
+    # on-time windows emitted exactly once each
+    assert got[("2024-01-01 12:00:00", "view")] == (1, 1.0)
+    assert got[("2024-01-01 14:00:00", "view")] == (1, 1.0)
+    # the flush window itself is still open (watermark 19:00) — absent
+    assert all(not k[0].startswith("2024-01-01 20") for k in got)
