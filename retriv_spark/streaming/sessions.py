@@ -1,0 +1,171 @@
+"""Streaming sessionization — a CUSTOM STATEFUL operator via
+``applyInPandasWithState``.
+
+The batch twin (``ops/curation.py::sessionize``) is a window function;
+in a stream the per-user "previous event" lives across micro-batches,
+so it becomes explicit state: one open session per user, continued or
+closed as that user's events arrive, with an EVENT-TIME TIMEOUT closing
+sessions whose gap elapses without new data (the watermark drives the
+timeout clock, so idle-session state cannot accumulate forever — the
+property that matters at 100 TB of events/day).
+
+Emission contract (append semantics): a session row is emitted exactly
+when it CLOSES — either a new event from the same user lands more than
+``gap_s`` after the session's last event, or the event-time timeout
+fires (watermark passed last event + gap).  Output schema matches the
+batch ``session_stats`` rollup: ``(user_id, session_idx, n_events,
+span_us, first_event, last_event)`` — integral columns only, so
+streaming ≡ batch is an exact-equality test, not a float comparison.
+
+Ordering caveat (stated, not hidden): events are sorted by (ts,
+order_col) WITHIN each micro-batch, and state carries the open
+session's last event time, so feeds that deliver each user's events in
+order reproduce the batch assignment exactly (pinned in tests).  An
+out-of-order event that crosses a micro-batch boundary into an
+already-closed session starts a new session instead — the standard
+streaming-sessionization tradeoff; widen the trigger or pre-bucket by
+event time if the source reorders beyond the watermark.
+
+Scale shape: ONE shuffle keyed on the user column per micro-batch (the
+same minimal shuffle as batch sessionize); state is O(users with an
+open session), bounded by the timeout; per-task memory is one user's
+micro-batch slice.  Reference parity: none — batch-only reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Tuple
+
+import pandas as pd
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_idx long, n_events long, span_us long, "
+    "first_event long, last_event long"
+)
+# open session per user: next session_idx to assign on close is implied
+# by sessions_closed; the open session's running rollup rides along
+STATE_SCHEMA = (
+    "sessions_closed long, start_us long, last_us long, n_events long, "
+    "first_event long, last_event long"
+)
+
+_US = 1_000_000
+
+
+def _session_fn(gap_s: int):
+    gap_us = int(gap_s) * _US
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state
+    ) -> Iterable[pd.DataFrame]:
+        (user,) = key
+        out = []
+
+        if state.exists:
+            (closed, start_us, last_us, n_ev, first_ev, last_ev) = (
+                state.get
+            )
+        else:
+            closed, start_us, last_us = 0, None, None
+            n_ev = first_ev = last_ev = 0
+
+        def close_open():
+            nonlocal closed, start_us, last_us, n_ev, first_ev, last_ev
+            out.append(
+                (user, closed, n_ev, last_us - start_us, first_ev,
+                 last_ev)
+            )
+            closed += 1
+            start_us = last_us = None
+            n_ev = first_ev = last_ev = 0
+
+        if state.hasTimedOut:
+            # watermark passed last event + gap: close the idle session
+            if start_us is not None:
+                close_open()
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            s = rows["ts"]
+            if getattr(s.dtype, "tz", None) is not None:
+                # session tz is UTC; drop the tz keeping the UTC wall time
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            ts_us = s.astype("datetime64[us]").astype("int64")
+            for t, eid in zip(ts_us.tolist(), rows["event_id"].tolist()):
+                if start_us is None:
+                    start_us, last_us = t, t
+                    n_ev, first_ev, last_ev = 1, eid, eid
+                elif t - last_us > gap_us:
+                    close_open()
+                    start_us, last_us = t, t
+                    n_ev, first_ev, last_ev = 1, eid, eid
+                else:
+                    last_us = max(last_us, t)
+                    n_ev += 1
+                    first_ev = min(first_ev, eid)
+                    last_ev = max(last_ev, eid)
+            state.update(
+                (closed, start_us, last_us, n_ev, first_ev, last_ev)
+            )
+            # event-time timeout at (last event + gap); fires once the
+            # WATERMARK passes it — late-but-in-watermark events still
+            # reach the session first
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_idx", "n_events", "span_us",
+                    "first_event", "last_event",
+                ],
+            )
+
+    return fn
+
+
+def stream_sessionize(
+    events_stream,
+    gap_s: int = 1800,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Stateful streaming sessionization: returns the (streaming)
+    DataFrame of CLOSED sessions.  ``events_stream`` needs
+    ``(user_id, ts, event_id)`` columns; ``watermark`` bounds both
+    late-data acceptance and the timeout clock."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _session_fn(gap_s),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_stream_sessionize(
+    events_stream,
+    out_path: str,
+    checkpoint: str,
+    gap_s: int = 1800,
+    watermark: str = "1 hour",
+):
+    """Wire the closed-session stream into an append-mode parquet file
+    sink (exactly-once via the sink's commit log, closed sessions are
+    final by construction).  Returns the started StreamingQuery."""
+    return (
+        stream_sessionize(events_stream, gap_s, watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,86 @@
+"""Stateful streaming sessionization (streaming/sessions.py,
+applyInPandasWithState): gap-closure by a new event, event-time timeout
+closure via the watermark, and exact parity with the batch
+session_stats rollup on an in-order feed."""
+
+import datetime as dt
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+T = dt.datetime(2024, 1, 1)
+
+
+def _at(h, m):
+    return T.replace(hour=h, minute=m)
+
+
+def _mk(spark, src, name, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / name))
+
+
+def test_stream_sessionize_gap_timeout_and_batch_parity(spark, tmp_path):
+    from retriv_spark.streaming.sessions import run_stream_sessionize
+
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "sout"), str(tmp_path / "sckpt")
+
+    # user 1: session 0 = {1,2} (10:00,10:10); the 11:30 event exceeds
+    # the 30-min gap and both closes session 0 and opens session 1.
+    # user 2: one session {3} at 10:05, closed by timeout.
+    _mk(spark, src, "b1", [
+        (1, _at(10, 0), 1, 0.0),
+        (2, _at(10, 10), 1, 0.0),
+        (3, _at(10, 5), 2, 0.0),
+    ])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = run_stream_sessionize(
+        stream, out, ckpt, gap_s=1800, watermark="10 minutes"
+    )
+    try:
+        q.processAllAvailable()
+        _mk(spark, src, "b2", [(4, _at(11, 30), 1, 0.0)])
+        q.processAllAvailable()
+        # sentinel user far in the future: watermark -> 19:50, firing
+        # the event-time timeouts of every open session above
+        _mk(spark, src, "b3", [(99, _at(20, 0), 9, 0.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.session_idx): (
+            r.n_events, r.span_us, r.first_event, r.last_event
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(1, 0)] == (2, 600_000_000, 1, 2)   # closed by gap event
+    assert got[(1, 1)] == (1, 0, 4, 4)             # closed by timeout
+    assert got[(2, 0)] == (1, 0, 3, 3)             # closed by timeout
+    assert (9, 0) not in got                       # sentinel still open
+    assert len(got) == 3
+
+    # exact parity with the batch rollup over the same closed sessions
+    from retriv_spark.ops.curation import session_stats
+
+    batch_rows = [
+        (1, _at(10, 0), 1, 0.0),
+        (2, _at(10, 10), 1, 0.0),
+        (3, _at(10, 5), 2, 0.0),
+        (4, _at(11, 30), 1, 0.0),
+    ]
+    batch = session_stats(
+        spark.createDataFrame(batch_rows, SCHEMA), gap_s=1800
+    )
+    want = {
+        (r.user_id, r.session_idx): (
+            r.n_events, r.span_us, r.first_event, r.last_event
+        )
+        for r in batch.collect()
+    }
+    assert want == got
