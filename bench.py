@@ -50,6 +50,7 @@ HEADLINE = [
     "ngram_lm",
     "embedding_quantize",
     "ann_int8_topk",
+    "ann_pq_topk",
     "semantic_dedup",
     "kmeans_int8",
     "dsir_resample",

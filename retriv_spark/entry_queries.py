@@ -1894,6 +1894,25 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, gap_s=900).orderBy("user_id", "session_idx")
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (ops/pq.py): int8-quantize, train
+    2 subspace codebooks (integer Lloyd, 1 round, seeded init), encode
+    to 2 codes/vector, score by exact int64 LUT gathers.  The oracle
+    replays the WHOLE pipeline in SQL — quantization, grouped
+    per-subspace init + Lloyd round, encoding, LUT, ADC sum, top-k."""
+    from .ops.pq import pq_encode, pq_topk, pq_train
+    from .ops.similarity import quantize_embeddings
+
+    emb = _embeddings(spark, sf_dir)
+    qemb = quantize_embeddings(emb).select("vec_id", "embedding_q")
+    books = pq_train(qemb, m=2, k_codes=4, n_iter=1, salt="pq")
+    codes = pq_encode(qemb, books)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_topk(codes, books, queries, k=5).orderBy("q_id", "rank")
+
+
 def q_windowed_events(spark, sf_dir):
     """Event-time tumbling-window rollup (streaming/windows.py
     windowed_event_stats, batch mode — the same plan the streaming path
@@ -2237,6 +2256,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "deterministic_shuffle": q_deterministic_shuffle,
     "windowed_events": q_windowed_events,
+    "ann_pq_topk": q_ann_pq_topk,
     "chunk_documents": q_chunk_documents,
     "boilerplate_stats": q_boilerplate_stats,
     "boilerplate_removal": q_boilerplate_removal,
@@ -3859,6 +3879,101 @@ SELECT stratum, avail_tokens, weight, target_tokens, threshold,
        (threshold // 10000)::BIGINT AS copies,
        (threshold % 10000)::BIGINT AS frac_threshold
 FROM t ORDER BY stratum
+"""
+
+ORACLE_SQL["ann_pq_topk"] = f"""
+WITH e AS (
+  SELECT vec_id,
+         coalesce(list_max(list_transform(embedding,
+                                          x -> abs(x::DOUBLE))), 0.0)
+           AS amax,
+         generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, i,
+         CASE WHEN amax = 0.0 THEN 0
+              ELSE floor(v / amax * 127 + 0.5)::BIGINT END AS qv
+  FROM e
+),
+s AS (
+  SELECT vec_id, (i - 1) // 32 AS sub, (i - 1) % 32 AS pos, qv FROM q
+),
+ids AS (SELECT DISTINCT vec_id FROM q),
+init AS (
+  SELECT vec_id, r - 1 AS code FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY h ASC, vec_id ASC) AS r
+    FROM (SELECT vec_id,
+                 {_PH64.format(x="'pq|' || vec_id::VARCHAR")} AS h
+          FROM ids)
+  ) WHERE r <= 4
+),
+c0 AS (
+  SELECT init.code, s.sub, s.pos, s.qv AS cv
+  FROM init JOIN s USING (vec_id)
+),
+d1 AS (
+  SELECT s.vec_id, s.sub, c.code,
+         sum((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM s JOIN c0 c ON c.sub = s.sub AND c.pos = s.pos
+  GROUP BY 1, 2, 3
+),
+a1 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS r
+    FROM d1
+  ) WHERE r = 1
+),
+u1 AS (
+  SELECT a1.sub, a1.code, s.pos, sum(s.qv) AS su, count(*) AS n
+  FROM a1 JOIN s ON s.vec_id = a1.vec_id AND s.sub = a1.sub
+  GROUP BY 1, 2, 3
+),
+c1 AS (
+  SELECT c0.code, c0.sub, c0.pos,
+         CASE WHEN u1.n IS NULL THEN c0.cv
+              WHEN u1.su >= 0 THEN (2 * u1.su + u1.n) // (2 * u1.n)
+              ELSE -((-2 * u1.su + u1.n) // (2 * u1.n)) END AS cv
+  FROM c0 LEFT JOIN u1
+    ON u1.code = c0.code AND u1.sub = c0.sub AND u1.pos = c0.pos
+),
+d2s AS (
+  SELECT s.vec_id, s.sub, c.code,
+         sum((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM s JOIN c1 c ON c.sub = s.sub AND c.pos = s.pos
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS r
+    FROM d2s
+  ) WHERE r = 1
+),
+lut AS (
+  SELECT s.vec_id AS q_id, c.sub, c.code, sum(s.qv * c.cv) AS dot
+  FROM s JOIN c1 c ON c.sub = s.sub AND c.pos = s.pos
+  WHERE s.vec_id < 2
+  GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT l.q_id, e2.vec_id, sum(l.dot)::BIGINT AS iscore
+  FROM enc e2 JOIN lut l ON l.sub = e2.sub AND l.code = e2.code
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT q_id, vec_id, iscore,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY iscore DESC, vec_id ASC) AS rank
+  FROM sc WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, iscore, rank::INT AS rank
+FROM topk WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 ORACLE_SQL["windowed_events"] = """

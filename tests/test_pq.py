@@ -1,0 +1,119 @@
+"""Product quantization (ops/pq.py): codebook training via per-subspace
+integer k-means, encode vs a Python argmin model, exact-integer ADC
+scores vs a Python model, parallelism identity, and validation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.pq import pq_encode, pq_topk, pq_train
+
+
+@pytest.fixture(scope="module")
+def int_vecs(spark):
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [127] + [int(x) for x in rng.integers(-127, 128, size=7)])
+        for i in range(60)
+    ]  # leading 127 -> amax=127, so dequantize->requantize is identity
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding_q array<int>"
+    )
+
+
+def _python_encode(rows, books):
+    m = len(books)
+    sub = len(books[0][0])
+    out = {}
+    for i, v in rows:
+        codes = []
+        for j in range(m):
+            s = np.asarray(v[j * sub:(j + 1) * sub], dtype=np.int64)
+            d = [
+                int(((s - np.asarray(c, dtype=np.int64)) ** 2).sum())
+                for c in books[j]
+            ]
+            codes.append(int(np.argmin(d)))  # first min = lowest code
+        out[i] = codes
+    return out
+
+
+def test_pq_train_encode_matches_python_model(spark, int_vecs):
+    rows, df = int_vecs
+    books = pq_train(df, m=2, k_codes=4, n_iter=1, salt="t")
+    assert len(books) == 2 and len(books[0]) == 4
+    assert len(books[0][0]) == 4  # 8 dims / 2 subspaces
+    got = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df, books).collect()
+    }
+    assert got == _python_encode(rows, books)
+
+
+def test_pq_topk_exact_adc_scores(spark, int_vecs):
+    rows, df = int_vecs
+    books = pq_train(df, m=2, k_codes=4, n_iter=1, salt="t")
+    codes = pq_encode(df, books)
+    # queries: two corpus rows DEQUANTIZED to floats whose re-quantization
+    # is the identity (amax=127 -> qv = v exactly)
+    qrows = [(i, [float(x) for x in v]) for i, v in rows[:2]]
+    assert any(127 in v or -127 in v for _, v in qrows), "need amax=127"
+    queries = spark.createDataFrame(
+        qrows, "q_id long, q_vec array<double>"
+    )
+    got = [
+        (r.q_id, r.vec_id, r.iscore, r.rank)
+        for r in pq_topk(codes, books, queries, k=5)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    # python ADC model
+    enc = _python_encode(rows, books)
+    sub = len(books[0][0])
+    want = []
+    for qid, qv in rows[:2]:
+        q = np.asarray(qv, dtype=np.int64)
+        scores = []
+        for i, _ in rows:
+            if i == qid:
+                continue
+            s = sum(
+                int(
+                    q[j * sub:(j + 1) * sub]
+                    @ np.asarray(books[j][enc[i][j]], dtype=np.int64)
+                )
+                for j in range(2)
+            )
+            scores.append((i, s))
+        scores.sort(key=lambda t: (-t[1], t[0]))
+        want += [
+            (qid, i, s, r + 1) for r, (i, s) in enumerate(scores[:5])
+        ]
+    assert got == want
+
+
+def test_pq_parallelism_identity_and_validation(spark, int_vecs):
+    rows, df = int_vecs
+    books = pq_train(df, m=4, k_codes=3, n_iter=2, salt="p")
+    a = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df.repartition(1), books).collect()
+    }
+    b = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df.repartition(7), books).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=3)
+    # per-batch partial top-k still yields the exact global top-k at
+    # high parallelism (many tiny batches)
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in rows[0][1]])],
+        "q_id long, q_vec array<double>",
+    )
+    codes = pq_encode(df, books)
+    one = pq_topk(codes.repartition(1), books, q, k=7).collect()
+    many = pq_topk(codes.repartition(13), books, q, k=7).collect()
+    key = lambda rs: [(r.q_id, r.vec_id, r.iscore, r.rank) for r in rs]
+    assert sorted(key(one)) == sorted(key(many))
