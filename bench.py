@@ -51,6 +51,7 @@ HEADLINE = [
     "embedding_quantize",
     "ann_int8_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "semantic_dedup",
     "kmeans_int8",
     "dsir_resample",

@@ -172,6 +172,33 @@ if want("incremental_novel"):
     res["incremental_novel"] = time.time() - t
     checks["novel_rows"] = n_novel
 
+if want("curate_chain"):
+    # the COMPOSED resumable pipeline (ops/pipeline.py): clean -> gates
+    # -> canonical exact dedup -> deterministic shuffle, each stage
+    # checkpointed to parquet — timed end to end including the
+    # materialization barriers a resumable run pays
+    import shutil as _sh
+    import tempfile as _tf
+
+    from retriv_spark.ops.pipeline import (
+        run_pipeline, standard_curation_stages,
+    )
+
+    wdir = _tf.mkdtemp(prefix=f"curatebench_{cpus}_")
+    t = time.time()
+    out, _m = run_pipeline(
+        spark, docs,
+        standard_curation_stages(require_terminal_punct=False), wdir,
+    )
+    row = out.agg(
+        F.sum(portable_hash64(F.concat_ws("|", "doc_id", "shuffle_pos"))
+              .cast("decimal(38,0)")).alias("chk"),
+        F.count("*").alias("n")).first()
+    res["curate_chain"] = time.time() - t
+    checks["curate_checksum"] = str(row.chk)
+    checks["curate_rows"] = row.n
+    _sh.rmtree(wdir, ignore_errors=True)
+
 print("RESULT " + json.dumps({"cpus": cpus, "secs": res, "checks": checks}),
       flush=True)
 """

@@ -1913,6 +1913,25 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(codes, books, queries, k=5).orderBy("q_id", "rank")
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ ADC top-k (ops/pq.py ivfpq_topk): coarse integer-kmeans
+    quantizer prunes to 2 of 4 probed lists per query, shared PQ codes
+    score survivors by exact int64 ADC (non-residual variant).  The
+    oracle replays BOTH trainings (grouped per-subspace + full-vector),
+    both final assignments, the probe selection, and the pruned ADC
+    top-k."""
+    from .ops.pq import ivfpq_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivfpq_topk(
+        emb, queries, k=5, n_centroids=4, n_probe=2, m=2, k_codes=4,
+        n_iter=1, salt="iq",
+    ).orderBy("q_id", "rank")
+
+
 def q_windowed_events(spark, sf_dir):
     """Event-time tumbling-window rollup (streaming/windows.py
     windowed_event_stats, batch mode — the same plan the streaming path
@@ -2257,6 +2276,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deterministic_shuffle": q_deterministic_shuffle,
     "windowed_events": q_windowed_events,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "chunk_documents": q_chunk_documents,
     "boilerplate_stats": q_boilerplate_stats,
     "boilerplate_removal": q_boilerplate_removal,
@@ -3964,6 +3984,170 @@ lut AS (
 sc AS (
   SELECT l.q_id, e2.vec_id, sum(l.dot)::BIGINT AS iscore
   FROM enc e2 JOIN lut l ON l.sub = e2.sub AND l.code = e2.code
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT q_id, vec_id, iscore,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY iscore DESC, vec_id ASC) AS rank
+  FROM sc WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, iscore, rank::INT AS rank
+FROM topk WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+ORACLE_SQL["ann_ivfpq_topk"] = f"""
+WITH e AS (
+  SELECT vec_id,
+         coalesce(list_max(list_transform(embedding,
+                                          x -> abs(x::DOUBLE))), 0.0)
+           AS amax,
+         generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, i,
+         CASE WHEN amax = 0.0 THEN 0
+              ELSE floor(v / amax * 127 + 0.5)::BIGINT END AS qv
+  FROM e
+),
+s AS (
+  SELECT vec_id, (i - 1) // 32 AS sub, (i - 1) % 32 AS pos, qv FROM q
+),
+ids AS (SELECT DISTINCT vec_id FROM q),
+-- coarse quantizer: seeded init (salt iqc) + one Lloyd round on FULL
+-- vectors
+initc AS (
+  SELECT vec_id, r - 1 AS cluster FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY h ASC, vec_id ASC) AS r
+    FROM (SELECT vec_id,
+                 {_PH64.format(x="'iqc|' || vec_id::VARCHAR")} AS h
+          FROM ids)
+  ) WHERE r <= 4
+),
+c0c AS (
+  SELECT initc.cluster, q.i, q.qv AS cv FROM initc JOIN q USING (vec_id)
+),
+d1c AS (
+  SELECT q.vec_id, c.cluster, sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+  FROM q JOIN c0c c ON c.i = q.i GROUP BY 1, 2
+),
+a1c AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cluster ASC) AS r
+    FROM d1c
+  ) WHERE r = 1
+),
+u1c AS (
+  SELECT a1c.cluster, q.i, sum(q.qv) AS su, count(*) AS n
+  FROM a1c JOIN q USING (vec_id) GROUP BY 1, 2
+),
+c1c AS (
+  SELECT c0c.cluster, c0c.i,
+         CASE WHEN u1c.n IS NULL THEN c0c.cv
+              WHEN u1c.su >= 0 THEN (2 * u1c.su + u1c.n) // (2 * u1c.n)
+              ELSE -((-2 * u1c.su + u1c.n) // (2 * u1c.n)) END AS cv
+  FROM c0c LEFT JOIN u1c
+    ON u1c.cluster = c0c.cluster AND u1c.i = c0c.i
+),
+d2c AS (
+  SELECT q.vec_id, c.cluster, sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+  FROM q JOIN c1c c ON c.i = q.i GROUP BY 1, 2
+),
+acorp AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cluster ASC) AS r
+    FROM d2c
+  ) WHERE r = 1
+),
+-- PQ codebooks: seeded init (salt iqb) + one grouped Lloyd round per
+-- subspace
+initb AS (
+  SELECT vec_id, r - 1 AS code FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY h ASC, vec_id ASC) AS r
+    FROM (SELECT vec_id,
+                 {_PH64.format(x="'iqb|' || vec_id::VARCHAR")} AS h
+          FROM ids)
+  ) WHERE r <= 4
+),
+c0b AS (
+  SELECT initb.code, s.sub, s.pos, s.qv AS cv
+  FROM initb JOIN s USING (vec_id)
+),
+d1b AS (
+  SELECT s.vec_id, s.sub, c.code,
+         sum((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM s JOIN c0b c ON c.sub = s.sub AND c.pos = s.pos
+  GROUP BY 1, 2, 3
+),
+a1b AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS r
+    FROM d1b
+  ) WHERE r = 1
+),
+u1b AS (
+  SELECT a1b.sub, a1b.code, s.pos, sum(s.qv) AS su, count(*) AS n
+  FROM a1b JOIN s ON s.vec_id = a1b.vec_id AND s.sub = a1b.sub
+  GROUP BY 1, 2, 3
+),
+c1b AS (
+  SELECT c0b.code, c0b.sub, c0b.pos,
+         CASE WHEN u1b.n IS NULL THEN c0b.cv
+              WHEN u1b.su >= 0 THEN (2 * u1b.su + u1b.n) // (2 * u1b.n)
+              ELSE -((-2 * u1b.su + u1b.n) // (2 * u1b.n)) END AS cv
+  FROM c0b LEFT JOIN u1b
+    ON u1b.code = c0b.code AND u1b.sub = c0b.sub AND u1b.pos = c0b.pos
+),
+d2b AS (
+  SELECT s.vec_id, s.sub, c.code,
+         sum((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM s JOIN c1b c ON c.sub = s.sub AND c.pos = s.pos
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS r
+    FROM d2b
+  ) WHERE r = 1
+),
+-- per-query probes: 2 nearest final coarse centroids (ties -> lowest)
+dq AS (
+  SELECT q.vec_id AS q_id, c.cluster,
+         sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+  FROM q JOIN c1c c ON c.i = q.i
+  WHERE q.vec_id < 2 GROUP BY 1, 2
+),
+probe AS (
+  SELECT q_id, cluster FROM (
+    SELECT q_id, cluster,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY d2 ASC, cluster ASC) AS r
+    FROM dq
+  ) WHERE r <= 2
+),
+lut AS (
+  SELECT s.vec_id AS q_id, c.sub, c.code, sum(s.qv * c.cv) AS dot
+  FROM s JOIN c1b c ON c.sub = s.sub AND c.pos = s.pos
+  WHERE s.vec_id < 2 GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT l.q_id, e2.vec_id, sum(l.dot)::BIGINT AS iscore
+  FROM enc e2
+  JOIN acorp a ON a.vec_id = e2.vec_id
+  JOIN probe p ON p.cluster = a.cluster
+  JOIN lut l ON l.q_id = p.q_id AND l.sub = e2.sub AND l.code = e2.code
   GROUP BY 1, 2
 ),
 topk AS (

@@ -249,3 +249,145 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "iscore", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    salt: str = "ivfpq",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF+PQ — the production ANN serving shape (the index family the
+    reference's autofaiss delegate usually picks): a coarse integer
+    k-means quantizer prunes the corpus to ``n_probe`` inverted lists
+    per query, and PQ codes score the survivors by exact-int64 ADC.
+    Non-residual variant: PQ encodes the raw quantized vectors (codes
+    shared with :func:`pq_topk`), the coarse quantizer only prunes —
+    stated so the recall/SQL contract is unambiguous.
+
+    Plan: coarse centroids and codebooks are driver-side lists (bounded
+    by n_centroids / m·k_codes); ONE Arrow pass assigns cluster + codes
+    per vector (zero shuffle — no join between assignment and encoding);
+    serving filters each batch to the query's probed clusters before the
+    LUT gathers, so scan work scales with ``n_probe / n_centroids``.
+    Fully deterministic (seeded init, integer math, ties → lowest) and
+    SQL-replayable end to end.  ``n_probe >= n_centroids`` reproduces
+    :func:`pq_topk` exactly (pinned in tests).
+    """
+    import pyarrow as pa
+
+    from .similarity import quantize_embeddings
+
+    qemb = quantize_embeddings(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+    ).select("vec_id", "embedding_q")
+    _, cents = kmeans_int8(
+        qemb,
+        k=n_centroids,
+        n_iter=n_iter,
+        id_col="vec_id",
+        vec_col="embedding_q",
+        salt=salt + "c",
+        return_centroids=True,
+    )
+    books = pq_train(
+        qemb, m=m, k_codes=k_codes, n_iter=n_iter,
+        id_col="vec_id", vec_col="embedding_q", salt=salt + "b",
+    )
+    C = np.asarray(cents, dtype=np.int64)  # [n_centroids, dims]
+    B = _books_array(books)
+    mm, _, sub = B.shape
+    dims = mm * sub
+
+    qrows = (
+        quantize_embeddings(
+            queries.select(
+                F.col(q_id_col).alias("q_id"),
+                F.col(q_vec_col).alias("embedding"),
+            )
+        )
+        .select("q_id", "embedding_q")
+        .collect()  # bounded: queries are the small side by construction
+    )
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id long, vec_id long, iscore long, rank int"
+        )
+    q_ids = [r["q_id"] for r in qrows]
+    Q = np.asarray([r["embedding_q"] for r in qrows], dtype=np.int64)
+    LUT = np.einsum("qjd,jkd->qjk", Q.reshape(len(q_ids), mm, sub), B)
+    # probe lists per query: n_probe nearest coarse centroids by integer
+    # squared L2, ties -> lowest centroid (stable argsort on (d2, idx))
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # [q, cents]
+    n_probe_eff = min(n_probe, C.shape[0])
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe_eff]
+    per_batch = k + 1 if exclude_self else k
+
+    def assign_score(batches: Iterator["pa.RecordBatch"]):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            V = _batch_matrix(batch.column(1), dims)
+            # coarse assignment (ties -> lowest, same as kmeans_int8)
+            a = np.argmin(
+                -2 * (V @ C.T) + (C * C).sum(axis=1)[None, :], axis=1
+            )
+            codes = np.empty((V.shape[0], mm), dtype=np.int64)
+            for j in range(mm):
+                S = V[:, j * sub:(j + 1) * sub]
+                d = -2 * (S @ B[j].T) + (B[j] * B[j]).sum(axis=1)
+                codes[:, j] = np.argmin(d, axis=1)
+            out_q, out_id, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(a, probes[qi])
+                if not mask.any():
+                    continue
+                sids = ids[mask]
+                s = LUT[qi, np.arange(mm), codes[mask]].sum(axis=1)
+                take = min(per_batch, len(sids))
+                order = np.lexsort((sids, -s))[:take]
+                out_q.append(np.full(take, qid, dtype=np.int64))
+                out_id.append(sids[order])
+                out_s.append(s[order])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), pa.int64()),
+                    pa.array(np.concatenate(out_id)),
+                    pa.array(np.concatenate(out_s), pa.int64()),
+                ],
+                names=["q_id", "vec_id", "iscore"],
+            )
+
+    partial_schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("vec_id", qemb.schema["vec_id"].dataType),
+            StructField("iscore", LongType()),
+        ]
+    )
+    partial = qemb.mapInArrow(assign_score, schema=partial_schema)
+    if exclude_self:
+        partial = partial.filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("iscore"), F.asc("vec_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "iscore", "rank")
+    )

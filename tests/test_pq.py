@@ -117,3 +117,94 @@ def test_pq_parallelism_identity_and_validation(spark, int_vecs):
     many = pq_topk(codes.repartition(13), books, q, k=7).collect()
     key = lambda rs: [(r.q_id, r.vec_id, r.iscore, r.rank) for r in rs]
     assert sorted(key(one)) == sorted(key(many))
+
+
+def test_ivfpq_full_probe_equals_pq(spark, int_vecs):
+    """n_probe >= n_centroids turns IVF+PQ into plain PQ — exact
+    equality, the pin that the pruning layer only prunes."""
+    from retriv_spark.ops.pq import ivfpq_topk
+    from retriv_spark.ops.similarity import quantize_embeddings
+
+    rows, df = int_vecs
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows[:2]],
+        "q_id long, q_vec array<double>",
+    )
+    full = ivfpq_topk(
+        corpus, queries, k=5, n_centroids=4, n_probe=4, m=2,
+        k_codes=4, n_iter=1, salt="s",
+    )
+    qemb = quantize_embeddings(corpus).select("vec_id", "embedding_q")
+    books = pq_train(qemb, m=2, k_codes=4, n_iter=1, salt="sb")
+    plain = pq_topk(pq_encode(qemb, books), books, queries, k=5)
+    key = lambda d: sorted(
+        (r.q_id, r.vec_id, r.iscore, r.rank) for r in d.collect()
+    )
+    assert key(full) == key(plain)
+
+
+def test_ivfpq_partial_probe_python_model(spark, int_vecs):
+    """n_probe < n_centroids: results equal the Python model that prunes
+    to the probed clusters then ADC-scores — at any parallelism."""
+    from retriv_spark.ops.clustering import kmeans_int8
+    from retriv_spark.ops.pq import ivfpq_topk
+    from retriv_spark.ops.similarity import quantize_embeddings
+
+    rows, df = int_vecs
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows[:2]],
+        "q_id long, q_vec array<double>",
+    )
+    got = [
+        (r.q_id, r.vec_id, r.iscore, r.rank)
+        for r in ivfpq_topk(
+            corpus.repartition(9), queries, k=5, n_centroids=4,
+            n_probe=2, m=2, k_codes=4, n_iter=1, salt="s",
+        ).orderBy("q_id", "rank").collect()
+    ]
+
+    # python model over the quantized ints (amax=127 -> identity)
+    qemb = quantize_embeddings(corpus).select("vec_id", "embedding_q")
+    _, cents = kmeans_int8(
+        qemb, k=4, n_iter=1, salt="sc", return_centroids=True
+    )
+    books = pq_train(qemb, m=2, k_codes=4, n_iter=1, salt="sb")
+    C = np.asarray(cents, dtype=np.int64)
+    enc = _python_encode(rows, books)
+    assign = {
+        i: int(
+            np.argmin(((np.asarray(v, dtype=np.int64) - C) ** 2).sum(1))
+        )
+        for i, v in rows
+    }
+    sub = len(books[0][0])
+    want = []
+    for qid, qv in rows[:2]:
+        q = np.asarray(qv, dtype=np.int64)
+        d2 = ((q - C) ** 2).sum(1)
+        probes = set(np.argsort(d2, kind="stable")[:2].tolist())
+        scores = []
+        for i, _ in rows:
+            if i == qid or assign[i] not in probes:
+                continue
+            s = sum(
+                int(
+                    q[j * sub:(j + 1) * sub]
+                    @ np.asarray(books[j][enc[i][j]], dtype=np.int64)
+                )
+                for j in range(2)
+            )
+            scores.append((i, s))
+        scores.sort(key=lambda t: (-t[1], t[0]))
+        want += [
+            (qid, i, s, r + 1) for r, (i, s) in enumerate(scores[:5])
+        ]
+    assert got == want
