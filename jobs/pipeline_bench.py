@@ -197,6 +197,10 @@ if want("curate_chain"):
     res["curate_chain"] = time.time() - t
     checks["curate_checksum"] = str(row.chk)
     checks["curate_rows"] = row.n
+    # per-stage seconds are diagnostics, not identity-checked values;
+    # scalar per-stage entries so the efficiency map stays numeric
+    for _name, _ent in _m["stages"].items():
+        res[f"curate_stage:{_name}"] = _ent["seconds"]
     _sh.rmtree(wdir, ignore_errors=True)
 
 print("RESULT " + json.dumps({"cpus": cpus, "secs": res, "checks": checks}),

@@ -58,11 +58,20 @@ class Stage:
     name: str
     fn: Callable[[DataFrame], DataFrame]
     params: Dict = field(default_factory=dict)
+    # checkpoint=False fuses this stage into the NEXT checkpointed
+    # stage's unit: no parquet materialization of its own output, so
+    # Catalyst pipelines the narrow gates into one pass.  Resume
+    # granularity is the checkpointed stage; a crash recomputes the
+    # whole fused unit (each unit is deterministic, so idempotent).
+    checkpoint: bool = True
 
 
 def _config_signature(stages: List[Stage]) -> str:
     payload = json.dumps(
-        [[s.name, dict(sorted(s.params.items()))] for s in stages],
+        [
+            [s.name, dict(sorted(s.params.items())), bool(s.checkpoint)]
+            for s in stages
+        ],
         sort_keys=True,
         default=str,
     )
@@ -118,12 +127,19 @@ def run_pipeline(
 ) -> Tuple[DataFrame, dict]:
     """Run ``stages`` over ``input_df`` with per-stage checkpointing.
 
-    Returns ``(final DataFrame, manifest)``.  A completed stage (marked
-    in the manifest AND present on disk) is read back instead of
-    recomputed; the first incomplete stage and everything after it run
-    live.  ``force=True`` discards any existing manifest/outputs (use
-    after changing stage logic without renaming it — the signature only
-    sees names + params).
+    Returns ``(final DataFrame, manifest)``.  A completed checkpoint
+    unit (marked in the manifest AND present on disk) is read back
+    instead of recomputed; the first incomplete unit and everything
+    after it run live.  Stages with ``checkpoint=False`` fuse into the
+    next checkpointed stage — Catalyst pipelines the composed narrow
+    work into ONE pass over the data instead of paying a
+    write+read materialization per stage (at 1M docs the all-
+    checkpointed chain spends most of its wall clock writing and
+    re-reading the corpus between narrow gates; see
+    BENCH/curate_chain_scaling_r3.json).  ``force=True`` discards any
+    existing manifest/outputs (use after changing stage logic without
+    renaming it — the signature only sees names, params, and
+    checkpoint flags).
     """
     names = [s.name for s in stages]
     if len(set(names)) != len(names):
@@ -144,28 +160,48 @@ def run_pipeline(
         manifest = {"config_sig": sig, "stages": {}}
         _write_manifest(work_dir, manifest)
 
+    # group stages into CHECKPOINT UNITS: every checkpoint=False stage
+    # fuses into the next checkpointed stage (the final stage always
+    # checkpoints); the unit is named and resumed by its last stage
+    units: List[List[Stage]] = []
+    pending: List[Stage] = []
+    for st in stages:
+        pending.append(st)
+        if st.checkpoint:
+            units.append(pending)
+            pending = []
+    if pending:
+        units.append(pending)
+
     df = input_df
-    for i, st in enumerate(stages):
-        out = os.path.join(work_dir, f"stage_{i:02d}_{st.name}")
-        ent = manifest["stages"].get(st.name)
+    for i, unit in enumerate(units):
+        last = unit[-1]
+        out = os.path.join(work_dir, f"stage_{i:02d}_{last.name}")
+        ent = manifest["stages"].get(last.name)
         if ent and ent.get("completed") and os.path.isdir(out):
             df = spark.read.parquet(out)
             continue
         t0 = time.perf_counter()
-        result = st.fn(df)
+        result = df
+        for st in unit:
+            result = st.fn(result)
         staging = out + "__staging"
         shutil.rmtree(staging, ignore_errors=True)
         result.write.mode("overwrite").parquet(staging)
         shutil.rmtree(out, ignore_errors=True)
         os.replace(staging, out)
         rows, n_files, lineage, truncated = _file_lineage(out)
-        manifest["stages"][st.name] = {
+        manifest["stages"][last.name] = {
             "completed": True,
             "stage_index": i,
+            "fused": [st.name for st in unit],
             "rows_out": rows,
             "n_files": n_files,
             "seconds": round(time.perf_counter() - t0, 3),
-            "params": {k: str(v) for k, v in sorted(st.params.items())},
+            "params": {
+                st.name: {k: str(v) for k, v in sorted(st.params.items())}
+                for st in unit
+            },
             "files": lineage,
             "files_truncated": truncated,
         }
@@ -185,6 +221,7 @@ def standard_curation_stages(
     prior_df: Optional[DataFrame] = None,
     benchmark_df: Optional[DataFrame] = None,
     decontam_threshold: float = 0.5,
+    fuse_gates: bool = True,
 ) -> List[Stage]:
     """The default clean → gate → dedup → shuffle chain from the ops
     this package ships.  Each stage's scale contract is documented on
@@ -260,12 +297,22 @@ def standard_curation_stages(
         stages.append(
             Stage("incremental", s_incremental, {"canonicalize": True})
         )
+    # the three narrow gates fuse into ONE unit by default (one pass
+    # over the corpus instead of three write+read materializations),
+    # but the unit CHECKPOINTS before exact_dedup: dedup's keep-set
+    # semi-join reads its input twice, and feeding it an unmaterialized
+    # gate chain would recompute every gate (including the entropy UDF)
+    # on both sides — measured slower than the materialization it saves
+    # (BENCH/curate_chain_scaling_r3_fullfuse.json)
+    cp = not fuse_gates
     stages += [
         Stage("c4_clean", s_clean,
               {"min_words_per_line": 3, "min_lines": 1,
                "code_corpus": code_corpus,
-               "require_terminal_punct": require_terminal_punct}),
-        Stage("quality_gate", s_quality, {"min_tokens": min_tokens}),
+               "require_terminal_punct": require_terminal_punct},
+              checkpoint=cp),
+        Stage("quality_gate", s_quality, {"min_tokens": min_tokens},
+              checkpoint=cp),
         Stage("entropy_gate", s_entropy,
               {"min_char_entropy": min_char_entropy}),
         Stage("exact_dedup", s_dedup, {"canonicalize": True}),

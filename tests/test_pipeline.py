@@ -43,15 +43,31 @@ def test_standard_chain_end_to_end(spark, cur_docs, tmp_path):
     assert 0 in got and 100 not in got and 101 not in got
     assert 102 not in got and 103 not in got
     assert sorted(got.values()) == list(range(len(got)))
-    # every stage completed with footer-lineage that sums to rows_out
+    # the three gates fuse into one unit by default (checkpoint kept
+    # before the self-joining dedup): 3 checkpoint units, each with
+    # footer-lineage summing to rows_out
     assert set(manifest["stages"]) == {
-        "c4_clean", "quality_gate", "entropy_gate", "exact_dedup",
-        "shuffle",
+        "entropy_gate", "exact_dedup", "shuffle",
     }
+    assert manifest["stages"]["entropy_gate"]["fused"] == [
+        "c4_clean", "quality_gate", "entropy_gate",
+    ]
     for name, ent in manifest["stages"].items():
         assert ent["completed"], name
         assert ent["rows_out"] == sum(f["rows"] for f in ent["files"])
     assert manifest["stages"]["shuffle"]["rows_out"] == len(got)
+
+    # the unfused chain (checkpoint per stage) yields the identical
+    # final table with 5 units
+    out2, m2 = run_pipeline(
+        spark, cur_docs, standard_curation_stages(fuse_gates=False),
+        str(tmp_path / "p1b"),
+    )
+    assert _positions(out2) == got
+    assert set(m2["stages"]) == {
+        "c4_clean", "quality_gate", "entropy_gate", "exact_dedup",
+        "shuffle",
+    }
 
 
 def test_resume_skips_completed_stages(spark, cur_docs, tmp_path):
