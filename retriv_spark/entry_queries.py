@@ -1894,6 +1894,21 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, gap_s=900).orderBy("user_id", "session_idx")
 
 
+def q_session_windows(spark, sf_dir):
+    """Built-in session-window rollup (streaming/windows.py
+    session_window_stats, batch mode): per-(user, session) counts via
+    ``F.session_window`` at gap 900s.  Session boundary matches
+    `sessionize`'s strict-> rule — a gap of EXACTLY the threshold
+    MERGES (pinned by test); the oracle encodes > accordingly.
+    Integral outputs + the window start."""
+    from .streaming.windows import session_window_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_window_stats(ev, gap="900 seconds").orderBy(
+        "user_id", "session_start"
+    )
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (ops/pq.py): int8-quantize, train
     2 subspace codebooks (integer Lloyd, 1 round, seeded init), encode
@@ -2277,6 +2292,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_events": q_windowed_events,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "session_windows": q_session_windows,
     "chunk_documents": q_chunk_documents,
     "boilerplate_stats": q_boilerplate_stats,
     "boilerplate_removal": q_boilerplate_removal,
@@ -3543,6 +3559,32 @@ WHERE {_PH64.format(x="'r2|' || doc_id::VARCHAR")} % 10000
       < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500
                     WHEN 'src2' THEN 1000 ELSE 200 END
 ORDER BY doc_id
+"""
+
+ORACLE_SQL["session_windows"] = """
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+),
+l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+    AS prev
+  FROM e
+),
+n AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 900000000 THEN 1
+                 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM n
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*)::BIGINT AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
 """
 
 ORACLE_SQL["sessionize"] = """

@@ -108,3 +108,48 @@ def stream_windowed_stats(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: Optional[str] = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-(user, session window) rollup via Spark's BUILT-IN
+    ``F.session_window`` — the declarative sibling of the custom
+    stateful operator in ``streaming/sessions.py``: same gap semantics,
+    but the state machine is Spark's own (merging session windows in
+    the state store), so use THIS when the rollup below is all you
+    need and the custom op only when per-event logic inside the
+    session matters.
+
+    Batch mode reproduces the ``sessionize``/``session_stats`` rollup
+    exactly apart from the session numbering (windows are keyed by
+    start time, not a per-user 0..n index) — the oracle pair maps
+    between the two.  One shuffle keyed on (user, session window);
+    streaming state bounded by the watermark + gap.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(order_col).alias("first_event"),
+            F.max(order_col).alias("last_event"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )

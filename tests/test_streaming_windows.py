@@ -99,3 +99,38 @@ def test_stream_watermark_drops_late_rows(spark, tmp_path):
     assert got[("2024-01-01 14:00:00", "view")] == (1, 1.0)
     # the flush window itself is still open (watermark 19:00) — absent
     assert all(not k[0].startswith("2024-01-01 20") for k in got)
+
+
+def test_session_window_stats_boundary_semantics(spark):
+    """Spark's session_window MERGES an event arriving at exactly the
+    gap threshold — the same strict-> rule as our sessionize.  Pinned
+    so the oracle's boundary encoding (>) stays true; this test caught
+    a latent >= in the first oracle draft."""
+    from retriv_spark.ops.curation import session_stats
+    from retriv_spark.streaming.windows import session_window_stats
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), 7, 0.0),
+        (2, dt.datetime(2024, 1, 1, 10, 15, 0), 7, 0.0),  # exactly gap
+        (3, dt.datetime(2024, 1, 1, 10, 29, 59), 7, 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    sw = session_window_stats(ev, gap="900 seconds").collect()
+    assert [(r.n_events, r.first_event, r.last_event) for r in sw] \
+        == [(3, 1, 3)]             # exactly-gap event merges
+    ss = session_stats(ev, gap_s=900).collect()
+    assert [(r.n_events, r.first_event, r.last_event) for r in ss] \
+        == [(3, 1, 3)]             # same rule in the batch op
+    # one second past the gap DOES split
+    rows2 = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), 7, 0.0),
+        (2, dt.datetime(2024, 1, 1, 10, 15, 1), 7, 0.0),
+    ]
+    ev2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, value double"
+    )
+    sw2 = session_window_stats(ev2, gap="900 seconds").collect()
+    assert sorted((r.n_events, r.first_event) for r in sw2) \
+        == [(1, 1), (1, 2)]
