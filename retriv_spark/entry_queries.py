@@ -497,6 +497,26 @@ def q_ann_cosine_topk(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def q_ann_filtered_topk(spark, sf_dir):
+    """Metadata-filtered ANN (filtered vector search): the label
+    predicate is a plain WHERE on the corpus side, so Catalyst pushes
+    it into the parquet scan BEFORE any scoring — excluded rows never
+    produce candidates (contrast post-filtering a top-k, which
+    underfills).  Same brute-force plan as ann_cosine_topk over the
+    pruned scan."""
+    from .ops.similarity import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return (
+        brute_force_topk(emb.where("label IN (3, 7)"), queries, k=5)
+        .select("q_id", "vec_id", "cos", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -2244,6 +2264,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "token_count": q_token_count,
     "wordpiece_count": q_wordpiece_count,
@@ -2506,6 +2527,36 @@ q AS (SELECT * FROM fe WHERE vec_id < 5),
 dots AS (
   SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
   FROM q JOIN fe e ON e.i = q.i AND e.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT d.q_id, d.vec_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.q_id
+  JOIN nrm nb ON nb.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank
+  FROM cosd
+)
+SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+    "ann_filtered_topk": """
+WITH fe AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fe GROUP BY 1),
+q AS (SELECT * FROM fe WHERE vec_id < 5),
+dots AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+  FROM q JOIN fe e ON e.i = q.i AND e.vec_id <> q.vec_id
+  WHERE e.label IN (3, 7)
   GROUP BY 1, 2
 ),
 cosd AS (

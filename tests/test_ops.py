@@ -1006,3 +1006,33 @@ def test_entropy_features_python_differential(spark):
             ent(list(Counter(text.split()).values())), abs=1e-12
         )
         assert got[i].n_distinct_tokens == len(set(text.split()))
+
+
+def test_filtered_ann_pushes_label_predicate(spark, tmp_path):
+    """Filtered vector search: the label predicate reaches the parquet
+    scan (PushedFilters), so excluded rows never produce candidates."""
+    import numpy as np
+
+    from retriv_spark.ops.similarity import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(4)], i % 3)
+        for i in range(30)
+    ]
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.parquet(path)
+    emb = spark.read.parquet(path)
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    res = brute_force_topk(emb.where("label = 1"), q, k=5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan.split(
+        "PushedFilters", 1
+    )[1][:200]
+    got = res.collect()
+    labels = {i: lab for i, _, lab in rows}
+    assert got and all(labels[r.vec_id] == 1 for r in got)
