@@ -1914,6 +1914,20 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, gap_s=900).orderBy("user_id", "session_idx")
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (ops/sketch.py): per-source bottom-16
+    sketch over document texts — 25 distinct per stratum at sf0.01, so
+    every stratum exercises the ESTIMATOR path ((k-1)·2^60 div h_k in
+    exact decimal integers).  Deterministic and engine-portable, unlike
+    HLL; the oracle replays the whole sketch."""
+    from .ops.sketch import distinct_count_kmv
+
+    docs = _docs(spark, sf_dir)
+    return distinct_count_kmv(
+        docs, "text", k=16, strata_col="source"
+    ).orderBy("stratum")
+
+
 def q_session_windows(spark, sf_dir):
     """Built-in session-window rollup (streaming/windows.py
     session_window_stats, batch mode): per-(user, session) counts via
@@ -2314,6 +2328,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "session_windows": q_session_windows,
+    "kmv_distinct": q_kmv_distinct,
     "chunk_documents": q_chunk_documents,
     "boilerplate_stats": q_boilerplate_stats,
     "boilerplate_removal": q_boilerplate_removal,
@@ -3610,6 +3625,30 @@ WHERE {_PH64.format(x="'r2|' || doc_id::VARCHAR")} % 10000
       < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500
                     WHEN 'src2' THEN 1000 ELSE 200 END
 ORDER BY doc_id
+"""
+
+ORACLE_SQL["kmv_distinct"] = """
+WITH h AS (
+  SELECT DISTINCT source AS stratum,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT stratum, h,
+         row_number() OVER (PARTITION BY stratum ORDER BY h) AS pos
+  FROM h
+),
+s AS (SELECT * FROM r WHERE pos <= 16),
+a AS (
+  SELECT stratum, count(*)::BIGINT AS n_hashes,
+         max(CASE WHEN pos = 16 THEN h END) AS hk
+  FROM s GROUP BY 1
+)
+SELECT stratum, n_hashes,
+       (CASE WHEN n_hashes < 16 THEN n_hashes
+             ELSE (15::HUGEINT * 1152921504606846976) // hk
+        END)::BIGINT AS estimate
+FROM a ORDER BY stratum
 """
 
 ORACLE_SQL["session_windows"] = """

@@ -1,0 +1,134 @@
+"""KMV (k-minimum-values) distinct-count sketch — corpus telemetry at
+100 TB without a count-distinct shuffle of the full key set.
+
+The KMV estimator (Bar-Yossef et al. 2002; the bottom-k sketch behind
+theta sketches): hash every value with the portable 60-bit hash, keep
+the k SMALLEST hashes; with ``h_k`` the k-th smallest over the hash
+space ``M = 2^60``, the distinct count is estimated by
+``(k - 1) * M / h_k``.  Properties that make it the right sketch here:
+
+* **Deterministic and engine-portable** — unlike HLL(++), whose
+  register layout differs per engine, the k smallest md5-based hashes
+  are the same in Spark, DuckDB, and Python, so the WHOLE sketch (not
+  just the estimate) is SQL-replayable and bit-identical at any
+  parallelism.
+* **Mergeable** — the union sketch of two key sets is the k smallest
+  of the concatenated sketches, so per-partition / per-day / per-source
+  sketches combine associatively without touching raw data again
+  (pinned: union of per-stratum sketches == sketch of the union).
+* **Bounded state** — k int64s per group, independent of cardinality.
+
+Plan shape: distinct-by-hash is ONE hash-keyed aggregation with
+map-side combine; the k-smallest selection is a bounded
+TakeOrderedAndProject (global) or a window row_number ≤ k (per group)
+over the DISTINCT hashes — never the raw rows.  Exact counts are the
+alternative when the key set is small; this sketch is for the regime
+where count_distinct's shuffle is the bottleneck.
+
+Reference parity: none (no telemetry surface in the reference); part
+of the training-pipeline ops the build brief requires.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import portable_hash64
+
+HASH_SPACE = 1 << 60
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    strata_col: Optional[str] = None,
+) -> DataFrame:
+    """The k smallest distinct hashes of ``col`` — globally
+    (``strata_col=None``: one row per hash, ≤ k rows) or per stratum.
+    Output ``(stratum?, pos, h)`` with ``pos`` 1-based ascending.
+    NULL values are excluded (they have no identity to count).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = portable_hash64(F.col(col).cast("string"))
+    if strata_col is None:
+        hashes = (
+            df.where(F.col(col).isNotNull())
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)  # TakeOrderedAndProject over the distinct hashes
+        )
+        w = Window.orderBy("h")
+        return hashes.select(
+            (F.row_number().over(w)).alias("pos"), "h"
+        )
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(strata_col).alias("stratum"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("stratum").orderBy("h")
+    return (
+        hashes.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("stratum", "pos", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimates from a ``kmv_sketch`` frame.  A group
+    whose sketch holds fewer than ``k`` hashes is EXACT (its estimate
+    is the hash count); a full sketch estimates
+    ``(k - 1) * 2^60 div h_k`` (integer division — engine-portable).
+    Output: ``(stratum?, n_hashes, estimate)``.
+    """
+    keys = [c for c in sketch.columns if c == "stratum"]
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("pos") == k, F.col("h"))).alias("_hk"),
+    )
+    # decimal(38,0) keeps (k-1)*2^60 exact (int64 would overflow); div
+    # is floor division on exact integers — identical in DuckDB HUGEINT
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("long")
+    ).otherwise(
+        F.expr(
+            f"cast({k} - 1 as decimal(38,0)) * {HASH_SPACE} div _hk"
+        ).cast("long")
+    )
+    return agg.select(*keys, "n_hashes", est.alias("estimate"))
+
+
+def kmv_merge(
+    sketches: List[DataFrame], k: int = 256
+) -> DataFrame:
+    """Union sketch: the k smallest DISTINCT hashes across the input
+    sketches (global form, columns ``(pos, h)``).  Associative and
+    exact: merging per-partition/per-day sketches equals sketching the
+    unioned key set (pinned in tests) — the property that lets a
+    100 TB pipeline keep per-source sketches and answer global
+    cardinality questions without rescanning.
+    """
+    if not sketches:
+        raise ValueError("kmv_merge: no sketches")
+    u = sketches[0].select("h")
+    for s in sketches[1:]:
+        u = u.unionByName(s.select("h"))
+    hashes = u.distinct().orderBy("h").limit(k)
+    w = Window.orderBy("h")
+    return hashes.select(F.row_number().over(w).alias("pos"), "h")
+
+
+def distinct_count_kmv(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    strata_col: Optional[str] = None,
+) -> DataFrame:
+    """One-call convenience: sketch + estimate."""
+    return kmv_estimate(kmv_sketch(df, col, k, strata_col), k)

@@ -1,0 +1,90 @@
+"""KMV distinct-count sketch (ops/sketch.py): exact-below-k regime,
+estimator accuracy, merge associativity (union of sketches == sketch of
+union), parallelism identity, and the Python-model differential."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.sketch import (
+    HASH_SPACE,
+    distinct_count_kmv,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def _ph64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    # 5000 rows over 1000 distinct keys, two strata
+    rows = [
+        (i, "key%04d" % (i % 1000), "s%d" % (i % 2)) for i in range(5000)
+    ]
+    return rows, spark.createDataFrame(
+        rows, "row_id long, key string, src string"
+    )
+
+
+def test_kmv_exact_below_k_and_estimate(spark, keys_df):
+    rows, df = keys_df
+    # k larger than the cardinality: exact count
+    exact = distinct_count_kmv(df, "key", k=2048).collect()
+    assert [(r.n_hashes, r.estimate) for r in exact] == [(1000, 1000)]
+
+    # k = 256 over 1000 distinct: estimator within 20% and equal to the
+    # Python model exactly
+    got = distinct_count_kmv(df, "key", k=256).collect()[0]
+    hashes = sorted({_ph64("key%04d" % i) for i in range(1000)})
+    want = (256 - 1) * HASH_SPACE // hashes[255]
+    assert got.estimate == want
+    assert abs(got.estimate - 1000) / 1000 < 0.2
+
+    # per-stratum: each stratum holds 500 distinct keys
+    per = {
+        r.stratum: (r.n_hashes, r.estimate)
+        for r in distinct_count_kmv(
+            df, "key", k=1024, strata_col="src"
+        ).collect()
+    }
+    assert per == {"s0": (500, 500), "s1": (500, 500)}
+
+
+def test_kmv_merge_associativity_and_parallelism(spark, keys_df):
+    rows, df = keys_df
+    k = 128
+    per_stratum = [
+        kmv_sketch(df.where(f"src = 's{i}'"), "key", k=k)
+        for i in range(2)
+    ]
+    merged = kmv_merge(per_stratum, k=k)
+    direct = kmv_sketch(df, "key", k=k)
+    assert [tuple(r) for r in merged.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    # the merged sketch estimates the UNION cardinality
+    est = kmv_estimate(merged, k=k).collect()[0]
+    assert abs(est.estimate - 1000) / 1000 < 0.3
+
+    # identical sketch at any parallelism
+    a = kmv_sketch(df.repartition(1), "key", k=k).collect()
+    b = kmv_sketch(df.repartition(17), "key", k=k).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "key", k=1)
+    with pytest.raises(ValueError):
+        kmv_merge([])
+
+
+def test_kmv_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a")], "i long, v string"
+    )
+    got = distinct_count_kmv(df, "v", k=16).collect()[0]
+    assert (got.n_hashes, got.estimate) == (2, 2)
