@@ -67,6 +67,9 @@ HEADLINE = [
     "mixture_sample",
     "mixture_temperature",
     "deterministic_shuffle",
+    "windowed_events",
+    "session_windows",
+    "kmv_distinct",
     "dedup_incremental",
 ]
 
