@@ -71,6 +71,8 @@ HEADLINE = [
     "session_windows",
     "kmv_distinct",
     "dedup_incremental",
+    "code_quality",
+    "secret_redact",
 ]
 
 
