@@ -73,6 +73,8 @@ HEADLINE = [
     "dedup_incremental",
     "code_quality",
     "secret_redact",
+    "comment_share",
+    "code_imports",
 ]
 
 

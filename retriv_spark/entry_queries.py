@@ -2340,6 +2340,65 @@ def q_secret_redact(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_comment_share(spark, sf_dir):
+    """Comment-share signal (ops/codestats.py comment_stats).  Line,
+    block, hash, and SQL-style comments are synthesized onto
+    independent doc_id residues; the single union regex (block form
+    first, leftmost-first alternation in both engines) pins that nested
+    markers are never double-counted."""
+    from .ops.codestats import comment_stats
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    content = F.concat(
+        F.when(d % 2 == 0, F.concat(F.lit("// hdr "), ds, F.lit("\n")))
+        .otherwise(F.lit("")),
+        F.col("text"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("\n/* block\n"), ds, F.lit(" */")))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit("\n# note "), ds))
+        .otherwise(F.lit("")),
+    )
+    out = comment_stats(docs.withColumn("content", content))
+    return out.select(
+        "doc_id",
+        "n_comments",
+        "comment_chars",
+        F.round("comment_frac", 4).alias("comment_frac"),
+    ).orderBy("doc_id")
+
+
+def q_code_imports(spark, sf_dir):
+    """Dependency extraction (ops/codestats.py extract_imports).
+    Python / from-import / C-include / node-require headers are
+    synthesized onto independent doc_id residues; the oracle replays
+    all four capture-group extractions, the within-row distinct, and
+    the sorted explode."""
+    from .ops.codestats import extract_imports
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    m = lambda k: (d % k).cast("string")  # noqa: E731
+    header = F.concat(
+        F.when(d % 2 == 0, F.concat(F.lit("import mod"), m(10), F.lit("\n")))
+        .otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("from pkg"), m(7),
+                        F.lit(".sub import thing\n")))
+        .otherwise(F.lit("")),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("#include <lib"), m(5), F.lit(".h>\n")))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.concat(F.lit('x = require("js'), m(6), F.lit('")\n')))
+        .otherwise(F.lit("")),
+    )
+    docs = docs.withColumn("content", F.concat(header, F.col("text")))
+    return extract_imports(docs).orderBy("doc_id", "module")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -2428,6 +2487,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "code_quality": q_code_quality,
     "secret_redact": q_secret_redact,
+    "comment_share": q_comment_share,
+    "code_imports": q_code_imports,
 }
 
 
@@ -4990,3 +5051,65 @@ FROM t ORDER BY doc_id
 
 
 ORACLE_SQL.update(_codestats_sqls())
+
+
+def _codestats_sqls2() -> Dict[str, str]:
+    from .ops.codestats import COMMENT_PATTERN, IMPORT_PATTERNS
+
+    comment_share = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+         THEN '// hdr ' || doc_id::VARCHAR || chr(10) ELSE '' END
+    || text
+    || CASE WHEN doc_id % 3 = 0
+         THEN chr(10) || '/* block' || chr(10) || doc_id::VARCHAR || ' */'
+       ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN chr(10) || '# note ' || doc_id::VARCHAR ELSE '' END AS c
+  FROM documents
+),
+m AS (
+  SELECT doc_id, c, regexp_extract_all(c, '{_sq(COMMENT_PATTERN)}') AS ms
+  FROM t
+)
+SELECT doc_id,
+  len(ms) AS n_comments,
+  coalesce(list_sum(list_transform(ms, x -> len(x))), 0)::INT
+    AS comment_chars,
+  round(CASE WHEN len(c) > 0
+        THEN coalesce(list_sum(list_transform(ms, x -> len(x))), 0) / len(c)
+        ELSE 0.0 END, 4) AS comment_frac
+FROM m ORDER BY doc_id
+"""
+    extracts = " || ".join(
+        f"regexp_extract_all(c, '{_sq(pat)}', 1)"
+        for _, pat in IMPORT_PATTERNS
+    )
+    code_imports = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+         THEN 'import mod' || (doc_id % 10)::VARCHAR || chr(10)
+    ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+         THEN 'from pkg' || (doc_id % 7)::VARCHAR || '.sub import thing'
+              || chr(10) ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN '#include <lib' || (doc_id % 5)::VARCHAR || '.h>' || chr(10)
+       ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN 'x = require("js' || (doc_id % 6)::VARCHAR || '")' || chr(10)
+       ELSE '' END
+    || text AS c
+  FROM documents
+),
+m AS (
+  SELECT doc_id, list_sort(list_distinct({extracts})) AS mods FROM t
+)
+SELECT doc_id, unnest(mods) AS module FROM m ORDER BY doc_id, module
+"""
+    return {"comment_share": comment_share, "code_imports": code_imports}
+
+
+ORACLE_SQL.update(_codestats_sqls2())
