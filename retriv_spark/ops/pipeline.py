@@ -217,6 +217,8 @@ def standard_curation_stages(
     min_char_entropy: float = 2.0,
     shuffle_salt: str = "cur",
     code_corpus: bool = True,
+    code_gates: bool = False,
+    code_filter_kwargs: Optional[dict] = None,
     require_terminal_punct: bool = True,
     prior_df: Optional[DataFrame] = None,
     benchmark_df: Optional[DataFrame] = None,
@@ -233,6 +235,10 @@ def standard_curation_stages(
     the expensive stages see only genuinely new documents.
     ``benchmark_df``: adds a ``decontaminate`` stage (n-gram overlap vs
     the eval sets) after dedup.
+    ``code_gates``: adds the source-file gate right after ``c4_clean``
+    — The Stack/StarCoder quality thresholds (drop) + secret
+    redaction (rewrite in place).  Narrow like the other gates, so it
+    fuses into the same single pass.
     """
     from .curation import c4_clean, decontaminate, quality_filter
     from .dedup import exact_dedup, flag_in_prior
@@ -269,6 +275,25 @@ def standard_curation_stages(
     def s_dedup(df: DataFrame) -> DataFrame:
         return exact_dedup(
             df, text_col=text_col, id_col=id_col, canonicalize=True
+        )
+
+    def s_code(df: DataFrame) -> DataFrame:
+        from .codestats import code_quality_filter, redact_secrets
+
+        gated = (
+            code_quality_filter(df, text_col=text_col,
+                                **(code_filter_kwargs or {}))
+            .where("keep")
+            .drop(
+                "keep", "reasons", "n_lines", "max_line_len",
+                "avg_line_len", "long_line_frac", "alnum_frac",
+                "digit_frac", "autogen",
+            )
+        )
+        return (
+            redact_secrets(gated, text_col=text_col)
+            .drop(text_col)
+            .withColumnRenamed(f"{text_col}_redacted", text_col)
         )
 
     def s_shuffle(df: DataFrame) -> DataFrame:
@@ -311,6 +336,13 @@ def standard_curation_stages(
                "code_corpus": code_corpus,
                "require_terminal_punct": require_terminal_punct},
               checkpoint=cp),
+        *(
+            [Stage("code_gate", s_code,
+                   {"thresholds": code_filter_kwargs or "the_stack"},
+                   checkpoint=cp)]
+            if code_gates
+            else []
+        ),
         Stage("quality_gate", s_quality, {"min_tokens": min_tokens},
               checkpoint=cp),
         Stage("entropy_gate", s_entropy,
