@@ -75,6 +75,7 @@ HEADLINE = [
     "secret_redact",
     "comment_share",
     "code_imports",
+    "perplexity_buckets",
 ]
 
 

@@ -2399,6 +2399,21 @@ def q_code_imports(spark, sf_dir):
     return extract_imports(docs).orderBy("doc_id", "module")
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (ops/lm.py
+    perplexity_buckets) over the same bigram LM as the ngram_lm pair.
+    Thresholds are exact k-th-largest order statistics of the rounded
+    scores (k_j = floor(j*n/3)); ties take the better bucket — the
+    whole pipeline (LM, scores, grid, order statistics, assignment)
+    is replayed in SQL."""
+    from .ops.lm import perplexity_buckets
+
+    docs = _docs(spark, sf_dir)
+    return perplexity_buckets(docs, alpha=0.5, top_k=1000).orderBy(
+        "doc_id"
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -2489,6 +2504,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "secret_redact": q_secret_redact,
     "comment_share": q_comment_share,
     "code_imports": q_code_imports,
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 
@@ -5113,3 +5129,51 @@ SELECT doc_id, unnest(mods) AS module FROM m ORDER BY doc_id, module
 
 
 ORACLE_SQL.update(_codestats_sqls2())
+
+
+ORACLE_SQL["perplexity_buckets"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+uni_all AS (
+  SELECT term AS w1, count(*) AS c1
+  FROM t, unnest(toks) AS u(term) GROUP BY term
+),
+vsz AS (SELECT count(*) AS v FROM uni_all),
+uni AS (SELECT w1, c1 FROM uni_all ORDER BY c1 DESC, w1 LIMIT 1000),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+),
+bi_all AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+bi AS (SELECT w1, w2, c2 FROM bi_all ORDER BY c2 DESC, w1, w2 LIMIT 1000),
+sc AS (
+  SELECT bg.doc_id, coalesce(bi.c2, 0) AS c2, coalesce(uni.c1, 0) AS c1
+  FROM bg
+  LEFT JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+  LEFT JOIN uni ON bg.w1 = uni.w1
+),
+d AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         round(avg(ln((c2::DOUBLE + 0.5)
+                      / (c1::DOUBLE + 0.5 * (SELECT v FROM vsz)))), 4)
+           AS avg_logprob
+  FROM sc GROUP BY doc_id
+),
+nn AS (SELECT count(*) AS n FROM d),
+g AS (SELECT avg_logprob AS s, count(*) AS c FROM d GROUP BY 1),
+o AS (SELECT s, sum(c) OVER (ORDER BY s DESC) AS cum FROM g),
+t1 AS (SELECT max(s) AS t FROM o WHERE cum >= (SELECT n FROM nn) // 3),
+t2 AS (SELECT max(s) AS t FROM o
+       WHERE cum >= (2 * (SELECT n FROM nn)) // 3)
+SELECT doc_id, n_bigrams, n_oov, avg_logprob,
+  CASE WHEN avg_logprob >= (SELECT t FROM t1) THEN 'head'
+       WHEN avg_logprob >= (SELECT t FROM t2) THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM d ORDER BY doc_id
+"""

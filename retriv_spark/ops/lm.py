@@ -143,3 +143,95 @@ def ngram_lm_score(
             F.round(F.avg(lp), 4).alias("avg_logprob"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    labels: Optional[Tuple[str, ...]] = None,
+    sample_rate: float = 1.0,
+    salt: str = "ppl",
+    alpha: float = 0.5,
+    top_k: int = 1_000_000,
+    lm: Optional[Tuple[DataFrame, DataFrame, int]] = None,
+    scores: Optional[DataFrame] = None,
+) -> DataFrame:
+    """CCNet-style (Wenzek et al. 2020, §4.3) perplexity bucketing:
+    rank documents by LM quality and split them into ``n_buckets``
+    equal-count tiers (default ``head``/``middle``/``tail``; head =
+    best = highest ``avg_logprob`` = lowest perplexity).
+
+    Thresholds are the exact k-th largest scores at the bucket
+    boundaries, ``k_j = floor(j*n/B)``, computed over a deterministic
+    hash-sample (``sample_rate``; CCNet itself computes per-language
+    cutoffs on a sample).  Ties at a boundary all take the better
+    bucket, which keeps assignment a PURE FUNCTION of the score —
+    identical at any parallelism with no global sort or id-tiebreak
+    shuffle.
+
+    Plan: the ``ngram_lm_score`` plan (corpus never shuffles), then ONE
+    tiny groupBy-count over DISTINCT 4-decimal-rounded scores (state is
+    bounded by the score grid, ~1e5 cells, not the corpus), a bounded
+    driver collect of that grid to pick the order statistics, and a
+    narrow broadcast-literal comparison to assign buckets.  Nothing
+    corpus-sized moves.
+    """
+    if labels is None:
+        labels = (
+            ("head", "middle", "tail")
+            if n_buckets == 3
+            else tuple(f"b{i}" for i in range(n_buckets))
+        )
+    if len(labels) != n_buckets:
+        raise ValueError("labels must have n_buckets entries")
+    if scores is None:
+        scores = ngram_lm_score(
+            df, text_col=text_col, id_col=id_col,
+            alpha=alpha, top_k=top_k, lm=lm,
+        )
+    pool = scores
+    if sample_rate < 1.0:
+        from .textstats import portable_hash64
+
+        denom = 10_000
+        bucket = F.pmod(
+            portable_hash64(
+                F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+            ),
+            F.lit(denom),
+        )
+        pool = scores.where(bucket < int(round(sample_rate * denom)))
+    # grid of distinct rounded scores — bounded by the 4-decimal grid,
+    # NOT by corpus size, so the collect is safe at any scale
+    grid = (
+        pool.groupBy("avg_logprob").count().orderBy(F.desc("avg_logprob"))
+    ).collect()
+    n = sum(r["count"] for r in grid)
+    thresholds = []
+    for j in range(1, n_buckets):
+        k = (j * n) // n_buckets
+        if k <= 0:
+            thresholds.append(None)  # empty upper bucket
+            continue
+        cum = 0
+        t = None
+        for r in grid:
+            cum += r["count"]
+            if cum >= k:
+                t = r["avg_logprob"]
+                break
+        thresholds.append(t)
+    label_col = F.lit(labels[-1])
+    for j in range(n_buckets - 2, -1, -1):
+        t = thresholds[j]
+        if t is None:
+            continue
+        label_col = F.when(
+            F.col("avg_logprob") >= float(t), F.lit(labels[j])
+        ).otherwise(label_col)
+    return scores.select(
+        id_col, "n_bigrams", "n_oov", "avg_logprob",
+        label_col.alias("bucket"),
+    )

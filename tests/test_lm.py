@@ -108,3 +108,81 @@ def test_ngram_lm_plan_shape(spark, tiny_docs):
     # per-doc aggregation
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- CCNet perplexity buckets -------------------------------------------------
+
+from retriv_spark.ops.lm import perplexity_buckets
+
+
+def _bucket_model(scores, n_buckets):
+    vals = sorted(scores, reverse=True)
+    n = len(vals)
+    ts = []
+    for j in range(1, n_buckets):
+        k = (j * n) // n_buckets
+        ts.append(vals[k - 1] if k > 0 else None)
+    out = []
+    for s in scores:
+        lbl = n_buckets - 1
+        for j, t in enumerate(ts):
+            if t is not None and s >= t:
+                lbl = j
+                break
+        out.append(lbl)
+    return out
+
+
+def test_perplexity_buckets_matches_model(spark):
+    rows = []
+    for i in range(30):
+        # common bigrams for low i -> high avg_logprob; rare for high i
+        if i < 10:
+            body = "the cat sat on the mat " * 4
+        elif i < 20:
+            body = f"the cat ran fast uniq{i} word{i} " * 3
+        else:
+            body = f"zz{i} qq{i} vv{i} ww{i} xx{i} yy{i}"
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df, top_k=1000).collect()
+    got = {r["doc_id"]: r for r in out}
+    scores = [got[i]["avg_logprob"] for i in range(30)]
+    labels = ["head", "middle", "tail"]
+    want = [labels[b] for b in _bucket_model(scores, 3)]
+    assert [got[i]["bucket"] for i in range(30)] == want
+    # equal-count tiers when scores are distinct at the boundaries
+    from collections import Counter
+
+    c = Counter(r["bucket"] for r in out)
+    assert c["head"] == 10 and c["middle"] == 10 and c["tail"] == 10
+
+
+def test_perplexity_buckets_tie_takes_better_bucket(spark):
+    # all docs identical -> one score -> everything lands in head
+    df = spark.createDataFrame(
+        [(i, "same text same text same") for i in range(9)],
+        "doc_id long, text string",
+    )
+    out = perplexity_buckets(df, top_k=100).collect()
+    assert {r["bucket"] for r in out} == {"head"}
+
+
+def test_perplexity_buckets_sampled_thresholds_assign_all(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i % 5} common word plus uniq{i} tail{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = perplexity_buckets(df, sample_rate=0.5, top_k=500)
+    rows = out.collect()
+    assert len(rows) == 60                     # every doc gets a bucket
+    assert set(r["bucket"] for r in rows) <= {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_custom_width(spark):
+    df = spark.createDataFrame(
+        [(i, f"a b c uniq{i} d{i % 4} e{i % 2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = perplexity_buckets(df, n_buckets=4, top_k=500).collect()
+    assert set(r["bucket"] for r in out) <= {"b0", "b1", "b2", "b3"}
