@@ -203,6 +203,42 @@ if want("curate_chain"):
         res[f"curate_stage:{_name}"] = _ent["seconds"]
     _sh.rmtree(wdir, ignore_errors=True)
 
+if want("curate_chain_code"):
+    # the same resumable chain with the source-file gates fused in
+    # (The Stack thresholds' line gates relaxed: the synthetic corpus is
+    # single-line, so survivors stay comparable with curate_chain while
+    # the full regex/marker/secret work is still measured)
+    import shutil as _sh
+    import tempfile as _tf
+
+    from retriv_spark.ops.pipeline import (
+        run_pipeline, standard_curation_stages,
+    )
+
+    wdir = _tf.mkdtemp(prefix=f"curatecodebench_{cpus}_")
+    t = time.time()
+    out, _m = run_pipeline(
+        spark, docs,
+        standard_curation_stages(
+            require_terminal_punct=False, code_gates=True,
+            code_filter_kwargs={"max_avg_line_len": 1e9,
+                                "max_max_line_len": 10**9,
+                                # the synthetic w<digits> vocab is
+                                # digit-heavy by construction
+                                "max_digit_frac": 1.0},
+        ), wdir,
+    )
+    row = out.agg(
+        F.sum(portable_hash64(F.concat_ws("|", "doc_id", "shuffle_pos"))
+              .cast("decimal(38,0)")).alias("chk"),
+        F.count("*").alias("n")).first()
+    res["curate_chain_code"] = time.time() - t
+    checks["curate_code_checksum"] = str(row.chk)
+    checks["curate_code_rows"] = row.n
+    for _name, _ent in _m["stages"].items():
+        res[f"curate_code_stage:{_name}"] = _ent["seconds"]
+    _sh.rmtree(wdir, ignore_errors=True)
+
 print("RESULT " + json.dumps({"cpus": cpus, "secs": res, "checks": checks}),
       flush=True)
 """

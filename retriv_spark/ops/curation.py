@@ -1051,7 +1051,15 @@ def quality_filter(
     mean_tok = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(
         F.lit(0.0)
     )
-    n_sym = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    # translate (plain char-map delete), not regexp_replace: the JVM
+    # regex engine has a ~2.4-6x cliff on 3+-range character classes
+    # (see ops/codestats.py); the explicit set is RE2's \s
+    # ([\t\n\f\r ]), which pins the op to the oracle's semantics
+    # instead of Java's \s (which also eats \x0B)
+    import string as _string
+
+    _keep = _string.ascii_letters + _string.digits + " \t\n\f\r"
+    n_sym = F.length(F.translate(text, _keep, ""))
     sym_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(F.lit(0.0))
     stop_hits = F.coalesce(
         F.size(

@@ -277,10 +277,20 @@ def standard_curation_stages(
             df, text_col=text_col, id_col=id_col, canonicalize=True
         )
 
-    def s_code(df: DataFrame) -> DataFrame:
-        from .codestats import code_quality_filter, redact_secrets
+    # The code gate is SPLIT in two for plan-cost reasons: fused narrow
+    # stages re-evaluate their upstream expression trees once per
+    # downstream reference (higher-order functions run interpreted, so
+    # Catalyst's collapsed projections get no subexpression
+    # elimination — measured 3x on the whole unit when the redaction
+    # rewrite sat upstream of the many-reference gates).  So the
+    # FILTER runs first, referencing raw scan columns (a column read,
+    # not a recompute — and it drops the worst rows before every other
+    # gate), while the redaction REWRITE fuses into the exact_dedup
+    # unit, whose input is already a materialized checkpoint.
+    def s_code_gate(df: DataFrame) -> DataFrame:
+        from .codestats import code_quality_filter
 
-        gated = (
+        return (
             code_quality_filter(df, text_col=text_col,
                                 **(code_filter_kwargs or {}))
             .where("keep")
@@ -290,8 +300,12 @@ def standard_curation_stages(
                 "digit_frac", "autogen",
             )
         )
+
+    def s_redact(df: DataFrame) -> DataFrame:
+        from .codestats import redact_secrets
+
         return (
-            redact_secrets(gated, text_col=text_col)
+            redact_secrets(df, text_col=text_col)
             .drop(text_col)
             .withColumnRenamed(f"{text_col}_redacted", text_col)
         )
@@ -330,25 +344,29 @@ def standard_curation_stages(
     # on both sides — measured slower than the materialization it saves
     # (BENCH/curate_chain_scaling_r3_fullfuse.json)
     cp = not fuse_gates
+    if code_gates:
+        stages.append(
+            Stage("code_gate", s_code_gate,
+                  {"thresholds": code_filter_kwargs or "the_stack"},
+                  checkpoint=cp)
+        )
     stages += [
         Stage("c4_clean", s_clean,
               {"min_words_per_line": 3, "min_lines": 1,
                "code_corpus": code_corpus,
                "require_terminal_punct": require_terminal_punct},
               checkpoint=cp),
-        *(
-            [Stage("code_gate", s_code,
-                   {"thresholds": code_filter_kwargs or "the_stack"},
-                   checkpoint=cp)]
-            if code_gates
-            else []
-        ),
         Stage("quality_gate", s_quality, {"min_tokens": min_tokens},
               checkpoint=cp),
         Stage("entropy_gate", s_entropy,
               {"min_char_entropy": min_char_entropy}),
-        Stage("exact_dedup", s_dedup, {"canonicalize": True}),
     ]
+    if code_gates:
+        stages.append(
+            Stage("secret_redact", s_redact,
+                  {"patterns": "SECRET_PATTERNS"}, checkpoint=False)
+        )
+    stages.append(Stage("exact_dedup", s_dedup, {"canonicalize": True}))
     if benchmark_df is not None:
         stages.append(
             Stage("decontaminate", s_decontam,

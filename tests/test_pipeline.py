@@ -219,7 +219,12 @@ def test_code_gates_stage(spark, cur_docs, tmp_path):
     assert 201 in kept
     assert "AKIA" not in kept[201]               # secret redacted in place
     assert "[SECRET:AWS_KEY]" in kept[201]
-    # fused into the single narrow-gate unit
+    # the filter fuses into the narrow-gate unit (first, on raw scan
+    # columns); the redaction rewrite fuses into the dedup unit, whose
+    # input is already materialized
     assert manifest["stages"]["entropy_gate"]["fused"] == [
-        "c4_clean", "code_gate", "quality_gate", "entropy_gate",
+        "code_gate", "c4_clean", "quality_gate", "entropy_gate",
+    ]
+    assert manifest["stages"]["exact_dedup"]["fused"] == [
+        "secret_redact", "exact_dedup",
     ]
