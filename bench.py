@@ -76,6 +76,7 @@ HEADLINE = [
     "comment_share",
     "code_imports",
     "perplexity_buckets",
+    "tokenize_pack",
 ]
 
 

@@ -2414,6 +2414,26 @@ def q_perplexity_buckets(spark, sf_dir):
     )
 
 
+def q_tokenize_pack(spark, sf_dir):
+    """End-to-end training-data materialization: real-tokenizer counts
+    (greedy WordPiece over the synthetic closed-form vocab) feeding the
+    concat-then-split packer — the budget that cuts the sequences is
+    denominated in actual tokenizer tokens, not whitespace words.  Pure
+    composition of two already-oracled ops; the oracle replays the
+    closed-form count and the running-sum cut in one statement."""
+    from .ops.packing import assign_sequences
+    from .ops.wordpiece import synthetic_char_vocab, with_wordpiece_counts
+
+    docs = _docs(spark, sf_dir)
+    enc = with_wordpiece_counts(docs, synthetic_char_vocab())
+    return assign_sequences(
+        enc, budget=256, id_col="doc_id",
+        tokens_count_col="n_wp_tokens", n_buckets=8, salt="tkp",
+    ).select(
+        "doc_id", "bucket", "n_tokens", "seq", "seq_offset"
+    ).orderBy("doc_id")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -2505,6 +2525,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "comment_share": q_comment_share,
     "code_imports": q_code_imports,
     "perplexity_buckets": q_perplexity_buckets,
+    "tokenize_pack": q_tokenize_pack,
 }
 
 
@@ -5176,4 +5197,29 @@ SELECT doc_id, n_bigrams, n_oov, avg_logprob,
        WHEN avg_logprob >= (SELECT t FROM t2) THEN 'middle'
        ELSE 'tail' END AS bucket
 FROM d ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["tokenize_pack"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_PH64.format(x="'tkp|' || doc_id::VARCHAR")} % 8 AS bucket,
+         coalesce(list_sum(list_transform(
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       w -> w <> ''),
+           w -> CASE WHEN length(w) > 200 OR regexp_matches(w, '[^a-z]')
+                     THEN 1 ELSE (length(w) + 1) // 2 END)), 0)::BIGINT
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id::VARCHAR
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+  FROM t
+)
+SELECT doc_id, bucket::BIGINT AS bucket, n_tokens,
+       (strt // 256)::BIGINT AS seq,
+       (strt - 256 * (strt // 256))::BIGINT AS seq_offset
+FROM c ORDER BY doc_id
 """
