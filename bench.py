@@ -77,6 +77,7 @@ HEADLINE = [
     "code_imports",
     "perplexity_buckets",
     "tokenize_pack",
+    "winnowing",
 ]
 
 

@@ -2434,6 +2434,34 @@ def q_tokenize_pack(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_WINNOW_SNIPPET = (
+    " int status = initialize context(); if (status != ok)"
+    " { return status; } finalize and flush all buffers();"
+)
+
+
+def q_winnowing(spark, sf_dir):
+    """MOSS winnowing code-clone candidates (ops/codestats.py
+    winnowing_fingerprints/winnowing_pairs, Schleimer et al. 2003): a
+    shared code snippet is appended to every 25th document; pairs
+    sharing >= 3 selected fingerprints are returned with the shared
+    count, with the hot-fingerprint scale guard ON (max_fp_df=30 — the
+    sf corpus is organically near-dup-heavy, exactly the regime the cap
+    exists for).  The oracle replays the canonical stream, every k-gram
+    md5 hash, the rolling-window minimum selection, the hot prune, and
+    the fingerprint join in SQL."""
+    from .ops.codestats import winnowing_pairs
+
+    docs = _docs(spark, sf_dir)
+    content = F.when(
+        F.col("doc_id") % 25 == 0,
+        F.concat(F.col("text"), F.lit(_WINNOW_SNIPPET)),
+    ).otherwise(F.col("text"))
+    return winnowing_pairs(
+        docs.withColumn("content", content), min_shared=3, max_fp_df=30
+    ).orderBy("id_a", "id_b")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
@@ -2526,6 +2554,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "code_imports": q_code_imports,
     "perplexity_buckets": q_perplexity_buckets,
     "tokenize_pack": q_tokenize_pack,
+    "winnowing": q_winnowing,
 }
 
 
@@ -5222,4 +5251,43 @@ SELECT doc_id, bucket::BIGINT AS bucket, n_tokens,
        (strt // 256)::BIGINT AS seq,
        (strt - 256 * (strt // 256))::BIGINT AS seq_offset
 FROM c ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["winnowing"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 = 0 THEN text || '{_WINNOW_SNIPPET}'
+         ELSE text END AS c
+  FROM documents
+),
+s AS (
+  SELECT doc_id, regexp_replace(lower(c), '[^a-z0-9]+', '', 'g') AS s
+  FROM t
+),
+g AS (
+  SELECT doc_id, i, substr(s, i, 8) AS gram
+  FROM s, unnest(generate_series(1, greatest(len(s) - 7, 1))) AS u(i)
+  WHERE len(s) > 0
+),
+h AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+),
+w AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+  FROM h
+),
+f AS (SELECT DISTINCT doc_id, mh FROM w WHERE i <= greatest(n - 3, 1)),
+hot AS (SELECT mh FROM f GROUP BY mh HAVING count(*) > 30),
+f2 AS (SELECT * FROM f WHERE mh NOT IN (SELECT mh FROM hot))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*)::BIGINT AS n_shared
+FROM f2 a JOIN f2 b ON a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY id_a, id_b
 """
