@@ -78,6 +78,7 @@ HEADLINE = [
     "perplexity_buckets",
     "tokenize_pack",
     "winnowing",
+    "fim_transform",
 ]
 
 

@@ -2434,6 +2434,21 @@ def q_tokenize_pack(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle augmentation (ops/packing.py fim_transform,
+    Bavarian et al. 2022): per-doc FIM decision, both split points,
+    and the PSM/SPM layout choice are pure functions of (salt, id) via
+    the portable hash; the oracle replays every hash, the substring
+    arithmetic, and both layouts, pinning the transformed byte stream
+    by md5."""
+    from .ops.packing import fim_transform
+
+    docs = _docs(spark, sf_dir)
+    return fim_transform(docs, rate=0.5, salt="fimq").select(
+        "doc_id", "fim", "mode", F.md5("text_fim").alias("fim_md5")
+    ).orderBy("doc_id")
+
+
 _WINNOW_SNIPPET = (
     " int status = initialize context(); if (status != ok)"
     " { return status; } finalize and flush all buffers();"
@@ -2555,6 +2570,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "tokenize_pack": q_tokenize_pack,
     "winnowing": q_winnowing,
+    "fim_transform": q_fim_transform,
 }
 
 
@@ -5290,4 +5306,42 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM f2 a JOIN f2 b ON a.mh = b.mh AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
 ORDER BY id_a, id_b
+"""
+
+
+ORACLE_SQL["fim_transform"] = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS x, len(coalesce(text, '')) AS n
+  FROM documents
+),
+h AS (
+  SELECT doc_id, x, n,
+    {_PH64.format(x="'fimq|r|' || doc_id::VARCHAR")} % 10000 AS hr,
+    {_PH64.format(x="'fimq|a|' || doc_id::VARCHAR")} % (n + 1) AS u1,
+    {_PH64.format(x="'fimq|b|' || doc_id::VARCHAR")} % (n + 1) AS u2,
+    {_PH64.format(x="'fimq|m|' || doc_id::VARCHAR")} % 2 AS hm
+  FROM t
+),
+s AS (
+  SELECT doc_id, x, n,
+    CASE WHEN hr < 5000 AND n > 0 THEN 1 ELSE 0 END AS fim,
+    least(u1, u2) AS lo, greatest(u1, u2) AS hi, hm
+  FROM h
+),
+p AS (
+  SELECT doc_id, x, fim, hm,
+    substr(x, 1, lo::INT) AS pre,
+    substr(x, (lo + 1)::INT, (hi - lo)::INT) AS mid,
+    substr(x, (hi + 1)::INT, (n - hi)::INT) AS suf
+  FROM s
+)
+SELECT doc_id, fim,
+  CASE WHEN fim = 0 THEN 'none'
+       WHEN hm = 1 THEN 'spm' ELSE 'psm' END AS mode,
+  md5(CASE WHEN fim = 0 THEN x
+       WHEN hm = 1 THEN '<fim_prefix>' || '<fim_suffix>' || suf
+                        || '<fim_middle>' || pre || mid
+       ELSE '<fim_prefix>' || pre || '<fim_suffix>' || suf
+            || '<fim_middle>' || mid END) AS fim_md5
+FROM p ORDER BY doc_id
 """

@@ -224,3 +224,75 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    salt: str = "fim",
+    prefix_tok: str = "<fim_prefix>",
+    middle_tok: str = "<fim_middle>",
+    suffix_tok: str = "<fim_suffix>",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, the
+    standard code-pretraining augmentation; applied character-level as
+    in the paper's document-level FIM).  Deterministically — every
+    decision is a pure function of ``(salt, id)``, so the same doc gets
+    the same transform at any parallelism and in any engine:
+
+    * a doc is FIM'd iff ``portable_hash64(salt|'r'|id) % denom <
+      rate*denom``;
+    * the two split points are ``hash(salt|'a'|id) % (len+1)`` and
+      ``hash(salt|'b'|id) % (len+1)`` (lo/hi = min/max — prefix,
+      middle, suffix may be empty, as in the paper);
+    * FIM'd docs use PSM or SPM layout 50/50 by one more hash bit
+      (the paper's joint PSM+SPM training mix):
+      PSM = ``<fim_prefix>P<fim_suffix>S<fim_middle>M``,
+      SPM = ``<fim_prefix><fim_suffix>S<fim_middle>PM``.
+
+    Adds ``fim`` (0/1), ``mode`` ('psm'/'spm'/'none') and
+    ``<text_col>_fim``.  Pure column algebra (hashes + substring
+    arithmetic) — narrow, zero Exchanges, no Python.
+    """
+    _ph = portable_hash64  # the engine-wide portable hash
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(text)
+    ids = F.col(id_col).cast("string")
+
+    def h(tag):
+        return _ph(F.concat(F.lit(salt + "|" + tag + "|"), ids))
+
+    is_fim = (F.pmod(h("r"), F.lit(denom)) < int(round(rate * denom))) & (
+        n > 0
+    )
+    u1 = F.pmod(h("a"), n + 1)
+    u2 = F.pmod(h("b"), n + 1)
+    lo = F.least(u1, u2)
+    hi = F.greatest(u1, u2)
+    pre = F.substring(text, 1, lo)
+    mid = text.substr(lo + 1, hi - lo)
+    suf = text.substr(hi + 1, n - hi)
+    spm = F.pmod(h("m"), F.lit(2)) == 1
+    psm_text = F.concat(
+        F.lit(prefix_tok), pre, F.lit(suffix_tok), suf,
+        F.lit(middle_tok), mid,
+    )
+    spm_text = F.concat(
+        F.lit(prefix_tok), F.lit(suffix_tok), suf,
+        F.lit(middle_tok), pre, mid,
+    )
+    return df.select(
+        "*",
+        is_fim.cast("int").alias("fim"),
+        F.when(~is_fim, F.lit("none"))
+        .when(spm, F.lit("spm"))
+        .otherwise(F.lit("psm"))
+        .alias("mode"),
+        F.when(~is_fim, text)
+        .when(spm, spm_text)
+        .otherwise(psm_text)
+        .alias(f"{text_col}_fim"),
+    )

@@ -247,3 +247,69 @@ def test_deterministic_shuffle_parallelism_and_salt(spark):
 
     with pytest.raises(ValueError):
         deterministic_shuffle(a, id_col="id", n_buckets=0)
+
+
+# -- fill-in-the-middle --------------------------------------------------------
+
+from retriv_spark.ops.packing import fim_transform
+
+
+def test_fim_reconstructs_original(spark):
+    """Whatever the layout, the three spans concatenated in document
+    order must reproduce the original text exactly."""
+    df = spark.createDataFrame(
+        [(i, f"def f{i}(x):\n    return x * {i}\n") for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = fim_transform(df, rate=1.0).collect()
+    assert all(r["fim"] == 1 for r in rows)
+    assert {r["mode"] for r in rows} == {"psm", "spm"}
+    for r in rows:
+        t = r["text_fim"]
+        assert t.startswith("<fim_prefix>")
+        if r["mode"] == "psm":
+            # <fim_prefix> P <fim_suffix> S <fim_middle> M
+            body = t[len("<fim_prefix>"):]
+            pre, rest = body.split("<fim_suffix>", 1)
+            suf, mid = rest.split("<fim_middle>", 1)
+            orig = pre + mid + suf
+        else:
+            # <fim_prefix><fim_suffix> S <fim_middle> P||M
+            body = t[len("<fim_prefix>") + len("<fim_suffix>"):]
+            suf, pre_mid = body.split("<fim_middle>", 1)
+            orig = pre_mid + suf
+        assert orig == r["text"], r["doc_id"]
+
+
+def test_fim_rate_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "some code body here") for i in range(400)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: (r["fim"], r["mode"], r["text_fim"])
+         for r in fim_transform(df, rate=0.5).collect()}
+    b = {r["doc_id"]: (r["fim"], r["mode"], r["text_fim"])
+         for r in fim_transform(df, rate=0.5).collect()}
+    assert a == b                                  # pure function of id
+    frac = sum(v[0] for v in a.values()) / len(a)
+    assert 0.4 < frac < 0.6                        # hash-rate honored
+    kept = [v for v in a.values() if v[0] == 0]
+    assert all(v[1] == "none" and v[2] == "some code body here"
+               for v in kept)
+
+
+def test_fim_empty_and_null_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in fim_transform(df, rate=1.0).collect()}
+    for i in (1, 2):
+        assert rows[i]["fim"] == 0
+        assert rows[i]["mode"] == "none"
+        assert rows[i]["text_fim"] == ""
+
+
+def test_fim_zero_exchange(spark):
+    df = spark.createDataFrame([(1, "x = 1")], "doc_id long, text string")
+    plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
