@@ -79,6 +79,8 @@ HEADLINE = [
     "tokenize_pack",
     "winnowing",
     "fim_transform",
+    "license_detect",
+    "blocklist_filter",
 ]
 
 

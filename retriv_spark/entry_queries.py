@@ -2449,6 +2449,44 @@ def q_fim_transform(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_license_detect(spark, sf_dir):
+    """License detection + permissive flag (ops/codestats.py
+    detect_license, The Stack §2.1 shape): SPDX tags and header
+    phrases are synthesized onto doc_id residues; the oracle replays
+    the head-window scan, the SPDX capture (which beats phrases), the
+    ordered phrase match, and the permissive-set membership."""
+    from .ops.codestats import detect_license
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id") % 5
+    content = F.concat(
+        F.when(d == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(d == 1, F.lit(
+            "/* Licensed under the Apache License, Version 2.0 */\n"))
+        .when(d == 2, F.lit("# GNU General Public License\n"))
+        .when(d == 3, F.lit("// SPDX-License-Identifier: BSD-3-Clause\n"))
+        .otherwise(F.lit("")),
+        F.col("text"),
+    )
+    return detect_license(docs.withColumn("content", content)).select(
+        "doc_id", "license",
+        F.col("permissive").cast("int").alias("permissive"),
+    ).orderBy("doc_id")
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Opt-out blocklist gate (ops/codestats.py filter_by_blocklist):
+    one broadcast left-anti join against a tiny opt-out registry — the
+    corpus never shuffles; the oracle is a NOT IN."""
+    from .ops.codestats import filter_by_blocklist
+
+    docs = _docs(spark, sf_dir)
+    bl = spark.createDataFrame([("src1",), ("src3",)], "blocked string")
+    return filter_by_blocklist(docs, bl, key_col="source").select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
 _WINNOW_SNIPPET = (
     " int status = initialize context(); if (status != ok)"
     " { return status; } finalize and flush all buffers();"
@@ -2571,6 +2609,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_pack": q_tokenize_pack,
     "winnowing": q_winnowing,
     "fim_transform": q_fim_transform,
+    "license_detect": q_license_detect,
+    "blocklist_filter": q_blocklist_filter,
 }
 
 
@@ -5344,4 +5384,57 @@ SELECT doc_id, fim,
        ELSE '<fim_prefix>' || pre || '<fim_suffix>' || suf
             || '<fim_middle>' || mid END) AS fim_md5
 FROM p ORDER BY doc_id
+"""
+
+
+def _license_sql() -> str:
+    from .ops.codestats import (
+        LICENSE_PHRASES, PERMISSIVE_LICENSES, SPDX_PATTERN,
+    )
+
+    phrase_case = "CASE " + " ".join(
+        f"WHEN contains(lhead, '{ph}') THEN '{name}'"
+        for name, ph in LICENSE_PHRASES
+    ) + " ELSE 'unknown' END"
+    permissive = ", ".join(f"'{x}'" for x in PERMISSIVE_LICENSES)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+      WHEN 1 THEN '/* Licensed under the Apache License, Version 2.0 */'
+                  || chr(10)
+      WHEN 2 THEN '# GNU General Public License' || chr(10)
+      WHEN 3 THEN '// SPDX-License-Identifier: BSD-3-Clause' || chr(10)
+      ELSE '' END || text AS c
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    array_to_string(string_split(c, chr(10))[1:30], chr(10)) AS head
+  FROM t
+),
+d AS (
+  SELECT doc_id,
+    lower(regexp_extract(head, '{_sq(SPDX_PATTERN)}', 1)) AS spdx,
+    lower(head) AS lhead
+  FROM h
+),
+lic AS (
+  SELECT doc_id,
+    CASE WHEN spdx <> '' THEN spdx ELSE {phrase_case} END AS license
+  FROM d
+)
+SELECT doc_id, license,
+  CASE WHEN license IN ({permissive}) THEN 1 ELSE 0 END AS permissive
+FROM lic ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["license_detect"] = _license_sql()
+
+ORACLE_SQL["blocklist_filter"] = """
+SELECT doc_id, source FROM documents
+WHERE source NOT IN ('src1', 'src3')
+ORDER BY doc_id
 """
