@@ -81,6 +81,7 @@ HEADLINE = [
     "fim_transform",
     "license_detect",
     "blocklist_filter",
+    "repo_pack",
 ]
 
 

@@ -2487,6 +2487,21 @@ def q_blocklist_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_repo_pack(spark, sf_dir):
+    """Repo-context packing (ops/packing.py assign_sequences with
+    bucket_col/order_col): one packing stream per source (the repo
+    proxy), files concatenated in id order, cut every 512 tokens — the
+    StarCoder2-style layout where a training sequence carries same-repo
+    context.  The oracle replays the per-source running-sum cut."""
+    from .ops.packing import assign_sequences
+
+    docs = _docs(spark, sf_dir)
+    return assign_sequences(
+        docs, budget=512, id_col="doc_id",
+        bucket_col="source", order_col=None,
+    ).orderBy("doc_id")
+
+
 _WINNOW_SNIPPET = (
     " int status = initialize context(); if (status != ok)"
     " { return status; } finalize and flush all buffers();"
@@ -2611,6 +2626,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fim_transform": q_fim_transform,
     "license_detect": q_license_detect,
     "blocklist_filter": q_blocklist_filter,
+    "repo_pack": q_repo_pack,
 }
 
 
@@ -5437,4 +5453,25 @@ ORACLE_SQL["blocklist_filter"] = """
 SELECT doc_id, source FROM documents
 WHERE source NOT IN ('src1', 'src3')
 ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["repo_pack"] = """
+WITH t AS (
+  SELECT doc_id, source AS bucket,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY bucket
+                             ORDER BY doc_id::VARCHAR, doc_id::VARCHAR
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+  FROM t
+)
+SELECT doc_id, bucket, n_tokens,
+       (strt // 512)::BIGINT AS seq,
+       (strt - 512 * (strt // 512))::BIGINT AS seq_offset
+FROM c ORDER BY doc_id
 """

@@ -47,6 +47,8 @@ def assign_sequences(
     tokens_count_col: str | None = None,
     n_buckets: int = 64,
     salt: str = "",
+    bucket_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Concat-then-split packing: assign every document to a training
     sequence of ``budget`` tokens.
@@ -77,17 +79,28 @@ def assign_sequences(
         n_tok = F.coalesce(F.size(tokens_col(F.col(text_col))), F.lit(0))
     else:
         n_tok = F.coalesce(F.col(tokens_count_col).cast("long"), F.lit(0))
-    bucket = F.pmod(
-        portable_hash64(F.concat(F.lit(salt + "|"), ident)), F.lit(n_buckets)
-    )
+    if bucket_col is not None:
+        # repo-context layout (StarCoder2-style): one packing stream
+        # per REAL group (repo / source), ordered by order_col (path),
+        # so a training sequence carries same-repo context instead of
+        # hash-random documents.  Same one-Exchange plan; the bucket
+        # key is just a column instead of a hash.
+        bucket = F.col(bucket_col)
+    else:
+        bucket = F.pmod(
+            portable_hash64(F.concat(F.lit(salt + "|"), ident)),
+            F.lit(n_buckets),
+        )
+    order_expr = F.col(order_col).cast("string") if order_col else ident
     base = df.select(
         F.col(id_col),
         bucket.alias("bucket"),
         n_tok.cast("long").alias("n_tokens"),
+        order_expr.alias("_ord"),
     )
     w = (
         Window.partitionBy("bucket")
-        .orderBy(ident)
+        .orderBy("_ord", ident)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_start")

@@ -313,3 +313,25 @@ def test_fim_zero_exchange(spark):
     df = spark.createDataFrame([(1, "x = 1")], "doc_id long, text string")
     plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_assign_sequences_repo_context_layout(spark):
+    rows = [
+        ("r1", "f1", "a b c"),        # 3 tokens
+        ("r1", "f2", "d e"),          # 2
+        ("r1", "f3", "f g h i"),      # 4
+        ("r2", "f1", "x y z w v"),    # 5
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, text string")
+    df = df.withColumn("fid", F.concat_ws("/", "repo", "path"))
+    out = {r["fid"]: r for r in
+           __import__("retriv_spark.ops.packing", fromlist=["assign_sequences"])
+           .assign_sequences(df, budget=4, id_col="fid",
+                             bucket_col="repo", order_col="path").collect()}
+    # r1 stream: f1 starts at 0 (seq 0), f2 at 3 (seq 0, offset 3),
+    # f3 at 5 (seq 1, offset 1); r2 stream independent
+    assert out["r1/f1"]["bucket"] == "r1"
+    assert (out["r1/f1"]["seq"], out["r1/f1"]["seq_offset"]) == (0, 0)
+    assert (out["r1/f2"]["seq"], out["r1/f2"]["seq_offset"]) == (0, 3)
+    assert (out["r1/f3"]["seq"], out["r1/f3"]["seq_offset"]) == (1, 1)
+    assert (out["r2/f1"]["seq"], out["r2/f1"]["seq_offset"]) == (0, 0)
