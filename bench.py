@@ -82,6 +82,7 @@ HEADLINE = [
     "license_detect",
     "blocklist_filter",
     "repo_pack",
+    "streaming_dedup",
 ]
 
 

@@ -2502,6 +2502,31 @@ def q_repo_pack(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Exactly-once streaming exact dedup (streaming/dedup.py): the
+    documents table is fed as two micro-batches through the REAL
+    dedup_batch path (state partitions, strictly-earlier-batch rule,
+    within-batch keep-lowest-id-as-string); the oracle replays the
+    canonical digest, the earliest-batch claim, and the string-min
+    keeper selection."""
+    import os
+    import tempfile
+
+    from .streaming.dedup import dedup_batch
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sdedup_pair_")
+    out = os.path.join(base, "out")
+    state = os.path.join(base, "state")
+    dedup_batch(spark, docs.where(F.col("doc_id") % 2 == 0), 0, out, state)
+    dedup_batch(spark, docs.where(F.col("doc_id") % 2 == 1), 1, out, state)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 _WINNOW_SNIPPET = (
     " int status = initialize context(); if (status != ok)"
     " { return status; } finalize and flush all buffers();"
@@ -2627,6 +2652,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "license_detect": q_license_detect,
     "blocklist_filter": q_blocklist_filter,
     "repo_pack": q_repo_pack,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 
@@ -5474,4 +5500,23 @@ SELECT doc_id, bucket, n_tokens,
        (strt // 512)::BIGINT AS seq,
        (strt - 512 * (strt // 512))::BIGINT AS seq_offset
 FROM c ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["streaming_dedup"] = r"""
+WITH d AS (
+  SELECT doc_id, n_chars, doc_id % 2 AS b,
+         sha256(lower(regexp_replace(trim(text), '[ \t\n\r\f]+', ' ',
+                                     'g'))) AS dg
+  FROM documents
+),
+k AS (SELECT dg, min(b) AS mb FROM d GROUP BY dg),
+keep AS (
+  SELECT d.dg, min(d.doc_id::VARCHAR) AS kid
+  FROM d JOIN k ON d.dg = k.dg AND d.b = k.mb
+  GROUP BY d.dg
+)
+SELECT doc_id, n_chars
+FROM d JOIN keep ON d.doc_id::VARCHAR = keep.kid
+ORDER BY doc_id
 """

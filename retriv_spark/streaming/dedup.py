@@ -1,0 +1,111 @@
+"""Exactly-once streaming exact dedup (Structured Streaming).
+
+The batch engine has three incremental-dedup shapes (``ops/dedup.py``:
+``flag_in_prior`` / ``novel_against`` / ``minhash_novel_against``) —
+this is their CONTINUOUS sibling: a ``readStream`` of documents is
+deduplicated per micro-batch against every earlier micro-batch's
+content digests, keep-first semantics, without ever re-reading the
+corpus.
+
+Exactly-once under redelivery (``foreachBatch`` alone is
+at-least-once): all three writes of batch ``b`` are idempotent and the
+dedup DECISION is a pure function of (prior state, batch rows) —
+
+* a row is dropped iff its digest appears in a state partition with
+  ``batch < b`` (strictly earlier — so a REPLAYED batch, whose own
+  digests are already in ``state/batch=<b>``, reaches the identical
+  verdict instead of dropping everything);
+* within the batch, keep the lowest ``id`` per digest (deterministic,
+  not arrival order);
+* survivors land at ``out/batch=<b>`` and their digests at
+  ``state/batch=<b>``, both ``mode="overwrite"`` — a replay overwrites
+  identical bytes (the same idempotent-sink construction as
+  ``streaming/search.py``).
+
+Scale shape: the state is digests only (32 B/doc), partitioned by
+batch; the per-batch anti-join is digest-keyed — bodies never shuffle.
+At very long stream horizons, compact the state partitions offline
+(they are plain parquet) exactly like ``index/compact.py`` does for
+segments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops.dedup import _content_digest
+
+
+def dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canonicalize: bool = True,
+) -> None:
+    """Deduplicate ONE micro-batch against the accumulated digest state
+    and write survivors + new digests idempotently (see module doc)."""
+    b = int(batch_id)
+    digested = batch_df.withColumn(
+        "_digest", _content_digest(F.col(text_col), canonicalize)
+    )
+    # within-batch keep-first: lowest id per digest (deterministic)
+    w_min = digested.groupBy("_digest").agg(
+        F.min(F.col(id_col).cast("string")).alias("_keep_id")
+    )
+    kept = digested.join(w_min, "_digest").where(
+        F.col(id_col).cast("string") == F.col("_keep_id")
+    ).drop("_keep_id")
+    # cross-batch: drop digests claimed by a STRICTLY EARLIER batch
+    if os.path.isdir(state_path) and any(
+        e.startswith("batch=") for e in os.listdir(state_path)
+    ):
+        prior = (
+            spark.read.option("basePath", state_path)
+            .parquet(state_path)
+            .where(F.col("batch") < b)
+            .select("_digest")
+            .dropDuplicates()
+        )
+        kept = kept.join(prior, "_digest", "left_anti")
+    kept.drop("_digest").write.mode("overwrite").parquet(
+        os.path.join(out_path, f"batch={b}")
+    )
+    digested.select("_digest").dropDuplicates().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_path, f"batch={b}"))
+
+
+def stream_dedup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canonicalize: bool = True,
+    trigger_once: bool = True,
+):
+    """Wire :func:`dedup_batch` into a ``foreachBatch`` StreamingQuery.
+    Returns the started query; read ``out_path`` back as one table for
+    the deduplicated stream so far."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_batch(
+            spark, batch_df, batch_id, out_path, state_path,
+            text_col=text_col, id_col=id_col, canonicalize=canonicalize,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_fn).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,78 @@
+"""Exactly-once streaming exact dedup (streaming/dedup.py): keep-first
+across micro-batches, within-batch determinism, redelivery idempotence,
+and equivalence with the batch exact_dedup on the union."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from retriv_spark.ops.dedup import exact_dedup
+from retriv_spark.streaming.dedup import dedup_batch, stream_dedup
+
+
+def _write_batches(spark, src, batches):
+    for name, rows in batches:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+
+
+def test_stream_dedup_end_to_end(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch a: 1,2 distinct + 3 dup-of-1 (within-batch, higher id loses)
+    # batch b: 10 dup-of-2 (cross-batch), 11 new, 12 ws-variant of 11's
+    #          text (canonical dedup collapses it)
+    _write_batches(spark, src, [
+        ("a", [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")]),
+        ("b", [(10, "gamma delta"), (11, "epsilon zeta"),
+               (12, "epsilon  zeta ")]),
+    ])
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = stream_dedup(
+        spark, stream, out, state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 11}
+
+    # ≡ batch canonical exact_dedup over the union (same survivors)
+    union = spark.read.parquet(f"{src}/*")
+    batch_kept = {
+        r["doc_id"]
+        for r in exact_dedup(
+            union, text_col="text", id_col="doc_id", canonicalize=True
+        ).collect()
+    }
+    assert got == batch_kept
+
+
+def test_dedup_batch_redelivery_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, "one text"), (2, "two text")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(5, "one text"), (6, "six text")], "doc_id long, text string"
+    )
+    dedup_batch(spark, b0, 0, out, state)
+    dedup_batch(spark, b1, 1, out, state)
+    first = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    assert [d for d, _ in first] == [1, 2, 6]
+    # REDELIVER batch 1: its own digests are already in state/batch=1;
+    # the strictly-earlier rule must reach the identical verdict
+    dedup_batch(spark, b1, 1, out, state)
+    again = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    assert again == first
