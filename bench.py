@@ -83,6 +83,7 @@ HEADLINE = [
     "blocklist_filter",
     "repo_pack",
     "streaming_dedup",
+    "clone_clusters",
 ]
 
 

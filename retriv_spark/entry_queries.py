@@ -2527,6 +2527,33 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_clone_clusters(spark, sf_dir):
+    """Code-clone CLUSTERS: the capped winnowing pair stream fed
+    through distributed min-label connected components (the same CC op
+    the minhash pairs use) — component = min reachable doc_id,
+    is_canonical marks the keeper.  The oracle reuses the winnowing
+    CTEs plus the recursive transitive-closure CTE."""
+    from .ops.codestats import winnowing_pairs
+    from .ops.dedup import connected_components
+
+    docs = _docs(spark, sf_dir)
+    content = F.when(
+        F.col("doc_id") % 25 == 0,
+        F.concat(F.col("text"), F.lit(_WINNOW_SNIPPET)),
+    ).otherwise(F.col("text"))
+    pairs = winnowing_pairs(
+        docs.withColumn("content", content), min_shared=3, max_fp_df=30
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).cast("int").alias(
+            "is_canonical"
+        ),
+    ).orderBy("doc_id")
+
+
 _WINNOW_SNIPPET = (
     " int status = initialize context(); if (status != ok)"
     " { return status; } finalize and flush all buffers();"
@@ -2653,6 +2680,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_filter": q_blocklist_filter,
     "repo_pack": q_repo_pack,
     "streaming_dedup": q_streaming_dedup,
+    "clone_clusters": q_clone_clusters,
 }
 
 
@@ -5520,3 +5548,34 @@ SELECT doc_id, n_chars
 FROM d JOIN keep ON d.doc_id::VARCHAR = keep.kid
 ORDER BY doc_id
 """
+
+
+def _clone_clusters_sql() -> str:
+    w = ORACLE_SQL["winnowing"]
+    prefix = w[: w.rindex("SELECT a.doc_id")].rstrip().rstrip(",")
+    return (
+        prefix.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + """,
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM f2 a JOIN f2 b ON a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(node, lbl) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT node AS doc_id, component,
+       (CASE WHEN node = component THEN 1 ELSE 0 END) AS is_canonical
+FROM comp ORDER BY doc_id"""
+    )
+
+
+ORACLE_SQL["clone_clusters"] = _clone_clusters_sql()
