@@ -84,6 +84,7 @@ HEADLINE = [
     "repo_pack",
     "streaming_dedup",
     "clone_clusters",
+    "bracket_balance",
 ]
 
 

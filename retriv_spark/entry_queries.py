@@ -2554,6 +2554,32 @@ def q_clone_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_bracket_balance(spark, sf_dir):
+    """Bracket count-balance tripwire (ops/codestats.py bracket_stats):
+    deterministic brace/paren corruption is synthesized onto doc_id
+    residues; the oracle replays every per-kind count (translate-delta
+    on the Spark side, length-delta replace on the DuckDB side — same
+    values) and the balanced flag."""
+    from .ops.codestats import bracket_stats
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    content = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit(" { (ok) [x] }"))
+        .when(d % 5 == 0, F.lit(" function( { truncated"))
+        .otherwise(F.lit("")),
+    )
+    out = bracket_stats(docs.withColumn("content", content))
+    return out.select(
+        "doc_id",
+        "n_open_brace", "n_close_brace",
+        "n_open_paren", "n_close_paren",
+        "n_open_bracket", "n_close_bracket",
+        F.col("brackets_balanced").cast("int").alias("balanced"),
+    ).orderBy("doc_id")
+
+
 _WINNOW_SNIPPET = (
     " int status = initialize context(); if (status != ok)"
     " { return status; } finalize and flush all buffers();"
@@ -2681,6 +2707,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repo_pack": q_repo_pack,
     "streaming_dedup": q_streaming_dedup,
     "clone_clusters": q_clone_clusters,
+    "bracket_balance": q_bracket_balance,
 }
 
 
@@ -5579,3 +5606,29 @@ FROM comp ORDER BY doc_id"""
 
 
 ORACLE_SQL["clone_clusters"] = _clone_clusters_sql()
+
+
+ORACLE_SQL["bracket_balance"] = """
+WITH t AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 3 = 0 THEN ' { (ok) [x] }'
+                 WHEN doc_id % 5 = 0 THEN ' function( { truncated'
+                 ELSE '' END AS c
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    len(c) - len(replace(c, '{', '')) AS n_open_brace,
+    len(c) - len(replace(c, '}', '')) AS n_close_brace,
+    len(c) - len(replace(c, '(', '')) AS n_open_paren,
+    len(c) - len(replace(c, ')', '')) AS n_close_paren,
+    len(c) - len(replace(c, '[', '')) AS n_open_bracket,
+    len(c) - len(replace(c, ']', '')) AS n_close_bracket
+  FROM t
+)
+SELECT *,
+  CASE WHEN n_open_brace = n_close_brace
+        AND n_open_paren = n_close_paren
+        AND n_open_bracket = n_close_bracket THEN 1 ELSE 0 END AS balanced
+FROM b ORDER BY doc_id
+"""
