@@ -46,7 +46,7 @@ import os
 import shutil
 import time
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -219,6 +219,9 @@ def standard_curation_stages(
     code_corpus: bool = True,
     code_gates: bool = False,
     code_filter_kwargs: Optional[dict] = None,
+    license_allow: Optional[Sequence[str]] = None,
+    blocklist_df: Optional[DataFrame] = None,
+    blocklist_key: str = "source",
     require_terminal_punct: bool = True,
     prior_df: Optional[DataFrame] = None,
     benchmark_df: Optional[DataFrame] = None,
@@ -239,6 +242,10 @@ def standard_curation_stages(
     — The Stack/StarCoder quality thresholds (drop) + secret
     redaction (rewrite in place).  Narrow like the other gates, so it
     fuses into the same single pass.
+    ``license_allow``: keep only files whose detected license is in the
+    list (plus unknown) — The Stack's permissive-only release shape.
+    ``blocklist_df``: opt-out registry; drops rows whose
+    ``blocklist_key`` appears in it (one broadcast anti-join).
     """
     from .curation import c4_clean, decontaminate, quality_filter
     from .dedup import exact_dedup, flag_in_prior
@@ -287,6 +294,19 @@ def standard_curation_stages(
     # not a recompute — and it drops the worst rows before every other
     # gate), while the redaction REWRITE fuses into the exact_dedup
     # unit, whose input is already a materialized checkpoint.
+    def s_license(df: DataFrame) -> DataFrame:
+        from .codestats import filter_by_license
+
+        return filter_by_license(
+            df, text_col=text_col, allow=license_allow,
+            keep_unknown=True,
+        ).drop("license", "permissive")
+
+    def s_blocklist(df: DataFrame) -> DataFrame:
+        from .codestats import filter_by_blocklist
+
+        return filter_by_blocklist(df, blocklist_df, key_col=blocklist_key)
+
     def s_code_gate(df: DataFrame) -> DataFrame:
         from .codestats import code_quality_filter
 
@@ -344,6 +364,16 @@ def standard_curation_stages(
     # on both sides — measured slower than the materialization it saves
     # (BENCH/curate_chain_scaling_r3_fullfuse.json)
     cp = not fuse_gates
+    if blocklist_df is not None:
+        stages.append(
+            Stage("blocklist", s_blocklist, {"key": blocklist_key},
+                  checkpoint=cp)
+        )
+    if license_allow is not None:
+        stages.append(
+            Stage("license_gate", s_license,
+                  {"allow": sorted(license_allow)}, checkpoint=cp)
+        )
     if code_gates:
         stages.append(
             Stage("code_gate", s_code_gate,

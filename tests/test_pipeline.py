@@ -228,3 +228,30 @@ def test_code_gates_stage(spark, cur_docs, tmp_path):
     assert manifest["stages"]["exact_dedup"]["fused"] == [
         "secret_redact", "exact_dedup",
     ]
+
+
+def test_license_and_blocklist_stages(spark, cur_docs, tmp_path):
+    extra = spark.createDataFrame(
+        [(300, "// gnu general public license. "
+               + " ".join(f"g{j} word{j} more{j}" for j in range(12)) + ".")],
+        "doc_id long, text string",
+    )
+    docs = cur_docs.unionByName(extra).withColumn(
+        "source", F.when(F.col("doc_id") < 5, "optout").otherwise("ok")
+    )
+    bl = spark.createDataFrame([("optout",)], "blocked string")
+    out, manifest = run_pipeline(
+        spark, docs,
+        standard_curation_stages(
+            license_allow=["mit", "apache-2.0"],
+            blocklist_df=bl,
+        ),
+        str(tmp_path / "plb"),
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 300 not in kept                      # GPL gated (not in allow)
+    assert not kept & {0, 1, 2, 3, 4}           # blocklisted source
+    assert 10 in kept                           # unknown license kept
+    assert manifest["stages"]["entropy_gate"]["fused"][:2] == [
+        "blocklist", "license_gate",
+    ]
