@@ -50,6 +50,17 @@ def main():
     ap.add_argument("--prose-corpus", action="store_true",
                     help="enable the C4 brace gate (off by default for "
                          "source code)")
+    ap.add_argument("--code-gates", action="store_true",
+                    help="add The Stack quality gate + secret redaction "
+                         "(ops/codestats.py)")
+    ap.add_argument("--license-allow", default=None,
+                    help="comma-separated license allow-list (plus "
+                         "unknown): adds the permissive-license gate")
+    ap.add_argument("--blocklist", default=None,
+                    help="parquet path of an opt-out registry (first "
+                         "column = blocked key): adds a broadcast "
+                         "anti-join gate")
+    ap.add_argument("--blocklist-key", default="source")
     ap.add_argument("--force", action="store_true",
                     help="discard an existing incompatible manifest")
     args = ap.parse_args()
@@ -77,6 +88,14 @@ def main():
         benchmark_df=(
             spark.read.parquet(args.benchmark) if args.benchmark else None
         ),
+        code_gates=args.code_gates,
+        license_allow=(
+            args.license_allow.split(",") if args.license_allow else None
+        ),
+        blocklist_df=(
+            spark.read.parquet(args.blocklist) if args.blocklist else None
+        ),
+        blocklist_key=args.blocklist_key,
     )
     t0 = time.perf_counter()
     df, manifest = run_pipeline(
