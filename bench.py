@@ -85,6 +85,7 @@ HEADLINE = [
     "streaming_dedup",
     "clone_clusters",
     "bracket_balance",
+    "corpus_report",
 ]
 
 

@@ -2580,6 +2580,16 @@ def q_bracket_balance(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_corpus_report(spark, sf_dir):
+    """One-row corpus data-card (ops/textstats.py corpus_report):
+    document count, token volume, strata, exact-duplicate share
+    (canonical digests), mean length — every value an exact integer or
+    exact-integer ratio, replayed verbatim in SQL."""
+    from .ops.textstats import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 _WINNOW_SNIPPET = (
     " int status = initialize context(); if (status != ok)"
     " { return status; } finalize and flush all buffers();"
@@ -2708,6 +2718,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "clone_clusters": q_clone_clusters,
     "bracket_balance": q_bracket_balance,
+    "corpus_report": q_corpus_report,
 }
 
 
@@ -5631,4 +5642,28 @@ SELECT *,
         AND n_open_paren = n_close_paren
         AND n_open_bracket = n_close_bracket THEN 1 ELSE 0 END AS balanced
 FROM b ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["corpus_report"] = r"""
+WITH d AS (
+  SELECT
+    len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+        x -> x <> ''))::BIGINT AS nt,
+    source,
+    sha256(lower(regexp_replace(trim(coalesce(text, '')),
+                                '[ \t\n\r\f]+', ' ', 'g'))) AS dg
+  FROM documents
+),
+a AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(nt)::BIGINT AS total_tokens,
+         count(DISTINCT source)::BIGINT AS n_strata,
+         count(DISTINCT dg)::BIGINT AS n_distinct_docs
+  FROM d
+)
+SELECT n_docs, total_tokens, n_strata, n_distinct_docs,
+       round(1.0 - n_distinct_docs / n_docs, 4) AS dup_frac,
+       round(total_tokens / n_docs, 4) AS avg_doc_tokens
+FROM a
 """

@@ -276,3 +276,48 @@ def with_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_ent")
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """One-row corpus data-card (the WIMBD-style audit entry point a
+    curation run records next to its output): document count, token
+    volume, stratum count, exact-duplicate share (canonical digests),
+    and mean document length.
+
+    One full-corpus aggregation with map-side partial combine; the
+    digest distinct is the same shuffle shape as exact dedup.  Every
+    value is an exact integer or an exact-integer ratio, so the report
+    is engine-reproducible.
+    """
+    from .dedup import _content_digest  # canonical digest, shared
+
+    text = F.col(text_col)
+    toks = F.coalesce(F.size(tokens_col(text)), F.lit(0))
+    agg = df.select(
+        toks.alias("_nt"),
+        F.col(strata_col).alias("_s"),
+        # NULL text digests as the empty doc (countDistinct skips
+        # NULLs in both engines, which would undercount otherwise)
+        _content_digest(F.coalesce(text, F.lit("")), True).alias("_dg"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.countDistinct("_s").alias("n_strata"),
+        F.countDistinct("_dg").alias("n_distinct_docs"),
+    )
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        "n_strata",
+        "n_distinct_docs",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_docs") / F.col("n_docs"), 4
+        ).alias("dup_frac"),
+        F.round(F.col("total_tokens") / F.col("n_docs"), 4).alias(
+            "avg_doc_tokens"
+        ),
+    )

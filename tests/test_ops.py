@@ -1036,3 +1036,24 @@ def test_filtered_ann_pushes_label_predicate(spark, tmp_path):
     got = res.collect()
     labels = {i: lab for i, _, lab in rows}
     assert got and all(labels[r.vec_id] == 1 for r in got)
+
+
+def test_corpus_report_values(spark):
+    from retriv_spark.ops.textstats import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "s0"),
+            (2, "alpha  beta gamma ", "s0"),   # canonical dup of 1
+            (3, "delta", "s1"),
+            (4, None, "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = corpus_report(df).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["total_tokens"] == 3 + 3 + 1 + 0
+    assert r["n_strata"] == 2
+    assert r["n_distinct_docs"] == 3            # dup collapsed, NULL distinct
+    assert r["dup_frac"] == 0.25
+    assert r["avg_doc_tokens"] == 1.75
