@@ -245,7 +245,11 @@ print("RESULT " + json.dumps({"cpus": cpus, "secs": res, "checks": checks}),
 
 
 def run_level(env, cpus):
-    e = dict(env, RETRIV_CPUS=str(cpus))
+    # same worker-heap bump as jobs/scaling_bench.py: the 8g get_spark
+    # default fits the 1M-doc chain but OOMs the 10M dedup-stage write
+    e = dict(env, RETRIV_CPUS=str(cpus),
+             SPARK_DRIVER_MEMORY=os.environ.get(
+                 "SPARK_DRIVER_MEMORY", "24g"))
     out = subprocess.run(
         [sys.executable, "-c", WORKER], env=e, capture_output=True, text=True
     )
