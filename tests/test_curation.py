@@ -854,3 +854,40 @@ def test_dedup_paragraphs_matches_python_model(spark, rows):
         for r in dedup_paragraphs(df, method="exact").collect()
     }
     assert got == _py_keep_first(rows)
+
+
+def test_c4_arrow_engine_equals_sql_engine(spark):
+    """The Arrow twin must be byte-identical to the column-algebra
+    rules on every edge: empty, NULL, trailing \\r, leading/trailing
+    spaces, unicode NBSP (neither engine's \\s matches it), drop word
+    casing, and the doc gates."""
+    from retriv_spark.ops.curation import c4_clean
+
+    texts = [
+        None, "", "   ", "one two three four five.",
+        "Too short.", "no terminal punct five words here",
+        "Ends with bang five words!", 'Ends with quote five words"',
+        "Has JavaScript in it five words.",
+        "cr line five words here.\r",
+        "nbsp separated five words here.",
+        "line one five words ok.\nline two five words ok!\nshort.",
+        "brace doc { five words here.",
+        "lorem ipsum five words here.",
+        "  padded line five words here.  ",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    cols = ["doc_id", "text_clean", "n_lines_kept", "keep"]
+    for kwargs in (
+        {},
+        {"require_terminal_punct": False, "min_lines": 1,
+         "drop_brace_docs": False, "min_words_per_line": 3},
+    ):
+        a = {r["doc_id"]: tuple(r[c] for c in cols[1:])
+             for r in c4_clean(df, engine="arrow", **kwargs)
+             .select(cols).collect()}
+        b = {r["doc_id"]: tuple(r[c] for c in cols[1:])
+             for r in c4_clean(df, engine="sql", **kwargs)
+             .select(cols).collect()}
+        assert a == b, kwargs
