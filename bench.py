@@ -86,6 +86,7 @@ HEADLINE = [
     "clone_clusters",
     "bracket_balance",
     "corpus_report",
+    "streaming_neardup",
 ]
 
 

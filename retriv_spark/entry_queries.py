@@ -2590,6 +2590,33 @@ def q_corpus_report(spark, sf_dir):
     return corpus_report(_docs(spark, sf_dir))
 
 
+def q_streaming_neardup(spark, sf_dir):
+    """Exactly-once streaming NEAR-dup dedup (streaming/dedup.py
+    neardup_batch): the documents table fed as two micro-batches
+    through the real signature-state path — within-batch
+    smaller-id-string rule, then the banded cross-join against the
+    strictly-earlier survivors' stored signatures.  The oracle replays
+    the shared minhash CTEs, both drop rules, and the survivor union."""
+    import os
+    import tempfile
+
+    from .streaming.dedup import neardup_batch
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sneardup_pair_")
+    out = os.path.join(base, "out")
+    state = os.path.join(base, "state")
+    neardup_batch(spark, docs.where(F.col("doc_id") % 2 == 0), 0, out,
+                  state)
+    neardup_batch(spark, docs.where(F.col("doc_id") % 2 == 1), 1, out,
+                  state)
+    return (
+        spark.read.option("basePath", out).parquet(out)
+        .select("doc_id", F.col("batch").cast("bigint").alias("batch"))
+        .orderBy("doc_id")
+    )
+
+
 _WINNOW_SNIPPET = (
     " int status = initialize context(); if (status != ok)"
     " { return status; } finalize and flush all buffers();"
@@ -2719,6 +2746,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clone_clusters": q_clone_clusters,
     "bracket_balance": q_bracket_balance,
     "corpus_report": q_corpus_report,
+    "streaming_neardup": q_streaming_neardup,
 }
 
 
@@ -5666,4 +5694,51 @@ SELECT n_docs, total_tokens, n_strata, n_distinct_docs,
        round(1.0 - n_distinct_docs / n_docs, 4) AS dup_frac,
        round(total_tokens / n_docs, 4) AS avg_doc_tokens
 FROM a
+"""
+
+
+ORACLE_SQL["streaming_neardup"] = f"""
+WITH {_MINHASH_SIG_CTES},
+wcand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 2 = b.doc_id % 2
+    AND a.doc_id::VARCHAR < b.doc_id::VARCHAR
+  GROUP BY 1, 2
+),
+wej AS (
+  SELECT c.id_b,
+         sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 16.0 AS ej
+  FROM wcand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+  GROUP BY c.id_a, c.id_b
+),
+wdrop AS (SELECT DISTINCT id_b AS id FROM wej WHERE ej >= 0.5),
+surv0 AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT id FROM wdrop)
+),
+ccand AS (
+  SELECT n.doc_id AS id, p.doc_id AS pid
+  FROM bands n
+  JOIN bands p ON n.band = p.band AND n.band_key = p.band_key
+  WHERE n.doc_id % 2 = 1
+    AND p.doc_id IN (SELECT doc_id FROM surv0)
+  GROUP BY 1, 2
+),
+cej AS (
+  SELECT c.id,
+         sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 16.0 AS ej
+  FROM ccand c
+  JOIN sig sa ON sa.doc_id = c.id
+  JOIN sig sb ON sb.doc_id = c.pid AND sb.j = sa.j
+  GROUP BY c.id, c.pid
+),
+cdrop AS (SELECT DISTINCT id FROM cej WHERE ej >= 0.5)
+SELECT doc_id, doc_id % 2 AS batch FROM documents
+WHERE doc_id NOT IN (SELECT id FROM wdrop)
+  AND doc_id NOT IN (SELECT id FROM cdrop)
+ORDER BY doc_id
 """

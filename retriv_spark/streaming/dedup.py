@@ -109,3 +109,153 @@ def stream_dedup(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def neardup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    unit: str = "word",
+    threshold: float = 0.5,
+    max_bucket_df: int = 1000,
+) -> None:
+    """NEAR-dup streaming sibling of :func:`dedup_batch`: drop a new
+    document when its minhash-signature Jaccard estimate reaches
+    ``threshold`` against (a) a batch-mate with a smaller id-string, or
+    (b) any SURVIVOR of a strictly earlier micro-batch.
+
+    State is signatures, not text: survivors' ``(id, sig)`` rows land
+    at ``state/batch=<b>`` — 8·n_hashes bytes/doc, so the per-batch
+    cross join is banded signatures against banded signatures exactly
+    like ``ops.dedup.minhash_novel_against``, and the prior corpus is
+    NEVER re-read or re-hashed.  All three writes are idempotent
+    ``batch=<b>`` overwrites and every decision is a pure function of
+    (prior state, batch rows) with the strictly-earlier rule, so a
+    redelivered batch reaches the identical verdict (the
+    :func:`dedup_batch` exactly-once construction).
+
+    Within-batch rule detail: a doc is dropped when ANY smaller-id doc
+    pairs with it at ``threshold``, whether or not that doc itself
+    survives — one pass, deterministic; a near-dup CHAIN (a~b, b~c,
+    a!~c) therefore over-drops c relative to greedy keep-first, the
+    standard trade for a single-pass rule (use the batch
+    connected-components path when exact cliques matter).
+
+    ``max_bucket_df`` defaults ON here (unlike the batch op): a stream
+    can't retry a straggler batch, so the hot-bucket guard is not
+    optional.
+    """
+    from ..ops.dedup import (
+        _band_keys, minhash_signature, prune_hot_buckets,
+    )
+
+    b = int(batch_id)
+    ids = F.col("id").cast("string")
+    sigs = minhash_signature(
+        batch_df, text_col, id_col, n_hashes, k, unit
+    )
+    nb = _band_keys(sigs, n_hashes, bands)
+    if max_bucket_df is not None:
+        nb = prune_hot_buckets(nb, ["band", "band_key"], max_bucket_df)
+
+    def _est(sig_a, sig_b):
+        return F.size(
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                     lambda v: v)
+        ) / F.lit(float(n_hashes))
+
+    # (a) within-batch: flagged pair with a smaller id-string
+    other = nb.select(
+        ids.alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_key"
+    )
+    within = (
+        nb.select(ids.alias("id_a"), F.col("sig").alias("sig_a"),
+                  "band", "band_key")
+        .join(other, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+        .where(_est(F.col("sig_a"), F.col("sig_b"))
+               >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias("_drop_id"))
+        .dropDuplicates()
+    )
+    # (b) cross-batch: flagged vs any strictly-earlier survivor
+    drops = within
+    sdir = os.path.join(state_path, "sigs")
+    if os.path.isdir(sdir) and any(
+        e.startswith("batch=") for e in os.listdir(sdir)
+    ):
+        prior_sigs = (
+            spark.read.option("basePath", sdir).parquet(sdir)
+            .where(F.col("batch") < b)
+            .select("id", "sig")
+        )
+        pb = _band_keys(prior_sigs, n_hashes, bands)
+        if max_bucket_df is not None:
+            pb = prune_hot_buckets(pb, ["band", "band_key"], max_bucket_df)
+        cross = (
+            nb.select(ids.alias("id_a"), F.col("sig").alias("sig_a"),
+                      "band", "band_key")
+            .join(
+                pb.select(F.col("id").alias("id_p"),
+                          F.col("sig").alias("sig_b"), "band", "band_key"),
+                ["band", "band_key"],
+            )
+            .groupBy("id_a", "id_p")
+            .agg(F.first("sig_a").alias("sig_a"),
+                 F.first("sig_b").alias("sig_b"))
+            .where(_est(F.col("sig_a"), F.col("sig_b"))
+                   >= F.lit(float(threshold)))
+            .select(F.col("id_a").alias("_drop_id"))
+            .dropDuplicates()
+        )
+        drops = drops.unionByName(cross).dropDuplicates()
+
+    kept = batch_df.join(
+        drops.withColumnRenamed("_drop_id", "_d"),
+        F.col(id_col).cast("string") == F.col("_d"),
+        "left_anti",
+    )
+    kept.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"batch={b}")
+    )
+    kept_sigs = sigs.join(
+        drops.withColumnRenamed("_drop_id", "_d"),
+        F.col("id").cast("string") == F.col("_d"),
+        "left_anti",
+    ).select("id", "sig")
+    kept_sigs.write.mode("overwrite").parquet(
+        os.path.join(sdir, f"batch={b}")
+    )
+
+
+def stream_neardup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    trigger_once: bool = True,
+    **kwargs,
+):
+    """Wire :func:`neardup_batch` into a foreachBatch StreamingQuery."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_batch(
+            spark, batch_df, batch_id, out_path, state_path, **kwargs
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_fn).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

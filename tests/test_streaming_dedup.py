@@ -76,3 +76,67 @@ def test_dedup_batch_redelivery_is_idempotent(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
     )
     assert again == first
+
+
+# -- streaming NEAR-dup --------------------------------------------------------
+
+from retriv_spark.ops.dedup import minhash_novel_against
+from retriv_spark.streaming.dedup import neardup_batch, stream_neardup
+
+_BASE = ("the quick brown fox jumps over the lazy dog near the old river "
+         "bank while birds sing in the tall green trees above")
+_VAR = _BASE.replace("lazy", "sleepy")       # near-dup of _BASE
+_OTHER = ("completely different content about distributed query engines "
+          "and posting list compression with block max structures here")
+
+
+def test_stream_neardup_end_to_end(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batches(spark, src, [
+        ("a", [(1, _BASE), (2, _OTHER), (3, _BASE + " tail")]),
+        ("b", [(10, _VAR), (11, "fresh novel text with many new words "
+                                "unlike anything earlier in the stream")]),
+    ])
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = stream_neardup(spark, stream, out, state, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 3 is a near-dup of 1 (smaller id) within batch a; 10 is a
+    # near-dup of survivor 1 from the earlier batch; 2 and 11 novel
+    assert got == {1, 2, 11}
+
+
+def test_neardup_batch_redelivery_and_batch_twin(spark, tmp_path):
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, _BASE), (2, _OTHER)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, _VAR), (11, "entirely new subject matter words here that "
+                          "share nothing with previous documents")],
+        "doc_id long, text string",
+    )
+    neardup_batch(spark, b0, 0, out, state)
+    neardup_batch(spark, b1, 1, out, state)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2, 11]
+    # the cross-batch verdicts match the BATCH incremental op run
+    # against the prior survivors
+    prior = spark.read.option("basePath", out).parquet(out).where(
+        "batch = 0").select("doc_id", "text")
+    flags = {r["id"]: r["novel"] for r in
+             minhash_novel_against(b1, prior).collect()}
+    assert flags == {10: 0, 11: 1}
+    # REDELIVER batch 1: its own sig state exists; strictly-earlier
+    # rule reaches the identical verdict
+    neardup_batch(spark, b1, 1, out, state)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == first
