@@ -87,6 +87,8 @@ HEADLINE = [
     "bracket_balance",
     "corpus_report",
     "streaming_neardup",
+    "bpe_train",
+    "bpe_encode",
 ]
 
 

@@ -572,6 +572,48 @@ def q_wordpiece_encode(spark, sf_dir):
     ).orderBy("doc_id", "pos")
 
 
+BPE_N_MERGES = 8
+BPE_MAX_WORDS = 4096
+
+
+def q_bpe_train(spark, sf_dir):
+    """Corpus-trained BPE (ops/bpe.py, Sennrich et al. 2016): ONE exact
+    word-count aggregation (map-side combine) feeds the driver-side
+    merge loop over the bounded top-N word table; exact integer counts
+    + lexicographic tiebreak make the learned merge sequence identical
+    at any parallelism.  The oracle replays every stage — word counts,
+    the top-N cap, char+</w> segmentation, pair counting, argmax with
+    tiebreak, and the leftmost-sequential merge itself (ONE literal
+    replace on the two-space-separated segmentation string, proven
+    equivalent in tests/test_bpe.py) — for all 8 merges."""
+    from retriv_spark.ops.bpe import train_bpe
+
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, BPE_N_MERGES, max_words=BPE_MAX_WORDS)
+    return model.merges_df(spark).orderBy("rank")
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Encode the corpus with its OWN learned BPE vocabulary
+    (ops/bpe.py with_bpe_tokens): min-rank greedy application of the 8
+    learned merges in one Arrow-batched zero-shuffle projection.  The
+    oracle re-trains the merges in SQL, then applies them IN RANK ORDER
+    (provably identical to min-rank greedy — a pair learned at rank r
+    can only be created by merges of rank < r; equivalence also pinned
+    by differential test) and compares the full token stream by md5
+    plus the exact token count per document."""
+    from retriv_spark.ops.bpe import train_bpe, with_bpe_tokens
+
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, BPE_N_MERGES, max_words=BPE_MAX_WORDS)
+    enc = with_bpe_tokens(docs, model)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("stream_md5"),
+    ).orderBy("doc_id")
+
+
 def q_source_reputation(spark, sf_dir):
     """Domain-level curation: per-source exact aggregates (doc count,
     token volume, distinct-content count) gate whole sources; survivors
@@ -2671,6 +2713,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "wordpiece_count": q_wordpiece_count,
     "wordpiece_encode": q_wordpiece_encode,
+    "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -5742,3 +5786,123 @@ WHERE doc_id NOT IN (SELECT id FROM wdrop)
   AND doc_id NOT IN (SELECT id FROM cdrop)
 ORDER BY doc_id
 """
+
+
+def _bpe_train_prefix(n_merges: int, max_words: int) -> str:
+    """CTE prefix replaying BPE training: word counts -> top-N cap ->
+    char+</w> segmentation -> n_merges rounds of (pair count, argmax
+    with (count DESC, left, right) tiebreak, leftmost-sequential
+    merge).  The segmentation string keeps TWO spaces between symbols
+    so a single literal replace with pattern ' a  b ' -> ' ab '
+    consumes one boundary space per side — consecutive occurrences
+    never share characters, which makes one replace() call EXACTLY the
+    leftmost-sequential merge pass (pinned against the Python model in
+    tests/test_bpe.py::test_sql_two_space_replace_equals_merge_step)."""
+    parts = [f"""
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+wc AS (
+  SELECT substring(w, 1, 64) AS word, count(*)::BIGINT AS freq
+  FROM t, unnest(ws) AS u(w)
+  GROUP BY 1
+),
+topw AS (
+  SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT {max_words}
+),
+seg0 AS (
+  SELECT word, freq,
+         '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+              || '</w>  ' AS seg
+  FROM topw
+)"""]
+    for i in range(n_merges):
+        parts.append(f""",
+p{i} AS (
+  SELECT l[j] AS lft, l[j + 1] AS rgt, sum(freq)::BIGINT AS cnt
+  FROM (SELECT freq,
+               list_filter(string_split(seg, '  '), x -> x <> '') AS l
+        FROM seg{i}) s,
+       unnest(generate_series(1, len(l) - 1)) AS u(j)
+  GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT lft, rgt, cnt FROM p{i} ORDER BY cnt DESC, lft, rgt LIMIT 1
+),
+seg{i + 1} AS (
+  SELECT word, freq,
+         replace(seg, ' ' || b.lft || '  ' || b.rgt || ' ',
+                      ' ' || b.lft || b.rgt || ' ') AS seg
+  FROM seg{i}, b{i} b
+)""")
+    return "WITH" + "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int, max_words: int) -> str:
+    rows = "\n  UNION ALL ".join(
+        (f'SELECT {i} AS rank, lft AS "left", rgt AS "right", '
+         f"lft || rgt AS merged, cnt AS pair_count FROM b{i}")
+        if i == 0
+        else f"SELECT {i}, lft, rgt, lft || rgt, cnt FROM b{i}"
+        for i in range(n_merges)
+    )
+    return (
+        _bpe_train_prefix(n_merges, max_words)
+        + f"\nSELECT * FROM (\n  {rows}\n) ORDER BY rank"
+    )
+
+
+def _bpe_encode_oracle(n_merges: int, max_words: int) -> str:
+    """Re-train the merges (same prefix), then apply them IN RANK ORDER
+    to every (doc, word) — one leftmost-sequential replace per merge,
+    which reaches that merge's fixpoint in a single pass (a merge of
+    (a, b) cannot create a new (a, b) adjacency) — and pin the doc's
+    token stream by md5 + exact count."""
+    stages = []
+    for i in range(n_merges):
+        stages.append(f""",
+e{i + 1} AS (
+  SELECT doc_id, wi,
+         replace(seg, ' ' || b.lft || '  ' || b.rgt || ' ',
+                      ' ' || b.lft || b.rgt || ' ') AS seg
+  FROM e{i}, b{i} b
+)""")
+    return (
+        _bpe_train_prefix(n_merges, max_words)
+        + f""",
+dw AS (
+  SELECT doc_id, wi, substring(w, 1, 64) AS w
+  FROM (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+        FROM t) q
+),
+e0 AS (
+  SELECT doc_id, wi,
+         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g')
+              || '</w>  ' AS seg
+  FROM dw
+)"""
+        + "".join(stages)
+        + f""",
+tok AS (
+  SELECT doc_id, wi,
+         list_filter(string_split(seg, '  '), x -> x <> '') AS toks
+  FROM e{n_merges}
+),
+agg AS (
+  SELECT doc_id, sum(len(toks))::BIGINT AS n_tokens,
+         md5(string_agg(array_to_string(toks, ' '), ' ' ORDER BY wi))
+           AS stream_md5
+  FROM tok GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.stream_md5, md5('')) AS stream_md5
+FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id"""
+    )
+
+
+ORACLE_SQL["bpe_train"] = _bpe_train_oracle(BPE_N_MERGES, BPE_MAX_WORDS)
+ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle(BPE_N_MERGES, BPE_MAX_WORDS)

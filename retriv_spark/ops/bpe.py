@@ -1,0 +1,399 @@
+"""Corpus-trained BPE tokenizer (Sennrich, Haddow & Birch 2016,
+"Neural Machine Translation of Rare Words with Subword Units").
+
+The missing piece between the engine's token-budget ops and a real
+training run: ``ops/wordpiece.py`` counts/encodes against an EXTERNAL
+vocabulary, while this module LEARNS the vocabulary from the corpus
+itself — the canonical tokenizer-training loop every large-scale
+pretraining pipeline runs before budgeting or packing anything.
+
+Spark shape (the 100 TB design):
+
+- :func:`word_counts` is the ONLY corpus-scale operation: one
+  ``groupBy(word)`` aggregation with map-side partial combine (the word
+  space, not the corpus, crosses the wire).  This is how published BPE
+  trainers scale too — the merge loop's input is the distinct-word
+  frequency table, which is Zipf-bounded and orders of magnitude smaller
+  than the corpus.
+- :func:`train_bpe` runs the merge loop driver-side over the TOP
+  ``max_words`` rows of that table (a bounded TakeOrderedAndProject
+  materialization, same discipline as the CCNet LM prune in ``ops/lm.py``
+  — the cap and the dropped-mass stat are reported, never silent).  All
+  counts are exact integers and ties break lexicographically, so the
+  learned merge sequence is identical at any parallelism.
+- :func:`with_bpe_tokens` / :func:`with_bpe_counts` apply the learned
+  merges as ONE Arrow-batched projection — zero shuffles, merge ranks on
+  a broadcast, per-worker ``word -> segmentation`` memo riding the
+  Zipfian word distribution (steady state is a dict hit per word).
+
+Semantics (kept exactly replayable in SQL for the oracle pairs):
+
+- Words are whitespace-split (empties dropped), optionally lowercased,
+  and truncated to ``max_word_len`` code points (the guard published
+  implementations apply; it also bounds the oracle's per-word work).
+- A word's initial symbol sequence is its characters plus one trailing
+  end-of-word marker symbol ``eow`` (Sennrich's ``</w>``).
+- One merge step replaces every adjacent occurrence of the chosen pair
+  LEFTMOST-SEQUENTIALLY (scan left to right, a merged symbol is not
+  reconsidered as the left element within the same step) — the published
+  semantics, and precisely what a single SQL ``replace`` performs on the
+  two-space-separated segmentation string ``'  s1  s2  ...  '`` with
+  pattern ``' a  b '`` → ``' ab '`` (each occurrence consumes one
+  boundary space on each side, so consecutive occurrences never share
+  characters; verified exhaustively in tests/test_bpe.py).
+- The best pair maximizes total count; ties break on
+  ``(left, right)`` ascending.
+
+Encoding applies the learned merges via the standard min-rank greedy
+loop (Sennrich's ``apply_bpe``): repeatedly merge the present pair with
+the lowest rank.  This is provably identical to applying the merges in
+rank order, each exhaustively — a pair learned at rank r can only be
+created by merges of rank < r, since the symbol a merge produces is
+produced by exactly one merge — and the in-order form is what the SQL
+oracle replays (the equivalence itself is pinned by a differential
+test).
+
+Reference surface parity: the reference (AmenRa/retriv) has no
+tokenizer training; this extends the engine's training-data-pipeline
+layer alongside ops/wordpiece.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_EOW = "</w>"
+DEFAULT_MAX_WORD_LEN = 64
+
+
+def word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    max_word_len: int = DEFAULT_MAX_WORD_LEN,
+) -> DataFrame:
+    """Exact ``(word, freq)`` table over whitespace words.
+
+    The one corpus-scale stage of BPE training: explode + groupBy with
+    map-side partial aggregation (HashAggregate partial/final — pinned
+    in tests), so only the distinct-word space shuffles.  Words are
+    truncated to ``max_word_len`` code points BEFORE counting, matching
+    the training/encode guard."""
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+    return (
+        df.select(F.explode(toks).alias("w"))
+        .select(F.substring("w", 1, max_word_len).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+@dataclass
+class BPEModel:
+    """A learned merge sequence plus the config that produced it.
+
+    ``merges[i] = (left, right, pair_count)`` — rank i merge.  The
+    class is plain data (picklable) so it broadcasts cheaply."""
+
+    merges: List[Tuple[str, str, int]]
+    eow: str = DEFAULT_EOW
+    lowercase: bool = True
+    max_word_len: int = DEFAULT_MAX_WORD_LEN
+    n_words_used: int = 0
+    freq_used: int = 0
+    freq_total: int = 0
+    ranks: Dict[Tuple[str, str], int] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.ranks:
+            # first rank wins if a pair ever reappears in the list (a
+            # merged symbol can be recreated by a later merge)
+            for i, (a, b, _) in enumerate(self.merges):
+                self.ranks.setdefault((a, b), i)
+
+    @property
+    def coverage(self) -> float:
+        """Fraction of total word occurrences inside the ``max_words``
+        cap — the no-silent-caps stat for the driver loop's input."""
+        return (
+            1.0 if self.freq_total == 0 else self.freq_used / self.freq_total
+        )
+
+    def merges_df(self, spark: SparkSession) -> DataFrame:
+        """The merge table as a DataFrame ``(rank, left, right, merged,
+        pair_count)`` — the persistable artifact (and the oracle-pair
+        surface)."""
+        rows = [
+            (i, a, b, a + b, int(c))
+            for i, (a, b, c) in enumerate(self.merges)
+        ]
+        return spark.createDataFrame(
+            rows, "rank int, left string, right string, merged string, pair_count long"
+        )
+
+    def vocab(self) -> List[str]:
+        """Final symbol vocabulary: every merged symbol, in rank order
+        (characters are implicit — any un-merged code point is its own
+        symbol)."""
+        return [a + b for a, b, _ in self.merges]
+
+
+def _merge_step(
+    symbols: Tuple[str, ...], a: str, b: str
+) -> Tuple[str, ...]:
+    """One leftmost-sequential merge pass of pair (a, b)."""
+    out: List[str] = []
+    i, n = 0, len(symbols)
+    while i < n:
+        if i + 1 < n and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return tuple(out)
+
+
+def _pair_counts(
+    seqs: Dict[Tuple[str, ...], int],
+) -> Dict[Tuple[str, str], int]:
+    stats: Dict[Tuple[str, str], int] = {}
+    for syms, freq in seqs.items():
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] = stats.get(p, 0) + freq
+    return stats
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+    max_words: int = 65536,
+    max_word_len: int = DEFAULT_MAX_WORD_LEN,
+    eow: str = DEFAULT_EOW,
+    min_pair_count: int = 1,
+    counts: Optional[DataFrame] = None,
+) -> BPEModel:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Distributed part: the exact word-count aggregation (or a caller-
+    provided ``counts`` DataFrame with columns (word, freq), e.g. a
+    persisted one).  Driver part: the published greedy merge loop over
+    the top ``max_words`` words by ``(freq DESC, word ASC)`` — a bounded
+    collect (at most ``max_words`` short rows, the documented cap;
+    ``model.coverage`` reports the occurrence mass retained, so the cap
+    is never silent).  Pair counts update incrementally (only words
+    containing the merged pair are revisited — Sennrich's
+    ``learn_bpe`` index), pinned against a full-recount model in tests.
+
+    Stops early when no pair reaches ``min_pair_count``."""
+    if counts is None:
+        counts = word_counts(
+            df, text_col=text_col, lowercase=lowercase,
+            max_word_len=max_word_len,
+        )
+    total = counts.agg(
+        F.coalesce(F.sum("freq"), F.lit(0)).alias("s")
+    ).collect()[0]["s"]  # bounded: one scalar row
+    # bounded driver materialization: at most max_words (word, freq) rows
+    top = (
+        counts.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(int(max_words))
+        .collect()
+    )
+    seqs: Dict[Tuple[str, ...], int] = {}
+    for r in top:
+        seqs[tuple(r["word"]) + (eow,)] = int(r["freq"])
+    used = sum(seqs.values())
+
+    # incremental pair statistics: pair -> total count, and an index
+    # pair -> {seq -> occurrences} so one merge touches only the
+    # sequences that contain its pair.
+    stats = _pair_counts(seqs)
+    index: Dict[Tuple[str, str], Dict[Tuple[str, ...], int]] = {}
+    for syms, freq in seqs.items():
+        for i in range(len(syms) - 1):
+            index.setdefault((syms[i], syms[i + 1]), {})
+            index[(syms[i], syms[i + 1])][syms] = (
+                index[(syms[i], syms[i + 1])].get(syms, 0) + 1
+            )
+
+    def _account(syms: Tuple[str, ...], freq: int, sign: int):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] = stats.get(p, 0) + sign * freq
+            if sign > 0:
+                index.setdefault(p, {})
+                index[p][syms] = index[p].get(syms, 0) + 1
+            else:
+                d = index.get(p)
+                if d is not None:
+                    n = d.get(syms, 0) - 1
+                    if n <= 0:
+                        d.pop(syms, None)
+                    else:
+                        d[syms] = n
+
+    merges: List[Tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        best = None
+        for p, c in stats.items():
+            if c < min_pair_count:
+                continue
+            key = (-c, p[0], p[1])
+            if best is None or key < best[0]:
+                best = (key, p, c)
+        if best is None:
+            break
+        _, (a, b), c = best
+        merges.append((a, b, int(c)))
+        touched = list(index.get((a, b), {}).keys())
+        for syms in touched:
+            freq = seqs.pop(syms, None)
+            if freq is None:
+                continue
+            _account(syms, freq, -1)
+            new = _merge_step(syms, a, b)
+            seqs[new] = seqs.get(new, 0) + freq
+            _account(new, freq, +1)
+        stats.pop((a, b), None)
+        index.pop((a, b), None)
+
+    return BPEModel(
+        merges=merges,
+        eow=eow,
+        lowercase=lowercase,
+        max_word_len=max_word_len,
+        n_words_used=len(top),
+        freq_used=int(used),
+        freq_total=int(total),
+    )
+
+
+def segment_word(
+    word: str,
+    ranks: Dict[Tuple[str, str], int],
+    eow: str = DEFAULT_EOW,
+    max_word_len: int = DEFAULT_MAX_WORD_LEN,
+) -> Tuple[str, ...]:
+    """Encode ONE word with the learned merges: min-rank greedy
+    (Sennrich's ``apply_bpe`` loop) — repeatedly apply the present pair
+    with the lowest rank, leftmost-sequentially, until none applies."""
+    symbols: Tuple[str, ...] = tuple(word[:max_word_len]) + (eow,)
+    while len(symbols) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (symbols[i], symbols[i + 1])
+        if best_pair is None:
+            break
+        symbols = _merge_step(symbols, *best_pair)
+    return symbols
+
+
+def segment_word_inorder(
+    word: str,
+    merges: Sequence[Tuple[str, str, int]],
+    eow: str = DEFAULT_EOW,
+    max_word_len: int = DEFAULT_MAX_WORD_LEN,
+) -> Tuple[str, ...]:
+    """The in-rank-order exhaustive formulation (what the SQL oracle
+    replays).  Provably — and test-pinned — identical to
+    :func:`segment_word`."""
+    symbols: Tuple[str, ...] = tuple(word[:max_word_len]) + (eow,)
+    for a, b, _ in merges:
+        prev = None
+        while prev != symbols:
+            prev = symbols
+            symbols = _merge_step(symbols, a, b)
+    return symbols
+
+
+def _token_udf(model: BPEModel, as_count: bool):
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = model.ranks
+    eow = model.eow
+    lowercase = model.lowercase
+    mwl = model.max_word_len
+    memo: dict = {}  # per-worker word -> segmentation tuple
+
+    def _word(w: str) -> Tuple[str, ...]:
+        r = memo.get(w)
+        if r is None:
+            r = segment_word(w, ranks, eow, mwl)
+            memo[w] = r
+        return r
+
+    if as_count:
+        @pandas_udf("long")
+        def _f(texts):
+            import pandas as pd
+
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(0)
+                    continue
+                if lowercase:
+                    t = t.lower()
+                out.append(sum(len(_word(w)) for w in t.split()))
+            return pd.Series(out, dtype="int64")
+    else:
+        @pandas_udf("array<string>")
+        def _f(texts):
+            import pandas as pd
+
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append([])
+                    continue
+                if lowercase:
+                    t = t.lower()
+                row: List[str] = []
+                for w in t.split():
+                    row.extend(_word(w))
+                out.append(row)
+            return pd.Series(out)
+
+    return _f
+
+
+def with_bpe_tokens(
+    df: DataFrame,
+    model: BPEModel,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col``: the document encoded as BPE subword symbols
+    (``array<string>``, end-of-word markers attached per the model).
+    One ArrowEvalPython projection, zero shuffles; merge ranks ride the
+    UDF closure (broadcast by the task serializer), per-worker word
+    memo."""
+    return df.withColumn(out_col, _token_udf(model, False)(df[text_col]))
+
+
+def with_bpe_counts(
+    df: DataFrame,
+    model: BPEModel,
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col``: the document's BPE token count — the real-
+    tokenizer budget column for ``mixture_plan(token_col=...)`` /
+    ``assign_sequences``, denominated in the corpus's OWN learned
+    vocabulary."""
+    return df.withColumn(out_col, _token_udf(model, True)(df[text_col]))

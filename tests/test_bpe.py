@@ -1,0 +1,266 @@
+"""Corpus-trained BPE: merge-loop semantics, determinism, encode
+equivalence, the SQL-merge representation, and the Spark plan shape."""
+import random
+
+import pytest
+
+from retriv_spark.ops.bpe import (
+    BPEModel,
+    _merge_step,
+    _pair_counts,
+    segment_word,
+    segment_word_inorder,
+    train_bpe,
+    with_bpe_counts,
+    with_bpe_tokens,
+    word_counts,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-python reference model (naive full-recount, straight from the paper)
+# ---------------------------------------------------------------------------
+
+def naive_train(word_freqs, n_merges, eow="</w>", min_pair_count=1):
+    seqs = {}
+    for w, f in word_freqs.items():
+        k = tuple(w) + (eow,)
+        seqs[k] = seqs.get(k, 0) + f
+    merges = []
+    for _ in range(n_merges):
+        stats = _pair_counts(seqs)
+        live = {p: c for p, c in stats.items() if c >= min_pair_count}
+        if not live:
+            break
+        a, b = min(live, key=lambda p: (-live[p], p[0], p[1]))
+        merges.append((a, b, live[(a, b)]))
+        seqs = _merge_dict(seqs, a, b)
+    return merges
+
+
+def _merge_dict(seqs, a, b):
+    out = {}
+    for syms, f in seqs.items():
+        n = _merge_step(syms, a, b)
+        out[n] = out.get(n, 0) + f
+    return out
+
+
+def _counts_df(spark, word_freqs):
+    return spark.createDataFrame(
+        [(w, f) for w, f in word_freqs.items()], "word string, freq long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge-step semantics
+# ---------------------------------------------------------------------------
+
+def test_merge_step_leftmost_sequential():
+    # identical-pair chains group from the left, merged symbol not
+    # reconsidered within the same step
+    assert _merge_step(("a",) * 5, "a", "a") == ("aa", "aa", "a")
+    assert _merge_step(("a", "b", "a", "b"), "a", "b") == ("ab", "ab")
+    assert _merge_step(("b", "a", "b"), "a", "b") == ("b", "ab")
+    assert _merge_step(("x",), "a", "b") == ("x",)
+
+
+def test_sql_two_space_replace_equals_merge_step():
+    """The oracle's representation: ONE literal replace on the
+    two-space-separated segmentation string ' s1  s2  ... ' with
+    pattern ' a  b ' -> ' ab ' is EXACTLY leftmost-sequential merging
+    (each occurrence consumes one boundary space per side, so
+    consecutive occurrences never share characters)."""
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    rng = random.Random(7)
+    alphabet = ["a", "b", "ab", "ba", "</w>", "x"]
+    cases = [(["a"] * c, "a", "a") for c in (1, 2, 3, 5, 8, 31, 64)]
+    cases += [(["a", "b"] * c, "a", "b") for c in (1, 2, 17, 40)]
+    cases += [(["a", "b"] * c + ["a"], "b", "a") for c in (1, 2, 9)]
+    for _ in range(400):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 40))]
+        cases.append((syms, rng.choice(alphabet), rng.choice(alphabet)))
+    for syms, a, b in cases:
+        seg = "  " + "  ".join(syms) + "  "
+        got = con.execute(
+            "select replace(?, ?, ?)",
+            [seg, f" {a}  {b} ", f" {a}{b} "],
+        ).fetchone()[0].split()
+        assert tuple(got) == _merge_step(tuple(syms), a, b), (syms, a, b)
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+def test_train_matches_naive_model(spark):
+    wf = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3, "new": 2,
+        "lowest": 1,
+    }
+    model = train_bpe(None, 12, counts=_counts_df(spark, wf))
+    assert model.merges == naive_train(wf, 12)
+    # classic outcome: 'es'/'est' family dominates
+    merged = [a + b for a, b, _ in model.merges]
+    assert "es" in merged or "st" in merged
+
+
+def test_train_tiebreak_lexicographic(spark):
+    # equal counts -> (left, right) ascending wins
+    wf = {"ba": 3, "dc": 3}
+    model = train_bpe(None, 1, counts=_counts_df(spark, wf))
+    (a, b, c) = model.merges[0]
+    # pairs: (b,a)=3, (d,c)=3, (a,</w>)=3, (c,</w>)=3 -> ('a','</w>')
+    assert (a, b) == ("a", "</w>") and c == 3
+
+
+def test_train_stops_early_and_min_count(spark):
+    wf = {"ab": 1}
+    model = train_bpe(None, 50, counts=_counts_df(spark, wf))
+    # word of 3 symbols incl eow -> at most 2 merges possible
+    assert len(model.merges) == 2
+    m2 = train_bpe(None, 50, counts=_counts_df(spark, wf), min_pair_count=2)
+    assert m2.merges == []
+
+
+def test_train_fuzz_incremental_vs_naive(spark):
+    rng = random.Random(42)
+    for trial in range(4):
+        words = {}
+        for _ in range(60):
+            w = "".join(
+                rng.choice("abcde") for _ in range(rng.randint(1, 9))
+            )
+            words[w] = words.get(w, 0) + rng.randint(1, 20)
+        model = train_bpe(None, 25, counts=_counts_df(spark, words))
+        assert model.merges == naive_train(words, 25), trial
+
+
+def test_train_end_to_end_deterministic_across_parallelism(spark):
+    rows = [
+        (i, f"the quick b{'r' * (i % 4)}own fox jumps over lazy dog {i % 7}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = train_bpe(df.repartition(1), 16)
+    m7 = train_bpe(df.repartition(7), 16)
+    assert m1.merges == m7.merges
+    assert m1.freq_total == m7.freq_total
+
+
+def test_max_words_cap_and_coverage(spark):
+    wf = {"aa": 100, "bb": 50, "cc": 1}
+    model = train_bpe(None, 2, counts=_counts_df(spark, wf), max_words=2)
+    assert model.n_words_used == 2
+    assert model.freq_used == 150 and model.freq_total == 151
+    assert 0.99 < model.coverage < 1.0
+    # 'cc' is outside the cap: no merge may involve 'c'
+    for a, b, _ in model.merges:
+        assert "c" not in a + b
+
+
+def test_word_truncation_guard(spark):
+    wf = {"a" * 100: 1}
+    model = train_bpe(
+        None, 1, counts=_counts_df(spark, wf), max_word_len=4
+    )
+    # counts df words are used as-is; truncation applies at tuple build
+    assert model.merges[0][:2] == ("a", "a")
+    seg = segment_word_inorder("a" * 100, model.merges, max_word_len=4)
+    assert sum(len(s) for s in seg if s != "</w>") == 4
+
+
+def test_word_counts_truncates_and_aggregates(spark):
+    df = spark.createDataFrame(
+        [(0, "XY xy  xy\tzz\nzz"), (1, None)], "doc_id long, text string"
+    )
+    got = {
+        r["word"]: r["freq"]
+        for r in word_counts(df, max_word_len=1).collect()
+    }
+    assert got == {"x": 3, "z": 2}
+
+
+def test_word_counts_partial_aggregate_plan(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = word_counts(df)._jdf.queryExecution().executedPlan().toString()
+    # map-side combine: partial+final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# encoding
+# ---------------------------------------------------------------------------
+
+def test_encode_minrank_equals_inorder_fuzz(spark):
+    rng = random.Random(3)
+    words = {}
+    for _ in range(80):
+        w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 10)))
+        words[w] = words.get(w, 0) + rng.randint(1, 9)
+    model = train_bpe(None, 30, counts=_counts_df(spark, words))
+    for _ in range(300):
+        w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 30)))
+        assert segment_word(w, model.ranks) == segment_word_inorder(
+            w, model.merges
+        ), w
+
+
+def test_encode_training_words_reach_trained_segmentation(spark):
+    wf = {"newest": 6, "widest": 3}
+    model = train_bpe(None, 100, counts=_counts_df(spark, wf))
+    # enough merges -> each training word collapses to one symbol
+    assert segment_word("newest", model.ranks) == ("newest</w>",)
+    assert segment_word("widest", model.ranks) == ("widest</w>",)
+
+
+def test_with_bpe_tokens_and_counts(spark):
+    rows = [(0, "ab ab cd"), (1, ""), (2, None), (3, "AB xq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_bpe(df, 6)
+    out = {
+        r["doc_id"]: (r["bpe_tokens"], r["n"])
+        for r in with_bpe_counts(
+            with_bpe_tokens(df, model), model, out_col="n"
+        ).collect()
+    }
+    assert out[1] == ([], 0) and out[2] == ([], 0)
+    # counts == len(tokens), lowercase folds AB onto ab
+    for toks, n in out.values():
+        assert n == len(toks)
+    assert out[3][0][: len(out[0][0]) // 3] == out[0][0][: len(out[0][0]) // 3]
+
+
+def test_encode_plan_is_single_narrow_projection(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    model = BPEModel(merges=[("a", "b", 1)])
+    plan = (
+        with_bpe_tokens(df, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_merges_df_schema(spark):
+    model = BPEModel(merges=[("a", "b", 7), ("ab", "c", 3)])
+    rows = model.merges_df(spark).collect()
+    assert [tuple(r) for r in rows] == [
+        (0, "a", "b", "ab", 7), (1, "ab", "c", "abc", 3)
+    ]
+    assert model.vocab() == ["ab", "abc"]
+
+
+def test_bpe_counts_feed_mixture_plan(spark):
+    from retriv_spark.ops.curation import mixture_plan
+
+    rows = [(i, "en" if i % 2 else "fr", "aa bb cc dd") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = train_bpe(df, 4)
+    dfc = with_bpe_counts(df, model)
+    plan = mixture_plan(
+        dfc, targets={"en": 40, "fr": 20}, strata_col="lang",
+        token_col="n_bpe_tokens",
+    )
+    assert plan.count() == 2
