@@ -239,6 +239,25 @@ if want("curate_chain_code"):
         res[f"curate_code_stage:{_name}"] = _ent["seconds"]
     _sh.rmtree(wdir, ignore_errors=True)
 
+if want("bpe"):
+    # corpus-trained BPE: the word-count shuffle + bounded driver merge
+    # loop (train), then the zero-shuffle Arrow encode pass (count).
+    # The learned merge sequence must be IDENTICAL across parallelism.
+    import hashlib as _hl
+
+    from retriv_spark.ops.bpe import train_bpe, with_bpe_counts
+
+    t = time.time()
+    model = train_bpe(docs, 64, max_words=30_000)
+    res["bpe_train"] = time.time() - t
+    checks["bpe_merges_md5"] = _hl.md5(
+        repr(model.merges).encode()).hexdigest()
+    t = time.time()
+    row = with_bpe_counts(docs, model).agg(
+        F.sum("n_bpe_tokens").alias("s"), F.count("*").alias("n")).first()
+    res["bpe_count"] = time.time() - t
+    checks["bpe_token_sum"] = row.s
+
 print("RESULT " + json.dumps({"cpus": cpus, "secs": res, "checks": checks}),
       flush=True)
 """

@@ -1,0 +1,104 @@
+"""spark-submit entry point: train a BPE tokenizer on a document table.
+
+One distributed word-count aggregation feeds the bounded driver-side
+merge loop (ops/bpe.py, Sennrich et al. 2016); the learned artifacts are
+written in the standard published formats:
+
+  <out>/merges.txt   one merge per line "left right", rank order,
+                     "#version"-style header — the format Sennrich's
+                     subword-nmt and the HF byte-level loaders read
+  <out>/vocab.json   symbol -> token id (base chars sorted by code
+                     point, </w>, then merges by rank — the layout
+                     ops/bpe.py bpe_vocab_ids defines)
+  <out>/meta.json    config + coverage stats (cap is never silent)
+
+Examples:
+  spark-submit --py-files retriv_spark.zip jobs/train_bpe.py \
+      --input /data/docs --out /artifacts/bpe32k --merges 32768
+
+  python jobs/train_bpe.py --input /root/testdata/sf0.01/documents.parquet \
+      --out /tmp/bpe --merges 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="parquet path of the document table")
+    ap.add_argument("--out", required=True, help="artifact directory")
+    ap.add_argument("--merges", type=int, default=8192)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--max-words", type=int, default=1_000_000,
+                    help="driver merge-loop input cap (top-N words by "
+                         "frequency; retained mass is reported)")
+    ap.add_argument("--max-word-len", type=int, default=64)
+    ap.add_argument("--min-pair-count", type=int, default=2)
+    ap.add_argument("--keep-case", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="local[N] when not under spark-submit")
+    args = ap.parse_args()
+
+    from retriv_spark.ops.bpe import bpe_vocab_ids, corpus_chars, train_bpe
+    from retriv_spark.session import get_spark
+
+    cpus = args.cpus or os.cpu_count() or 4
+    spark = get_spark(app_name="bpe-train", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    model = train_bpe(
+        docs, args.merges, text_col=args.text_col,
+        lowercase=not args.keep_case, max_words=args.max_words,
+        max_word_len=args.max_word_len,
+        min_pair_count=args.min_pair_count,
+    )
+    train_s = time.time() - t0
+    vocab = bpe_vocab_ids(
+        model,
+        corpus_chars(docs, text_col=args.text_col,
+                     lowercase=not args.keep_case,
+                     max_word_len=args.max_word_len),
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "merges.txt"), "w",
+              encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b, _ in model.merges:
+            f.write(f"{a} {b}\n")
+    with open(os.path.join(args.out, "vocab.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    meta = {
+        "n_merges": len(model.merges),
+        "requested_merges": args.merges,
+        "vocab_size": len(vocab),
+        "max_words": args.max_words,
+        "n_words_used": model.n_words_used,
+        "coverage": model.coverage,
+        "freq_total": model.freq_total,
+        "lowercase": model.lowercase,
+        "max_word_len": model.max_word_len,
+        "eow": model.eow,
+        "min_pair_count": args.min_pair_count,
+        "train_seconds": round(train_s, 2),
+    }
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(json.dumps(meta))
+
+
+if __name__ == "__main__":
+    main()

@@ -614,6 +614,27 @@ def q_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_bpe_ids(spark, sf_dir):
+    """Encode to token IDS against the deterministic learned-vocab
+    layout (ops/bpe.py bpe_vocab_ids): base chars sorted by code point
+    take 0..C-1, the </w> marker takes C, merge rank r takes C+1+r —
+    a closed-form id assignment the oracle replays from the corpus
+    alphabet and the re-trained merge table (first-rank-wins on the
+    rare merged-symbol string collision, = min(tid) in SQL).  Exploded
+    per position so the value hash pins every id."""
+    from retriv_spark.ops.bpe import (
+        bpe_vocab_ids, corpus_chars, train_bpe, with_bpe_ids,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, BPE_N_MERGES, max_words=BPE_MAX_WORDS)
+    vocab = bpe_vocab_ids(model, corpus_chars(docs))
+    enc = with_bpe_ids(docs, model, vocab)
+    return enc.select(
+        "doc_id", F.posexplode("bpe_ids").alias("pos", "token_id")
+    ).orderBy("doc_id", "pos")
+
+
 def q_source_reputation(spark, sf_dir):
     """Domain-level curation: per-source exact aggregates (doc count,
     token volume, distinct-content count) gate whole sources; survivors
@@ -2715,6 +2736,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_encode": q_wordpiece_encode,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "bpe_ids": q_bpe_ids,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -5906,3 +5928,80 @@ ORDER BY t.doc_id"""
 
 ORACLE_SQL["bpe_train"] = _bpe_train_oracle(BPE_N_MERGES, BPE_MAX_WORDS)
 ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle(BPE_N_MERGES, BPE_MAX_WORDS)
+
+
+def _bpe_ids_oracle(n_merges: int, max_words: int) -> str:
+    """Re-train the merges, re-encode every (doc, word), then assign
+    ids by the closed-form layout: corpus alphabet sorted by code
+    point (UTF-8 byte order == code-point order, identical to Python's
+    sorted()) takes 0..C-1, </w> takes C, merge rank r takes C+1+r;
+    duplicate merged-symbol strings collapse to min(tid) = the
+    first-rank-wins rule."""
+    stages = []
+    for i in range(n_merges):
+        stages.append(f""",
+e{i + 1} AS (
+  SELECT doc_id, wi,
+         replace(seg, ' ' || b.lft || '  ' || b.rgt || ' ',
+                      ' ' || b.lft || b.rgt || ' ') AS seg
+  FROM e{i}, b{i} b
+)""")
+    mergetbl = "\n  UNION ALL ".join(
+        f"SELECT {i} AS rank, lft || rgt AS merged FROM b{i}"
+        for i in range(n_merges)
+    )
+    return (
+        _bpe_train_prefix(n_merges, max_words)
+        + f""",
+dw AS (
+  SELECT doc_id, wi, substring(w, 1, 64) AS w
+  FROM (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+        FROM t) q
+),
+e0 AS (
+  SELECT doc_id, wi,
+         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g')
+              || '</w>  ' AS seg
+  FROM dw
+)"""
+        + "".join(stages)
+        + f""",
+tok AS (
+  SELECT doc_id, wi,
+         list_filter(string_split(seg, '  '), x -> x <> '') AS toks
+  FROM e{n_merges}
+),
+chars AS (
+  SELECT DISTINCT unnest(string_split(
+    trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' ')) AS sym
+  FROM wc
+),
+base AS (
+  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS tid FROM chars
+),
+nbase AS (SELECT count(*) AS c FROM base),
+mergetbl AS (
+  {mergetbl}
+),
+vocab AS (
+  SELECT sym, tid FROM base
+  UNION ALL SELECT '</w>' AS sym, (SELECT c FROM nbase) AS tid
+  UNION ALL SELECT merged AS sym, (SELECT c FROM nbase) + 1 + rank AS tid
+            FROM mergetbl
+),
+vmin AS (SELECT sym, min(tid) AS tid FROM vocab GROUP BY sym),
+flat AS (
+  SELECT doc_id, wi, generate_subscripts(toks, 1) AS pi,
+         unnest(toks) AS sym
+  FROM tok
+)
+SELECT f.doc_id,
+       row_number() OVER (PARTITION BY f.doc_id ORDER BY f.wi, f.pi) - 1
+         AS pos,
+       coalesce(v.tid, -1) AS token_id
+FROM flat f LEFT JOIN vmin v ON f.sym = v.sym
+ORDER BY f.doc_id, pos"""
+    )
+
+
+ORACLE_SQL["bpe_ids"] = _bpe_ids_oracle(BPE_N_MERGES, BPE_MAX_WORDS)

@@ -397,3 +397,102 @@ def with_bpe_counts(
     ``assign_sequences``, denominated in the corpus's OWN learned
     vocabulary."""
     return df.withColumn(out_col, _token_udf(model, True)(df[text_col]))
+
+
+def bpe_vocab_ids(model: BPEModel, chars: Sequence[str]) -> Dict[str, int]:
+    """Deterministic ``symbol -> token_id`` table for a learned model.
+
+    Layout (closed-form, so the oracle pair can replay it in SQL):
+    the base character inventory (sorted by code point — UTF-8 byte
+    order, identical in DuckDB) takes ids ``0..C-1``, the end-of-word
+    marker takes ``C``, and merge ``rank r`` takes ``C + 1 + r``.  If
+    two merges ever produce the same symbol string (e.g. ``ab+c`` and
+    ``a+bc``), the earliest rank wins — same first-rank-wins rule as
+    ``BPEModel.ranks``."""
+    ids: Dict[str, int] = {}
+    for i, c in enumerate(sorted(set(chars))):
+        ids.setdefault(c, i)
+    n = len(ids)
+    ids.setdefault(model.eow, n)
+    for r, (a, b, _) in enumerate(model.merges):
+        ids.setdefault(a + b, n + 1 + r)
+    return ids
+
+
+def corpus_chars(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    max_word_len: int = DEFAULT_MAX_WORD_LEN,
+) -> List[str]:
+    """The distinct code points of the corpus's (truncated) words — the
+    base symbol inventory for :func:`bpe_vocab_ids`.  One narrow
+    explode + distinct aggregation; the result is alphabet-sized
+    (bounded driver materialization)."""
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+    rows = (
+        df.select(F.explode(toks).alias("w"))
+        .select(
+            F.explode(
+                F.split(F.substring("w", 1, max_word_len), "(?!^)")
+            ).alias("c")
+        )
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()  # bounded: the corpus alphabet
+    )
+    return sorted(r["c"] for r in rows)
+
+
+def with_bpe_ids(
+    df: DataFrame,
+    model: BPEModel,
+    vocab: Dict[str, int],
+    text_col: str = "text",
+    out_col: str = "bpe_ids",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Append ``out_col``: the document encoded as BPE token IDS
+    (``array<int>``) against a ``symbol -> id`` table (normally
+    :func:`bpe_vocab_ids`).  A symbol outside the table (an encode-time
+    character never seen in training) maps to ``unk_id``.  Same plan
+    shape as :func:`with_bpe_tokens`: one Arrow projection, zero
+    shuffles, per-worker memo."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = model.ranks
+    eow = model.eow
+    lowercase = model.lowercase
+    mwl = model.max_word_len
+    bc = df.sparkSession.sparkContext.broadcast(vocab)
+    memo: dict = {}
+
+    @pandas_udf("array<int>")
+    def _f(texts):
+        import pandas as pd
+
+        v = bc.value
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            if lowercase:
+                t = t.lower()
+            row: List[int] = []
+            for w in t.split():
+                r = memo.get(w)
+                if r is None:
+                    r = tuple(
+                        v.get(s, unk_id)
+                        for s in segment_word(w, ranks, eow, mwl)
+                    )
+                    memo[w] = r
+                row.extend(r)
+            out.append(row)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _f(df[text_col]))

@@ -264,3 +264,70 @@ def test_bpe_counts_feed_mixture_plan(spark):
         token_col="n_bpe_tokens",
     )
     assert plan.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# encode to ids
+# ---------------------------------------------------------------------------
+
+def test_bpe_vocab_ids_layout():
+    from retriv_spark.ops.bpe import bpe_vocab_ids
+
+    model = BPEModel(merges=[("a", "b", 9), ("ab", "</w>", 4)])
+    ids = bpe_vocab_ids(model, ["b", "a", "c", "a"])
+    # sorted chars 0..C-1, then eow, then merges by rank
+    assert ids == {
+        "a": 0, "b": 1, "c": 2, "</w>": 3, "ab": 4, "ab</w>": 5,
+    }
+
+
+def test_bpe_vocab_ids_first_rank_wins_on_collision():
+    from retriv_spark.ops.bpe import bpe_vocab_ids
+
+    # ab+c and a+bc both produce "abc" -> earliest rank keeps the id
+    model = BPEModel(
+        merges=[("a", "b", 9), ("b", "c", 8), ("ab", "c", 7), ("a", "bc", 6)]
+    )
+    ids = bpe_vocab_ids(model, "abc")
+    assert ids["abc"] == 3 + 1 + 2  # chars(3) + eow + rank 2
+
+
+def test_corpus_chars(spark):
+    from retriv_spark.ops.bpe import corpus_chars
+
+    df = spark.createDataFrame(
+        [(0, "ba Ab"), (1, None), (2, "cc")], "doc_id long, text string"
+    )
+    assert corpus_chars(df) == ["a", "b", "c"]
+    assert corpus_chars(df, lowercase=False) == ["A", "a", "b", "c"]
+    # truncation drops chars beyond the cap
+    df2 = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    assert corpus_chars(df2, max_word_len=1) == ["a"]
+
+
+def test_with_bpe_ids_roundtrip(spark):
+    from retriv_spark.ops.bpe import (
+        bpe_vocab_ids, corpus_chars, with_bpe_ids, with_bpe_tokens,
+    )
+
+    rows = [(i, "abab abc xy " * 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_bpe(df, 6)
+    vocab = bpe_vocab_ids(model, corpus_chars(df))
+    inv = {}
+    for s, i in vocab.items():
+        inv.setdefault(i, s)
+    both = with_bpe_ids(with_bpe_tokens(df, model), model, vocab)
+    for r in both.collect():
+        assert len(r["bpe_ids"]) == len(r["bpe_tokens"])
+        assert [inv[i] for i in r["bpe_ids"]] == r["bpe_tokens"]
+        assert all(i >= 0 for i in r["bpe_ids"])
+
+
+def test_with_bpe_ids_unk(spark):
+    from retriv_spark.ops.bpe import with_bpe_ids
+
+    df = spark.createDataFrame([(0, "zz")], "doc_id long, text string")
+    model = BPEModel(merges=[("a", "b", 1)])
+    got = with_bpe_ids(df, model, {"ab": 4}).first()["bpe_ids"]
+    assert got == [-1, -1, -1]  # z, z, </w> all unknown
