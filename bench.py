@@ -89,6 +89,7 @@ HEADLINE = [
     "streaming_neardup",
     "bpe_train",
     "bpe_encode",
+    "corpus_diff",
 ]
 
 

@@ -635,6 +635,27 @@ def q_bpe_ids(spark, sf_dir):
     ).orderBy("doc_id", "pos")
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot versioning diff (ops/dedup.py corpus_diff): prior =
+    docs with doc_id % 11 != 4 (so %11==4 rows read as added) and text
+    suffixed ' legacy' when doc_id % 5 == 2 (those read as changed);
+    new = docs with doc_id % 7 != 1 (so %7==1 rows read as removed).
+    Bodies reduce to (id, canonical digest) BEFORE the one full outer
+    join (plan pinned in tests); the oracle replays both snapshot
+    syntheses and compares canonical text with null-safe equality."""
+    from retriv_spark.ops.dedup import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    prior = docs.where(F.col("doc_id") % 11 != 4).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 2, F.concat(F.col("text"), F.lit(" legacy"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.where(F.col("doc_id") % 7 != 1)
+    return corpus_diff(new, prior).orderBy("doc_id")
+
+
 def q_source_reputation(spark, sf_dir):
     """Domain-level curation: per-source exact aggregates (doc count,
     token volume, distinct-content count) gate whole sources; survivors
@@ -2737,6 +2758,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "bpe_ids": q_bpe_ids,
+    "corpus_diff": q_corpus_diff,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -6005,3 +6027,26 @@ ORDER BY f.doc_id, pos"""
 
 
 ORACLE_SQL["bpe_ids"] = _bpe_ids_oracle(BPE_N_MERGES, BPE_MAX_WORDS)
+
+
+ORACLE_SQL["corpus_diff"] = """
+WITH p AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(
+           CASE WHEN doc_id % 5 = 2 THEN text || ' legacy' ELSE text END
+         ), '[ \t\n\r\f]+', ' ', 'g')) AS ct
+  FROM documents WHERE doc_id % 11 <> 4
+),
+n AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '[ \t\n\r\f]+', ' ', 'g')) AS ct
+  FROM documents WHERE doc_id % 7 <> 1
+)
+SELECT coalesce(n.doc_id, p.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN n.ct IS NOT DISTINCT FROM p.ct THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM n FULL OUTER JOIN p ON n.doc_id = p.doc_id
+ORDER BY doc_id
+"""

@@ -1264,3 +1264,69 @@ def strip_repeated_spans(
         return pd.Series(out)
 
     return df.withColumn(f"{text_col}_clean", _clean(F.col(text_col)))
+
+
+def corpus_diff(
+    new: DataFrame,
+    prior: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prior_id_col: Optional[str] = None,
+    prior_text_col: Optional[str] = None,
+    canonicalize: bool = True,
+    status_col: str = "status",
+) -> DataFrame:
+    """Snapshot versioning diff: one row per id present in EITHER
+    snapshot, with ``status_col`` in {'added', 'removed', 'changed',
+    'unchanged'} — the audit record an incremental pipeline stores
+    between daily snapshots (what entered, what left, what was edited
+    in place).
+
+    Content identity is the shared canonical digest
+    (:func:`_content_digest`, same key definition as exact/incremental
+    dedup); a NULL text digests as NULL and two NULLs compare as
+    unchanged (the null-safe equality below).
+
+    Plan (100 TB shape): each side reduces to an ``(id, digest)``
+    projection FIRST — bodies never enter the join — then ONE
+    id-keyed full outer join.  The shuffle carries 8 B + 64 hex chars
+    per row per side; a day-sized ``new`` against a corpus-sized
+    ``prior`` lets AQE broadcast the small side."""
+    pid = prior_id_col or id_col
+    ptext = prior_text_col or text_col
+    a = new.select(
+        F.col(id_col).alias("_id"),
+        _content_digest(F.col(text_col), canonicalize).alias("_dnew"),
+        F.lit(1).alias("_in_new"),
+    )
+    b = prior.select(
+        F.col(pid).alias("_id"),
+        _content_digest(F.col(ptext), canonicalize).alias("_dold"),
+        F.lit(1).alias("_in_old"),
+    )
+    j = a.join(b, "_id", "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_dnew").eqNullSafe(F.col("_dold")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("_id").alias(id_col), status.alias(status_col)
+    )
+
+
+def corpus_diff_stats(
+    new: DataFrame,
+    prior: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """The one-line summary of :func:`corpus_diff`: exact integer count
+    per status (one partial-combined aggregation on top of the diff's
+    single join)."""
+    status_col = kwargs.get("status_col", "status")
+    return (
+        corpus_diff(new, prior, **kwargs)
+        .groupBy(status_col)
+        .agg(F.count("*").alias("n_docs"))
+    )

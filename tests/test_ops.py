@@ -1057,3 +1057,62 @@ def test_corpus_report_values(spark):
     assert r["n_distinct_docs"] == 3            # dup collapsed, NULL distinct
     assert r["dup_frac"] == 0.25
     assert r["avg_doc_tokens"] == 1.75
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+def test_corpus_diff_statuses(spark):
+    from retriv_spark.ops.dedup import corpus_diff, corpus_diff_stats
+
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "EDITED now"), (4, "brand new"), (5, None),
+         (6, "Same   Spacing")],
+        "doc_id long, text string",
+    )
+    prior = spark.createDataFrame(
+        [(1, "same"), (2, "original"), (3, "gone"), (5, None),
+         (6, "same spacing")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(new, prior).collect()
+    }
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added",
+        5: "unchanged",          # NULL == NULL under null-safe equality
+        6: "unchanged",          # canonicalize folds case/spacing
+    }
+    # raw-bytes mode: case/spacing difference IS a change
+    raw = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(new, prior, canonicalize=False).collect()
+    }
+    assert raw[6] == "changed"
+    stats = {
+        r["status"]: r["n_docs"]
+        for r in corpus_diff_stats(new, prior).collect()
+    }
+    assert stats == {"unchanged": 3, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_corpus_diff_bodies_pruned_before_join(spark):
+    from retriv_spark.ops.dedup import corpus_diff
+
+    new = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    prior = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    plan = (
+        corpus_diff(new, prior)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    lines = plan.splitlines()
+    # ONE id-keyed full outer join, and both its children are digest
+    # projections — the text column is consumed by sha2() below the
+    # join, never carried through it
+    assert sum("Join FullOuter" in ln for ln in lines) == 1
+    child_projs = [ln for ln in lines if "Project [" in ln and "sha2(" in ln]
+    assert len(child_projs) == 2
+    top = lines[0]
+    assert "text#" not in top and "status" in top
