@@ -69,6 +69,19 @@ from pyspark.sql import functions as F
 DEFAULT_EOW = "</w>"
 DEFAULT_MAX_WORD_LEN = 64
 
+# Engine-portable whitespace: Java regex \s and RE2 \s both mean
+# [ \t\n\x0b\f\r] — python str.split() would ALSO split on unicode
+# spaces (NBSP etc.), silently disagreeing with the Spark-side
+# word_counts split and the SQL oracle, so the encode UDFs use this
+# explicit class (same discipline as the dedup canonical-key class).
+import re as _re
+
+_WS_SPLIT = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _split_words(t: str) -> List[str]:
+    return [w for w in _WS_SPLIT.split(t) if w]
+
 
 def word_counts(
     df: DataFrame,
@@ -349,7 +362,7 @@ def _token_udf(model: BPEModel, as_count: bool):
                     continue
                 if lowercase:
                     t = t.lower()
-                out.append(sum(len(_word(w)) for w in t.split()))
+                out.append(sum(len(_word(w)) for w in _split_words(t)))
             return pd.Series(out, dtype="int64")
     else:
         @pandas_udf("array<string>")
@@ -364,7 +377,7 @@ def _token_udf(model: BPEModel, as_count: bool):
                 if lowercase:
                     t = t.lower()
                 row: List[str] = []
-                for w in t.split():
+                for w in _split_words(t):
                     row.extend(_word(w))
                 out.append(row)
             return pd.Series(out)
@@ -483,7 +496,7 @@ def with_bpe_ids(
             if lowercase:
                 t = t.lower()
             row: List[int] = []
-            for w in t.split():
+            for w in _split_words(t):
                 r = memo.get(w)
                 if r is None:
                     r = tuple(

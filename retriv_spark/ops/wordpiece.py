@@ -27,6 +27,18 @@ from pyspark.sql import DataFrame
 # the published WordPiece guard: words longer than this are one unk
 MAX_INPUT_CHARS_PER_WORD = 200
 
+# Engine-portable whitespace (Java/RE2 \s = [ \t\n\x0b\f\r]): python
+# str.split() would also split on unicode spaces (NBSP etc.), silently
+# disagreeing with the SQL oracle's string_split_regex('\s+') — the
+# UDFs below split on the explicit ASCII class instead.
+import re as _re
+
+_WS_SPLIT = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _split_words(t):
+    return [w for w in _WS_SPLIT.split(t) if w]
+
 
 def load_wordpiece_vocab(source: Union[str, Iterable[str]]) -> frozenset:
     """Load a WordPiece vocabulary.
@@ -215,7 +227,7 @@ def with_wordpiece_ids(
             if lowercase:
                 t = t.lower()
             row: List[int] = []
-            for w in t.split():
+            for w in _split_words(t):
                 r = memo.get(w)
                 if r is None:
                     pieces = wordpiece_pieces_word(w, v, max_piece_len)
@@ -273,7 +285,7 @@ def with_wordpiece_counts(
             if lowercase:
                 t = t.lower()
             total = 0
-            for w in t.split():
+            for w in _split_words(t):
                 c = memo.get(w)
                 if c is None:
                     c = wordpiece_count_word(w, v, max_piece_len)

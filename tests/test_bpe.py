@@ -331,3 +331,22 @@ def test_with_bpe_ids_unk(spark):
     model = BPEModel(merges=[("a", "b", 1)])
     got = with_bpe_ids(df, model, {"ab": 4}).first()["bpe_ids"]
     assert got == [-1, -1, -1]  # z, z, </w> all unknown
+
+
+def test_portable_whitespace_class_matches_spark_split(spark):
+    """NBSP is NOT a word separator in Java/RE2 \\s (the word_counts
+    split and the SQL oracle) — the encode UDFs must agree, so they use
+    the explicit ASCII class instead of python str.split() (which
+    treats unicode spaces as separators)."""
+    from retriv_spark.ops.bpe import _split_words
+
+    t = "a b c\td"
+    assert _split_words(t) == ["a b", "c", "d"]
+    df = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    got = {r["word"] for r in word_counts(df, lowercase=False).collect()}
+    assert got == {"a b", "c", "d"}
+    # end to end: the NBSP word is one training word and one encode unit
+    model = train_bpe(df, 2, lowercase=False)
+    enc = with_bpe_tokens(df, model).first()["bpe_tokens"]
+    n_eow = sum(1 for s in enc if s.endswith("</w>"))
+    assert n_eow == 3
