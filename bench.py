@@ -90,6 +90,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_encode",
     "corpus_diff",
+    "doc_keywords",
 ]
 
 

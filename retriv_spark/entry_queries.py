@@ -635,6 +635,19 @@ def q_bpe_ids(spark, sf_dir):
     ).orderBy("doc_id", "pos")
 
 
+def q_doc_keywords(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (ops/textstats.py
+    doc_keywords): two partial-combined aggregations (doc-term tf, then
+    term df over the reduced pairs) + one id-keyed window whose rank
+    filter runs as WindowGroupLimit (pinned in tests).  Rank key =
+    score rounded to 6 decimals with term tiebreak, so the DuckDB
+    replay (same float64 ln) is rank-identical."""
+    from retriv_spark.ops.textstats import doc_keywords
+
+    docs = _docs(spark, sf_dir)
+    return doc_keywords(docs, k=3).orderBy("doc_id", "rank")
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot versioning diff (ops/dedup.py corpus_diff): prior =
     docs with doc_id % 11 != 4 (so %11==4 rows read as added) and text
@@ -2759,6 +2772,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "bpe_ids": q_bpe_ids,
     "corpus_diff": q_corpus_diff,
+    "doc_keywords": q_doc_keywords,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -6049,4 +6063,38 @@ SELECT coalesce(n.doc_id, p.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM n FULL OUTER JOIN p ON n.doc_id = p.doc_id
 ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["doc_keywords"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+  FROM t, unnest(ws) AS u(w)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf::DOUBLE * ln(((SELECT n_docs FROM n) + 1)::DOUBLE
+                            / (dfreq.df + 1)::DOUBLE) AS score
+  FROM tf JOIN dfreq USING (term)
+),
+rk AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(score, 6) DESC, term
+         ) AS rank
+  FROM sc
+)
+SELECT doc_id, rank, term, tf, df, round(score, 4) AS score
+FROM rk WHERE rank <= 3
+ORDER BY doc_id, rank
 """

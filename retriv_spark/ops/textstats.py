@@ -321,3 +321,66 @@ def corpus_report(
             "avg_doc_tokens"
         ),
     )
+
+
+def doc_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the classic tagging /
+    labeling operator (feeds clustering labels, dedup-family naming,
+    corpus browsing).
+
+    ``score = tf * ln((N + 1) / (df + 1))`` in float64 (libm log on
+    both Spark and DuckDB — the exact-replay convention ngram_lm
+    established).  The RANK key is the score rounded to 6 decimals with
+    the term string as tiebreak (the ann_cosine rounding protocol:
+    a last-ulp log difference between engines cannot reorder ranks
+    unless it straddles a 1e-6 boundary), so the result is
+    deterministic at any parallelism and engine-replayable.
+
+    Plan (100 TB shape): one (id, term)-keyed aggregation with map-side
+    combine (the tf table), one term-keyed aggregation over the REDUCED
+    doc-term pairs (the df table — never the raw token stream), a
+    broadcast-sized N scalar, and one id-keyed window whose ``rank <=
+    k`` filter Spark pushes into WindowGroupLimit — per-partition
+    partial top-k BEFORE the final shuffle, the same bounded-heap shape
+    the engine's search top-k rides.
+
+    Returns ``(id, rank, term, tf, df, score)``, rank 1-based, score
+    rounded to 4 decimals for the cross-engine hash."""
+    from pyspark.sql import Window
+
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+    pairs = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.count()  # bounded: one scalar
+    scored = (
+        pairs.join(dfreq, "term")
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round("score", 6)), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col, "rank", "term", "tf", "df",
+            F.round("score", 4).alias("score"),
+        )
+    )

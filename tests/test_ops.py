@@ -1116,3 +1116,60 @@ def test_corpus_diff_bodies_pruned_before_join(spark):
     assert len(child_projs) == 2
     top = lines[0]
     assert "text#" not in top and "status" in top
+
+
+# ---------------------------------------------------------------------------
+# doc keywords (tf-idf tagging)
+# ---------------------------------------------------------------------------
+
+def test_doc_keywords_ranking_and_ties(spark):
+    import math
+
+    from retriv_spark.ops.textstats import doc_keywords
+
+    df = spark.createDataFrame(
+        [(0, "apple apple banana common"),
+         (1, "banana cherry common"),
+         (2, "common Common dd")],
+        "doc_id long, text string",
+    )
+    out = doc_keywords(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: apple tf=2 df=1 beats banana tf=1 df=2 and common df=3
+    top0 = by_doc[0][0]
+    assert top0["term"] == "apple" and top0["tf"] == 2 and top0["df"] == 1
+    assert abs(top0["score"] - round(2 * math.log(4 / 2), 4)) < 1e-9
+    # doc 2: 'common common' lowercased -> tf=2; rare 'dd' outranks it
+    assert [r["term"] for r in sorted(by_doc[2], key=lambda r: r["rank"])] \
+        == ["dd", "common"]
+    # every doc emits at most k rows, ranks are 1..k
+    for rows in by_doc.values():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_doc_keywords_deterministic_tiebreak_and_parallelism(spark):
+    from retriv_spark.ops.textstats import doc_keywords
+
+    # equal tf and df for all terms -> ties break on the term string
+    df = spark.createDataFrame(
+        [(i, "zz aa mm") for i in range(20)], "doc_id long, text string"
+    )
+    a = doc_keywords(df.repartition(1), k=2).orderBy("doc_id", "rank").collect()
+    b = doc_keywords(df.repartition(7), k=2).orderBy("doc_id", "rank").collect()
+    assert a == b
+    assert [r["term"] for r in a if r["doc_id"] == 0] == ["aa", "mm"]
+
+
+def test_doc_keywords_window_group_limit_pushdown(spark):
+    from retriv_spark.ops.textstats import doc_keywords
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = (
+        doc_keywords(df, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the rank<=k filter runs as WindowGroupLimit (partial top-k before
+    # the final per-doc shuffle), not a post-window filter over all rows
+    assert "WindowGroupLimit" in plan
