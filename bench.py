@@ -91,6 +91,8 @@ HEADLINE = [
     "bpe_encode",
     "corpus_diff",
     "doc_keywords",
+    "length_histogram",
+    "ngram_topk",
 ]
 
 

@@ -648,6 +648,31 @@ def q_doc_keywords(spark, sf_dir):
     return doc_keywords(docs, k=3).orderBy("doc_id", "rank")
 
 
+def q_length_histogram(spark, sf_dir):
+    """Exact power-of-two token-length histogram per source
+    (ops/textstats.py length_histogram): bucket = integer bit length of
+    the token count — no float log anywhere, so the histogram is
+    engine-identical by construction.  One partial-combined agg over a
+    narrow projection."""
+    from retriv_spark.ops.textstats import length_histogram
+
+    docs = _docs(spark, sf_dir)
+    return length_histogram(docs, group_col="source").orderBy(
+        "source", "bucket"
+    )
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Exact corpus-wide top-20 word trigrams (ops/textstats.py
+    ngram_topk) — the boilerplate/template discovery scan.  One
+    explode + partial-combined count, then a bounded global top-k
+    (TakeOrderedAndProject, pinned); ties break on the gram string."""
+    from retriv_spark.ops.textstats import ngram_topk
+
+    docs = _docs(spark, sf_dir)
+    return ngram_topk(docs, n=3, k=20).orderBy("rank")
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot versioning diff (ops/dedup.py corpus_diff): prior =
     docs with doc_id % 11 != 4 (so %11==4 rows read as added) and text
@@ -2773,6 +2798,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_ids": q_bpe_ids,
     "corpus_diff": q_corpus_diff,
     "doc_keywords": q_doc_keywords,
+    "length_histogram": q_length_histogram,
+    "ngram_topk": q_ngram_topk,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -6097,4 +6124,50 @@ rk AS (
 SELECT doc_id, rank, term, tf, df, round(score, 4) AS score
 FROM rk WHERE rank <= 3
 ORDER BY doc_id, rank
+"""
+
+
+ORACLE_SQL["length_histogram"] = """
+WITH t AS (
+  SELECT source,
+         coalesce(len(list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\\s+'),
+           x -> x <> '')), 0) AS n
+  FROM documents
+),
+b AS (
+  SELECT source,
+         CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket,
+         n
+  FROM t
+)
+SELECT source, bucket,
+       CASE WHEN bucket = 0 THEN 0
+            ELSE (1::BIGINT << (bucket - 1)) END AS lo,
+       CASE WHEN bucket = 0 THEN 0
+            ELSE (1::BIGINT << bucket) - 1 END AS hi,
+       count(*) AS n_docs,
+       sum(n)::BIGINT AS sum_tokens
+FROM b GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+ORACLE_SQL["ngram_topk"] = """
+WITH t AS (
+  SELECT list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT array_to_string(ws[i:i + 2], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3
+),
+c AS (
+  SELECT gram, count(*)::BIGINT AS count FROM g GROUP BY gram
+  HAVING count(*) >= 2
+  ORDER BY count DESC, gram LIMIT 20
+)
+SELECT row_number() OVER (ORDER BY count DESC, gram) AS rank, gram, count
+FROM c ORDER BY rank
 """

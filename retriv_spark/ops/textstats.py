@@ -384,3 +384,93 @@ def doc_keywords(
             F.round("score", 4).alias("score"),
         )
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact power-of-two token-length histogram — the sequence-length
+    distribution every training-data card reports (and the input to
+    picking a packing budget).
+
+    Bucket b holds docs with token count in [2^(b-1), 2^b - 1]
+    (bucket 0 = empty docs); the bucket id is the INTEGER bit length of
+    the count — ``length(bin(n))`` in both Spark and DuckDB — so the
+    histogram is exact and engine-identical, no float log anywhere.
+
+    One partial-combined aggregation over a narrow projection; with
+    ``group_col`` (e.g. source) the key space is groups × ~40 buckets.
+    Returns ``([group,] bucket, lo, hi, n_docs, sum_tokens)``."""
+    n = F.coalesce(F.size(tokens_col(F.col(text_col))), F.lit(0))
+    bucket = F.when(n == 0, F.lit(0)).otherwise(
+        F.length(F.bin(n.cast("long")))
+    ).cast("int")
+    keys = ([F.col(group_col)] if group_col else []) + [
+        bucket.alias("bucket")
+    ]
+    out = (
+        df.select(*keys, n.alias("_n"))
+        .groupBy(*[c if isinstance(c, str) else c for c in
+                   ([group_col] if group_col else []) + ["bucket"]])
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+        )
+    )
+    lo = F.when(F.col("bucket") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(1L, bucket - 1)")
+    ).cast("long")
+    hi = F.when(F.col("bucket") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(1L, bucket) - 1")
+    ).cast("long")
+    cols = ([group_col] if group_col else []) + [
+        "bucket", lo.alias("lo"), hi.alias("hi"), "n_docs", "sum_tokens",
+    ]
+    return out.select(*cols)
+
+
+def ngram_topk(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact corpus-wide top-k word n-grams by count — the boilerplate
+    / template discovery scan (the hot n-grams ARE the candidate
+    boilerplate lines and licence headers).
+
+    Exact, not sketched: one explode + partial-combined count keyed on
+    the n-gram string, then a bounded global top-k
+    (TakeOrderedAndProject — only k rows reach the driver side of the
+    final sort).  Ties break on the gram string, so the result is
+    deterministic and engine-replayable.  Returns
+    ``(rank, gram, count)``."""
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array())
+    counted = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("count"))
+        .where(F.col("count") >= min_count)
+        .orderBy(F.desc("count"), F.asc("gram"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("count"), F.asc("gram"))
+    return counted.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "gram", "count"
+    )

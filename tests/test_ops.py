@@ -1173,3 +1173,66 @@ def test_doc_keywords_window_group_limit_pushdown(spark):
     # the rank<=k filter runs as WindowGroupLimit (partial top-k before
     # the final per-doc shuffle), not a post-window filter over all rows
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# length histogram + top-k n-grams
+# ---------------------------------------------------------------------------
+
+def test_length_histogram_exact_buckets(spark):
+    from retriv_spark.ops.textstats import length_histogram
+
+    rows = [(0, ""), (1, "a"), (2, "a b"), (3, "a b c"),
+            (4, "a b c d"), (5, " ".join(["w"] * 9))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bucket"]: r for r in length_histogram(df).collect()}
+    # n=0 -> bucket 0; n=1 -> 1; n=2,3 -> 2; n=4 -> 3; n=9 -> 4
+    assert got[0]["n_docs"] == 1 and got[0]["lo"] == 0 and got[0]["hi"] == 0
+    assert got[1]["n_docs"] == 1 and (got[1]["lo"], got[1]["hi"]) == (1, 1)
+    assert got[2]["n_docs"] == 2 and (got[2]["lo"], got[2]["hi"]) == (2, 3)
+    assert got[3]["n_docs"] == 1 and (got[3]["lo"], got[3]["hi"]) == (4, 7)
+    assert got[4]["n_docs"] == 1 and (got[4]["lo"], got[4]["hi"]) == (8, 15)
+    assert got[2]["sum_tokens"] == 5
+
+
+def test_length_histogram_grouped(spark):
+    from retriv_spark.ops.textstats import length_histogram
+
+    rows = [(0, "s0", "a b"), (1, "s0", "c d"), (2, "s1", "e")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source"], r["bucket"]): r["n_docs"]
+        for r in length_histogram(df, group_col="source").collect()
+    }
+    assert got == {("s0", 2): 2, ("s1", 1): 1}
+
+
+def test_ngram_topk_counts_and_ties(spark):
+    from retriv_spark.ops.textstats import ngram_topk
+
+    rows = [(0, "to be or not to be"), (1, "to be is to be")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_topk(df, n=2, k=3, min_count=1).collect()
+    assert [tuple(r) for r in got] == [
+        (1, "to be", 4),       # dominant bigram
+        (2, "be is", 1),       # count-1 ties break on the gram string
+        (3, "be or", 1),
+    ]
+    # min_count prunes the tail before the top-k
+    got2 = ngram_topk(df, n=2, k=10, min_count=2).collect()
+    assert [tuple(r) for r in got2] == [(1, "to be", 4)]
+    # docs shorter than n contribute nothing
+    tiny = spark.createDataFrame([(0, "one")], "doc_id long, text string")
+    assert ngram_topk(tiny, n=3, k=5, min_count=1).count() == 0
+
+
+def test_ngram_topk_bounded_takeordered_plan(spark):
+    from retriv_spark.ops.textstats import ngram_topk
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        ngram_topk(df, n=2, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # global top-k is bounded (TakeOrderedAndProject), never a full sort
+    assert "TakeOrderedAndProject" in plan
