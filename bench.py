@@ -93,6 +93,7 @@ HEADLINE = [
     "doc_keywords",
     "length_histogram",
     "ngram_topk",
+    "more_like_this",
 ]
 
 

@@ -648,6 +648,31 @@ def q_doc_keywords(spark, sf_dir):
     return doc_keywords(docs, k=3).orderBy("doc_id", "rank")
 
 
+def q_more_like_this(spark, sf_dir):
+    """Document-as-query retrieval (the classic More-Like-This
+    operator): every 97th document's top-3 TF-IDF keywords
+    (ops/textstats.py doc_keywords) become a BM25 query against the
+    packed index — a pure composition of two oracled surfaces.  The
+    seed keyword collect is bounded (n_seeds x 3 short rows); the
+    oracle derives the same queries INSIDE SQL from the shared tf/df
+    tables (same rounded-score rank key) and replays the full BM25
+    chain."""
+    from retriv_spark.ops.textstats import doc_keywords
+
+    docs = _docs(spark, sf_dir)
+    kws = (
+        doc_keywords(docs, k=3)
+        .where(F.col("doc_id") % 97 == 0)
+        .orderBy("doc_id", "rank")
+        .collect()  # bounded: n_seeds * 3 rows
+    )
+    byq = {}
+    for r in kws:
+        byq.setdefault(r["doc_id"], []).append(r["term"])
+    queries = [(f"d{i}", " ".join(ts)) for i, ts in sorted(byq.items())]
+    return _ranked_search(spark, sf_dir, queries, "bm25")
+
+
 def q_length_histogram(spark, sf_dir):
     """Exact power-of-two token-length histogram per source
     (ops/textstats.py length_histogram): bucket = integer bit length of
@@ -2800,6 +2825,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_keywords": q_doc_keywords,
     "length_histogram": q_length_histogram,
     "ngram_topk": q_ngram_topk,
+    "more_like_this": q_more_like_this,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -6171,3 +6197,40 @@ c AS (
 SELECT row_number() OVER (ORDER BY count DESC, gram) AS rank, gram, count
 FROM c ORDER BY rank
 """
+
+
+def _mlt_oracle() -> str:
+    """More-Like-This oracle: take the shared BM25 CTE chain and swap
+    the literal VALUES query table for one DERIVED in SQL — every 97th
+    document's top-3 TF-IDF keywords computed from the same tf/dfreq
+    tables the scoring uses (doc_keywords' rank protocol: score
+    rounded to 6 decimals, term tiebreak; N = total documents, matching
+    the Spark op's df.count())."""
+    ctes = _bm25_ctes([("dummy", "x")])
+    derived_q = """q(q_id, term) AS (
+  SELECT 'd' || doc_id::VARCHAR AS q_id, term FROM (
+    SELECT tf.doc_id, tf.term,
+           row_number() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY round(tf.tf * ln(
+               ((SELECT count(*) FROM documents) + 1)::DOUBLE
+               / (d.df + 1)::DOUBLE), 6) DESC,
+               tf.term
+           ) AS krank
+    FROM tf JOIN dfreq d ON d.term = tf.term
+    WHERE tf.doc_id % 97 = 0
+  ) WHERE krank <= 3
+)"""
+    old = "q(q_id, term) AS (VALUES ('dummy', 'x'))"
+    assert old in ctes
+    return (
+        ctes.replace(old, derived_q)
+        + f"""
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+    )
+
+
+ORACLE_SQL["more_like_this"] = _mlt_oracle()
