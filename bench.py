@@ -94,6 +94,7 @@ HEADLINE = [
     "length_histogram",
     "ngram_topk",
     "more_like_this",
+    "pmi_topk",
 ]
 
 

@@ -698,6 +698,18 @@ def q_ngram_topk(spark, sf_dir):
     return ngram_topk(docs, n=3, k=20).orderBy("rank")
 
 
+def q_pmi_topk(spark, sf_dir):
+    """Top-20 bigram collocations by PMI (ops/textstats.py pmi_topk):
+    exact unigram/bigram/total counts, the float64 PMI expression
+    written with identical association order in both engines, rank key
+    = 6-decimal-rounded PMI with (w1, w2) tiebreak, min_count=5 prunes
+    the unstable tail before ranking."""
+    from retriv_spark.ops.textstats import pmi_topk
+
+    docs = _docs(spark, sf_dir)
+    return pmi_topk(docs, k=20, min_count=5).orderBy("rank")
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot versioning diff (ops/dedup.py corpus_diff): prior =
     docs with doc_id % 11 != 4 (so %11==4 rows read as added) and text
@@ -2826,6 +2838,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_histogram": q_length_histogram,
     "ngram_topk": q_ngram_topk,
     "more_like_this": q_more_like_this,
+    "pmi_topk": q_pmi_topk,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -6234,3 +6247,44 @@ ORDER BY q_id, rank
 
 
 ORACLE_SQL["more_like_this"] = _mlt_oracle()
+
+
+ORACLE_SQL["pmi_topk"] = """
+WITH t AS (
+  SELECT list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c1
+  FROM t, unnest(ws) AS u(w) GROUP BY w
+),
+tu AS (SELECT sum(c1)::BIGINT AS v FROM uni),
+tb AS (
+  SELECT sum(greatest(len(ws) - 1, 0))::BIGINT AS v FROM t
+),
+bi AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*)::BIGINT AS c12
+  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 2
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+),
+sc AS (
+  SELECT bi.w1, bi.w2, bi.c12,
+         ln((bi.c12::DOUBLE * (SELECT v FROM tu)::DOUBLE
+             * (SELECT v FROM tu)::DOUBLE)
+            / ((SELECT v FROM tb)::DOUBLE * ua.c1::DOUBLE
+               * ub.c1::DOUBLE)) AS pmi
+  FROM bi
+  JOIN uni ua ON ua.w = bi.w1
+  JOIN uni ub ON ub.w = bi.w2
+),
+topk AS (
+  SELECT w1, w2, c12, pmi FROM sc
+  ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT 20
+)
+SELECT row_number() OVER (ORDER BY round(pmi, 6) DESC, w1, w2) AS rank,
+       w1, w2, c12, round(pmi, 4) AS pmi
+FROM topk ORDER BY rank
+"""

@@ -474,3 +474,82 @@ def ngram_topk(
     return counted.withColumn("rank", F.row_number().over(w)).select(
         "rank", "gram", "count"
     )
+
+
+def pmi_topk(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic phrase-discovery operator (multi-word entities, code
+    idioms) over exact corpus counts.
+
+    ``pmi = ln((c12 * Tu * Tu) / (Tb * c1 * c2))`` with every count an
+    exact integer aggregate; the float64 expression is written with the
+    same association order in Spark and the SQL oracle, and ranking
+    uses the 6-decimal-rounded value with the bigram string as
+    tiebreak (the established cross-engine protocol).  ``min_count``
+    prunes the unstable tail BEFORE ranking (PMI of rare pairs is
+    noise — the standard Church & Hanks caveat).
+
+    Plan: two partial-combined count aggregations (unigrams; adjacent
+    bigrams), two scalar totals, two joins of the REDUCED bigram table
+    against the unigram table, and a bounded global top-k
+    (TakeOrderedAndProject).  Returns ``(rank, w1, w2, c12, pmi)``."""
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+    tokd = df.select(toks.alias("ws"))
+    uni = (
+        tokd.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        tokd.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - F.lit(1)),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    tu = uni.agg(F.sum("c1")).collect()[0][0]  # bounded: scalar
+    tb_row = (
+        tokd.select(
+            F.greatest(F.size("ws") - F.lit(1), F.lit(0)).alias("nb")
+        ).agg(F.sum("nb")).collect()[0][0]
+    )
+    tb = int(tb_row or 0)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("ca"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("cb"))
+    pmi = F.log(
+        (F.col("c12").cast("double") * F.lit(float(tu)) * F.lit(float(tu)))
+        / (F.lit(float(tb)) * F.col("ca").cast("double") * F.col("cb").cast("double"))
+    )
+    scored = (
+        bi.join(u1, "w1").join(u2, "w2")
+        .select("w1", "w2", "c12", F.round(pmi, 4).alias("pmi"),
+                F.round(pmi, 6).alias("_rk"))
+        .orderBy(F.desc("_rk"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_rk"), F.asc("w1"), F.asc("w2"))
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "w1", "w2", "c12", "pmi"
+    )

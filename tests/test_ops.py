@@ -1236,3 +1236,39 @@ def test_ngram_topk_bounded_takeordered_plan(spark):
     )
     # global top-k is bounded (TakeOrderedAndProject), never a full sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_topk_values_and_pruning(spark):
+    import math
+
+    from retriv_spark.ops.textstats import pmi_topk
+
+    # "new york" always together (perfect collocation); "the the" and
+    # singles provide frequent-but-independent mass
+    rows = [(i, "new york is the spot the place") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_topk(df, k=5, min_count=6).collect()
+    top = got[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    # exact python replica of the formula
+    tu = 7 * 6           # tokens
+    tb = 6 * 6           # bigram positions
+    c12, c1, c2 = 6, 6, 6
+    exp = math.log((c12 * tu * tu) / (tb * c1 * c2))
+    assert abs(top["pmi"] - round(exp, 4)) < 1e-9
+    assert top["c12"] == 6
+    # min_count prunes pairs under the threshold
+    assert all(r["c12"] >= 6 for r in got)
+
+
+def test_pmi_topk_deterministic_ties(spark):
+    from retriv_spark.ops.textstats import pmi_topk
+
+    rows = [(i, "aa bb cc dd") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = pmi_topk(df.repartition(1), k=4, min_count=1).collect()
+    b = pmi_topk(df.repartition(5), k=4, min_count=1).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # identical pmi for all three bigrams -> (w1, w2) lexicographic
+    assert [(r["w1"], r["w2"]) for r in a] == [
+        ("aa", "bb"), ("bb", "cc"), ("cc", "dd")]
