@@ -95,6 +95,8 @@ HEADLINE = [
     "ngram_topk",
     "more_like_this",
     "pmi_topk",
+    "delete_docs",
+    "purge_rebuild",
 ]
 
 

@@ -698,6 +698,67 @@ def q_ngram_topk(spark, sf_dir):
     return ngram_topk(docs, n=3, k=20).orderBy("rank")
 
 
+def _fresh_delete_index(spark, sf_dir):
+    """Build a PRIVATE packed index copy (never the shared pair cache —
+    deletion mutates it) and tombstone every doc with doc_id % 10 == 3.
+    The victim ids ride a DataFrame into delete_docs (no driver list of
+    corpus-proportional size beyond the capped tombstone count)."""
+    import os
+    import shutil
+
+    from .index.packed import build_packed_index
+
+    path = f"/tmp/retriv_delpair_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    idx = build_packed_index(
+        spark, docs, _plain_pre(), path, text_col="text",
+        id_col="doc_id", order_cols=["doc_id"],
+        doc_id_col_precomputed="doc_id",
+    )
+    idx.delete_docs(
+        docs.where(F.col("doc_id") % 10 == 3).select("doc_id")
+    )
+    return idx, path
+
+
+def _delete_queries():
+    return [{"id": q, "text": t} for q, t in BM25_QUERIES]
+
+
+def q_delete_docs(spark, sf_dir):
+    """Tombstone masking semantics (PackedIndex.delete_docs): deleted
+    docs (doc_id % 10 == 3) vanish from results while global stats
+    intentionally LAG (the Lucene deleted-docs model) — so the oracle
+    is the FULL-corpus BM25 chain with deleted docs filtered out of the
+    ranking and ranks renumbered.  Rank-only compare (f32 kernels vs
+    f64 SQL; rank identity is the cross-engine surface, as in
+    streaming_search)."""
+    idx, _ = _fresh_delete_index(spark, sf_dir)
+    return (
+        idx.msearch_df(_delete_queries(), cutoff=CUTOFF)
+        .select("q_id", "doc_id", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def q_purge_rebuild(spark, sf_dir):
+    """Physical purge semantics (compact_index(purge_deletes=True)):
+    after the purge, statistics are recomputed exactly, so results must
+    match an index REBUILT from the filtered corpus — the oracle runs
+    the BM25 chain over documents with the deleted rows gone entirely
+    (df, avgdl, doc_count all shrink).  Rank-only compare."""
+    from .index.compact import compact_index
+
+    _, path = _fresh_delete_index(spark, sf_dir)
+    purged = compact_index(spark, path, purge_deletes=True)
+    return (
+        purged.msearch_df(_delete_queries(), cutoff=CUTOFF)
+        .select("q_id", "doc_id", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def q_pmi_topk(spark, sf_dir):
     """Top-20 bigram collocations by PMI (ops/textstats.py pmi_topk):
     exact unigram/bigram/total counts, the float64 PMI expression
@@ -2839,6 +2900,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_topk": q_ngram_topk,
     "more_like_this": q_more_like_this,
     "pmi_topk": q_pmi_topk,
+    "delete_docs": q_delete_docs,
+    "purge_rebuild": q_purge_rebuild,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -6287,4 +6350,27 @@ topk AS (
 SELECT row_number() OVER (ORDER BY round(pmi, 6) DESC, w1, w2) AS rank,
        w1, w2, c12, round(pmi, 4) AS pmi
 FROM topk ORDER BY rank
+"""
+
+
+ORACLE_SQL["delete_docs"] = f"""{_bm25_ctes(BM25_QUERIES)}
+SELECT q_id, doc_id, rank FROM (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY rank) AS rank
+  FROM ranked WHERE doc_id % 10 <> 3
+) WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+_PURGED_TOK_SQL = (
+    "SELECT doc_id, t.term\n"
+    "  FROM documents, "
+    "unnest(string_split_regex(trim(text), '\\s+')) AS t(term)\n"
+    "  WHERE t.term <> '' AND doc_id % 10 <> 3"
+)
+
+ORACLE_SQL["purge_rebuild"] = f"""{
+    _bm25_ctes(BM25_QUERIES, tok_sql=_PURGED_TOK_SQL)}
+SELECT q_id, doc_id, rank FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
 """

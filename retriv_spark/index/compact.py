@@ -130,6 +130,7 @@ def compact_index(
     spark: SparkSession,
     index_path: str,
     min_frag: float | None = None,
+    purge_deletes: bool = False,
 ) -> PackedIndex:
     """Rewrite a packed index's fragmented segments into canonical
     geometry.  Returns a freshly loaded :class:`PackedIndex` (driver
@@ -147,13 +148,43 @@ def compact_index(
     manifest write (safe to run on a tight schedule).  The per-shard
     stats drive a driver-side selection bounded by shard count; at a
     scale where that matters the postings table is partitioned by shard
-    and the same predicate is partition pruning."""
+    and the same predicate is partition pruning.
+
+    ``purge_deletes``: apply pending tombstones
+    (``PackedIndex.delete_docs``) PHYSICALLY — postings of deleted docs
+    are dropped during the rewrite, the doc tables (tokenized /
+    doc_map / doc_lens / docs) are filtered, and doc_count / avgdl /
+    per-term df are recomputed exactly, after which search results are
+    identical to an index rebuilt from the filtered corpus (pinned in
+    tests; internal doc ids stay STABLE — no renumbering — which is why
+    the equivalence is on original ids).  Purging is selective by
+    construction: only shards that contain a tombstoned doc (plus any
+    ``min_frag`` qualifiers) are decoded and re-encoded.  The segment
+    ``df`` stamp in untouched shards may go stale — it is an audit
+    column; query-time df always comes from the recomputed terms
+    table."""
     manifest = _load_manifest(index_path)
     if manifest is None:
         raise FileNotFoundError(f"no index manifest at {index_path}")
     span = int(manifest["span"])
     io = TableIO(spark, index_path)
     _recover_swapped_tables(io)
+
+    tomb_ids: list = []
+    if purge_deletes and io.exists("tombstones"):
+        # bounded: delete_docs caps pending tombstones at
+        # TOMBSTONE_SERVE_MAX
+        tomb_ids = sorted(
+            int(r[0])
+            for r in io.read("tombstones").select(DOC_ID).collect()
+        )
+    if purge_deletes and not tomb_ids:
+        purge_deletes = False
+        if min_frag is None:
+            # purge-only call with nothing pending: no work, no swap
+            return PackedIndex(
+                spark=spark, path=index_path, manifest=manifest
+            )
 
     live = io.read("postings")
     shard_stats = (
@@ -167,12 +198,17 @@ def compact_index(
     before = sum(int(r["segments"]) for r in shard_stats)
 
     hot = None  # None = rewrite everything
-    if min_frag is not None:
-        hot = sorted(
-            int(r["shard"])
-            for r in shard_stats
-            if int(r["segments"]) >= min_frag * int(r["terms"])
-        )
+    selective = min_frag is not None or purge_deletes
+    if selective:
+        frag_shards = set()
+        if min_frag is not None:
+            frag_shards = {
+                int(r["shard"])
+                for r in shard_stats
+                if int(r["segments"]) >= min_frag * int(r["terms"])
+            }
+        tomb_shards = {d // span for d in tomb_ids}
+        hot = sorted(frag_shards | tomb_shards)
         if not hot:
             return PackedIndex(
                 spark=spark, path=index_path, manifest=manifest
@@ -188,6 +224,11 @@ def compact_index(
         cold = live.filter(~pred)
 
     flat = src.mapInPandas(_decode_postings_flat, _FLAT_SCHEMA)
+    if purge_deletes:
+        tomb_df = spark.createDataFrame(
+            [(d,) for d in tomb_ids], "doc_id long"
+        )
+        flat = flat.join(F.broadcast(tomb_df), "doc_id", "left_anti")
     packed = flat.groupBy("shard").applyInPandas(
         _encode_group(span), POSTINGS_SCHEMA
     )
@@ -207,6 +248,83 @@ def compact_index(
         .agg(F.sum("n").cast("long").alias("df")),
         "terms",
     )
+
+    if purge_deletes:
+        # doc tables: filter the tombstoned rows out of every physical
+        # doc-keyed table, then recompute the global statistics exactly
+        # (same expressions as the builder, so purge ≡ rebuild).
+        tdel = spark.createDataFrame(
+            [(d,) for d in tomb_ids], f"{DOC_ID} long"
+        )
+
+        def _anti(df):
+            return df.join(F.broadcast(tdel), DOC_ID, "left_anti")
+
+        for tname in ("tokenized", "doc_map", "docs"):
+            if io.exists(tname):
+                _replace_table(io, _anti(io.read(tname)), tname)
+
+        parts = []
+        if manifest.get("docmeta_in_tokenized") and io.exists("tokenized"):
+            parts.append(
+                io.read("tokenized").select(
+                    DOC_ID, F.col("doc_len").cast("float").alias("doc_len")
+                )
+            )
+        if io.exists("doc_lens"):
+            parts.append(
+                _anti(
+                    io.read("doc_lens").select(
+                        DOC_ID,
+                        F.col("doc_len").cast("float").alias("doc_len"),
+                    )
+                )
+            )
+        dl_all = parts[0]
+        for p in parts[1:]:
+            dl_all = dl_all.unionByName(p)
+        row = dl_all.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("doc_len").cast("float")).alias("avgdl"),
+        ).collect()[0]
+        doc_count = int(row["n"])
+        avgdl_f64 = float(row["avgdl"] or 0.0)
+        avgdl_f32 = float(np.float32(avgdl_f64))
+        # the id watermark does NOT shrink: purged ids are never reused
+        manifest["doc_id_ceiling"] = int(
+            manifest.get("doc_id_ceiling", manifest["doc_count"])
+        )
+        manifest["doc_count"] = doc_count
+        manifest["avg_doc_len"] = avgdl_f32
+        manifest["avg_doc_len_batch"] = avgdl_f32
+        manifest["avg_doc_len_f64"] = avgdl_f64
+        if "total_doc_len" in manifest:
+            trow = dl_all.agg(
+                F.sum(F.col("doc_len").cast("long")).alias("t")
+            ).collect()[0]
+            manifest["total_doc_len"] = int(trow["t"] or 0)
+
+        if io.exists("doc_lens"):
+            # appended doc_lens rows store rel_dl physically — restate
+            # it against the NEW avgdl (the rebuilt index's value)
+            _replace_table(
+                io,
+                _anti(io.read("doc_lens")).select(
+                    DOC_ID,
+                    F.col("doc_len").cast("float").alias("doc_len"),
+                    (
+                        F.col("doc_len").cast("float")
+                        / F.lit(avgdl_f32).cast("float")
+                    ).cast("float").alias("rel_dl"),
+                ),
+                "doc_lens",
+            )
+
+        io.drop("tombstones")
+        manifest["tombstones"] = {"count": 0}
+        manifest.setdefault("purges", []).append(
+            {"docs_purged": len(tomb_ids), "doc_count": doc_count}
+        )
 
     # shard_maps: back to one row per (shard, MAP_SEG range)
     if manifest.get("stages", {}).get("shard_maps", {}).get("completed"):
@@ -233,12 +351,25 @@ def compact_index(
             .groupBy("shard", "mseg")
             .agg(
                 F.min("d").alias("first_doc"),
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "u"))),
-                    lambda x: x["u"],
-                ).alias("uris"),
+                F.max("d").alias("_last_doc"),
+                F.count(F.lit(1)).alias("_n"),
+                F.array_sort(F.collect_list(F.struct("d", "u"))).alias("_s"),
             )
-            .select("shard", "first_doc", "uris")
+            # docs: NULL while the range is contiguous (resolvers use
+            # flat offset indexing); a purge leaves holes, so segments
+            # that lost docs carry their explicit sorted id array
+            .select(
+                "shard",
+                "first_doc",
+                F.transform(F.col("_s"), lambda x: x["u"]).alias("uris"),
+                F.when(
+                    F.col("_last_doc") - F.col("first_doc") + 1
+                    == F.col("_n"),
+                    F.lit(None).cast("array<long>"),
+                ).otherwise(
+                    F.transform(F.col("_s"), lambda x: x["d"])
+                ).alias("docs"),
+            )
         )
         _replace_table(io, maps, "shard_maps")
 

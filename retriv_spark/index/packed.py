@@ -94,6 +94,11 @@ MAP_SEG = 16384
 # postings.  Query kernels are multi-segment-native (TAAT concatenates,
 # BMW runs one cursor per segment over disjoint doc ranges).
 SEG_MAX = 65536
+# Pending-tombstone bound: the serve-time deletion mask overfetches each
+# query's top-k by the pending count, so unpurged deletes are capped —
+# past this, delete_docs fails fast and demands a purge
+# (compact_index(purge_deletes=True)).
+TOMBSTONE_SERVE_MAX = 10_000
 
 
 def default_n_shards(doc_count: int) -> int:
@@ -241,6 +246,13 @@ class PackedIndex:
     @property
     def avg_doc_len(self) -> float:
         return float(self.manifest["avg_doc_len"])
+
+    @property
+    def doc_id_ceiling(self) -> int:
+        """Exclusive upper bound on ASSIGNED internal doc ids — equals
+        doc_count while ids are dense, stays put when a tombstone purge
+        shrinks doc_count (ids are never reused)."""
+        return int(self.manifest.get("doc_id_ceiling", self.manifest["doc_count"]))
 
     @property
     def span(self) -> int:
@@ -484,6 +496,17 @@ class PackedIndex:
                 np.asarray(maps_pdf["uris"].iloc[i], dtype=object)
                 for i in order
             ]
+            # explicit per-segment id arrays exist only after a
+            # tombstone purge gapped the dense range
+            if "docs" in maps_pdf.columns:
+                cache["doc_list"] = [
+                    None
+                    if maps_pdf["docs"].iloc[i] is None
+                    else np.asarray(maps_pdf["docs"].iloc[i], dtype=np.int64)
+                    for i in order
+                ]
+            else:
+                cache["doc_list"] = [None] * len(order)
             # dense ids are contiguous across segments (initialize_id
             # mapping numbers 0..N-1 and shard_maps tile that range), so
             # id resolution is usually ONE flat fancy index; keep the
@@ -492,6 +515,7 @@ class PackedIndex:
             contiguous = bool(
                 cache["firsts"].size
                 and cache["firsts"][0] == 0
+                and all(dl is None for dl in cache["doc_list"])
                 and np.array_equal(
                     cache["firsts"],
                     np.concatenate(([0], np.cumsum(sizes)[:-1])),
@@ -514,7 +538,8 @@ class PackedIndex:
                 row["shard"] = 0
                 merged.setdefault(row["term"], []).append(row)
             cache["by_shard"] = {0: merged}
-            cache["span_merged"] = max(1, self.doc_count)
+            # ceiling, not doc_count: ids stay stable across purges
+            cache["span_merged"] = max(1, self.doc_id_ceiling)
         # Decoded postings and dense partial-score vectors are immutable
         # per index version — reusing them across batches removes the
         # decode + vector build from every batch after the first.  Bounded:
@@ -587,13 +612,20 @@ class PackedIndex:
         if cache.get("uris_flat") is not None:
             docs_col = cache["uris_flat"][d_s.astype(np.int64)]
         else:
+            doc_list = cache["doc_list"]
             seg_i = np.searchsorted(firsts, d_s, side="right") - 1
             docs_col = np.empty(d_s.size, dtype=object)
             for si in np.unique(seg_i):
                 m = seg_i == si
-                docs_col[m] = uri_list[si][
-                    (d_s[m] - firsts[si]).astype(np.int64)
-                ]
+                ids = doc_list[si]
+                if ids is None:
+                    docs_col[m] = uri_list[si][
+                        (d_s[m] - firsts[si]).astype(np.int64)
+                    ]
+                else:
+                    # purge-gapped segment: explicit sorted id array
+                    pos = np.searchsorted(ids, d_s[m]).astype(np.int64)
+                    docs_col[m] = uri_list[si][pos]
         return q_s, docs_col, s_s, ranks, to_int
 
     def _msearch_local_table(
@@ -747,13 +779,17 @@ class PackedIndex:
             subset_doc_ids = [
                 r[0] for r in subset_doc_ids.select(DOC_ID).collect()
             ]
+        # deletion mask: overfetch by the pending-tombstone count so the
+        # first `cutoff` surviving rows are exactly the live top-k
+        tomb = self._tombstones()
+        cutoff_eff = cutoff + (len(tomb) if tomb else 0)
         out: Dict[str, Dict] = {str(q["id"]): {} for q in queries}
         prep = self._prepare_queries(queries)
         if prep is None:
             return out
         qmap_idx, q_ids, df_by_term, _ = prep
         q_s, docs_col, s_s, _ranks, to_int = self._msearch_local_arrays(
-            qmap_idx, q_ids, df_by_term, cutoff, operator, model,
+            qmap_idx, q_ids, df_by_term, cutoff_eff, operator, model,
             k1, b, kernel, subset_doc_ids,
         )
         if not q_s.size:
@@ -762,17 +798,27 @@ class PackedIndex:
             docs_col = docs_col.astype(np.int64)
         doc_list = docs_col.tolist()
         score_list = s_s.tolist()
+
+        def _masked(docs, scores):
+            it = (
+                (d, s) for d, s in zip(docs, scores) if d not in tomb
+            )
+            from itertools import islice
+
+            return dict(islice(it, cutoff))
+
+        mk = _masked if tomb else (lambda d, s: dict(zip(d, s)))
         # rows are sorted (query, rank): slice per query group and build
         # each dict with one C-level zip — insertion order = rank order
         if q_s[0] == q_s[-1]:  # one query group (the `search()` path)
-            out[q_ids[int(q_s[0])]] = dict(zip(doc_list, score_list))
+            out[q_ids[int(q_s[0])]] = mk(doc_list, score_list)
             return out
         bounds = np.flatnonzero(q_s[1:] != q_s[:-1]) + 1
         starts = np.concatenate(([0], bounds, [q_s.size]))
         for gi in range(starts.size - 1):
             lo, hi = int(starts[gi]), int(starts[gi + 1])
-            out[q_ids[int(q_s[lo])]] = dict(
-                zip(doc_list[lo:hi], score_list[lo:hi])
+            out[q_ids[int(q_s[lo])]] = mk(
+                doc_list[lo:hi], score_list[lo:hi]
             )
         return out
 
@@ -811,6 +857,10 @@ class PackedIndex:
         if prep is None:
             return self._empty_results()
         qmap_idx, q_ids, df_by_term, all_terms = prep
+        # deletion mask: overfetch by the pending-tombstone count, mask
+        # at the end (see _mask_df)
+        tomb = self._tombstones()
+        cutoff_eff = cutoff + (len(tomb) if tomb else 0)
 
         from pyspark.sql import Window
 
@@ -831,12 +881,12 @@ class PackedIndex:
                     r[0] for r in local_subset.select(DOC_ID).collect()
                 ]
             local = self._msearch_local(
-                qmap_idx, q_ids, df_by_term, cutoff=cutoff,
+                qmap_idx, q_ids, df_by_term, cutoff=cutoff_eff,
                 operator=operator, model=model, k1=k1, b=b,
                 kernel=kernel, subset_doc_ids=local_subset,
             )
             if local is not None:
-                return local
+                return self._mask_df(local, cutoff)
 
         # Built only on the distributed path — on the fast path the plan
         # construction alone costs ~0.1 s of JVM roundtrips per batch.
@@ -848,7 +898,7 @@ class PackedIndex:
             doc_count=self.doc_count,
             avg_doc_len=self.avg_doc_len,
             span=self.span,
-            cutoff=cutoff,
+            cutoff=cutoff_eff,
             operator=operator,
             model=model,
             k1=k1,
@@ -886,7 +936,7 @@ class PackedIndex:
         w = Window.partitionBy("q_idx").orderBy(F.desc("score"), F.asc(DOC_ID))
         ranked = (
             shard_topk.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= cutoff)
+            .filter(F.col("rank") <= cutoff_eff)
         )
 
         has_maps = self.manifest.get("stages", {}).get("shard_maps", {}).get(
@@ -916,9 +966,12 @@ class PackedIndex:
                 )
             )
             t = self.manifest.get("orig_id_sql_type", "string")
-            return resolved.select(
-                "q_id", F.col("doc_id").cast(t).alias("doc_id"),
-                "score", "rank",
+            return self._mask_df(
+                resolved.select(
+                    "q_id", F.col("doc_id").cast(t).alias("doc_id"),
+                    "score", "rank",
+                ),
+                cutoff,
             )
 
         # legacy layout (index built before shard_maps existed): join
@@ -929,14 +982,124 @@ class PackedIndex:
             qarr[F.col("q_idx")].alias("q_id"), DOC_ID, "score", "rank"
         )
         id_col = self.manifest["orig_id_col"]
-        return self.doc_map.join(F.broadcast(ranked), DOC_ID).select(
-            "q_id", F.col(id_col).alias("doc_id"), "score", "rank"
+        return self._mask_df(
+            self.doc_map.join(F.broadcast(ranked), DOC_ID).select(
+                "q_id", F.col(id_col).alias("doc_id"), "score", "rank"
+            ),
+            cutoff,
         )
 
     def _empty_results(self) -> DataFrame:
         t = self.manifest.get("orig_id_sql_type", "string")
         return self.spark.createDataFrame(
             [], f"q_id string, doc_id {t}, score float, rank int"
+        )
+
+    # -- per-document deletion (tombstones) ---------------------------------
+
+    def delete_docs(
+        self, ids, max_pending: int = TOMBSTONE_SERVE_MAX
+    ) -> int:
+        """Two-phase per-document deletion (the Lucene model, and the
+        opt-out / right-to-be-forgotten path at corpus scale):
+
+        phase 1 (this call): the ids land in a ``tombstones`` table and
+        every subsequent search masks them out — deleted docs never
+        appear in results, while global statistics (df, avgdl,
+        doc_count) intentionally LAG until the next purge, exactly like
+        Lucene's deleted-docs-still-count-until-merge semantics (other
+        docs' scores are bit-unchanged — pinned in tests).
+
+        phase 2: ``compact_index(..., purge_deletes=True)`` physically
+        removes the postings and recomputes every statistic — after
+        which results are identical to an index rebuilt from the
+        filtered corpus (pinned).
+
+        ``ids``: original-id values (list, or a one-column DataFrame).
+        Unknown ids are ignored.  Returns the number of NEWLY
+        tombstoned docs.  The pending total is capped at
+        ``max_pending`` (default ``TOMBSTONE_SERVE_MAX``) because the
+        serve-time mask overfetches each query's top-k by the pending
+        count — past the cap the call fails fast and tells you to
+        purge."""
+        orig_col = self.manifest["orig_id_col"]
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(F.col(ids.columns[0]).alias(orig_col))
+        else:
+            t = self.manifest.get("orig_id_sql_type", "string")
+            ids_df = self.spark.createDataFrame(
+                [(v,) for v in ids], f"_del_id {t}"
+            ).select(F.col("_del_id").alias(orig_col))
+        resolved = self.doc_map.join(
+            ids_df.distinct(), orig_col, "left_semi"
+        ).select(DOC_ID, F.col(orig_col))
+        if self.io.exists("tombstones"):
+            resolved = resolved.join(
+                self.io.read("tombstones").select(DOC_ID),
+                DOC_ID,
+                "left_anti",
+            )
+        # bounded: the caller's id list caps this (and max_pending caps
+        # the running total)
+        new_rows = resolved.collect()
+        prior = int(self.manifest.get("tombstones", {}).get("count", 0))
+        total = prior + len(new_rows)
+        if total > max_pending:
+            raise ValueError(
+                f"{total} pending tombstones exceed max_pending="
+                f"{max_pending}; run compact_index(purge_deletes=True) "
+                "to apply them physically first"
+            )
+        if new_rows:
+            self.io.write(
+                self.spark.createDataFrame(new_rows, resolved.schema),
+                "tombstones",
+                mode="append",
+            )
+            self.manifest["tombstones"] = {"count": total}
+            _write_manifest(self.path, self.manifest)
+            self.__dict__.pop("_tomb_memo", None)
+        return len(new_rows)
+
+    def _tombstones(self):
+        """Pending tombstoned ORIGINAL ids as a frozenset (None when
+        there are none — the manifest check keeps the no-deletes fast
+        path free).  Memoized per pending count; bounded by
+        ``max_pending``."""
+        n = int(self.manifest.get("tombstones", {}).get("count", 0))
+        if n == 0:
+            return None
+        hit = self.__dict__.get("_tomb_memo")
+        if hit is not None and hit[0] == n:
+            return hit[1]
+        orig_col = self.manifest["orig_id_col"]
+        vals = frozenset(
+            r[orig_col] for r in self.io.read("tombstones").collect()
+        )
+        self.__dict__["_tomb_memo"] = (n, vals)
+        return vals
+
+    def _mask_df(self, res: DataFrame, cutoff: int) -> DataFrame:
+        """Drop tombstoned docs from a ranked result and close the rank
+        gaps.  The caller overfetched by the tombstone count, so the
+        first ``cutoff`` survivors are EXACTLY the top-k over live docs
+        (kernel order is preserved — ranks are renumbered along the
+        original rank order, never re-sorted)."""
+        tomb = self._tombstones()
+        if not tomb:
+            return res
+        from pyspark.sql import Window
+
+        t = self.manifest.get("orig_id_sql_type", "string")
+        tdf = self.spark.createDataFrame(
+            [(v,) for v in tomb], f"doc_id {t}"
+        )
+        w = Window.partitionBy("q_id").orderBy("rank")
+        return (
+            res.join(F.broadcast(tdf), "doc_id", "left_anti")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= cutoff)
+            .select("q_id", "doc_id", "score", "rank")
         )
 
 
@@ -1283,7 +1446,13 @@ def build_packed_index(
                     lambda x: x["u"],
                 ).alias("uris"),
             )
-            .select("shard", "first_doc", "uris")
+            # docs: explicit per-segment id array, NULL while the dense
+            # range is contiguous (always at build time) — a tombstone
+            # purge fills it for segments it punches holes into
+            .select(
+                "shard", "first_doc", "uris",
+                F.lit(None).cast("array<long>").alias("docs"),
+            )
         )
         io.write(maps, "shard_maps")
         _mark_stage(path, manifest, "shard_maps")

@@ -395,6 +395,15 @@ class SparseRetriever:
 
         shutil.rmtree(path, ignore_errors=True)
 
+    def delete_docs(self, ids, **kwargs) -> int:
+        """Tombstone individual documents by original id (two-phase
+        deletion; see ``PackedIndex.delete_docs``).  Searches mask them
+        immediately; ``compact_index(purge_deletes=True)`` applies them
+        physically.  The reference only supports dropping the whole
+        index (base_retriever.py:20-26) — per-doc deletion is the
+        opt-out path a corpus-scale engine needs."""
+        return self.index_data.delete_docs(ids, **kwargs)
+
     # -- id round-trip ---------------------------------------------------------
 
     def _restore_id(self, id_str):

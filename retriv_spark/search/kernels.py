@@ -1045,12 +1045,26 @@ def make_id_resolver(q_ids: List[str], span: int):
             return out
         d = left["__doc_id__"].to_numpy()
         orig = np.empty(d.size, dtype=object)
-        for fd, uris in zip(right["first_doc"], right["uris"]):
+        seg_docs = (
+            right["docs"]
+            if "docs" in right.columns
+            else [None] * len(right)
+        )
+        for fd, uris, ids in zip(right["first_doc"], right["uris"], seg_docs):
             arr = np.asarray(uris, dtype=object)
             lo = int(fd)
-            m = (d >= lo) & (d < lo + arr.size)
-            if m.any():
-                orig[m] = arr[d[m] - lo]
+            if ids is None:
+                # contiguous dense range: flat offset indexing
+                m = (d >= lo) & (d < lo + arr.size)
+                if m.any():
+                    orig[m] = arr[d[m] - lo]
+            else:
+                # purge-gapped segment: explicit sorted id array
+                ida = np.asarray(ids, dtype=np.int64)
+                pos = np.searchsorted(ida, d)
+                m = (pos < ida.size) & (ida[np.minimum(pos, ida.size - 1)] == d)
+                if m.any():
+                    orig[m] = arr[pos[m]]
         out["doc_id"] = orig
         return out
 

@@ -69,7 +69,10 @@ def append_batch(
     id_col = manifest["orig_id_col"]
     text_col = manifest.get("text_col", "text")
     order_cols = order_cols or [id_col]
-    offset = int(manifest["doc_count"])
+    # id watermark, NOT doc_count: after a tombstone purge the live doc
+    # count shrinks but assigned ids must never be reused (stable-id
+    # contract) — the ceiling only ever grows
+    offset = int(manifest.get("doc_id_ceiling", manifest["doc_count"]))
     span = int(manifest["span"])
 
     # Micro-batches are small (bounded by the trigger interval), so a
@@ -150,7 +153,12 @@ def append_batch(
                     lambda x: x["u"],
                 ).alias("uris"),
             )
-            .select("shard", "first_doc", "uris"),
+            # appended ranges are always contiguous; the column exists so
+            # every shard_maps file shares one schema (purges fill it)
+            .select(
+                "shard", "first_doc", "uris",
+                F.lit(None).cast("array<long>").alias("docs"),
+            ),
             "shard_maps",
             mode="append",
         )
@@ -158,7 +166,7 @@ def append_batch(
     import numpy as np
 
     total = int(manifest["total_doc_len"]) + len_new
-    count = offset + n_new
+    count = int(manifest["doc_count"]) + n_new
     avg_f64 = total / count
     io.write(
         with_terms.select(
@@ -175,6 +183,7 @@ def append_batch(
     with_terms.unpersist()
 
     manifest["doc_count"] = count
+    manifest["doc_id_ceiling"] = offset + n_new
     manifest["total_doc_len"] = total
     manifest["avg_doc_len_f64"] = avg_f64
     manifest["avg_doc_len"] = float(np.float32(avg_f64))

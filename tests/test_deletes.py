@@ -1,0 +1,208 @@
+"""Per-document deletion: tombstone masking at serve time (stats lag,
+Lucene semantics), physical purge at compaction (purge ≡ rebuild)."""
+
+import pytest
+
+from retriv_spark.index.compact import compact_index
+from retriv_spark.index.packed import build_packed_index, load_packed_index
+from retriv_spark.preprocessing import TextPreprocessor
+from retriv_spark.streaming.ingest import append_batch
+
+
+def _docs(i0, i1):
+    return [
+        {"id": i, "text": " ".join(f"w{(i * 7 + j) % 25}" for j in range(12))}
+        for i in range(i0, i1)
+    ]
+
+
+def _pre():
+    return TextPreprocessor(stemmer=None, stopwords=None)
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(d["id"], d["text"]) for d in _docs(lo, hi)], "id long, text string"
+    )
+
+
+QUERIES = [
+    {"id": "a", "text": "w0 w3"},
+    {"id": "b", "text": "w11 w24 w7"},
+    {"id": "c", "text": "w5"},
+]
+
+
+def _build(spark, path, lo=0, hi=60):
+    return build_packed_index(
+        spark, _df(spark, lo, hi), _pre(), path,
+        id_col="id", order_cols=["id"], n_shards=2,
+    )
+
+
+def test_delete_masks_results_and_lags_stats(spark, tmp_path):
+    idx = _build(spark, str(tmp_path / "d1"))
+    before = {
+        (r["q_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in idx.msearch_df(QUERIES, cutoff=200).collect()
+    }
+    victims = sorted({d for (_, d) in before})[:3]
+    n = idx.delete_docs(victims)
+    assert n == len(victims)
+    # unknown ids and re-deletes are no-ops
+    assert idx.delete_docs(victims + [10**9]) == 0
+
+    after = {
+        (r["q_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in idx.msearch_df(QUERIES, cutoff=200).collect()
+    }
+    # deleted docs never appear; every other doc's SCORE is bit-unchanged
+    # (stats intentionally lag until purge — the Lucene model)
+    assert not any(d in victims for (_, d) in after)
+    for key, (score, _) in after.items():
+        assert before[key][0] == score
+    # ranks close the gaps in original order
+    for q in ("a", "b", "c"):
+        ranks = sorted(r for (qq, _), (_, r) in after.items() if qq == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_delete_overfetch_keeps_cutoff_full(spark, tmp_path):
+    idx = _build(spark, str(tmp_path / "d2"))
+    full = idx.msearch_df([QUERIES[0]], cutoff=5).collect()
+    top = [r["doc_id"] for r in full]
+    idx.delete_docs(top[:2])  # both victims were inside the top-5
+    got = idx.msearch_df([QUERIES[0]], cutoff=5).collect()
+    # the cutoff stays FULL: the next-ranked live docs fill in
+    assert len(got) == 5
+    assert all(r["doc_id"] not in top[:2] for r in got)
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_delete_local_and_distributed_paths_agree(spark, tmp_path):
+    idx = _build(spark, str(tmp_path / "d3"))
+    idx.delete_docs([0, 7, 13])
+    dicts = idx.msearch_dicts(QUERIES, cutoff=8)
+    assert dicts is not None
+    df_rows = idx.msearch_df(QUERIES, cutoff=8).collect()
+    by_q = {}
+    for r in df_rows:
+        by_q.setdefault(r["q_id"], []).append((r["doc_id"], r["score"]))
+    for q, pairs in by_q.items():
+        assert list(dicts[q].items()) == pairs
+    for q in dicts:
+        assert all(d not in (0, 7, 13) for d in dicts[q])
+
+
+def test_delete_cap_fails_fast(spark, tmp_path):
+    idx = _build(spark, str(tmp_path / "d4"), hi=30)
+    with pytest.raises(ValueError, match="max_pending"):
+        idx.delete_docs(list(range(25)), max_pending=10)
+
+
+def test_purge_equals_rebuild_on_filtered_corpus(spark, tmp_path):
+    path = str(tmp_path / "d5")
+    idx = _build(spark, path)
+    victims = [1, 8, 15, 22, 29]
+    idx.delete_docs(victims)
+    purged = compact_index(spark, path, purge_deletes=True)
+
+    rb_path = str(tmp_path / "d5_rebuild")
+    keep = [d for d in range(60) if d not in victims]
+    rebuilt = build_packed_index(
+        spark,
+        _df(spark, 0, 60).where(f"id in ({','.join(map(str, keep))})"),
+        _pre(), rb_path, id_col="id", order_cols=["id"], n_shards=2,
+    )
+    res_p = sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in purged.msearch_df(QUERIES, cutoff=200).collect()
+    )
+    res_r = sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in rebuilt.msearch_df(QUERIES, cutoff=200).collect()
+    )
+    # purge ≡ rebuild: original ids, scores (recomputed stats), ranks
+    assert res_p == res_r
+    # stats converged exactly
+    assert purged.doc_count == rebuilt.doc_count == 55
+    assert purged.avg_doc_len == rebuilt.avg_doc_len
+    tp = {r["term"]: r["df"] for r in purged.terms.collect()}
+    tr = {r["term"]: r["df"] for r in rebuilt.terms.collect()}
+    assert tp == tr
+    # tombstones cleared; purge recorded; reload serves identically
+    assert purged.manifest["tombstones"]["count"] == 0
+    assert purged.manifest["purges"][-1]["docs_purged"] == 5
+    again = load_packed_index(spark, path)
+    assert sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in again.msearch_df(QUERIES, cutoff=200).collect()
+    ) == res_p
+
+
+def test_purge_selective_rewrites_only_tomb_shards(spark, tmp_path):
+    path = str(tmp_path / "d6")
+    idx = _build(spark, path)
+    span = idx.span
+    # victims all in shard 0
+    idx.delete_docs([0, 1])
+    assert all(v // span == 0 for v in (0, 1))
+    before = {
+        (r["shard"], r["term"]): bytes(r["doc_gaps"])
+        for r in idx.io.read("postings").collect()
+    }
+    purged = compact_index(spark, path, purge_deletes=True)
+    after = {
+        (r["shard"], r["term"]): bytes(r["doc_gaps"])
+        for r in purged.io.read("postings").collect()
+    }
+    # shard-1 segments pass through byte-for-byte
+    for key in after:
+        if key[0] != 0:
+            assert after[key] == before[key]
+    comp = purged.manifest["compactions"][-1]
+    assert comp["shards_rewritten"] == 1
+
+
+def test_purge_after_streaming_appends(spark, tmp_path):
+    path = str(tmp_path / "d7")
+    _build(spark, path, hi=40)
+    idx = append_batch(spark, path, _df(spark, 40, 55), batch_id=0)
+    idx.delete_docs([3, 44, 50])  # one base doc, two appended docs
+    purged = compact_index(spark, path, purge_deletes=True)
+
+    rb_path = str(tmp_path / "d7_rebuild")
+    keep = [d for d in range(55) if d not in (3, 44, 50)]
+    rebuilt = build_packed_index(
+        spark,
+        _df(spark, 0, 55).where(f"id in ({','.join(map(str, keep))})"),
+        _pre(), rb_path, id_col="id", order_cols=["id"], n_shards=2,
+    )
+    res_p = sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in purged.msearch_df(QUERIES, cutoff=200).collect()
+    )
+    res_r = sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in rebuilt.msearch_df(QUERIES, cutoff=200).collect()
+    )
+    assert res_p == res_r
+    assert purged.doc_count == 52
+    # the exactly-once registry survives the purge: replay rejected
+    again = append_batch(spark, path, _df(spark, 40, 55), batch_id=0)
+    assert again.doc_count == 52
+
+
+def test_purge_noop_without_tombstones(spark, tmp_path):
+    path = str(tmp_path / "d8")
+    idx = _build(spark, path, hi=20)
+    before = sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in idx.msearch_df(QUERIES, cutoff=50).collect()
+    )
+    out = compact_index(spark, path, purge_deletes=True)
+    assert "purges" not in out.manifest
+    assert sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in out.msearch_df(QUERIES, cutoff=50).collect()
+    ) == before
