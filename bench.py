@@ -97,6 +97,7 @@ HEADLINE = [
     "pmi_topk",
     "delete_docs",
     "purge_rebuild",
+    "sync_reindex",
 ]
 
 

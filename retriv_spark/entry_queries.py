@@ -759,6 +759,45 @@ def q_purge_rebuild(spark, sf_dir):
     )
 
 
+def q_sync_reindex(spark, sf_dir):
+    """Diff-driven incremental reindex (index/sync.py sync_index): an
+    index built on the OLD snapshot (doc_id % 11 != 4, with ' legacy'
+    suffixed to % 5 == 2 texts) is converged onto the NEW snapshot
+    (doc_id % 7 != 1, raw text) via corpus_diff → delete_docs → purge →
+    append_batch.  The oracle runs the BM25 chain over the NEW snapshot
+    directly; ranks are replayed with the engine's internal-id
+    tiebreak — re-added docs (added or changed: % 11 == 4 or % 5 == 2)
+    carry fresh internal ids ABOVE all survivors, in doc_id order
+    within the batch.  Rank-only compare (f32 kernels vs f64 SQL)."""
+    import os
+    import shutil
+
+    from .index.packed import build_packed_index
+    from .index.sync import sync_index
+
+    path = f"/tmp/retriv_syncpair_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 11 != 4).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.col("text"), F.lit(" legacy")),
+        ).otherwise(F.col("text")),
+    )
+    new = docs.where(F.col("doc_id") % 7 != 1)
+    build_packed_index(
+        spark, old, _plain_pre(), path, text_col="text",
+        id_col="doc_id", order_cols=["doc_id"],
+    )
+    idx, _stats = sync_index(spark, path, new, batch_id=1)
+    return (
+        idx.msearch_df(_delete_queries(), cutoff=CUTOFF)
+        .select("q_id", "doc_id", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def q_pmi_topk(spark, sf_dir):
     """Top-20 bigram collocations by PMI (ops/textstats.py pmi_topk):
     exact unigram/bigram/total counts, the float64 PMI expression
@@ -2902,6 +2941,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_topk": q_pmi_topk,
     "delete_docs": q_delete_docs,
     "purge_rebuild": q_purge_rebuild,
+    "sync_reindex": q_sync_reindex,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -6372,5 +6412,29 @@ _PURGED_TOK_SQL = (
 ORACLE_SQL["purge_rebuild"] = f"""{
     _bm25_ctes(BM25_QUERIES, tok_sql=_PURGED_TOK_SQL)}
 SELECT q_id, doc_id, rank FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+
+_SYNC_TOK_SQL = (
+    "SELECT doc_id, t.term\n"
+    "  FROM documents, "
+    "unnest(string_split_regex(trim(text), '\\s+')) AS t(term)\n"
+    "  WHERE t.term <> '' AND doc_id % 7 <> 1"
+)
+
+ORACLE_SQL["sync_reindex"] = f"""{
+    _bm25_ctes(BM25_QUERIES, tok_sql=_SYNC_TOK_SQL)}
+SELECT q_id, doc_id, rank FROM (
+  SELECT scored.q_id, scored.doc_id,
+         row_number() OVER (
+           PARTITION BY scored.q_id
+           ORDER BY scored.score DESC,
+             CASE WHEN scored.doc_id % 11 = 4 OR scored.doc_id % 5 = 2
+                  THEN 1 ELSE 0 END,
+             scored.doc_id
+         ) AS rank
+  FROM scored
+) WHERE rank <= {CUTOFF}
 ORDER BY q_id, rank
 """

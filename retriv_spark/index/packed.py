@@ -552,10 +552,15 @@ class PackedIndex:
         terms_needed = sorted(
             {t for tl in qmap_idx.values() for t, _ in tl}
         )
+        # deletion mask: the kernel's per-shard top-k must overfetch by
+        # the pending-tombstone count so the post-mask trim below still
+        # fills the true cutoff
+        tomb = self._tombstones()
+        kern_cutoff = cutoff + (len(tomb) if tomb else 0)
         kern = make_shard_kernel(
             qmap=qmap_idx, df_by_term=df_by_term,
             doc_count=self.doc_count, avg_doc_len=self.avg_doc_len,
-            span=span_local, cutoff=cutoff, operator=operator,
+            span=span_local, cutoff=kern_cutoff, operator=operator,
             model=model, k1=k1, b=b, kernel=kernel,
             subset_doc_ids=subset_doc_ids,
             decoded_cache=cache["decoded"], vec_cache=cache["vecs"],
@@ -597,16 +602,29 @@ class PackedIndex:
             # order as the distributed window: q_id, then (-score, doc_id).
             o = np.lexsort((d_arr, -s_arr.astype(np.float64), q_arr))
             q_s, d_s, s_s = q_arr[o], d_arr[o], s_arr[o]
-        if q_s.size:
-            # rank within each q group = position - group start
-            new_g = np.concatenate(([True], q_s[1:] != q_s[:-1]))
-            starts = np.flatnonzero(new_g)
-            group_of = np.cumsum(new_g) - 1
-            ranks = np.arange(q_s.size, dtype=np.int64) - starts[group_of] + 1
-        else:
-            ranks = np.empty(0, dtype=np.int64)
-        keep = ranks <= cutoff
-        q_s, d_s, s_s, ranks = q_s[keep], d_s[keep], s_s[keep], ranks[keep]
+        def _rank_and_trim(q_a, d_a, s_a, limit):
+            if q_a.size:
+                # rank within each q group = position - group start
+                new_g = np.concatenate(([True], q_a[1:] != q_a[:-1]))
+                starts = np.flatnonzero(new_g)
+                group_of = np.cumsum(new_g) - 1
+                r = np.arange(q_a.size, dtype=np.int64) - starts[group_of] + 1
+            else:
+                r = np.empty(0, dtype=np.int64)
+            keep = r <= limit
+            return q_a[keep], d_a[keep], s_a[keep], r[keep]
+
+        # deletion mask: the kernel overfetched by the pending-tombstone
+        # count; drop tombstoned INTERNAL ids (a re-added doc has a
+        # fresh internal id and stays live), then re-rank down to the
+        # true cutoff
+        if tomb:
+            live = ~np.isin(
+                d_s.astype(np.int64),
+                np.fromiter(tomb, dtype=np.int64, count=len(tomb)),
+            )
+            q_s, d_s, s_s = q_s[live], d_s[live], s_s[live]
+        q_s, d_s, s_s, ranks = _rank_and_trim(q_s, d_s, s_s, cutoff)
         # id resolution: one flat fancy index when the dense id space is
         # contiguous (the built layout), else per touched segment
         if cache.get("uris_flat") is not None:
@@ -779,17 +797,13 @@ class PackedIndex:
             subset_doc_ids = [
                 r[0] for r in subset_doc_ids.select(DOC_ID).collect()
             ]
-        # deletion mask: overfetch by the pending-tombstone count so the
-        # first `cutoff` surviving rows are exactly the live top-k
-        tomb = self._tombstones()
-        cutoff_eff = cutoff + (len(tomb) if tomb else 0)
         out: Dict[str, Dict] = {str(q["id"]): {} for q in queries}
         prep = self._prepare_queries(queries)
         if prep is None:
             return out
         qmap_idx, q_ids, df_by_term, _ = prep
         q_s, docs_col, s_s, _ranks, to_int = self._msearch_local_arrays(
-            qmap_idx, q_ids, df_by_term, cutoff_eff, operator, model,
+            qmap_idx, q_ids, df_by_term, cutoff, operator, model,
             k1, b, kernel, subset_doc_ids,
         )
         if not q_s.size:
@@ -798,27 +812,17 @@ class PackedIndex:
             docs_col = docs_col.astype(np.int64)
         doc_list = docs_col.tolist()
         score_list = s_s.tolist()
-
-        def _masked(docs, scores):
-            it = (
-                (d, s) for d, s in zip(docs, scores) if d not in tomb
-            )
-            from itertools import islice
-
-            return dict(islice(it, cutoff))
-
-        mk = _masked if tomb else (lambda d, s: dict(zip(d, s)))
         # rows are sorted (query, rank): slice per query group and build
         # each dict with one C-level zip — insertion order = rank order
         if q_s[0] == q_s[-1]:  # one query group (the `search()` path)
-            out[q_ids[int(q_s[0])]] = mk(doc_list, score_list)
+            out[q_ids[int(q_s[0])]] = dict(zip(doc_list, score_list))
             return out
         bounds = np.flatnonzero(q_s[1:] != q_s[:-1]) + 1
         starts = np.concatenate(([0], bounds, [q_s.size]))
         for gi in range(starts.size - 1):
             lo, hi = int(starts[gi]), int(starts[gi + 1])
-            out[q_ids[int(q_s[lo])]] = mk(
-                doc_list[lo:hi], score_list[lo:hi]
+            out[q_ids[int(q_s[lo])]] = dict(
+                zip(doc_list[lo:hi], score_list[lo:hi])
             )
         return out
 
@@ -857,8 +861,9 @@ class PackedIndex:
         if prep is None:
             return self._empty_results()
         qmap_idx, q_ids, df_by_term, all_terms = prep
-        # deletion mask: overfetch by the pending-tombstone count, mask
-        # at the end (see _mask_df)
+        # deletion mask (distributed path): overfetch by the pending-
+        # tombstone count, mask internal ids before resolution (the
+        # local path masks inside _msearch_local_arrays)
         tomb = self._tombstones()
         cutoff_eff = cutoff + (len(tomb) if tomb else 0)
 
@@ -881,12 +886,12 @@ class PackedIndex:
                     r[0] for r in local_subset.select(DOC_ID).collect()
                 ]
             local = self._msearch_local(
-                qmap_idx, q_ids, df_by_term, cutoff=cutoff_eff,
+                qmap_idx, q_ids, df_by_term, cutoff=cutoff,
                 operator=operator, model=model, k1=k1, b=b,
                 kernel=kernel, subset_doc_ids=local_subset,
             )
             if local is not None:
-                return self._mask_df(local, cutoff)
+                return local
 
         # Built only on the distributed path — on the fast path the plan
         # construction alone costs ~0.1 s of JVM roundtrips per batch.
@@ -938,6 +943,7 @@ class PackedIndex:
             shard_topk.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= cutoff_eff)
         )
+        ranked = self._mask_ranked(ranked, cutoff, tomb)
 
         has_maps = self.manifest.get("stages", {}).get("shard_maps", {}).get(
             "completed", False
@@ -966,12 +972,9 @@ class PackedIndex:
                 )
             )
             t = self.manifest.get("orig_id_sql_type", "string")
-            return self._mask_df(
-                resolved.select(
-                    "q_id", F.col("doc_id").cast(t).alias("doc_id"),
-                    "score", "rank",
-                ),
-                cutoff,
+            return resolved.select(
+                "q_id", F.col("doc_id").cast(t).alias("doc_id"),
+                "score", "rank",
             )
 
         # legacy layout (index built before shard_maps existed): join
@@ -982,11 +985,8 @@ class PackedIndex:
             qarr[F.col("q_idx")].alias("q_id"), DOC_ID, "score", "rank"
         )
         id_col = self.manifest["orig_id_col"]
-        return self._mask_df(
-            self.doc_map.join(F.broadcast(ranked), DOC_ID).select(
-                "q_id", F.col(id_col).alias("doc_id"), "score", "rank"
-            ),
-            cutoff,
+        return self.doc_map.join(F.broadcast(ranked), DOC_ID).select(
+            "q_id", F.col(id_col).alias("doc_id"), "score", "rank"
         )
 
     def _empty_results(self) -> DataFrame:
@@ -1062,44 +1062,48 @@ class PackedIndex:
         return len(new_rows)
 
     def _tombstones(self):
-        """Pending tombstoned ORIGINAL ids as a frozenset (None when
+        """Pending tombstoned INTERNAL doc ids as a frozenset (None when
         there are none — the manifest check keeps the no-deletes fast
-        path free).  Memoized per pending count; bounded by
-        ``max_pending``."""
+        path free).  Internal, not original: a deleted-then-re-added
+        document keeps its original id but gets a fresh internal id, and
+        only the OLD one must stay masked.  Memoized per pending count;
+        bounded by ``max_pending``."""
         n = int(self.manifest.get("tombstones", {}).get("count", 0))
         if n == 0:
             return None
         hit = self.__dict__.get("_tomb_memo")
         if hit is not None and hit[0] == n:
             return hit[1]
-        orig_col = self.manifest["orig_id_col"]
         vals = frozenset(
-            r[orig_col] for r in self.io.read("tombstones").collect()
+            int(r[0])
+            for r in self.io.read("tombstones").select(DOC_ID).collect()
         )
         self.__dict__["_tomb_memo"] = (n, vals)
         return vals
 
-    def _mask_df(self, res: DataFrame, cutoff: int) -> DataFrame:
-        """Drop tombstoned docs from a ranked result and close the rank
-        gaps.  The caller overfetched by the tombstone count, so the
-        first ``cutoff`` survivors are EXACTLY the top-k over live docs
-        (kernel order is preserved — ranks are renumbered along the
-        original rank order, never re-sorted)."""
-        tomb = self._tombstones()
+    def _mask_ranked(
+        self, ranked: DataFrame, cutoff: int, tomb
+    ) -> DataFrame:
+        """Drop tombstoned INTERNAL ids from an internally-keyed ranked
+        relation (columns include ``__doc_id__`` and ``rank``) and close
+        the rank gaps.  The caller overfetched by the tombstone count,
+        so the first ``cutoff`` survivors are EXACTLY the top-k over
+        live docs (kernel order preserved — ranks renumber along the
+        original rank order, never re-sorted).  Runs BEFORE id
+        resolution, so a re-added doc (same original id, new internal
+        id) is never masked."""
         if not tomb:
-            return res
+            return ranked
         from pyspark.sql import Window
 
-        t = self.manifest.get("orig_id_sql_type", "string")
         tdf = self.spark.createDataFrame(
-            [(v,) for v in tomb], f"doc_id {t}"
+            [(v,) for v in tomb], f"{DOC_ID} long"
         )
-        w = Window.partitionBy("q_id").orderBy("rank")
+        w = Window.partitionBy("q_idx").orderBy("rank")
         return (
-            res.join(F.broadcast(tdf), "doc_id", "left_anti")
+            ranked.join(F.broadcast(tdf), DOC_ID, "left_anti")
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= cutoff)
-            .select("q_id", "doc_id", "score", "rank")
         )
 
 

@@ -1,0 +1,88 @@
+"""Incremental reindex: converge a live packed index onto a new corpus
+snapshot without re-tokenizing the unchanged majority.
+
+``sync_index`` composes four oracled surfaces into the daily-increment
+loop a corpus-scale deployment actually runs:
+
+    corpus_diff (ops/dedup.py)  →  what changed (raw-bytes identity)
+    delete_docs (index/packed)  →  tombstone removed + changed docs
+    compact_index(purge=True)   →  physical removal + exact stat rebuild
+    append_batch (streaming)    →  index added + new versions of changed
+
+Cost model at 100 TB: the diff is one id-keyed digest join (bodies never
+shuffle), the purge decodes only shards containing a tombstone, and the
+append tokenizes only the changed slice — the unchanged corpus is never
+re-read.  Afterwards search results are rank-identical to a full rebuild
+of the new snapshot up to tie order among exactly-equal scores (appended
+docs carry fresh internal ids, so ties break in append order instead of
+original order; the result SET and every score are identical — pinned in
+tests/test_sync.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops.dedup import corpus_diff
+from .compact import compact_index
+from .packed import PackedIndex, load_packed_index
+
+
+def sync_index(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    batch_id=None,
+) -> Tuple[PackedIndex, dict]:
+    """Converge the index at ``index_path`` onto ``new_docs``.
+
+    ``new_docs`` must carry the index's original-id and text columns.
+    Content identity is RAW BYTES (not canonicalized — a case-only edit
+    changes the index).  Returns ``(index, stats)`` where stats counts
+    added / removed / changed / unchanged.
+
+    The purge between delete and append is NOT optional: it keeps the
+    ``docs``/``doc_map`` tables single-versioned, which is what makes
+    the NEXT sync's diff (and return_docs joins) unambiguous."""
+    from ..streaming.ingest import append_batch
+
+    idx = load_packed_index(spark, index_path)
+    id_col = idx.manifest["orig_id_col"]
+    text_col = idx.manifest.get("text_col", "text")
+
+    current = idx.docs.select(F.col(id_col), F.col(text_col))
+    # localCheckpoint BEFORE mutating the index: the purge swaps the doc
+    # tables the diff's lineage reads, so the (id, status) relation —
+    # id-table-sized, bodies long since digested away — must be
+    # materialized first
+    diff = corpus_diff(
+        new_docs, current, id_col=id_col, text_col=text_col,
+        canonicalize=False,
+    ).localCheckpoint(eager=True)
+    stats = {
+        r["status"]: r["n_docs"]
+        for r in diff.groupBy("status").agg(
+            F.count("*").alias("n_docs")
+        ).collect()
+    }
+
+    stale = diff.where(
+        F.col("status").isin("removed", "changed")
+    ).select(F.col(id_col))
+    n_del = idx.delete_docs(stale)
+    if n_del:
+        compact_index(spark, index_path, purge_deletes=True)
+
+    incoming = new_docs.join(
+        diff.where(F.col("status").isin("added", "changed")).select(
+            F.col(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    idx = append_batch(spark, index_path, incoming, batch_id=batch_id)
+    stats["tombstoned"] = n_del
+    return idx, stats

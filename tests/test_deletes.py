@@ -206,3 +206,28 @@ def test_purge_noop_without_tombstones(spark, tmp_path):
         (r["q_id"], r["doc_id"], r["score"], r["rank"])
         for r in out.msearch_df(QUERIES, cutoff=50).collect()
     ) == before
+
+
+def test_readded_doc_is_live_while_old_version_stays_masked(spark, tmp_path):
+    """Update flow without an intervening purge: delete a doc, then
+    append a NEW version under the SAME original id.  The mask keys on
+    INTERNAL ids, so the old version stays hidden and the re-added one
+    serves."""
+    path = str(tmp_path / "d9")
+    idx = _build(spark, path, hi=30)
+    # doc 5's text contains w10..w21 (i*7 % 25); replace it with a doc
+    # made entirely of w0 so query 'a' (w0 w3) must surface it strongly
+    idx.delete_docs([5])
+    new_version = spark.createDataFrame(
+        [(5, "w0 w0 w0 w0 w0 w0")], "id long, text string"
+    )
+    idx2 = append_batch(spark, path, new_version, batch_id=77)
+    got = idx2.msearch_df([{"id": "a", "text": "w0 w3"}], cutoff=30).collect()
+    hits = [r for r in got if r["doc_id"] == 5]
+    # exactly ONE row for id 5 (the new version; the old internal id is
+    # masked), and dict path agrees
+    assert len(hits) == 1
+    dicts = idx2.msearch_dicts([{"id": "a", "text": "w0 w3"}], cutoff=30)
+    assert (5 in dicts["a"]) and dicts["a"][5] == hits[0]["score"]
+    # and it scores as the new content (w0-only, no w3)
+    assert hits[0]["score"] > 0

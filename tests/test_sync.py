@@ -1,0 +1,98 @@
+"""sync_index: diff-driven incremental reindex converges to the new
+snapshot (result set + scores + stats identical to a full rebuild)."""
+
+from pyspark.sql import functions as F
+
+from retriv_spark.index.packed import build_packed_index
+from retriv_spark.index.sync import sync_index
+from retriv_spark.preprocessing import TextPreprocessor
+
+
+def _pre():
+    return TextPreprocessor(stemmer=None, stopwords=None)
+
+
+def _snapshot(spark, version):
+    """Deterministic evolving corpus: v2 drops ids %7==1, edits ids
+    %5==2, and adds ids 60..69."""
+    rows = []
+    for i in range(60):
+        if version == 2 and i % 7 == 1:
+            continue  # removed
+        text = " ".join(f"w{(i * 7 + j) % 25}" for j in range(12))
+        if version == 2 and i % 5 == 2:
+            text = text + " edited w3"  # changed
+        rows.append((i, text))
+    if version == 2:
+        for i in range(60, 70):  # added
+            rows.append((i, " ".join(f"w{(i * 3 + j) % 25}" for j in range(8))))
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+QUERIES = [
+    {"id": "a", "text": "w0 w3"},
+    {"id": "b", "text": "w11 w24 w7"},
+    {"id": "c", "text": "edited"},
+]
+
+
+def _result_set(idx):
+    # sorted (q_id, score, doc_id): rank order within exact-score ties
+    # may legitimately differ between a synced and a rebuilt index
+    # (fresh internal ids); the SET of scored docs must be identical
+    return sorted(
+        (r["q_id"], r["score"], r["doc_id"])
+        for r in idx.msearch_df(QUERIES, cutoff=500).collect()
+    )
+
+
+def test_sync_converges_to_rebuild(spark, tmp_path):
+    path = str(tmp_path / "sync1")
+    build_packed_index(
+        spark, _snapshot(spark, 1), _pre(), path,
+        id_col="id", order_cols=["id"], n_shards=2,
+    )
+    idx, stats = sync_index(spark, path, _snapshot(spark, 2), batch_id=1)
+
+    assert stats["removed"] == len([i for i in range(60) if i % 7 == 1])
+    n_changed = len(
+        [i for i in range(60) if i % 7 != 1 and i % 5 == 2]
+    )
+    assert stats["changed"] == n_changed
+    assert stats["added"] == 10
+    assert stats["tombstoned"] == stats["removed"] + n_changed
+
+    rb = build_packed_index(
+        spark, _snapshot(spark, 2), _pre(), str(tmp_path / "sync1_rb"),
+        id_col="id", order_cols=["id"], n_shards=2,
+    )
+    assert _result_set(idx) == _result_set(rb)
+    # exact stat convergence
+    assert idx.doc_count == rb.doc_count
+    assert idx.avg_doc_len == rb.avg_doc_len
+    assert {r["term"]: r["df"] for r in
+            idx.terms.groupBy("term").agg(F.sum("df").alias("df")).collect()} \
+        == {r["term"]: r["df"] for r in rb.terms.collect()}
+    # the changed docs serve their NEW text
+    got = idx.msearch_df([QUERIES[2]], cutoff=50).collect()
+    assert {r["doc_id"] for r in got} == {
+        i for i in range(60) if i % 7 != 1 and i % 5 == 2
+    }
+
+
+def test_sync_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "sync2")
+    build_packed_index(
+        spark, _snapshot(spark, 1), _pre(), path,
+        id_col="id", order_cols=["id"], n_shards=2,
+    )
+    idx, _ = sync_index(spark, path, _snapshot(spark, 2), batch_id=1)
+    before = _result_set(idx)
+    # re-syncing the SAME snapshot is a no-op diff: nothing tombstoned,
+    # nothing appended, results unchanged
+    idx2, stats2 = sync_index(spark, path, _snapshot(spark, 2), batch_id=2)
+    assert stats2.get("added", 0) == 0
+    assert stats2.get("removed", 0) == 0
+    assert stats2.get("changed", 0) == 0
+    assert stats2["tombstoned"] == 0
+    assert _result_set(idx2) == before
