@@ -1,0 +1,57 @@
+"""spark-submit entry point: converge a packed index onto a new corpus
+snapshot (diff-driven incremental reindex, index/sync.py).
+
+Only the churn is processed: one id-keyed digest diff, tombstone +
+selective purge for removed/changed docs, tokenize-and-append for
+added/changed docs.  Prints one JSON line with the diff stats.
+
+Examples:
+  spark-submit --py-files retriv_spark.zip jobs/sync_index.py \
+      --index /indexes/corpus --input /data/docs_v2 --batch-id 2026-08-21
+
+  python jobs/sync_index.py --index /tmp/idx \
+      --input /root/testdata/sf0.01/documents.parquet --batch-id 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True, help="packed index path")
+    ap.add_argument("--input", required=True,
+                    help="parquet path of the NEW snapshot (must carry "
+                         "the index's id and text columns)")
+    ap.add_argument("--batch-id", default=None,
+                    help="exactly-once key for the append leg")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from retriv_spark.index.sync import sync_index
+    from retriv_spark.session import get_spark
+
+    cpus = args.cpus or os.cpu_count() or 4
+    spark = get_spark(app_name="index-sync", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    new_docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    idx, stats = sync_index(
+        spark, args.index, new_docs, batch_id=args.batch_id
+    )
+    stats["seconds"] = round(time.time() - t0, 2)
+    stats["doc_count"] = idx.doc_count
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
