@@ -48,7 +48,9 @@ def main():
                     help="local[N] when not under spark-submit")
     args = ap.parse_args()
 
-    from retriv_spark.ops.bpe import bpe_vocab_ids, corpus_chars, train_bpe
+    from retriv_spark.ops.bpe import (
+        bpe_vocab_ids, corpus_chars, train_bpe, word_counts,
+    )
     from retriv_spark.session import get_spark
 
     cpus = args.cpus or os.cpu_count() or 4
@@ -58,19 +60,25 @@ def main():
 
     docs = spark.read.parquet(args.input)
     t0 = time.time()
+    # ONE corpus-scale pass: the word-count table is persisted and
+    # feeds both the merge loop and the alphabet derivation
+    counts = word_counts(
+        docs, text_col=args.text_col, lowercase=not args.keep_case,
+        max_word_len=args.max_word_len,
+    ).persist()
     model = train_bpe(
-        docs, args.merges, text_col=args.text_col,
+        None, args.merges,
         lowercase=not args.keep_case, max_words=args.max_words,
         max_word_len=args.max_word_len,
         min_pair_count=args.min_pair_count,
+        counts=counts,
     )
     train_s = time.time() - t0
     vocab = bpe_vocab_ids(
         model,
-        corpus_chars(docs, text_col=args.text_col,
-                     lowercase=not args.keep_case,
-                     max_word_len=args.max_word_len),
+        corpus_chars(counts=counts, max_word_len=args.max_word_len),
     )
+    counts.unpersist()
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "merges.txt"), "w",

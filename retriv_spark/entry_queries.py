@@ -6047,8 +6047,17 @@ seg0 AS (
   FROM topw
 )"""]
     for i in range(n_merges):
+        # the produced-set guard train_bpe applies: a candidate whose
+        # concatenation equals the eow marker or an earlier merge's
+        # product is skipped by the argmax
+        prior = " UNION ALL ".join(
+            f"SELECT lft || rgt AS m FROM b{j}" for j in range(i)
+        )
+        excl = "lft || rgt <> '</w>'"
+        if prior:
+            excl += f" AND lft || rgt NOT IN (SELECT m FROM ({prior}))"
         parts.append(f""",
-p{i} AS (
+p{i} AS MATERIALIZED (
   SELECT l[j] AS lft, l[j + 1] AS rgt, sum(freq)::BIGINT AS cnt
   FROM (SELECT freq,
                list_filter(string_split(seg, '  '), x -> x <> '') AS l
@@ -6056,10 +6065,12 @@ p{i} AS (
        unnest(generate_series(1, len(l) - 1)) AS u(j)
   GROUP BY 1, 2
 ),
-b{i} AS (
-  SELECT lft, rgt, cnt FROM p{i} ORDER BY cnt DESC, lft, rgt LIMIT 1
+b{i} AS MATERIALIZED (
+  SELECT lft, rgt, cnt FROM p{i}
+  WHERE {excl}
+  ORDER BY cnt DESC, lft, rgt LIMIT 1
 ),
-seg{i + 1} AS (
+seg{i + 1} AS MATERIALIZED (
   SELECT word, freq,
          replace(seg, ' ' || b.lft || '  ' || b.rgt || ' ',
                       ' ' || b.lft || b.rgt || ' ') AS seg
@@ -6091,11 +6102,12 @@ def _bpe_encode_oracle(n_merges: int, max_words: int) -> str:
     stages = []
     for i in range(n_merges):
         stages.append(f""",
-e{i + 1} AS (
+e{i + 1} AS MATERIALIZED (
   SELECT doc_id, wi,
-         replace(seg, ' ' || b.lft || '  ' || b.rgt || ' ',
-                      ' ' || b.lft || b.rgt || ' ') AS seg
-  FROM e{i}, b{i} b
+         CASE WHEN b.lft IS NULL THEN seg
+              ELSE replace(seg, ' ' || b.lft || '  ' || b.rgt || ' ',
+                                ' ' || b.lft || b.rgt || ' ') END AS seg
+  FROM e{i} LEFT JOIN b{i} b ON TRUE
 )""")
     return (
         _bpe_train_prefix(n_merges, max_words)
@@ -6145,11 +6157,12 @@ def _bpe_ids_oracle(n_merges: int, max_words: int) -> str:
     stages = []
     for i in range(n_merges):
         stages.append(f""",
-e{i + 1} AS (
+e{i + 1} AS MATERIALIZED (
   SELECT doc_id, wi,
-         replace(seg, ' ' || b.lft || '  ' || b.rgt || ' ',
-                      ' ' || b.lft || b.rgt || ' ') AS seg
-  FROM e{i}, b{i} b
+         CASE WHEN b.lft IS NULL THEN seg
+              ELSE replace(seg, ' ' || b.lft || '  ' || b.rgt || ' ',
+                                ' ' || b.lft || b.rgt || ' ') END AS seg
+  FROM e{i} LEFT JOIN b{i} b ON TRUE
 )""")
     mergetbl = "\n  UNION ALL ".join(
         f"SELECT {i} AS rank, lft || rgt AS merged FROM b{i}"

@@ -641,8 +641,20 @@ class PackedIndex:
                         (d_s[m] - firsts[si]).astype(np.int64)
                     ]
                 else:
-                    # purge-gapped segment: explicit sorted id array
-                    pos = np.searchsorted(ids, d_s[m]).astype(np.int64)
+                    # purge-gapped segment: explicit sorted id array;
+                    # membership-check like the distributed resolver —
+                    # a miss means a stale handle and must be loud, not
+                    # a silent wrong-document resolution
+                    dd = d_s[m].astype(np.int64)
+                    pos = np.searchsorted(ids, dd)
+                    ok = (pos < ids.size) & (
+                        ids[np.minimum(pos, ids.size - 1)] == dd
+                    )
+                    if not ok.all():
+                        raise RuntimeError(
+                            "internal doc id missing from purge-gapped "
+                            "id map segment — reload the index handle"
+                        )
                     docs_col[m] = uri_list[si][pos]
         return q_s, docs_col, s_s, ranks, to_int
 
@@ -1020,8 +1032,11 @@ class PackedIndex:
         tombstoned docs.  The pending total is capped at
         ``max_pending`` (default ``TOMBSTONE_SERVE_MAX``) because the
         serve-time mask overfetches each query's top-k by the pending
-        count — past the cap the call fails fast and tells you to
-        purge."""
+        count — past the cap the call fails fast (BEFORE the table
+        write; nothing churn-sized ever reaches the driver) and tells
+        you to purge.  ``max_pending=None`` lifts the cap for callers
+        that purge immediately (``index/sync.py``) — serving then
+        REFUSES until the purge runs (see ``_tombstones``)."""
         orig_col = self.manifest["orig_id_col"]
         if isinstance(ids, DataFrame):
             ids_df = ids.select(F.col(ids.columns[0]).alias(orig_col))
@@ -1039,27 +1054,28 @@ class PackedIndex:
                 DOC_ID,
                 "left_anti",
             )
-        # bounded: the caller's id list caps this (and max_pending caps
-        # the running total)
-        new_rows = resolved.collect()
+        # executor-side materialization: the append below writes to the
+        # same table the anti-join reads, so the lineage must be cut
+        # first (and count+write then share one computation)
+        resolved = resolved.localCheckpoint(eager=True)
+        n_new = resolved.count()  # bounded: one scalar
         prior = int(self.manifest.get("tombstones", {}).get("count", 0))
-        total = prior + len(new_rows)
-        if total > max_pending:
+        total = prior + n_new
+        if max_pending is not None and total > max_pending:
             raise ValueError(
                 f"{total} pending tombstones exceed max_pending="
                 f"{max_pending}; run compact_index(purge_deletes=True) "
                 "to apply them physically first"
             )
-        if new_rows:
-            self.io.write(
-                self.spark.createDataFrame(new_rows, resolved.schema),
-                "tombstones",
-                mode="append",
-            )
+        if n_new:
+            # executor-side write — the tombstone rows never reach the
+            # driver here (only the serve-time load collects them, and
+            # it is gated by TOMBSTONE_SERVE_MAX)
+            self.io.write(resolved, "tombstones", mode="append")
             self.manifest["tombstones"] = {"count": total}
             _write_manifest(self.path, self.manifest)
             self.__dict__.pop("_tomb_memo", None)
-        return len(new_rows)
+        return n_new
 
     def _tombstones(self):
         """Pending tombstoned INTERNAL doc ids as a frozenset (None when
@@ -1071,6 +1087,15 @@ class PackedIndex:
         n = int(self.manifest.get("tombstones", {}).get("count", 0))
         if n == 0:
             return None
+        if n > TOMBSTONE_SERVE_MAX:
+            # an uncapped bulk delete (max_pending=None, the sync path)
+            # was never purged — refuse to serve rather than overfetch
+            # the top-k by an unbounded amount
+            raise RuntimeError(
+                f"{n} pending tombstones exceed the serve-time bound "
+                f"{TOMBSTONE_SERVE_MAX}; run "
+                "compact_index(purge_deletes=True) before searching"
+            )
         hit = self.__dict__.get("_tomb_memo")
         if hit is not None and hit[0] == n:
             return hit[1]

@@ -10,9 +10,14 @@ loop a corpus-scale deployment actually runs:
     append_batch (streaming)    →  index added + new versions of changed
 
 Cost model at 100 TB: the diff is one id-keyed digest join (bodies never
-shuffle), the purge decodes only shards containing a tombstone, and the
-append tokenizes only the changed slice — the unchanged corpus is never
-re-read.  Afterwards search results are rank-identical to a full rebuild
+shuffle), the purge decodes only POSTINGS shards containing a tombstone,
+and the append tokenizes only the changed slice — the expensive content
+passes (tokenize, encode) never rerun for the unchanged majority.  The
+purge's doc-table filters (tokenized/doc_map/docs/doc_lens) ARE
+table-wide rewrites in this sandbox's one-directory-per-table layout;
+at real scale those tables are partitioned by shard and the same
+anti-join becomes a partition-selective rewrite (or a deletion-vector
+sidecar), matching the postings path.  Afterwards search results are rank-identical to a full rebuild
 of the new snapshot up to tie order among exactly-equal scores (appended
 docs carry fresh internal ids, so ties break in append order instead of
 original order; the result SET and every score are identical — pinned in
@@ -72,8 +77,14 @@ def sync_index(
     stale = diff.where(
         F.col("status").isin("removed", "changed")
     ).select(F.col(id_col))
-    n_del = idx.delete_docs(stale)
-    if n_del:
+    # max_pending=None: the serve-time cap exists to bound the search
+    # mask, which never applies here — the purge runs immediately below
+    n_del = idx.delete_docs(stale, max_pending=None)
+    # gate on PENDING, not newly-added: a rerun after a crash between
+    # delete and purge finds its tombstones already recorded (n_del=0)
+    # but must still purge before appending new versions
+    pending = int(idx.manifest.get("tombstones", {}).get("count", 0))
+    if pending:
         compact_index(spark, index_path, purge_deletes=True)
 
     incoming = new_docs.join(

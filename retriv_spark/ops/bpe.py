@@ -51,7 +51,12 @@ rank order, each exhaustively — a pair learned at rank r can only be
 created by merges of rank < r, since the symbol a merge produces is
 produced by exactly one merge — and the in-order form is what the SQL
 oracle replays (the equivalence itself is pinned by a differential
-test).
+test).  The "exactly one merge" premise is enforced at training time:
+a candidate pair whose concatenation equals an already-produced symbol
+string (or the eow marker) is skipped — without that guard, two merges
+producing the same string (e.g. ``ab+c`` and ``a+bc``) would let a
+later merge recreate an earlier merge's input pair and the two encode
+orders could diverge.
 
 Reference surface parity: the reference (AmenRa/retriv) has no
 tokenizer training; this extends the engine's training-data-pipeline
@@ -126,8 +131,9 @@ class BPEModel:
 
     def __post_init__(self):
         if not self.ranks:
-            # first rank wins if a pair ever reappears in the list (a
-            # merged symbol can be recreated by a later merge)
+            # train_bpe never emits duplicate pairs (the produced-set
+            # guard); setdefault keeps first-rank-wins as belt and
+            # braces for hand-built models
             for i, (a, b, _) in enumerate(self.merges):
                 self.ranks.setdefault((a, b), i)
 
@@ -257,10 +263,17 @@ def train_bpe(
                         d[syms] = n
 
     merges: List[Tuple[str, str, int]] = []
+    # The min-rank-greedy ≡ in-rank-order encode equivalence (and the
+    # SQL oracles that replay it) requires every merged symbol STRING
+    # to be produced by exactly one merge.  Two different pairs can
+    # concatenate to the same string ("ab"+"c" and "a"+"bc" -> "abc"),
+    # and a merge could also reproduce the eow marker — skip such
+    # candidates (vanishingly rare; the next-best pair is taken).
+    produced = {eow}
     for _ in range(int(n_merges)):
         best = None
         for p, c in stats.items():
-            if c < min_pair_count:
+            if c < min_pair_count or (p[0] + p[1]) in produced:
                 continue
             key = (-c, p[0], p[1])
             if best is None or key < best[0]:
@@ -268,6 +281,7 @@ def train_bpe(
         if best is None:
             break
         _, (a, b), c = best
+        produced.add(a + b)
         merges.append((a, b, int(c)))
         touched = list(index.get((a, b), {}).keys())
         for syms in touched:
@@ -433,22 +447,33 @@ def bpe_vocab_ids(model: BPEModel, chars: Sequence[str]) -> Dict[str, int]:
 
 
 def corpus_chars(
-    df: DataFrame,
+    df: Optional[DataFrame] = None,
     text_col: str = "text",
     lowercase: bool = True,
     max_word_len: int = DEFAULT_MAX_WORD_LEN,
+    counts: Optional[DataFrame] = None,
 ) -> List[str]:
     """The distinct code points of the corpus's (truncated) words — the
-    base symbol inventory for :func:`bpe_vocab_ids`.  One narrow
-    explode + distinct aggregation; the result is alphabet-sized
-    (bounded driver materialization)."""
-    col = F.col(text_col)
-    if lowercase:
-        col = F.lower(col)
-    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+    base symbol inventory for :func:`bpe_vocab_ids`.  Bounded driver
+    materialization (alphabet-sized).
+
+    Pass ``counts`` (a :func:`word_counts` table, possibly persisted) to
+    derive the alphabet from the DISTINCT-WORD table instead of
+    re-scanning the corpus — the shape ``jobs/train_bpe.py`` uses so the
+    whole training job reads the corpus exactly once (and what the SQL
+    oracle does: chars from wc)."""
+    if counts is not None:
+        words = counts.select(F.col("word").alias("w"))
+    else:
+        col = F.col(text_col)
+        if lowercase:
+            col = F.lower(col)
+        toks = F.filter(
+            F.split(F.trim(col), r"\s+"), lambda t: t != F.lit("")
+        )
+        words = df.select(F.explode(toks).alias("w"))
     rows = (
-        df.select(F.explode(toks).alias("w"))
-        .select(
+        words.select(
             F.explode(
                 F.split(F.substring("w", 1, max_word_len), "(?!^)")
             ).alias("c")

@@ -10,6 +10,8 @@ transformations only; zero shuffles except explicit groupBys).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -527,7 +529,7 @@ def pmi_topk(
         .agg(F.count("*").alias("c12"))
         .where(F.col("c12") >= min_count)
     )
-    tu = uni.agg(F.sum("c1")).collect()[0][0]  # bounded: scalar
+    tu = int(uni.agg(F.sum("c1")).collect()[0][0] or 0)  # bounded: scalar
     tb_row = (
         tokd.select(
             F.greatest(F.size("ws") - F.lit(1), F.lit(0)).alias("nb")

@@ -27,13 +27,18 @@ def naive_train(word_freqs, n_merges, eow="</w>", min_pair_count=1):
         k = tuple(w) + (eow,)
         seqs[k] = seqs.get(k, 0) + f
     merges = []
+    produced = {eow}
     for _ in range(n_merges):
         stats = _pair_counts(seqs)
-        live = {p: c for p, c in stats.items() if c >= min_pair_count}
+        live = {
+            p: c for p, c in stats.items()
+            if c >= min_pair_count and (p[0] + p[1]) not in produced
+        }
         if not live:
             break
         a, b = min(live, key=lambda p: (-live[p], p[0], p[1]))
         merges.append((a, b, live[(a, b)]))
+        produced.add(a + b)
         seqs = _merge_dict(seqs, a, b)
     return merges
 
@@ -350,3 +355,31 @@ def test_portable_whitespace_class_matches_spark_split(spark):
     enc = with_bpe_tokens(df, model).first()["bpe_tokens"]
     n_eow = sum(1 for s in enc if s.endswith("</w>"))
     assert n_eow == 3
+
+
+def test_produced_string_collision_is_skipped(spark):
+    """The equivalence premise: no two merges may produce the same
+    symbol string (and none may reproduce the eow marker).  Corpus
+    engineered so (ab,c) wins first and (a,bc) would later concatenate
+    to the same 'abc' — it must be skipped for the next-best pair."""
+    wf = {"abc": 50, "ab": 30, "bc": 29, "xabcy": 10}
+    model = train_bpe(None, 40, counts=_counts_df(spark, wf))
+    seen = set()
+    for a, b, _ in model.merges:
+        assert (a + b) not in seen and (a + b) != "</w>"
+        seen.add(a + b)
+    # and the encode equivalence holds on words exercising the collision
+    for w in ("abc", "xabcy", "ababc", "abcbc"):
+        assert segment_word(w, model.ranks) == segment_word_inorder(
+            w, model.merges
+        ), w
+
+
+def test_corpus_chars_from_counts(spark):
+    from retriv_spark.ops.bpe import corpus_chars, word_counts
+
+    df = spark.createDataFrame(
+        [(0, "ba Ab"), (1, "cc")], "doc_id long, text string"
+    )
+    counts = word_counts(df)
+    assert corpus_chars(counts=counts) == corpus_chars(df) == ["a", "b", "c"]
