@@ -98,6 +98,7 @@ HEADLINE = [
     "delete_docs",
     "purge_rebuild",
     "sync_reindex",
+    "cdc_apply",
 ]
 
 

@@ -798,6 +798,51 @@ def q_sync_reindex(spark, sf_dir):
     )
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC maintenance (streaming/cdc.py apply_changes): a base index
+    on doc_id % 17 != 3 receives one change batch — deletes
+    (% 13 == 2), updates (% 9 == 0, text || ' v2'), inserts
+    (% 17 == 3) — via tombstone → purge → append.  The oracle runs the
+    BM25 chain over the RESULTING corpus expressed directly in SQL,
+    with the engine's append-order tiebreak (upserted docs carry fresh
+    internal ids above all survivors, in doc_id order).  Rank-only."""
+    import os
+    import shutil
+
+    from .index.packed import build_packed_index
+    from .streaming.cdc import apply_changes
+
+    path = f"/tmp/retriv_cdcpair_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    base = docs.where(d % 17 != 3)
+    build_packed_index(
+        spark, base, _plain_pre(), path, text_col="text",
+        id_col="doc_id", order_cols=["doc_id"],
+    )
+    deletes = docs.where((d % 13 == 2) & (d % 17 != 3)).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("delete").alias("op"),
+    )
+    updates = docs.where(
+        (d % 9 == 0) & (d % 13 != 2) & (d % 17 != 3)
+    ).select(
+        "doc_id", F.concat("text", F.lit(" v2")).alias("text"),
+        F.lit("upsert").alias("op"),
+    )
+    inserts = docs.where((d % 17 == 3) & (d % 13 != 2)).select(
+        "doc_id", "text", F.lit("upsert").alias("op")
+    )
+    batch = deletes.unionByName(updates).unionByName(inserts)
+    idx, _stats = apply_changes(spark, path, batch, batch_id="pair")
+    return (
+        idx.msearch_df(_delete_queries(), cutoff=CUTOFF)
+        .select("q_id", "doc_id", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def q_pmi_topk(spark, sf_dir):
     """Top-20 bigram collocations by PMI (ops/textstats.py pmi_topk):
     exact unigram/bigram/total counts, the float64 PMI expression
@@ -2942,6 +2987,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_docs": q_delete_docs,
     "purge_rebuild": q_purge_rebuild,
     "sync_reindex": q_sync_reindex,
+    "cdc_apply": q_cdc_apply,
     "source_reputation": q_source_reputation,
     "c4_clean": q_c4_clean,
     "ngram_lm": q_ngram_lm,
@@ -6444,6 +6490,34 @@ SELECT q_id, doc_id, rank FROM (
            PARTITION BY scored.q_id
            ORDER BY scored.score DESC,
              CASE WHEN scored.doc_id % 11 = 4 OR scored.doc_id % 5 = 2
+                  THEN 1 ELSE 0 END,
+             scored.doc_id
+         ) AS rank
+  FROM scored
+) WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+
+_CDC_TOK_SQL = (
+    "SELECT doc_id, t.term FROM (\n"
+    "  SELECT doc_id,\n"
+    "         CASE WHEN doc_id % 17 <> 3 AND doc_id % 9 = 0\n"
+    "              THEN text || ' v2' ELSE text END AS text2\n"
+    "  FROM documents\n"
+    "  WHERE doc_id % 13 <> 2\n"
+    ") d, unnest(string_split_regex(trim(text2), '\\s+')) AS t(term)\n"
+    "  WHERE t.term <> ''"
+)
+
+ORACLE_SQL["cdc_apply"] = f"""{
+    _bm25_ctes(BM25_QUERIES, tok_sql=_CDC_TOK_SQL)}
+SELECT q_id, doc_id, rank FROM (
+  SELECT scored.q_id, scored.doc_id,
+         row_number() OVER (
+           PARTITION BY scored.q_id
+           ORDER BY scored.score DESC,
+             CASE WHEN scored.doc_id % 17 = 3 OR scored.doc_id % 9 = 0
                   THEN 1 ELSE 0 END,
              scored.doc_id
          ) AS rank

@@ -1,0 +1,129 @@
+"""Change-data-capture maintenance for packed indexes: apply a stream of
+(id, text, op) rows — ``op`` in {'upsert', 'delete'} — to a live index.
+
+The continuous sibling of ``index/sync.py`` (which diffs two full
+snapshots): CDC feeds arrive as the CHANGES themselves (a Debezium/CDC
+topic, an upstream MERGE log), so each batch applies directly:
+
+    1. tombstone: op='delete' ids + the CURRENT versions of upserted ids
+    2. purge     (physical removal + exact stat rebuild; no-op when
+                  nothing was tombstoned)
+    3. append    the upsert rows (tokenizes only the batch)
+
+Exactly-once under redelivery: the whole apply is gated on
+``append_batch``'s exactly-once registry BEFORE the delete leg runs — a
+replayed batch returns untouched (without the gate, redelivery would
+tombstone the freshly-upserted versions and then have its re-append
+rejected: data loss).  Crash recovery converges: a rerun after a crash
+between legs finds deletes already tombstoned/purged (no-ops) and the
+append still pending.
+
+``stream_changes`` wires a Structured Streaming source of change rows
+into ``foreachBatch(apply_changes)`` — micro-batch ids become registry
+keys, so source redelivery is idempotent end to end (pinned in
+tests/test_cdc.py with a real StreamingQuery).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.compact import compact_index
+from ..index.packed import PackedIndex, _load_manifest, load_packed_index
+
+VALID_OPS = ("upsert", "delete")
+
+
+def apply_changes(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    op_col: str = "op",
+    batch_id=None,
+) -> Tuple[PackedIndex, dict]:
+    """Apply ONE batch of change rows to the index at ``index_path``.
+
+    ``batch`` columns: the index's original-id column, its text column
+    (ignored for deletes), and ``op_col``.  Unknown ops fail fast.
+    Returns ``(index, stats)``."""
+    from .ingest import append_batch
+
+    manifest = _load_manifest(index_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no index manifest at {index_path}")
+    key = str(batch_id) if batch_id is not None else None
+    if key is not None and key in manifest.get("stream_batches", {}):
+        # redelivery: the batch fully applied before — MUST return here,
+        # running the delete leg again would tombstone the new versions
+        return (
+            load_packed_index(spark, index_path),
+            {"replayed": True, "upserts": 0, "deletes": 0},
+        )
+
+    idx = load_packed_index(spark, index_path)
+    id_col = idx.manifest["orig_id_col"]
+    text_col = idx.manifest.get("text_col", "text")
+
+    bad = batch.where(~F.col(op_col).isin(*VALID_OPS)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"unknown op {bad[0][op_col]!r} (expected one of {VALID_OPS})"
+        )
+    # a delete and an upsert for the same id in ONE batch: the upsert
+    # wins (the delete leg tombstones the current version either way)
+    upserts = batch.where(F.col(op_col) == "upsert").select(
+        F.col(id_col), F.col(text_col)
+    )
+    stale_ids = batch.select(F.col(id_col)).distinct()
+    n_del = idx.delete_docs(stale_ids, max_pending=None)
+    pending = int(idx.manifest.get("tombstones", {}).get("count", 0))
+    if pending:
+        compact_index(spark, index_path, purge_deletes=True)
+
+    n_up = upserts.count()
+    if n_up:
+        idx = append_batch(spark, index_path, upserts, batch_id=batch_id)
+    else:
+        # delete-only batch: nothing to append, so no registry entry —
+        # safe, because replaying a delete-only batch is a pure no-op
+        # (its ids are already purged) and foreachBatch only ever
+        # redelivers the LAST uncommitted batch
+        idx = load_packed_index(spark, index_path)
+    return idx, {"replayed": False, "upserts": n_up, "deletes": n_del}
+
+
+def stream_changes(
+    spark: SparkSession,
+    index_path: str,
+    changes: DataFrame,
+    op_col: str = "op",
+    checkpoint: Optional[str] = None,
+    trigger_once: bool = True,
+    queryName: str = "index-cdc",
+):
+    """readStream of change rows → per-micro-batch :func:`apply_changes`.
+
+    The micro-batch id keys the exactly-once registry, so source
+    redelivery (checkpoint replay) is idempotent.  Batches apply
+    SEQUENTIALLY (foreachBatch), preserving change order."""
+
+    def _apply(df: DataFrame, bid: int):
+        apply_changes(
+            spark, index_path, df, op_col=op_col,
+            batch_id=f"cdc-{bid}",
+        )
+
+    w = (
+        changes.writeStream.foreachBatch(_apply)
+        .queryName(queryName)
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{index_path}/_cdc_checkpoint",
+        )
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

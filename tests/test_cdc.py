@@ -1,0 +1,152 @@
+"""CDC index maintenance: batch apply converges to rebuild, redelivery
+is exactly-once, and the streaming wrapper applies micro-batches in
+order."""
+
+from pyspark.sql import functions as F
+
+from retriv_spark.index.packed import build_packed_index
+from retriv_spark.preprocessing import TextPreprocessor
+from retriv_spark.streaming.cdc import apply_changes, stream_changes
+
+import pytest
+
+
+def _pre():
+    return TextPreprocessor(stemmer=None, stopwords=None)
+
+
+def _base_rows():
+    return [
+        (i, " ".join(f"w{(i * 7 + j) % 25}" for j in range(12)))
+        for i in range(40)
+    ]
+
+
+QUERIES = [
+    {"id": "a", "text": "w0 w3"},
+    {"id": "b", "text": "w11 w24 w7"},
+    {"id": "v", "text": "fresh"},
+]
+
+
+def _build(spark, path):
+    df = spark.createDataFrame(_base_rows(), "id long, text string")
+    return build_packed_index(
+        spark, df, _pre(), path, id_col="id", order_cols=["id"],
+        n_shards=2,
+    )
+
+
+def _final_rows():
+    # after the CDC batch: ids 3, 17 deleted; 5, 9 updated; 100, 101 new
+    rows = [
+        (i, t) for i, t in _base_rows() if i not in (3, 17)
+    ]
+    out = []
+    for i, t in rows:
+        if i in (5, 9):
+            out.append((i, t + " fresh content"))
+        else:
+            out.append((i, t))
+    out += [(100, "fresh doc one w0"), (101, "fresh doc two w3")]
+    return out
+
+
+def _changes(spark):
+    rows = (
+        [(3, None, "delete"), (17, None, "delete")]
+        + [
+            (i, t, "upsert")
+            for i, t in _final_rows()
+            if i in (5, 9, 100, 101)
+        ]
+    )
+    return spark.createDataFrame(rows, "id long, text string, op string")
+
+
+def _result_set(idx):
+    return sorted(
+        (r["q_id"], r["score"], r["doc_id"])
+        for r in idx.msearch_df(QUERIES, cutoff=200).collect()
+    )
+
+
+def test_apply_changes_converges_to_rebuild(spark, tmp_path):
+    path = str(tmp_path / "cdc1")
+    _build(spark, path)
+    idx, stats = apply_changes(spark, path, _changes(spark), batch_id="b1")
+    # deletes = RESOLVED tombstones: 3, 17 (deletes) + 5, 9 (old
+    # versions of the updates); brand-new ids 100/101 resolve to nothing
+    assert stats == {"replayed": False, "upserts": 4, "deletes": 4}
+
+    rb = build_packed_index(
+        spark,
+        spark.createDataFrame(_final_rows(), "id long, text string"),
+        _pre(), str(tmp_path / "cdc1_rb"), id_col="id",
+        order_cols=["id"], n_shards=2,
+    )
+    assert _result_set(idx) == _result_set(rb)
+    assert idx.doc_count == rb.doc_count == 40
+    assert idx.avg_doc_len == rb.avg_doc_len
+    # the new docs serve, the deleted don't
+    got = {r["doc_id"] for r in idx.msearch_df([QUERIES[2]], cutoff=50).collect()}
+    assert got == {5, 9, 100, 101}
+
+
+def test_apply_changes_redelivery_is_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "cdc2")
+    _build(spark, path)
+    idx, s1 = apply_changes(spark, path, _changes(spark), batch_id="b1")
+    before = _result_set(idx)
+    # full redelivery of the same batch: gated on the registry BEFORE
+    # the delete leg — without the gate it would tombstone the fresh
+    # upserts and lose them
+    idx2, s2 = apply_changes(spark, path, _changes(spark), batch_id="b1")
+    assert s2["replayed"] is True
+    assert _result_set(idx2) == before
+
+
+def test_apply_changes_rejects_unknown_op(spark, tmp_path):
+    path = str(tmp_path / "cdc3")
+    _build(spark, path)
+    bad = spark.createDataFrame(
+        [(1, "x", "merge")], "id long, text string, op string"
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_changes(spark, path, bad, batch_id="b1")
+
+
+def test_stream_changes_end_to_end(spark, tmp_path):
+    path = str(tmp_path / "cdc4")
+    _build(spark, path)
+    src = tmp_path / "src"
+    src.mkdir()
+    ch = _changes(spark).collect()
+    # two micro-batches: deletes+one update first, the rest second
+    b1 = [r for r in ch if r["op"] == "delete" or r["id"] == 5]
+    b2 = [r for r in ch if not (r["op"] == "delete" or r["id"] == 5)]
+    for name, rows in (("a", b1), ("b", b2)):
+        spark.createDataFrame(
+            [(r["id"], r["text"], r["op"]) for r in rows],
+            "id long, text string, op string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+    stream = (
+        spark.readStream.schema("id long, text string, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = stream_changes(
+        spark, path, stream, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    from retriv_spark.index.packed import load_packed_index
+
+    idx = load_packed_index(spark, path)
+    rb = build_packed_index(
+        spark,
+        spark.createDataFrame(_final_rows(), "id long, text string"),
+        _pre(), str(tmp_path / "cdc4_rb"), id_col="id",
+        order_cols=["id"], n_shards=2,
+    )
+    assert _result_set(idx) == _result_set(rb)
