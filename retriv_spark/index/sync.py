@@ -74,18 +74,24 @@ def sync_index(
         ).collect()
     }
 
+    import time as _time
+
+    t_diff = _time.time()
     stale = diff.where(
         F.col("status").isin("removed", "changed")
     ).select(F.col(id_col))
     # max_pending=None: the serve-time cap exists to bound the search
     # mask, which never applies here — the purge runs immediately below
+    t0 = _time.time()
     n_del = idx.delete_docs(stale, max_pending=None)
+    t_del = _time.time()
     # gate on PENDING, not newly-added: a rerun after a crash between
     # delete and purge finds its tombstones already recorded (n_del=0)
     # but must still purge before appending new versions
     pending = int(idx.manifest.get("tombstones", {}).get("count", 0))
     if pending:
         compact_index(spark, index_path, purge_deletes=True)
+    t_purge = _time.time()
 
     incoming = new_docs.join(
         diff.where(F.col("status").isin("added", "changed")).select(
@@ -95,5 +101,12 @@ def sync_index(
         "left_semi",
     )
     idx = append_batch(spark, index_path, incoming, batch_id=batch_id)
+    t_append = _time.time()
     stats["tombstoned"] = n_del
+    stats["leg_seconds"] = {
+        "diff": round(t0 - t_diff, 2),
+        "delete": round(t_del - t0, 2),
+        "purge": round(t_purge - t_del, 2),
+        "append": round(t_append - t_purge, 2),
+    }
     return idx, stats
