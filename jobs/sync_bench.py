@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--purge", default="eager", choices=["eager", "defer"],
+                    help="sync purge mode; 'defer' leaves tombstones "
+                         "pending (the amortized-compaction pattern)")
     ap.add_argument("--pipe", default="plain", choices=["plain", "english"],
                     help="preprocessing pipe: 'english' (stemmer+stopwords,"
                          " the production default — tokenize-dominated"
@@ -94,7 +97,8 @@ def main():
     build_s = time.time() - t0
 
     t0 = time.time()
-    _idx, stats = sync_index(spark, f"{work}/idx", v2, batch_id="day2")
+    _idx, stats = sync_index(spark, f"{work}/idx", v2, batch_id="day2",
+                             purge=args.purge)
     sync_s = time.time() - t0
 
     out = {
@@ -105,6 +109,7 @@ def main():
         "sync_sec": round(sync_s, 1),
         "speedup_vs_rebuild": round(build_s / sync_s, 2),
         "pipe": args.pipe,
+        "purge_mode": args.purge,
         "churn": {k: (v if isinstance(v, dict) else int(v)) for k, v in stats.items()},
     }
     print(json.dumps(out))

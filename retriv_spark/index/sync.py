@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..ops.dedup import corpus_diff
 from .compact import compact_index
-from .packed import PackedIndex, load_packed_index
+from .packed import TOMBSTONE_SERVE_MAX, PackedIndex, load_packed_index
 
 
 def sync_index(
@@ -41,6 +41,7 @@ def sync_index(
     index_path: str,
     new_docs: DataFrame,
     batch_id=None,
+    purge: str = "eager",
 ) -> Tuple[PackedIndex, dict]:
     """Converge the index at ``index_path`` onto ``new_docs``.
 
@@ -49,16 +50,39 @@ def sync_index(
     changes the index).  Returns ``(index, stats)`` where stats counts
     added / removed / changed / unchanged.
 
-    The purge between delete and append is NOT optional: it keeps the
-    ``docs``/``doc_map`` tables single-versioned, which is what makes
-    the NEXT sync's diff (and return_docs joins) unambiguous."""
+    ``purge``:
+      * ``"eager"`` — physically remove stale docs before appending.
+        Exact stats immediately; costs a layout rewrite when churn
+        touches many shards (measured in BENCH/BASELINE.md: uniform
+        churn makes this SLOWER than a rebuild on tokenize-cheap
+        corpora).
+      * ``"defer"`` — leave the tombstones pending (serving masks them;
+        stats lag like any unpurged delete) and let a SCHEDULED
+        ``compact_index(purge_deletes=True)`` amortize the rewrite —
+        the Lucene/Iceberg deletion-vector pattern, and the fast path
+        for uniform churn (the sync then costs diff + tombstone +
+        append only).  The pending total stays under the serve cap or
+        ``delete_docs`` fails fast demanding the compaction.
+        Consecutive deferred syncs stay coherent: the diff baseline
+        below excludes tombstoned rows."""
     from ..streaming.ingest import append_batch
 
+    if purge not in ("eager", "defer"):
+        raise ValueError(f"purge must be 'eager' or 'defer', got {purge!r}")
     idx = load_packed_index(spark, index_path)
     id_col = idx.manifest["orig_id_col"]
     text_col = idx.manifest.get("text_col", "text")
 
-    current = idx.docs.select(F.col(id_col), F.col(text_col))
+    from .builder import DOC_ID
+
+    current = idx.docs
+    if int(idx.manifest.get("tombstones", {}).get("count", 0)):
+        # prior deferred syncs left masked rows in the doc tables —
+        # they are not part of the logical corpus
+        current = current.join(
+            idx.io.read("tombstones").select(DOC_ID), DOC_ID, "left_anti"
+        )
+    current = current.select(F.col(id_col), F.col(text_col))
     # localCheckpoint BEFORE mutating the index: the purge swaps the doc
     # tables the diff's lineage reads, so the (id, status) relation —
     # id-table-sized, bodies long since digested away — must be
@@ -83,13 +107,17 @@ def sync_index(
     # max_pending=None: the serve-time cap exists to bound the search
     # mask, which never applies here — the purge runs immediately below
     t0 = _time.time()
-    n_del = idx.delete_docs(stale, max_pending=None)
+    # eager mode lifts the serve cap (the purge runs immediately);
+    # deferred mode keeps it — pending tombstones must stay servable
+    n_del = idx.delete_docs(
+        stale, max_pending=None if purge == "eager" else TOMBSTONE_SERVE_MAX
+    )
     t_del = _time.time()
     # gate on PENDING, not newly-added: a rerun after a crash between
     # delete and purge finds its tombstones already recorded (n_del=0)
     # but must still purge before appending new versions
     pending = int(idx.manifest.get("tombstones", {}).get("count", 0))
-    if pending:
+    if purge == "eager" and pending:
         compact_index(spark, index_path, purge_deletes=True)
     t_purge = _time.time()
 

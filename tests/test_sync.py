@@ -96,3 +96,44 @@ def test_sync_is_idempotent(spark, tmp_path):
     assert stats2.get("changed", 0) == 0
     assert stats2["tombstoned"] == 0
     assert _result_set(idx2) == before
+
+
+def test_deferred_purge_sync_converges_and_compacts_later(spark, tmp_path):
+    """purge='defer': consecutive syncs serve masked (tombstones
+    pending), the diff baseline excludes masked rows, and a later
+    scheduled compaction purges without changing results."""
+    from retriv_spark.index.compact import compact_index
+
+    path = str(tmp_path / "sync3")
+    build_packed_index(
+        spark, _snapshot(spark, 1), _pre(), path,
+        id_col="id", order_cols=["id"], n_shards=2,
+    )
+    idx, stats = sync_index(
+        spark, path, _snapshot(spark, 2), batch_id=1, purge="defer"
+    )
+    assert stats["tombstoned"] > 0
+    assert int(idx.manifest["tombstones"]["count"]) == stats["tombstoned"]
+    rb = build_packed_index(
+        spark, _snapshot(spark, 2), _pre(), str(tmp_path / "sync3_rb"),
+        id_col="id", order_cols=["id"], n_shards=2,
+    )
+    # result SET converges even though stats lag (scores differ from the
+    # rebuild until the purge) — compare the doc-id sets per query
+    def ids(i):
+        out = {}
+        for r in i.msearch_df(QUERIES, cutoff=500).collect():
+            out.setdefault(r["q_id"], set()).add(r["doc_id"])
+        return out
+
+    assert ids(idx) == ids(rb)
+    # idempotent re-sync with the masked baseline: nothing re-churns
+    idx2, stats2 = sync_index(
+        spark, path, _snapshot(spark, 2), batch_id=2, purge="defer"
+    )
+    assert stats2["tombstoned"] == 0
+    assert stats2.get("changed", 0) == 0 and stats2.get("added", 0) == 0
+    # the scheduled compaction purges; afterwards scores match too
+    purged = compact_index(spark, path, purge_deletes=True)
+    assert purged.manifest["tombstones"]["count"] == 0
+    assert _result_set(purged) == _result_set(rb)
