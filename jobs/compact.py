@@ -30,6 +30,14 @@ def main():
         "segment rows per distinct term (e.g. 1.5); clean shards pass "
         "through byte-for-byte; no-op when nothing qualifies",
     )
+    ap.add_argument(
+        "--purge-deletes", action="store_true",
+        help="apply pending tombstones physically (delete_docs /"
+        " deferred-purge syncs): drop their postings during the"
+        " rewrite, filter the doc tables, recompute doc_count/avgdl/df"
+        " exactly — afterwards results equal a rebuild of the filtered"
+        " corpus",
+    )
     args = ap.parse_args()
 
     from retriv_spark.index.compact import compact_index
@@ -44,7 +52,8 @@ def main():
         (_load_manifest(args.index) or {}).get("compactions", [])
     )
     t0 = time.perf_counter()
-    idx = compact_index(spark, args.index, min_frag=args.min_frag)
+    idx = compact_index(spark, args.index, min_frag=args.min_frag,
+                        purge_deletes=args.purge_deletes)
     comps = idx.manifest.get("compactions", [])
     ran = len(comps) > n_before  # selective mode may be a no-op
     comp = comps[-1] if ran else {}
