@@ -1036,7 +1036,14 @@ class PackedIndex:
         write; nothing churn-sized ever reaches the driver) and tells
         you to purge.  ``max_pending=None`` lifts the cap for callers
         that purge immediately (``index/sync.py``) — serving then
-        REFUSES until the purge runs (see ``_tombstones``)."""
+        REFUSES until the purge runs (see ``_tombstones``).
+
+        Crash safety: the tombstones TABLE is the commit point, the
+        manifest count only a serve-time cache.  The prior count here is
+        derived from the table (:meth:`pending_tombstones`), so a retry
+        after a crash between the table append and the manifest write
+        reconciles the manifest even when its anti-join resolves
+        ``n_new == 0`` — deleted docs can never silently reappear."""
         orig_col = self.manifest["orig_id_col"]
         if isinstance(ids, DataFrame):
             ids_df = ids.select(F.col(ids.columns[0]).alias(orig_col))
@@ -1059,7 +1066,9 @@ class PackedIndex:
         # first (and count+write then share one computation)
         resolved = resolved.localCheckpoint(eager=True)
         n_new = resolved.count()  # bounded: one scalar
-        prior = int(self.manifest.get("tombstones", {}).get("count", 0))
+        # table-derived, NOT the manifest: reconciles a crash between a
+        # prior append and its manifest write (see docstring)
+        prior = self.pending_tombstones()
         total = prior + n_new
         if max_pending is not None and total > max_pending:
             raise ValueError(
@@ -1077,6 +1086,25 @@ class PackedIndex:
             self.__dict__.pop("_tomb_memo", None)
         return n_new
 
+    def pending_tombstones(self) -> int:
+        """True pending-tombstone count, derived from the tombstones
+        TABLE — the durable commit point.  The manifest count is only a
+        serve-time cache and lags when a writer crashed between the
+        table append and the manifest write; this call reconciles the
+        manifest whenever the two disagree.  ``index/sync.py`` and the
+        CDC path gate their purge legs on this, never on the raw
+        manifest field."""
+        n = (
+            self.io.read("tombstones").select(DOC_ID).count()
+            if self.io.exists("tombstones")
+            else 0
+        )
+        if n != int(self.manifest.get("tombstones", {}).get("count", 0)):
+            self.manifest["tombstones"] = {"count": int(n)}
+            _write_manifest(self.path, self.manifest)
+            self.__dict__.pop("_tomb_memo", None)
+        return int(n)
+
     def _tombstones(self):
         """Pending tombstoned INTERNAL doc ids as a frozenset (None when
         there are none — the manifest check keeps the no-deletes fast
@@ -1085,6 +1113,15 @@ class PackedIndex:
         only the OLD one must stay masked.  Memoized per pending count;
         bounded by ``max_pending``."""
         n = int(self.manifest.get("tombstones", {}).get("count", 0))
+        if n == 0:
+            # crash safety, checked ONCE per loaded handle (keeps the
+            # per-query no-deletes fast path free): a writer that died
+            # between the tombstone-table append and the manifest write
+            # leaves rows the manifest doesn't know about — the table is
+            # the commit point, so reconcile from it before trusting 0.
+            if "_tomb_reconciled" not in self.__dict__:
+                self.__dict__["_tomb_reconciled"] = True
+                n = self.pending_tombstones()
         if n == 0:
             return None
         if n > TOMBSTONE_SERVE_MAX:

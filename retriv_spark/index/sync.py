@@ -76,7 +76,10 @@ def sync_index(
     from .builder import DOC_ID
 
     current = idx.docs
-    if int(idx.manifest.get("tombstones", {}).get("count", 0)):
+    # table-derived (reconciles the manifest): a writer that crashed
+    # between the tombstone append and the manifest write must not make
+    # a rerun treat masked rows as live corpus
+    if idx.pending_tombstones():
         # prior deferred syncs left masked rows in the doc tables —
         # they are not part of the logical corpus
         current = current.join(
@@ -115,7 +118,9 @@ def sync_index(
     t_del = _time.time()
     # gate on PENDING, not newly-added: a rerun after a crash between
     # delete and purge finds its tombstones already recorded (n_del=0)
-    # but must still purge before appending new versions
+    # but must still purge before appending new versions.  The manifest
+    # is trustworthy here because delete_docs just reconciled it from
+    # the tombstones table (the commit point).
     pending = int(idx.manifest.get("tombstones", {}).get("count", 0))
     if purge == "eager" and pending:
         compact_index(spark, index_path, purge_deletes=True)

@@ -1,0 +1,288 @@
+"""ISRI Arabic stemmer — clean-room from the published algorithm.
+
+Taghva, Elkhoury & Coombs, *Arabic Stemming Without A Root Dictionary*
+(ITCC 2005): a root-extraction stemmer that strips affixes by length
+class, then matches the residual word against the classical Arabic
+morphological patterns (أوزان) for lengths 4–7, projecting out the
+radical positions.  Unlike the Khoja stemmer it needs NO root
+dictionary, so words whose extracted "root" is not attested are kept as
+produced — exactly the behaviour a term-conflation stage wants.
+
+Reference parity: the reference exposes this as ``stemmers_dict["isri"]``
+(/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:17,
+``nltk.stem.ISRIStemmer``).  nltk is not importable in this offline
+environment, so — per the protocol established for the turkish/romanian
+Snowball ports (docs/COVERAGE.md) — this is a from-spec reimplementation
+pinned by hand-derived vectors (tests/test_isri.py walks the published
+algorithm on classical roots: درس، كتب، خدم، علم …), and bit-exact nltk
+parity is NOT claimed.  One known divergence, documented: nltk
+short-circuits a small list of Arabic function words before stemming;
+this implementation stems every token — in the BM25 pipeline those
+function words are removed by ``stopwords="arabic"`` regardless.
+
+All tables below are the paper's affix/pattern classes, written as
+Unicode escapes so the file survives any editor/locale round-trip.
+"""
+
+from __future__ import annotations
+
+import re
+
+# -- character classes --------------------------------------------------------
+
+# short vowels / tashkeel: fathatan..sukun (U+064B..U+0652)
+_DIACRITICS = re.compile("[ً-ْ]")
+# initial hamza carriers: alif madda / alif hamza above / alif hamza
+# below -> bare alif
+_INITIAL_HAMZA = re.compile("^[آأإ]")
+
+_ALIF = "ا"   # ا
+_BA = "ب"     # ب
+_TA = "ت"     # ت
+_TA_M = "ة"   # ة (ta marbuta)
+_SIN = "س"    # س
+_FA = "ف"     # ف
+_KAF = "ك"    # ك
+_LAM = "ل"    # ل
+_MIM = "م"    # م
+_NUN = "ن"    # ن
+_HA = "ه"     # ه
+_WAW = "و"    # و
+_YA = "ي"     # ي
+_HAMZA_YA = "ئ"  # ئ
+
+# -- affix tables (paper §3: prefix/suffix classes by length) -----------------
+
+_P3 = [  # length-3 prefixes: كال بال ولل وال
+    _KAF + _ALIF + _LAM,
+    _BA + _ALIF + _LAM,
+    _WAW + _LAM + _LAM,
+    _WAW + _ALIF + _LAM,
+]
+_P2 = [_ALIF + _LAM, _LAM + _LAM]  # ال لل
+_P1 = [_LAM, _BA, _FA, _SIN, _WAW, _YA, _TA, _NUN, _ALIF]
+
+_S3 = [  # length-3 suffixes: تمل همل تان تين كمل
+    _TA + _MIM + _LAM,
+    _HA + _MIM + _LAM,
+    _TA + _ALIF + _NUN,
+    _TA + _YA + _NUN,
+    _KAF + _MIM + _LAM,
+]
+_S2 = [  # length-2 suffixes: ون ات ان ين تن كم هن نا يا ها تم كن ني وا ما هم
+    _WAW + _NUN, _ALIF + _TA, _ALIF + _NUN, _YA + _NUN, _TA + _NUN,
+    _KAF + _MIM, _HA + _NUN, _NUN + _ALIF, _YA + _ALIF, _HA + _ALIF,
+    _TA + _MIM, _KAF + _NUN, _NUN + _YA, _WAW + _ALIF, _MIM + _ALIF,
+    _HA + _MIM,
+]
+_S1 = [_TA_M, _HA, _YA, _KAF, _TA, _ALIF, _NUN]
+
+# pattern-letter classes for length-4 words (مفعل فاعل فعال/فعول/فعيل فعلة)
+_PR4 = {0: [_MIM], 1: [_ALIF], 2: [_ALIF, _WAW, _YA], 3: [_TA_M]}
+# pattern-letter classes for length-5/6 words (paper table 3)
+_PR53 = {
+    0: [_ALIF, _TA],
+    1: [_ALIF, _YA, _WAW],
+    2: [_ALIF, _TA, _MIM],
+    3: [_MIM, _YA, _TA],
+    4: [_MIM, _TA],
+    5: [_ALIF, _WAW],
+    6: [_ALIF, _MIM],
+}
+
+
+def _norm(word: str, num: int) -> str:
+    """num=1: strip diacritics; num=2: initial hamza -> bare alif."""
+    if num in (1, 3):
+        word = _DIACRITICS.sub("", word)
+    if num in (2, 3):
+        word = _INITIAL_HAMZA.sub(_ALIF, word)
+    return word
+
+
+def _pre32(word: str) -> str:
+    if len(word) >= 6:
+        for p in _P3:
+            if word.startswith(p):
+                return word[3:]
+    if len(word) >= 5:
+        for p in _P2:
+            if word.startswith(p):
+                return word[2:]
+    return word
+
+
+def _suf32(word: str) -> str:
+    if len(word) >= 6:
+        for s in _S3:
+            if word.endswith(s):
+                return word[:-3]
+    if len(word) >= 5:
+        for s in _S2:
+            if word.endswith(s):
+                return word[:-2]
+    return word
+
+
+def _waw(word: str) -> str:
+    # doubled initial waw = conjunction و + waw-initial word
+    if len(word) >= 4 and word.startswith(_WAW + _WAW):
+        return word[1:]
+    return word
+
+
+def _suf1(word: str) -> str:
+    for s in _S1:
+        if word.endswith(s):
+            return word[:-1]
+    return word
+
+
+def _pre1(word: str) -> str:
+    for p in _P1:
+        if word.startswith(p):
+            return word[1:]
+    return word
+
+
+def _pro_w4(word: str) -> str:
+    """Length-4 patterns: مفعل فاعل فعال فعول فعيل فعلة — else short
+    affix normalization."""
+    if word[0] in _PR4[0]:
+        word = word[1:]
+    elif word[1] in _PR4[1]:
+        word = word[:1] + word[2:]
+    elif word[2] in _PR4[2]:
+        word = word[:2] + word[3]
+    elif word[3] in _PR4[3]:
+        word = word[:-1]
+    else:
+        word = _suf1(word)
+        if len(word) == 4:
+            word = _pre1(word)
+    return word
+
+
+def _pro_w53(word: str) -> str:
+    """Length-5 patterns extracting a 3-letter root (paper table 3)."""
+    if word[2] in _PR53[0] and word[0] == _ALIF:      # افتعل افاعل
+        word = word[1] + word[3:]
+    elif word[3] in _PR53[1] and word[0] == _MIM:     # مفعول مفعال مفعيل
+        word = word[1:3] + word[4]
+    elif word[0] in _PR53[2] and word[4] == _TA_M:    # مفعلة تفعلة افعلة
+        word = word[1:4]
+    elif word[0] in _PR53[3] and word[2] == _TA:      # مفتعل يفتعل تفتعل
+        word = word[1] + word[3:]
+    elif word[0] in _PR53[4] and word[2] == _ALIF:    # مفاعل تفاعل
+        word = word[1] + word[3:]
+    elif word[2] in _PR53[5] and word[4] == _TA_M:    # فعولة فعالة
+        word = word[:2] + word[3]
+    elif word[0] in _PR53[6] and word[1] == _NUN:     # انفعل منفعل
+        word = word[2:]
+    elif word[3] == _ALIF and word[0] == _ALIF:       # افعال
+        word = word[1:3] + word[4]
+    elif word[4] == _NUN and word[3] == _ALIF:        # فعلان
+        word = word[:3]
+    elif word[3] == _YA and word[0] == _TA:           # تفعيل
+        word = word[1:3] + word[4]
+    elif word[3] == _WAW and word[1] == _WAW:         # فوعول
+        word = word[0] + word[2] + word[4]
+    elif word[2] == _ALIF and word[1] == _WAW:        # فواعل
+        word = word[0] + word[3:]
+    elif word[3] == _HAMZA_YA and word[2] == _ALIF:   # فعائل
+        word = word[:2] + word[4]
+    elif word[4] == _TA_M and word[1] == _ALIF:       # فاعلة
+        word = word[0] + word[2:4]
+    elif word[4] == _YA and word[2] == _ALIF:         # فعالي
+        word = word[:2] + word[3]
+    else:
+        word = _suf1(word)
+        if len(word) == 5:
+            word = _pre1(word)
+    return word
+
+
+def _pro_w54(word: str) -> str:
+    """Length-5 patterns extracting a 4-letter root."""
+    if word[0] in _PR53[2]:          # تفعلل افعلل مفعلل
+        word = word[1:]
+    elif word[4] == _TA_M:           # فعللة
+        word = word[:4]
+    elif word[2] == _ALIF:           # فعالل
+        word = word[:2] + word[3:]
+    return word
+
+
+def _end_w5(word: str) -> str:
+    if len(word) == 4:
+        word = _pro_w4(word)
+    elif len(word) == 5:
+        word = _pro_w54(word)
+    return word
+
+
+def _pro_w6(word: str) -> str:
+    """Length-6 patterns extracting a 3-letter root."""
+    if word.startswith(_ALIF + _SIN + _TA) or word.startswith(
+        _MIM + _SIN + _TA
+    ):  # استفعل مستفعل
+        word = word[3:]
+    elif word[0] == _MIM and word[3] == _ALIF and word[5] == _TA_M:
+        word = word[1:3] + word[4]                    # مفعالة
+    elif word[0] == _ALIF and word[2] == _TA and word[4] == _ALIF:
+        word = word[1] + word[3] + word[5]            # افتعال
+    elif word[0] == _ALIF and word[3] == _WAW and word[2] == word[4]:
+        word = word[1] + word[4:]                     # افعوعل
+    elif word[0] == _TA and word[2] == _ALIF and word[4] == _YA:
+        word = word[1] + word[3] + word[5]            # تفاعيل
+    else:
+        word = _suf1(word)
+        if len(word) == 6:
+            word = _pre1(word)
+    return word
+
+
+def _pro_w64(word: str) -> str:
+    """Length-6 patterns extracting a 4-letter root."""
+    if word[0] == _ALIF and word[4] == _ALIF:         # افعلال
+        word = word[1:4] + word[5]
+    elif word.startswith(_MIM + _TA):                 # متفعلل
+        word = word[2:]
+    return word
+
+
+def _end_w6(word: str) -> str:
+    if len(word) == 5:
+        word = _pro_w53(word)
+        word = _end_w5(word)
+    elif len(word) == 6:
+        word = _pro_w64(word)
+    return word
+
+
+def isri_stem(token: str) -> str:
+    """Stem one (already lowercased/normalized) Arabic token."""
+    word = _norm(token, 1)
+    word = _pre32(word)
+    word = _suf32(word)
+    word = _waw(word)
+    word = _norm(word, 2)
+    n = len(word)
+    if n < 4 or n > 7:
+        return word
+    if n == 4:
+        word = _pro_w4(word)
+    elif n == 5:
+        word = _pro_w53(word)
+        word = _end_w5(word)
+    elif n == 6:
+        word = _pro_w6(word)
+        word = _end_w6(word)
+    else:  # n == 7
+        word = _suf1(word)
+        if len(word) == 7:
+            word = _pre1(word)
+        if len(word) == 6:
+            word = _pro_w6(word)
+            word = _end_w6(word)
+    return word

@@ -152,8 +152,20 @@ class SparseRetriever:
         reference's posting fetch (sparse_retriever.py:252-258) as ONE
         grouped scan over the flat postings relation.  Memoized on the
         term set so the paired get_doc_ids/get_term_doc_freqs calls run
-        a single Spark job."""
+        a single Spark job.
+
+        This surface COLLECTS whole posting lists to the driver — that
+        is its reference-protocol contract, and it is fine on the small
+        indexes the protocol exists for, but a hot term of a web-scale
+        index would OOM the driver.  So the fetch is gated on total df
+        of the requested terms (known from the vocabulary — a tiny
+        aggregate, no posting bytes move) against the same
+        $RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS cap the packed local
+        serving path uses; past it the call fails fast and points at
+        ``msearch``/``search``, which never driver-collect postings."""
         import numpy as np
+
+        from .index.packed import PackedIndex
 
         idx = self._require_index()
         key = tuple(sorted(set(query_terms)))
@@ -163,6 +175,21 @@ class SparseRetriever:
             cache["idx"] = idx
         if key in cache:
             return cache[key]
+        cap = PackedIndex._local_limit()
+        total = (
+            idx.terms.filter(F.col("term").isin(list(query_terms)))
+            .agg(F.sum("df").alias("n"))
+            .collect()[0]["n"]
+        ) or 0
+        if total > cap:
+            raise ValueError(
+                f"fetching postings for {len(key)} term(s) would collect "
+                f"{int(total)} postings to the driver (cap {cap}); use "
+                "msearch/search (distributed scoring, postings never "
+                "leave the executors) or raise "
+                "RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS if the driver "
+                "has the RAM"
+            )
         rows = (
             idx.flat.filter(F.col("term").isin(list(query_terms)))
             .groupBy("term")

@@ -1065,6 +1065,16 @@ def make_id_resolver(q_ids: List[str], span: int):
                 m = (pos < ida.size) & (ida[np.minimum(pos, ida.size - 1)] == d)
                 if m.any():
                     orig[m] = arr[pos[m]]
+        # a doc id no segment covers means a stale handle (e.g. a purge
+        # rewrote the id map under this search) — loud, like the local
+        # path (_msearch_local_arrays), never a silent NULL doc_id
+        miss = np.array([v is None for v in orig])
+        if miss.any():
+            raise RuntimeError(
+                "internal doc id missing from purge-gapped id map "
+                f"segment (e.g. {int(d[miss][0])}) — reload the index "
+                "handle"
+            )
         out["doc_id"] = orig
         return out
 

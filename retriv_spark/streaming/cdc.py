@@ -42,13 +42,24 @@ def apply_changes(
     index_path: str,
     batch: DataFrame,
     op_col: str = "op",
+    seq_col: Optional[str] = None,
     batch_id=None,
 ) -> Tuple[PackedIndex, dict]:
     """Apply ONE batch of change rows to the index at ``index_path``.
 
     ``batch`` columns: the index's original-id column, its text column
     (ignored for deletes), and ``op_col``.  Unknown ops fail fast.
-    Returns ``(index, stats)``."""
+    Returns ``(index, stats)``.
+
+    Intra-batch ordering: a micro-batch can carry SEVERAL changes for
+    one id (several upserts, or upsert-then-delete).  With ``seq_col``
+    (an offset / LSN / event-time column), the LAST change per id wins
+    — exactly one live version per id, and an upsert-then-delete stays
+    deleted (ties on ``seq_col`` resolve to the upsert).  Without it
+    there is no order to recover, so a batch with >1 upsert row for the
+    same id FAILS FAST (appending both would create two live documents
+    with the same original id); a single upsert still wins over a
+    delete for the same id, as documented."""
     from .ingest import append_batch
 
     manifest = _load_manifest(index_path)
@@ -72,11 +83,51 @@ def apply_changes(
         raise ValueError(
             f"unknown op {bad[0][op_col]!r} (expected one of {VALID_OPS})"
         )
-    # a delete and an upsert for the same id in ONE batch: the upsert
-    # wins (the delete leg tombstones the current version either way)
-    upserts = batch.where(F.col(op_col) == "upsert").select(
-        F.col(id_col), F.col(text_col)
-    )
+    if seq_col is not None:
+        # last change per id wins (order by the caller's sequence); the
+        # window partitions on the id, so state per group is the few
+        # change rows for one key — micro-batch-bounded either way
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col(seq_col).desc(),
+            # tie on seq: prefer the upsert ('upsert' > 'delete'),
+            # matching the documented no-seq rule
+            F.col(op_col).desc(),
+        )
+        last = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upserts = last.where(F.col(op_col) == "upsert").select(
+            F.col(id_col), F.col(text_col)
+        )
+    else:
+        # no order to recover: two upserts for one id would append two
+        # live documents with the same original id — refuse loudly and
+        # point at seq_col instead of guessing
+        dup = (
+            batch.where(F.col(op_col) == "upsert")
+            .groupBy(id_col)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"CDC batch has {dup[0]['count']} upsert rows for id "
+                f"{dup[0][id_col]!r} and no seq_col to order them; pass "
+                "seq_col=<offset/LSN column> so the last change per id "
+                "wins"
+            )
+        # a delete and a (single) upsert for the same id: the upsert
+        # wins (the delete leg tombstones the current version either
+        # way)
+        upserts = batch.where(F.col(op_col) == "upsert").select(
+            F.col(id_col), F.col(text_col)
+        )
     stale_ids = batch.select(F.col(id_col)).distinct()
     n_del = idx.delete_docs(stale_ids, max_pending=None)
     pending = int(idx.manifest.get("tombstones", {}).get("count", 0))
@@ -100,6 +151,7 @@ def stream_changes(
     index_path: str,
     changes: DataFrame,
     op_col: str = "op",
+    seq_col: Optional[str] = None,
     checkpoint: Optional[str] = None,
     trigger_once: bool = True,
     queryName: str = "index-cdc",
@@ -112,7 +164,7 @@ def stream_changes(
 
     def _apply(df: DataFrame, bid: int):
         apply_changes(
-            spark, index_path, df, op_col=op_col,
+            spark, index_path, df, op_col=op_col, seq_col=seq_col,
             batch_id=f"cdc-{bid}",
         )
 

@@ -242,3 +242,31 @@ def test_model_survives_advanced_roundtrip(spark, tmp_path):
     assert before.keys() == after.keys()
     for k in before:
         assert before[k] == pytest.approx(after[k], rel=1e-6)
+
+
+def test_postings_fetch_capped_on_oversized_terms(spark, monkeypatch):
+    """The reference-protocol posting fetch (get_doc_ids /
+    get_term_doc_freqs) driver-collects posting lists; a hot term past
+    $RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS must fail fast with an
+    actionable error instead of OOMing the driver."""
+    import pytest
+
+    from retriv_spark.retriever import SparseRetriever
+
+    sr = SparseRetriever(spark, stemmer=None, stopwords=None)
+    rows = [
+        {"id": i, "text": "common " + f"rare{i}"}
+        for i in range(30)
+    ]
+    sr.index(spark.createDataFrame(rows))
+    # protocol path works under the default cap
+    ids = sr.get_doc_ids(["common"])
+    assert len(ids[0]) == 30
+    # shrink the cap below df('common') → loud failure, not a collect
+    monkeypatch.setenv("RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS", "10")
+    sr.__dict__.pop("_postings_fetch_cache", None)
+    with pytest.raises(ValueError, match="msearch"):
+        sr.get_doc_ids(["common"])
+    # small term sets under the cap still serve
+    out = sr.get_term_doc_freqs(["rare3"])
+    assert len(out[0]) == 1

@@ -150,3 +150,63 @@ def test_stream_changes_end_to_end(spark, tmp_path):
         order_cols=["id"], n_shards=2,
     )
     assert _result_set(idx) == _result_set(rb)
+
+
+def test_apply_changes_rejects_duplicate_upserts_without_seq(
+    spark, tmp_path
+):
+    path = str(tmp_path / "cdc_dup")
+    _build(spark, path)
+    batch = spark.createDataFrame(
+        [(5, "version one", "upsert"), (5, "version two", "upsert")],
+        "id long, text string, op string",
+    )
+    with pytest.raises(ValueError, match="seq_col"):
+        apply_changes(spark, path, batch)
+
+
+def test_apply_changes_seq_col_last_upsert_wins(spark, tmp_path):
+    """Two upserts for one id in one batch: with seq_col the LAST wins
+    and exactly ONE live version exists."""
+    path = str(tmp_path / "cdc_seq1")
+    idx = _build(spark, path)
+    batch = spark.createDataFrame(
+        [
+            (5, "stale version w0", "upsert", 1),
+            (5, "zz_final zz_final zz_final", "upsert", 2),
+        ],
+        "id long, text string, op string, seq long",
+    )
+    idx2, stats = apply_changes(spark, path, batch, seq_col="seq")
+    assert stats["upserts"] == 1
+    got = idx2.msearch_df(
+        [{"id": "q", "text": "zz_final"}], cutoff=50
+    ).collect()
+    assert [r["doc_id"] for r in got] == [5]
+    # the stale version's tokens are gone (purged, not masked-later)
+    stale = idx2.msearch_df([{"id": "q", "text": "w0"}], cutoff=200).collect()
+    assert all(
+        r["doc_id"] != 5 for r in stale
+    ), "stale intra-batch version must not be live"
+
+
+def test_apply_changes_seq_col_upsert_then_delete_stays_deleted(
+    spark, tmp_path
+):
+    path = str(tmp_path / "cdc_seq2")
+    idx = _build(spark, path)
+    batch = spark.createDataFrame(
+        [
+            (5, "resurrected w0", "upsert", 1),
+            (5, None, "delete", 2),
+            (100, "brand new zz_new", "upsert", 3),
+        ],
+        "id long, text string, op string, seq long",
+    )
+    idx2, stats = apply_changes(spark, path, batch, seq_col="seq")
+    assert stats["upserts"] == 1
+    all_hits = idx2.msearch_df(
+        [{"id": "q", "text": "w0 zz_new resurrected"}], cutoff=200
+    ).collect()
+    assert all(r["doc_id"] != 5 for r in all_hits)
+    assert any(r["doc_id"] == 100 for r in all_hits)

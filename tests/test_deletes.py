@@ -231,3 +231,116 @@ def test_readded_doc_is_live_while_old_version_stays_masked(spark, tmp_path):
     assert (5 in dicts["a"]) and dicts["a"][5] == hits[0]["score"]
     # and it scores as the new content (w0-only, no w3)
     assert hits[0]["score"] > 0
+
+
+def test_crash_between_tombstone_append_and_manifest_reconciles(
+    spark, tmp_path
+):
+    """The tombstones TABLE is the commit point.  Simulate a writer that
+    appended tombstone rows and died before the manifest write (manifest
+    still says count=0): a fresh handle must STILL mask the deleted docs
+    at serve time, a delete_docs retry must reconcile the manifest even
+    though its anti-join resolves n_new=0, and pending_tombstones()
+    must report the table-derived truth."""
+    from retriv_spark.index.packed import (
+        _load_manifest,
+        _write_manifest,
+    )
+
+    path = str(tmp_path / "d10")
+    idx = _build(spark, path, hi=40)
+    before = idx.msearch_df(QUERIES, cutoff=200).collect()
+    victims = sorted({r["doc_id"] for r in before})[:3]
+    assert idx.delete_docs(victims) == len(victims)
+
+    # simulate the crash: roll the on-disk manifest back to count=0
+    # while the tombstones table keeps its rows
+    m = _load_manifest(path)
+    m["tombstones"] = {"count": 0}
+    _write_manifest(path, m)
+
+    # fresh handle, search first (no retry): deleted docs stay masked
+    idx2 = load_packed_index(spark, path)
+    assert int(idx2.manifest.get("tombstones", {}).get("count", 0)) == 0
+    got = {r["doc_id"] for r in idx2.msearch_df(QUERIES, cutoff=200).collect()}
+    assert not (got & set(victims))
+    # ... and the serve-time reconcile healed the on-disk manifest
+    assert _load_manifest(path)["tombstones"]["count"] == len(victims)
+
+    # roll back again; this time a delete_docs RETRY reconciles
+    m = _load_manifest(path)
+    m["tombstones"] = {"count": 0}
+    _write_manifest(path, m)
+    idx3 = load_packed_index(spark, path)
+    assert idx3.delete_docs(victims) == 0  # anti-join: nothing new
+    assert idx3.pending_tombstones() == len(victims)
+    assert _load_manifest(path)["tombstones"]["count"] == len(victims)
+
+    # and the purge applies them physically, as usual
+    out = compact_index(spark, path, purge_deletes=True)
+    assert out.pending_tombstones() == 0
+    left = {r["doc_id"] for r in out.msearch_df(QUERIES, cutoff=200).collect()}
+    assert not (left & set(victims))
+
+
+def test_crash_reconcile_in_sync_purge_gate(spark, tmp_path):
+    """sync_index must not treat crash-orphaned tombstone rows as live
+    corpus: after the simulated crash, an eager sync with the SAME
+    remaining corpus purges the pending deletes instead of skipping the
+    purge and double-appending."""
+    from retriv_spark.index.packed import _load_manifest, _write_manifest
+    from retriv_spark.index.sync import sync_index
+
+    path = str(tmp_path / "d11")
+    idx = _build(spark, path, hi=30)
+    idx.delete_docs([1, 2])
+    m = _load_manifest(path)
+    m["tombstones"] = {"count": 0}
+    _write_manifest(path, m)
+
+    new_corpus = _df(spark, 0, 30).where("id NOT IN (1, 2)")
+    out, stats = sync_index(spark, path, new_corpus, purge="eager")
+    assert out.pending_tombstones() == 0
+    got = {r["doc_id"] for r in out.msearch_df(QUERIES, cutoff=200).collect()}
+    assert not ({1, 2} & got)
+    # no double-live versions: every id appears at most once per query
+    rows = out.msearch_df(QUERIES, cutoff=200).collect()
+    seen = {}
+    for r in rows:
+        key = (r["q_id"], r["doc_id"])
+        assert key not in seen
+        seen[key] = True
+
+
+def test_distributed_resolver_raises_on_stale_handle():
+    """A merged top-k row whose internal id is covered by NO id-map
+    segment (stale handle after a purge) must raise, matching the local
+    path — never a silent NULL doc_id."""
+    import pandas as pd
+
+    from retriv_spark.search.kernels import make_id_resolver
+
+    fn = make_id_resolver(["q0"], span=1)
+    left = pd.DataFrame(
+        {"q_idx": [0], "__doc_id__": [99], "score": [1.0], "rank": [1]}
+    )
+    # purge-gapped segment that does NOT contain doc 99
+    right = pd.DataFrame(
+        {
+            "first_doc": [0],
+            "uris": [["a", "b"]],
+            "docs": [[0, 1]],
+        }
+    )
+    with pytest.raises(RuntimeError, match="stale|reload"):
+        fn((0,), left, right)
+
+    # and a resolvable row still resolves
+    ok = fn(
+        (0,),
+        pd.DataFrame(
+            {"q_idx": [0], "__doc_id__": [1], "score": [1.0], "rank": [1]}
+        ),
+        right,
+    )
+    assert list(ok["doc_id"]) == ["b"]
