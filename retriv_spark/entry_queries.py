@@ -1896,6 +1896,111 @@ def q_bm25_arabic(spark, sf_dir):
     )
 
 
+# ISRI-stemmed Arabic pipeline pair: the corpus is mapped to INFLECTED
+# Arabic forms and the queries use DIFFERENT inflections of the same
+# classical roots, so matching REQUIRES the stemmer (tests/test_isri.py
+# pins the root vectors; this pair pins the distributed pipeline + BM25
+# math around it).  Roots deliberately collide across corpus tokens
+# ("table"/"merge" both stem to درس) so term-statistic conflation inside
+# the index is exercised too.
+AR_ISRI_MAP = {
+    "table": "المدرسة",   # -> درس
+    "merge": "تدريس",     # -> درس (deliberate collision)
+    "query": "استخدام",   # -> خدم
+    "fast": "يخدمون",     # -> خدم (collision)
+    "join": "مكتوب",      # -> كتب
+    "spark": "كاتب",      # -> كتب (collision)
+    "data": "تعليم",      # -> علم
+    "window": "معلم",     # -> علم (collision)
+    "sort": "انكسر",      # -> كسر
+    "value": "مكسور",     # -> كسر (collision)
+    "the": "في",          # stop-word: drops out
+}
+ISRI_QUERIES = [
+    ("q1", "يكتبون المدرسة"),
+    ("q2", "استخدام تعليم"),
+    ("q3", "انكسر دروس"),
+    ("q4", "والمعلمون مكتوب في"),
+]
+
+
+def _isri_pre():
+    return TextPreprocessor(
+        tokenizer="whitespace", stemmer="isri", stopwords="arabic",
+    )
+
+
+def _isri_tok_sql() -> str:
+    # en -> ISRI stem through the ACTUAL pipeline at build time (same
+    # trick as _arabic_tok_sql / _french_tok_sql): the oracle's token
+    # table is correct by construction, including the stemmed-stopword
+    # quirk and any root collisions.
+    pre = _isri_pre()
+
+    def lit(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    pairs = []
+    for en, ar in sorted(AR_ISRI_MAP.items()):
+        toks = pre(ar)
+        if toks:  # stop-words drop out here ("the" -> "في" -> [])
+            pairs.append(f"({lit(en)}, {lit(toks[0])})")
+    return f"""
+  SELECT tk.doc_id, ar.term
+  FROM (
+    SELECT d.doc_id, t.term
+    FROM documents d,
+         unnest(string_split_regex(trim(d.text), '\\s+')) AS t(term)
+    WHERE t.term <> ''
+  ) tk
+  JOIN (VALUES {", ".join(pairs)}) AS ar(en, term) ON ar.en = tk.term"""
+
+
+def q_bm25_isri(spark, sf_dir):
+    """BM25 over inflected Arabic through the FULL pipeline with the
+    clean-room ISRI root stemmer (reference stemmer.py:17,
+    nltk.stem.ISRIStemmer) — query inflections only match because both
+    sides reduce to the classical root."""
+    docs = _docs(spark, sf_dir)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(AR_ISRI_MAP.items()) for x in kv]
+    )
+    docs_ar = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"), lambda t: mapping[t]
+            ),
+            " ",
+        ),
+    )
+    pre = _isri_pre()
+    idx = build_index(
+        spark, docs_ar, pre,
+        text_col="text", id_col="doc_id",
+        order_cols=["doc_id"], min_df=1,
+        doc_id_col_precomputed="doc_id",
+    )
+    rows = [
+        (qid, t, 1) for qid, text in ISRI_QUERIES for t in pre(text)
+    ]
+    qt = spark.createDataFrame(rows, "q_id string, term string, n_occ int")
+    scored = score_query_terms(
+        idx, qt, model="bm25", k1=K1, b=B, cutoff=CUTOFF,
+        precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .select(
+            "q_id",
+            F.col("doc_id"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def _qrels_df(docs: DataFrame, queries) -> DataFrame:
     """Deterministic graded qrels mirroring _QRELS_CTE: every doc with
     doc_id % 5 == 0 is relevant to every query, grade 1 + doc_id % 2."""
@@ -2958,6 +3063,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rounds.  jobs/validate_oracle.py still checks all 114.
     "bm25_finnish": q_bm25_finnish,
     "bm25_arabic": q_bm25_arabic,
+    "bm25_isri": q_bm25_isri,
     "deterministic_shuffle": q_deterministic_shuffle,
     "windowed_events": q_windowed_events,
     "ann_pq_topk": q_ann_pq_topk,
@@ -3831,6 +3937,18 @@ _ARABIC_QUERIES_ORACLE = [
 
 ORACLE_SQL["bm25_arabic"] = f"""{
     _bm25_ctes(_ARABIC_QUERIES_ORACLE, "bm25", tok_sql=_arabic_tok_sql())
+}
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+_ISRI_QUERIES_ORACLE = [
+    (qid, " ".join(_isri_pre()(text))) for qid, text in ISRI_QUERIES
+]
+
+ORACLE_SQL["bm25_isri"] = f"""{
+    _bm25_ctes(_ISRI_QUERIES_ORACLE, "bm25", tok_sql=_isri_tok_sql())
 }
 SELECT q_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= {CUTOFF}

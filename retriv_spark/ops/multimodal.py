@@ -171,6 +171,44 @@ def sample_video_frames(
     return df.mapInPandas(gen, FRAME_SAMPLE_SCHEMA)
 
 
+def _decode_wav(payload: bytes) -> tuple:
+    """Decode a RIFF/WAVE payload with the stdlib ``wave`` module:
+    returns (mono float32 PCM in [-1, 1], sample_rate).  Handles the
+    uncompressed PCM widths ``wave`` accepts (8-bit unsigned, 16/32-bit
+    signed little-endian, 24-bit via manual unpack); compressed WAVE
+    subformats raise wave.Error, which surfaces as-is — loud, like the
+    other container fail-fasts."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+    elif width == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 3:  # 24-bit: widen each triplet to int32 then shift
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        as32 = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        as32 = (as32 << 8) >> 8  # sign-extend bit 23
+        pcm = as32.astype(np.float32) / 8388608.0
+    elif width == 4:
+        pcm = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    if n_ch > 1:
+        pcm = pcm.reshape(-1, n_ch).mean(axis=1)
+    return pcm.astype(np.float32), int(sr)
+
+
 def audio_features(
     df: DataFrame,
     binary_col: str = "payload",
@@ -178,16 +216,20 @@ def audio_features(
     decoder: Optional[Callable[[bytes], tuple]] = None,
 ) -> DataFrame:
     """Audio feature extraction over opaque binary payloads: decode →
-    (duration, sample_rate, RMS loudness, zero-crossing count).  Only the
-    decode is stubbed (``decoder(payload) -> (pcm: np.float32[],
-    sample_rate: int)``, deterministic fake PCM by default); the feature
-    math is real numpy over whatever PCM the decoder yields.  Raises
-    NotImplementedError from the stub on real container magic bytes
-    (WAV/FLAC/MP3/OGG) — fabricating features for real audio would be
-    worse than failing.
+    (duration, sample_rate, RMS loudness, zero-crossing count).  The
+    feature math is real numpy over whatever PCM the decoder yields.
+    RIFF/WAVE payloads are REALLY decoded (stdlib ``wave`` + numpy —
+    8/16/24/32-bit PCM, multi-channel averaged to mono); the default
+    decoder still raises NotImplementedError on compressed container
+    magic bytes (FLAC/MP3/OGG/M4A, and non-WAVE RIFF like AVI) —
+    fabricating features for real audio would be worse than failing.
+    Synthetic payloads (no known magic) get deterministic fake PCM so
+    the plumbing stays testable without media libraries.
     """
 
     def stub(payload: bytes) -> tuple:
+        if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
+            return _decode_wav(payload)
         head = bytes(payload[:4])
         # raw MPEG frame sync, tightened beyond the bare 11 sync bits
         # (those alone false-positive on ~1/2048 random payloads): also

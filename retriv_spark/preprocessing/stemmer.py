@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Callable, Union
 
 from .cistem import cistem_stem
+from .isri import isri_stem
 from .lancaster import lancaster_stem
 from .porter import porter_stem
 from .porter2 import porter2_stem
@@ -48,11 +49,12 @@ stemmers_dict = {
     "dutch": dutch_stem,
     # round-3 additions, reconstructed offline from the published specs
     # with self-consistency vectors (tests/test_snowball.py) — exact
-    # nltk/libstemmer parity not claimed (docs/COVERAGE.md).  arabic
-    # (x3 variants) and krovetz (reference stemmer.py:10-43) stay
-    # fail-fast: their suffix state machines are not reproducible
-    # offline with confidence, and shipping unverifiable tables is
-    # worse than the reference-mirroring factory error below.
+    # nltk/libstemmer parity not claimed (docs/COVERAGE.md).
+    # Snowball-arabic, arlstem/arlstem2 and krovetz (reference
+    # stemmer.py:10-43) stay fail-fast: their suffix state machines are
+    # not reproducible offline with confidence, and shipping
+    # unverifiable tables is worse than the reference-mirroring factory
+    # error below.  For Arabic use "isri" (below).
     "romanian": romanian_stem,
     "finnish": finnish_stem,
     "hungarian": hungarian_stem,
@@ -61,6 +63,10 @@ stemmers_dict = {
     # from the published Weißweiler & Fraser 2017 pseudocode, pinned by
     # the paper's own examples (tests/test_cistem.py)
     "cistem": cistem_stem,
+    # ISRI Arabic (reference stemmer.py:17, nltk.stem.ISRIStemmer) —
+    # clean-room from Taghva/Elkhoury/Coombs 2005, pinned by
+    # hand-derived root vectors (tests/test_isri.py)
+    "isri": isri_stem,
 }
 
 

@@ -82,8 +82,10 @@ def test_audio_features(spark):
         )
         assert a["sample_rate"] == 16000 and a["duration_ms"] > 0
 
+    # compressed containers still refuse loudly (WAV now decodes for
+    # real — see test_audio_features_decodes_real_wav)
     wav = spark.createDataFrame(
-        [(0, b"RIFF....WAVEfmt ")], "media_id long, payload binary"
+        [(0, b"fLaC....metadata")], "media_id long, payload binary"
     )
     with pytest.raises(Exception, match="real audio container"):
         audio_features(wav).collect()
@@ -96,3 +98,58 @@ def test_audio_features(spark):
     assert got["duration_ms"] == 1000
     assert got["rms"] == pytest.approx(0.5)
     assert got["zero_crossings"] == 3
+
+
+def test_audio_features_decodes_real_wav(spark):
+    """RIFF/WAVE payloads decode for REAL (stdlib wave): a generated
+    1 kHz-ish square wave with known sample count, rate, amplitude and
+    zero-crossing count yields exactly the expected features; stereo
+    averages to mono; malformed WAVE raises instead of fabricating."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+    import pytest
+
+    from retriv_spark.ops.multimodal import audio_features
+
+    def make_wav(pcm16: np.ndarray, sr: int, n_ch: int = 1) -> bytes:
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(n_ch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm16.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    sr = 8000
+    # 2 s square wave flipping sign every 8 samples: amplitude 0.25 FS
+    n = 2 * sr
+    sign = np.where((np.arange(n) // 8) % 2 == 0, 1, -1)
+    pcm16 = (sign * 8192).astype(np.int16)
+    mono = make_wav(pcm16, sr)
+    # stereo: L = signal, R = -signal  ->  mono mean is silence
+    stereo = make_wav(
+        np.column_stack([pcm16, -pcm16]).reshape(-1), sr, n_ch=2
+    )
+    df = spark.createDataFrame(
+        [(1, mono), (2, stereo)], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in audio_features(df).collect()}
+    m = rows[1]
+    assert m["sample_rate"] == sr
+    assert m["duration_ms"] == 2000
+    assert m["rms"] == pytest.approx(8192.0 / 32768.0, rel=1e-5)
+    # sign flips every 8 samples -> n/8 - 1 crossings
+    assert m["zero_crossings"] == n // 8 - 1
+    s = rows[2]
+    assert s["sample_rate"] == sr and s["duration_ms"] == 2000
+    assert s["rms"] == pytest.approx(0.0, abs=1e-6)
+
+    # malformed WAVE: loud, not fabricated
+    bad = spark.createDataFrame(
+        [(3, b"RIFF\x00\x00\x00\x00WAVEjunk")],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception):
+        audio_features(bad).collect()
