@@ -107,6 +107,21 @@ def main():
         ratio = round(114_000 / (2 * rare))
         shapes.append((f"ratio_{ratio}", 131072,
                        {"h0": 60_000, "h1": 54_000, "r0": rare}, 10, 4))
+    # realistic long-tail serving shapes (corpus.generate_longtail_corpus
+    # at 1M docs / 8 shards, per-shard dfs): one 7k-39k head list + three
+    # 30-175 tail anchors — the MSMARCO-ish df mix longtail_bench.py
+    # serves end-to-end
+    for nq in (1, 4):
+        for head, tails in [
+            (20_000, (100, 60, 30)),
+            (39_000, (175, 90, 40)),
+            (7_000, (100, 60, 30)),
+        ]:
+            tiers = {"h0": head}
+            tiers.update({f"t{i}": d for i, d in enumerate(tails)})
+            shapes.append(
+                (f"longtail_h{head}_q{nq}", 131072, tiers, 10, nq)
+            )
     # taat regimes: fat anchor, theta-starved anchor, flat, big batch
     shapes += [
         ("fat_anchor", 131072,

@@ -1,0 +1,150 @@
+"""Realistic-vocabulary query bench: the pruning-friendly complement to
+the ~300-term Zipf-head corpus the headline bench uses.
+
+Generates the 50k-vocab long-tail corpus (corpus.generate_longtail_corpus
+— MSMARCO-ish df spectrum), builds a packed index at --docs scale, then
+serves --queries realistic single-query calls (one large-df head term +
+three high-idf tail anchors, corpus.longtail_queries) through the
+distributed plan three times: kernel="taat", kernel="bmp", and
+kernel="auto".  Asserts rank identity between all three on every query
+(the timings are meaningless otherwise), reports per-kernel wall time /
+qps, what auto routed each query to (driver-side resolve_kernel probe on
+the exact qmap msearch builds), and the bmp speedup.
+
+This is the serving regime (1-query calls): resolve_kernel deliberately
+keeps large analytic batches on taat, where decode-once + dense
+accumulation amortizes across queries.
+
+Usage: python jobs/longtail_bench.py [--docs 1000000] [--queries 48]
+           [--cutoff 10] [--cpus 16] [--workdir DIR] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--queries", type=int, default=48)
+    ap.add_argument("--cutoff", type=int, default=10)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    ap.add_argument("--workdir", default="/tmp/longtail_bench")
+    ap.add_argument("--keep", action="store_true",
+                    help="reuse an existing corpus/index in --workdir")
+    args = ap.parse_args()
+
+    from retriv_spark.corpus import generate_longtail_corpus, longtail_queries
+    from retriv_spark.index.packed import (
+        build_packed_index,
+        load_packed_index,
+    )
+    from retriv_spark.preprocessing import TextPreprocessor
+    from retriv_spark.search.kernels import resolve_kernel
+    from retriv_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="longtail-bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(args.cpus, 8),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = f"{args.workdir}/corpus_{args.docs}"
+    index_path = f"{args.workdir}/index_{args.docs}"
+    if not args.keep and os.path.isdir(args.workdir):
+        shutil.rmtree(args.workdir)
+
+    if not os.path.isdir(corpus_path):
+        t0 = time.perf_counter()
+        generate_longtail_corpus(
+            spark, args.docs, partitions=max(args.cpus * 2, 32)
+        ).write.mode("overwrite").parquet(corpus_path)
+        print(f"# corpus generated in {time.perf_counter() - t0:.1f}s")
+
+    docs = spark.read.parquet(corpus_path)
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    if os.path.isfile(f"{index_path}/manifest.json"):
+        idx = load_packed_index(spark, index_path)
+        build_sec = None
+    else:
+        t0 = time.perf_counter()
+        idx = build_packed_index(
+            spark, docs, pre, index_path, id_col="id", order_cols=["id"],
+        )
+        build_sec = time.perf_counter() - t0
+        print(f"# index built in {build_sec:.1f}s "
+              f"({args.docs / build_sec:.0f} docs/s)")
+
+    queries = longtail_queries(args.queries)
+
+    # routing probe: the exact gate msearch applies, on the exact qmap
+    routes = {}
+    for q in queries:
+        prep = idx._prepare_queries([q])
+        qmap_idx, _, df_by_term, _ = prep
+        routes[q["id"]] = resolve_kernel(
+            "auto", qmap_idx, df_by_term, "OR",
+            local_serving=False, cutoff=args.cutoff,
+            doc_count=idx.manifest["doc_count"],
+            span=idx.manifest["span"],
+        )
+    n_bmp = sum(1 for v in routes.values() if v == "bmp")
+    print(f"# auto routes: bmp={n_bmp}/{len(queries)}")
+
+    def run(kernel):
+        per_q = []
+        results = {}
+        for q in queries:
+            t0 = time.perf_counter()
+            rows = idx.msearch_df(
+                [q], cutoff=args.cutoff, kernel=kernel
+            ).collect()
+            per_q.append(time.perf_counter() - t0)
+            results[q["id"]] = [
+                (r["doc_id"], r["rank"], float(r["score"])) for r in rows
+            ]
+        return sum(per_q), results
+
+    out = {"metric": "longtail_serving", "docs": args.docs,
+           "queries": len(queries), "cutoff": args.cutoff,
+           "cpus": args.cpus, "auto_bmp_fraction": n_bmp / len(queries)}
+    if build_sec is not None:
+        out["build_sec"] = round(build_sec, 1)
+    baseline = None
+    for kernel in ("taat", "bmp", "auto"):
+        # warm-up call (JVM/codegen/page cache), then the timed pass
+        idx.msearch_df([queries[0]], cutoff=args.cutoff,
+                       kernel=kernel).collect()
+        total, results = run(kernel)
+        if baseline is None:
+            baseline = results
+        else:
+            for qid, rows in results.items():
+                assert rows == baseline[qid], (
+                    f"{kernel} diverges from taat on {qid}: "
+                    f"{rows[:3]} vs {baseline[qid][:3]}"
+                )
+        out[f"{kernel}_sec"] = round(total, 2)
+        out[f"{kernel}_qps"] = round(len(queries) / total, 1)
+        print(f"# {kernel}: {total:.2f}s ({len(queries) / total:.1f} qps)")
+    out["bmp_speedup_vs_taat"] = round(out["taat_sec"] / out["bmp_sec"], 2)
+    out["auto_speedup_vs_taat"] = round(out["taat_sec"] / out["auto_sec"], 2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

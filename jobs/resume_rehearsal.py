@@ -1,0 +1,239 @@
+"""Checkpoint-resume equivalence rehearsal at scale (north rule:
+"resumable from checkpoint with per-partition lineage").
+
+Protocol:
+  1. build the reference index UNINTERRUPTED from the deterministic
+     synthetic source-code table;
+  2. start the SAME build in a subprocess, poll its manifest, and
+     SIGKILL the JVM+driver the moment stage --kill-after is marked
+     complete (a real crash: later stages may be half-written);
+  3. resume the killed build in a fresh session (resume=True) — it must
+     skip the completed stages and redo/overwrite the partial ones;
+  4. assert equivalence: per-table content equality (row count +
+     bit_xor of xxhash64 over every column, incl. the packed posting
+     binaries) and rank/score identity on a query batch.
+
+The doc-id assignment is deterministic (range-rank + offset stamp), so
+the resumed index must be CONTENT-identical, not merely
+rank-equivalent; both are checked.
+
+Usage: python jobs/resume_rehearsal.py [--docs 1000000]
+           [--kill-after tokenized] [--cpus 16] [--workdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["RETRIV_REPO"])
+from retriv_spark.session import get_spark
+from retriv_spark.preprocessing import TextPreprocessor
+from retriv_spark.index.packed import build_packed_index
+
+spark = get_spark(app_name="resume-victim",
+                  master=f"local[{os.environ['RETRIV_CPUS']}]",
+                  shuffle_partitions=int(os.environ["RETRIV_CPUS"]))
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(os.environ["RETRIV_INPUT"])
+pre = TextPreprocessor(stemmer="english", stopwords="english")
+build_packed_index(
+    spark, docs, pre, os.environ["RETRIV_INDEX"],
+    text_col="content", id_col="__uri__",
+    order_cols=["repo", "path", "commit"],
+    verify_sha256="sha256",
+)
+print("VICTIM BUILD COMPLETED (kill came too late)")
+"""
+
+
+def _stage_done(path: str, stage: str) -> bool:
+    try:
+        with open(f"{path}/manifest.json") as f:
+            m = json.load(f)
+        return bool(m.get("stages", {}).get(stage, {}).get("completed"))
+    except Exception:
+        return False
+
+
+def _table_fingerprints(spark, path: str) -> dict:
+    from pyspark.sql import functions as F
+
+    out = {}
+    for name in sorted(os.listdir(path)):
+        sub = os.path.join(path, name)
+        if not os.path.isdir(sub):
+            continue
+        df = spark.read.parquet(sub)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+        ).collect()[0]
+        out[name] = (int(row["n"]), int(row["h"] or 0))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--kill-after", default="tokenized",
+                    help="manifest stage whose completion triggers "
+                         "SIGKILL of the victim build")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    ap.add_argument("--workdir", default="/tmp/resume_rehearsal")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from retriv_spark.corpus import generate_code_corpus
+    from retriv_spark.index.packed import (
+        build_packed_index,
+        load_packed_index,
+    )
+    from retriv_spark.preprocessing import TextPreprocessor
+    from retriv_spark.session import get_spark
+
+    if not args.keep and os.path.isdir(args.workdir):
+        shutil.rmtree(args.workdir)
+    os.makedirs(args.workdir, exist_ok=True)
+    corpus_path = f"{args.workdir}/corpus"
+    ref_path = f"{args.workdir}/index_ref"
+    victim_path = f"{args.workdir}/index_victim"
+
+    spark = get_spark(app_name="resume-rehearsal",
+                      master=f"local[{args.cpus}]",
+                      shuffle_partitions=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.isdir(corpus_path):
+        df = generate_code_corpus(
+            spark, args.docs, partitions=max(args.cpus * 2, 32)
+        ).withColumn(
+            "__uri__",
+            __import__("pyspark.sql.functions", fromlist=["F"]).concat_ws(
+                "/", "repo", "path", "commit"
+            ),
+        )
+        df.write.mode("overwrite").parquet(corpus_path)
+        print("# corpus written")
+
+    docs = spark.read.parquet(corpus_path)
+    pre = TextPreprocessor(stemmer="english", stopwords="english")
+
+    # 1. uninterrupted reference build
+    t0 = time.perf_counter()
+    build_packed_index(
+        spark, docs, pre, ref_path,
+        text_col="content", id_col="__uri__",
+        order_cols=["repo", "path", "commit"],
+        verify_sha256="sha256",
+    )
+    t_ref = time.perf_counter() - t0
+    print(f"# reference build: {t_ref:.1f}s")
+
+    # 2. victim build in a subprocess, SIGKILLed after --kill-after
+    env = dict(
+        os.environ,
+        RETRIV_REPO=REPO,
+        RETRIV_CPUS=str(args.cpus),
+        RETRIV_INPUT=corpus_path,
+        RETRIV_INDEX=victim_path,
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", WORKER], env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        # new process group: the SIGKILL must take the whole JVM tree
+        preexec_fn=os.setsid,
+    )
+    killed = False
+    t0 = time.perf_counter()
+    while proc.poll() is None:
+        if _stage_done(victim_path, args.kill_after):
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            killed = True
+            break
+        if time.perf_counter() - t0 > max(600, t_ref * 6):
+            proc.kill()
+            raise RuntimeError("victim build never reached kill stage")
+        time.sleep(0.25)
+    proc.wait()
+    if not killed:
+        raise RuntimeError(
+            "victim build finished before the kill stage completed — "
+            "choose an earlier --kill-after"
+        )
+    t_kill = time.perf_counter() - t0
+    print(f"# victim killed {t_kill:.1f}s in "
+          f"(after stage {args.kill_after!r})")
+
+    # 3. resume in THIS session
+    t0 = time.perf_counter()
+    build_packed_index(
+        spark, docs, pre, victim_path,
+        text_col="content", id_col="__uri__",
+        order_cols=["repo", "path", "commit"],
+        verify_sha256="sha256",
+        resume=True,
+    )
+    t_resume = time.perf_counter() - t0
+    print(f"# resumed build finished in {t_resume:.1f}s "
+          f"(vs {t_ref:.1f}s from scratch)")
+
+    # 4a. content equality, table by table (incl. packed posting bytes)
+    fp_ref = _table_fingerprints(spark, ref_path)
+    fp_vic = _table_fingerprints(spark, victim_path)
+    mismatched = sorted(
+        k
+        for k in set(fp_ref) | set(fp_vic)
+        if fp_ref.get(k) != fp_vic.get(k)
+    )
+    assert not mismatched, f"table content mismatch: {mismatched}"
+    print(f"# {len(fp_ref)} tables content-identical "
+          f"(count + xxhash64 bit_xor)")
+
+    # 4b. rank/score identity on a query batch
+    from retriv_spark.corpus import _GOLDEN_PHRASES, _vocab
+
+    queries = [
+        {"id": f"g{i}", "text": p} for i, p in enumerate(_GOLDEN_PHRASES)
+    ] + [
+        {"id": f"v{i}", "text": " ".join(_vocab()[i * 7: i * 7 + 3])}
+        for i in range(16)
+    ]
+    a = load_packed_index(spark, ref_path)
+    b = load_packed_index(spark, victim_path)
+    ra = sorted(
+        (r["q_id"], r["rank"], r["doc_id"], float(r["score"]))
+        for r in a.msearch_df(queries, cutoff=100).collect()
+    )
+    rb = sorted(
+        (r["q_id"], r["rank"], r["doc_id"], float(r["score"]))
+        for r in b.msearch_df(queries, cutoff=100).collect()
+    )
+    assert ra == rb and len(ra) > 0, "rank/score identity failed"
+    print(f"# rank identity: {len(ra)} result rows bit-equal")
+
+    print(json.dumps({
+        "metric": "resume_rehearsal", "docs": args.docs,
+        "kill_after": args.kill_after, "killed_at_sec": round(t_kill, 1),
+        "ref_build_sec": round(t_ref, 1),
+        "resume_sec": round(t_resume, 1),
+        "tables_checked": len(fp_ref), "result_rows": len(ra),
+        "identical": True,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

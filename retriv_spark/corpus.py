@@ -98,3 +98,85 @@ def generate_code_corpus(
     schema = "repo string, path string, commit string, lang string, content string"
     df = idx.mapInPandas(gen, schema)
     return df.withColumn("sha256", F.sha2(F.col("content"), 256))
+
+
+# -- realistic long-tail corpus ----------------------------------------------
+#
+# The code corpus above has a ~300-term vocabulary, so every query term is
+# a head term, every query touches ~a quarter of all postings, and
+# block-max pruning has nothing to prune — fine for correctness and for
+# stressing the dense TAAT path, but unrepresentative of web/passage
+# retrieval (MSMARCO-shaped workloads: 50k+ effective vocabulary, query
+# terms spread across the df spectrum).  The generator below is the
+# pruning-friendly complement: a Zipf(s) unigram model over a
+# ``vocab_size``-term vocabulary, deterministic per (n_rows, seed) at any
+# parallelism (same per-row rng protocol as generate_code_corpus).
+
+LONGTAIL_ZIPF_S = 1.05  # unigram Zipf exponent (natural-language-ish)
+
+
+def _longtail_cdf(vocab_size: int, s: float = LONGTAIL_ZIPF_S) -> np.ndarray:
+    w = np.arange(1, vocab_size + 1, dtype=np.float64) ** -s
+    return np.cumsum(w / w.sum())
+
+
+def generate_longtail_corpus(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    vocab_size: int = 50_000,
+    doc_len: tuple = (30, 130),
+    partitions: int = 32,
+) -> DataFrame:
+    """(id, text) rows; token ``t{rank:05d}`` drawn by inverse-CDF from
+    the Zipf weights (vectorized searchsorted per doc — no per-token
+    Python).  Doc lengths uniform in ``doc_len`` (~80 avg, passage-ish).
+    """
+    cdf = _longtail_cdf(vocab_size)
+    idx = spark.range(0, n_rows, 1, partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                n = int(rng.integers(doc_len[0], doc_len[1] + 1))
+                ranks = np.searchsorted(cdf, rng.random(n), side="right")
+                rows.append(
+                    {
+                        "id": i,
+                        "text": " ".join("t%05d" % r for r in ranks),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return idx.mapInPandas(gen, "id long, text string")
+
+
+def longtail_queries(
+    n_queries: int,
+    seed: int = 7,
+    head_ranks: tuple = (20, 120),
+    tail_ranks: tuple = (4_000, 30_000),
+    n_tails: int = 3,
+) -> list:
+    """Realistic serving queries over the long-tail corpus: one head
+    (content-word) term with rank log-uniform in ``head_ranks`` — large
+    df, the expensive list — plus ``n_tails`` tail terms uniform in
+    ``tail_ranks`` — the small high-idf anchors.  This is the df shape
+    block-max pruning exists for; with the default generator at 1M docs
+    the head df lands ~54k-310k and each tail df ~170-1400, inside
+    resolve_kernel's measured bmp win regime for 1-4 query batches."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for q in range(n_queries):
+        head = int(
+            np.exp(
+                rng.uniform(np.log(head_ranks[0]), np.log(head_ranks[1]))
+            )
+        )
+        tails = rng.integers(tail_ranks[0], tail_ranks[1], size=n_tails)
+        terms = ["t%05d" % head] + ["t%05d" % t for t in tails]
+        out.append({"id": f"q{q}", "text": " ".join(terms)})
+    return out

@@ -91,11 +91,25 @@ def treebank_word_tokenize(x: str) -> list:
 
 
 # -- sentence splitter (Punkt stand-in) --------------------------------------
+#
+# The reference's `sent` tokenizer is nltk's Punkt (tokenizer.py:8-11), a
+# TRAINED artifact (Kiss & Strunk 2006: unsupervised collocation
+# likelihoods over a training corpus) whose english pickle cannot be
+# reproduced offline.  This stand-in implements the paper's DECISION
+# heuristics — orthographic context, initials, ordinals, a frequent-
+# abbreviation lexicon standing in for the learned abbreviation set —
+# over a regex candidate-boundary pass.  Divergence from the trained
+# model is therefore possible exactly where Punkt's corpus statistics
+# would override the heuristics (rare abbreviations, domain-specific
+# sentence starters); documented permanent stand-in, pinned by the
+# golden vectors in tests/test_normalization.py.
 
 _SENT_BOUNDARY_RE = re.compile(
     # terminator run + optional closing quotes/brackets, then whitespace,
-    # then something that looks like a sentence start
-    r"(?<=[.!?])[\"'\)\]]*\s+(?=[\"'\(\[]?[A-Z0-9])"
+    # then something that looks like a sentence start.  The quote run is
+    # CAPTURED so it can be re-attached to the left sentence (a bare
+    # split would silently drop those characters).
+    r"(?<=[.!?])([\"'\)\]]*)\s+(?=[\"'\(\[]?[A-Z0-9])"
 )
 
 _COMMON_ABBREVS = frozenset(
@@ -103,22 +117,50 @@ _COMMON_ABBREVS = frozenset(
         "mr.", "mrs.", "ms.", "dr.", "prof.", "sr.", "jr.", "st.", "vs.",
         "e.g.", "i.e.", "etc.", "fig.", "no.", "vol.", "inc.", "ltd.",
         "co.", "u.s.", "u.k.",
+        # Kiss & Strunk's reported high-frequency abbreviation classes:
+        # months, titles/ranks, latinisms, clock times, academic degrees
+        "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.",
+        "sept.", "oct.", "nov.", "dec.", "gen.", "gov.", "sen.", "rep.",
+        "rev.", "sgt.", "col.", "lt.", "capt.", "maj.", "cmdr.", "univ.",
+        "dept.", "est.", "approx.", "assn.", "bros.", "ph.d.", "b.a.",
+        "m.a.", "a.m.", "p.m.", "cf.", "al.", "seq.", "viz.", "ca.",
     }
 )
 
+# single-letter initial ("J." in "J. R. Smith") — the paper's
+# orthographic-heuristic class that suppresses a boundary even before a
+# capitalized token
+_INITIAL_RE = re.compile(r"^[A-Za-z]\.$")
+# bare ordinal/list number ("3." in enumerations): treated like an
+# abbreviation when followed by more text
+_ORDINAL_RE = re.compile(r"^\d{1,3}\.$")
+
 
 def sent_tokenize(x: str) -> list:
-    parts = _SENT_BOUNDARY_RE.split(x)
-    # re-join splits after common abbreviations (heuristic Punkt stand-in)
+    raw = _SENT_BOUNDARY_RE.split(x)
+    # split() with one capture group alternates [seg, quotes, seg, ...]:
+    # glue each captured closing-quote run back onto its sentence
+    parts = []
+    for i in range(0, len(raw), 2):
+        seg = raw[i] + (raw[i + 1] if i + 1 < len(raw) else "")
+        parts.append(seg)
+    # re-join candidate boundaries the heuristics reject
     out: list = []
     for p in parts:
         p = p.strip()
         if not p:
             continue
-        if out and out[-1].rsplit(None, 1)[-1].lower() in _COMMON_ABBREVS:
-            out[-1] = out[-1] + " " + p
-        else:
-            out.append(p)
+        if out:
+            last = out[-1].rsplit(None, 1)[-1]
+            ll = last.lower()
+            if (
+                ll in _COMMON_ABBREVS
+                or _INITIAL_RE.match(last)
+                or _ORDINAL_RE.match(last)
+            ):
+                out[-1] = out[-1] + " " + p
+                continue
+        out.append(p)
     return out
 
 

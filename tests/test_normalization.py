@@ -140,3 +140,33 @@ def test_tokenizer_factory_word_sent():
 
     assert get_tokenizer("word") is treebank_word_tokenize
     assert get_tokenizer("sent") is sent_tokenize
+
+
+def test_sent_tokenizer_kiss_strunk_heuristics():
+    """Orthographic heuristics from the Punkt paper (Kiss & Strunk
+    2006), implemented over the candidate-boundary pass: initials,
+    ordinals, the frequent-abbreviation lexicon, and closing-quote
+    retention.  Golden vectors — the stand-in's contract."""
+    # single-letter initials never end a sentence
+    assert sent_tokenize("J. R. R. Tolkien wrote it. It sold well.") == [
+        "J. R. R. Tolkien wrote it.", "It sold well.",
+    ]
+    # ordinals in enumerations don't split
+    assert sent_tokenize("The list: 1. Apples 2. Pears. Done now.") == [
+        "The list: 1. Apples 2. Pears.", "Done now.",
+    ]
+    # expanded abbreviation lexicon (months, ranks, clock times)
+    assert sent_tokenize("Born Jan. 5th in Dover. Died later.") == [
+        "Born Jan. 5th in Dover.", "Died later.",
+    ]
+    assert sent_tokenize("We met at 5 p.m. Then we left!") == [
+        "We met at 5 p.m. Then we left!",
+    ]
+    # closing quotes stay WITH their sentence (were dropped before)
+    assert sent_tokenize('He said "stop." She ran.') == [
+        'He said "stop."', "She ran.",
+    ]
+    # plain boundaries still split, including ?! runs
+    assert sent_tokenize("Really?! Yes. Fine.") == [
+        "Really?!", "Yes.", "Fine.",
+    ]
