@@ -106,9 +106,18 @@ def default_n_shards(doc_count: int) -> int:
 
     Grows without a cap (VERDICT r1 #2: the old 512-shard ceiling made
     span — and with it the TAAT slab and id-map rows — linear in corpus
-    size).  Equals the old ``doc_count // 4096`` behavior below ~2M docs
-    and the old 512-shard behavior up to ~67M, then keeps span flat."""
-    span = min(SPAN_MAX, max(SPAN_MIN, doc_count // 512 or 1))
+    size).  The span target reaches SPAN_MAX by ~4M docs (divisor 32,
+    one encode task per core on the reference box): every query batch
+    pays one applyInPandas GROUP per shard, and per-shard block-max
+    pruning needs cutoff-many cheap postings PER SHARD to reach a
+    nonzero threshold — both want few big shards, which is also the
+    geometry every corpus past ~4M docs (and any 100 TB deployment)
+    lives at.  The old divisor 512 kept span at 4096 up to 2M docs:
+    244 pandas groups per query at 1M docs (measured ~2.2 s/query of
+    pure group overhead) and theta-starved bmp.  Build parallelism is
+    unaffected above ~32 shards, and the pre-encode stages parallelize
+    by input partition, not by shard."""
+    span = min(SPAN_MAX, max(SPAN_MIN, doc_count // 32 or 1))
     return max(1, -(-doc_count // span))
 
 

@@ -195,7 +195,9 @@ def _topk_select(cand, cs, sub_mask, cutoff):
         kth = np.partition(cs, cand.size - cutoff)[cand.size - cutoff]
         keep = cs >= kth
         cand, cs = cand[keep], cs[keep]
-    order = np.lexsort((cand, -cs.astype(np.float64)))[:cutoff]
+    # float32 negation is exact (sign-bit flip), so sorting ascending on
+    # -cs is bit-faithful descending-by-score — no float64 copy needed
+    order = np.lexsort((cand, -cs))[:cutoff]
     return cand[order], cs[order]
 
 
