@@ -110,6 +110,11 @@ def main():
     corpus_path = f"{args.workdir}/corpus"
     ref_path = f"{args.workdir}/index_ref"
     victim_path = f"{args.workdir}/index_victim"
+    # --keep preserves only the corpus: stale index dirs would make the
+    # kill-stage poll fire on the PREVIOUS run's manifest instantly
+    for p in (ref_path, victim_path):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
 
     spark = get_spark(app_name="resume-rehearsal",
                       master=f"local[{args.cpus}]",
