@@ -633,7 +633,14 @@ class PackedIndex:
                 np.fromiter(tomb, dtype=np.int64, count=len(tomb)),
             )
             q_s, d_s, s_s = q_s[live], d_s[live], s_s[live]
-        q_s, d_s, s_s, ranks = _rank_and_trim(q_s, d_s, s_s, cutoff)
+            q_s, d_s, s_s, ranks = _rank_and_trim(q_s, d_s, s_s, cutoff)
+        elif q_s.size and q_s[0] == q_s[-1]:
+            # one query, no overfetch (cutoff_eff == cutoff): rows are
+            # already rank-ordered and within the limit, so the group
+            # scan is pure overhead on the `search()` hot path
+            ranks = np.arange(1, q_s.size + 1, dtype=np.int64)
+        else:
+            q_s, d_s, s_s, ranks = _rank_and_trim(q_s, d_s, s_s, cutoff)
         # id resolution: one flat fancy index when the dense id space is
         # contiguous (the built layout), else per touched segment
         if cache.get("uris_flat") is not None:
