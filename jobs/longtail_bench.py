@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/longtail_bench")
     ap.add_argument("--keep", action="store_true",
                     help="reuse an existing corpus/index in --workdir")
+    ap.add_argument("--cache", action="store_true",
+                    help="idx.cache(): pin the postings relation in "
+                         "executor memory before serving (the reference's "
+                         "index-in-RAM regime)")
     args = ap.parse_args()
 
     from retriv_spark.corpus import generate_longtail_corpus, longtail_queries
@@ -113,6 +117,14 @@ def main():
         print(f"# index built in {build_sec:.1f}s "
               f"({args.docs / build_sec:.0f} docs/s)")
 
+    if args.cache:
+        t0 = time.perf_counter()
+        idx.cache()
+        print(f"# postings cached in {time.perf_counter() - t0:.1f}s")
+        out_cache = True
+    else:
+        out_cache = False
+
     queries = longtail_queries(args.queries)
 
     # routing probe: the exact gate msearch applies, on the exact qmap
@@ -145,7 +157,8 @@ def main():
 
     out = {"metric": "longtail_serving", "docs": args.docs,
            "queries": len(queries), "cutoff": args.cutoff,
-           "cpus": args.cpus, "auto_bmp_fraction": n_bmp / len(queries)}
+           "cpus": args.cpus, "cached": out_cache,
+           "auto_bmp_fraction": n_bmp / len(queries)}
     if build_sec is not None:
         out["build_sec"] = round(build_sec, 1)
     baseline = None
