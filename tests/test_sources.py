@@ -110,3 +110,26 @@ def test_read_collection_orc(spark, tmp_path):
     df.write.orc(path)
     got = read_collection(spark, path)
     assert {r["id"] for r in got.collect()} == {"a", "b"}
+
+
+def test_longtail_corpus_parallelism_invariant(spark):
+    """generate_longtail_corpus claims determinism at any parallelism
+    (per-row rng keyed on (seed, id)): same rows at 2 and 16 partitions,
+    and the df spectrum is long-tail (vocab >> the code corpus's ~300)."""
+    from retriv_spark.corpus import generate_longtail_corpus
+
+    a = sorted(
+        (r["id"], r["text"])
+        for r in generate_longtail_corpus(
+            spark, 400, partitions=2
+        ).collect()
+    )
+    b = sorted(
+        (r["id"], r["text"])
+        for r in generate_longtail_corpus(
+            spark, 400, partitions=16
+        ).collect()
+    )
+    assert a == b and len(a) == 400
+    vocab = {t for _, text in a for t in text.split()}
+    assert len(vocab) > 2000  # long tail, not a Zipf head
