@@ -83,6 +83,11 @@ def apply_changes(
         raise ValueError(
             f"unknown op {bad[0][op_col]!r} (expected one of {VALID_OPS})"
         )
+    if seq_col is not None and seq_col not in batch.columns:
+        raise ValueError(
+            f"seq_col {seq_col!r} is not a column of the change batch "
+            f"(has {batch.columns}); pass the offset/LSN column name"
+        )
     if seq_col is not None:
         # last change per id wins (order by the caller's sequence); the
         # window partitions on the id, so state per group is the few

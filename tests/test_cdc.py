@@ -210,3 +210,13 @@ def test_apply_changes_seq_col_upsert_then_delete_stays_deleted(
     ).collect()
     assert all(r["doc_id"] != 5 for r in all_hits)
     assert any(r["doc_id"] == 100 for r in all_hits)
+
+
+def test_apply_changes_rejects_unknown_seq_col(spark, tmp_path):
+    path = str(tmp_path / "cdc_badseq")
+    _build(spark, path)
+    batch = spark.createDataFrame(
+        [(5, "text", "upsert")], "id long, text string, op string"
+    )
+    with pytest.raises(ValueError, match="seq_col"):
+        apply_changes(spark, path, batch, seq_col="offset")
