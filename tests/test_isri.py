@@ -91,3 +91,29 @@ def test_factory_wires_isri():
     # the other Arabic variants stay fail-fast by documented policy
     with pytest.raises(AssertionError):
         get_stemmer("arlstem")
+
+
+def test_isri_total_function_fuzz():
+    """isri_stem is total over arbitrary unicode: never raises, always
+    returns str no longer than the diacritic-stripped input, and leaves
+    non-Arabic ASCII tokens unchanged (every affix/pattern table is
+    Arabic-script only)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=12))
+    def run(token):
+        out = isri_stem(token)
+        assert isinstance(out, str)
+        assert len(out) <= len(token)
+
+    run()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=33,
+                                          max_codepoint=126), max_size=10))
+    def ascii_passthrough(token):
+        assert isri_stem(token) == token
+
+    ascii_passthrough()
