@@ -1117,8 +1117,18 @@ class PackedIndex:
         )
         if n != int(self.manifest.get("tombstones", {}).get("count", 0)):
             self.manifest["tombstones"] = {"count": int(n)}
-            _write_manifest(self.path, self.manifest)
             self.__dict__.pop("_tomb_memo", None)
+            try:
+                _write_manifest(self.path, self.manifest)
+            except OSError as e:
+                # read-only serving mount: the in-memory manifest is
+                # reconciled (this handle serves correctly); the durable
+                # heal waits for a writer
+                import warnings
+
+                warnings.warn(
+                    f"could not persist reconciled tombstone count: {e}"
+                )
         return int(n)
 
     def _tombstones(self):

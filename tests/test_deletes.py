@@ -344,3 +344,36 @@ def test_distributed_resolver_raises_on_stale_handle():
         right,
     )
     assert list(ok["doc_id"]) == ["b"]
+
+
+def test_serve_time_reconcile_survives_readonly_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """A read-only serving mount must not crash on the serve-time
+    tombstone reconcile: the in-memory handle heals and masks
+    correctly; only the durable manifest write is skipped (warned)."""
+    import warnings
+
+    from retriv_spark.index import packed as P
+
+    path = str(tmp_path / "d12")
+    idx = _build(spark, path, hi=30)
+    idx.delete_docs([1, 2])
+    m = P._load_manifest(path)
+    m["tombstones"] = {"count": 0}
+    P._write_manifest(path, m)
+
+    idx2 = load_packed_index(spark, path)
+
+    def deny(*a, **k):
+        raise OSError(30, "Read-only file system")
+
+    monkeypatch.setattr(P, "_write_manifest", deny)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            r["doc_id"]
+            for r in idx2.msearch_df(QUERIES, cutoff=200).collect()
+        }
+    assert not ({1, 2} & got)  # masked despite the failed persist
+    assert any("reconciled tombstone" in str(x.message) for x in w)
