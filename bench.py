@@ -172,14 +172,30 @@ def main():
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     timings = {}
+    spread = {}
 
     # -- catalog queries (over the warm shared index, like msearch below) ----
+    # best-of-N with the min/median spread persisted per leg: a single
+    # pass cannot distinguish a real regression from a noisy driver
+    # window (r4 showed +20-35% swings on legs whose code had not
+    # changed).  The leg value stays the MIN (the machine's deliverable
+    # rate, the cross-round comparable); the median quantifies the
+    # window's noise so a reader can adjudicate without append logs.
+    n_passes = max(1, int(os.environ.get("BENCH_PASSES", "3")))
     for name in names:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(n_passes):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        spread[name] = {
+            "min": round(runs[0], 3),
+            "median": round(runs[len(runs) // 2], 3),
+        }
 
     # -- headline: packed-index build rate (the persisted production path) ---
     import shutil
@@ -265,6 +281,8 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "bench_passes": n_passes,
                 "sf": sf,
                 "cpus": cpus,
                 "n_docs": n_docs,

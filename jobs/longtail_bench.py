@@ -45,7 +45,20 @@ def main():
                     help="idx.cache(): pin the postings relation in "
                          "executor memory before serving (the reference's "
                          "index-in-RAM regime)")
+    ap.add_argument("--local", action="store_true",
+                    help="measure the DRIVER-LOCAL serving path (the "
+                         "reference's in-process regime): raises "
+                         "RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS, verifies "
+                         "the first queries against the distributed plan, "
+                         "then reports warm single-query qps over 3 passes")
+    ap.add_argument("--local-verify", type=int, default=8,
+                    help="how many queries to cross-check local vs "
+                         "distributed in --local mode")
     args = ap.parse_args()
+    if args.local:
+        os.environ.setdefault(
+            "RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS", "200000000"
+        )
 
     from retriv_spark.corpus import generate_longtail_corpus, longtail_queries
     from retriv_spark.index.packed import (
@@ -126,6 +139,53 @@ def main():
         out_cache = False
 
     queries = longtail_queries(args.queries)
+
+    if args.local:
+        # -- driver-local serving path (reference in-process regime) ----
+        assert idx._local_path_ready(), (
+            "local path not ready — check "
+            "RETRIV_SPARK_LOCAL_QUERY_MAX_POSTINGS vs the index size"
+        )
+        # identity: the local kernels vs the distributed plan, first
+        # --local-verify queries (the full cross-check is the
+        # batch≡local pytest suite; here we spot-pin this exact corpus)
+        for q in queries[: args.local_verify]:
+            dist = idx.msearch_df(
+                [q], cutoff=args.cutoff, kernel="taat"
+            ).collect()
+            loc = idx.msearch_dicts([q], cutoff=args.cutoff)
+            assert loc is not None
+            got = list(loc[q["id"]].items())
+            want = [(r["doc_id"], float(r["score"])) for r in dist]
+            assert [(d, s) for d, s in got] == want, (
+                f"local diverges from distributed on {q['id']}: "
+                f"{got[:3]} vs {want[:3]}"
+            )
+        print(f"# local≡distributed on {args.local_verify} queries")
+        # warm pass fills the decoded/sparse caches; then best-of-3
+        t0 = time.perf_counter()
+        for q in queries:
+            idx.msearch_dicts([q], cutoff=args.cutoff)
+        cold_sec = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for q in queries:
+                idx.msearch_dicts([q], cutoff=args.cutoff)
+            best = min(best, time.perf_counter() - t0)
+        out = {
+            "metric": "longtail_serving_local",
+            "docs": args.docs, "queries": len(queries),
+            "cutoff": args.cutoff, "cpus": args.cpus,
+            "cold_sec": round(cold_sec, 2),
+            "cold_qps": round(len(queries) / cold_sec, 1),
+            "warm_sec": round(best, 3),
+            "warm_qps": round(len(queries) / best, 1),
+        }
+        if build_sec is not None:
+            out["build_sec"] = round(build_sec, 1)
+        print(json.dumps(out))
+        return 0
 
     # routing probe: the exact gate msearch applies, on the exact qmap
     routes = {}

@@ -535,6 +535,7 @@ class PackedIndex:
             )
             cache["decoded"] = {}
             cache["vecs"] = {}
+            cache["sp"] = {}
             # Pre-group rows once AND merge every shard into ONE virtual
             # shard (base 0, span = doc_count): per-kernel-call Python
             # overhead dominates single-query latency, and driver-side
@@ -557,6 +558,16 @@ class PackedIndex:
         if len(cache["vecs"]) * span_local * 8 > 256 * 1024 * 1024:
             cache["vecs"].clear()
             cache["decoded"].clear()
+        # sparse per-term structures are df-sized, not span-sized —
+        # account for their ACTUAL bytes separately (at 1M docs a dense
+        # budget of 32 vectors would evict the whole working set, while
+        # thousands of sparse terms fit)
+        sp = cache.setdefault("sp", {})
+        if (
+            sum(v[0].nbytes + v[1].nbytes for v in sp.values())
+            > 256 * 1024 * 1024
+        ):
+            sp.clear()
 
         terms_needed = sorted(
             {t for tl in qmap_idx.values() for t, _ in tl}
@@ -574,6 +585,7 @@ class PackedIndex:
             subset_doc_ids=subset_doc_ids,
             decoded_cache=cache["decoded"], vec_cache=cache["vecs"],
             idf_cache=cache.setdefault("idfs", {}),
+            sp_cache=sp,
         )
         parts = []
         for shard in sorted(cache["by_shard"]):
@@ -634,10 +646,14 @@ class PackedIndex:
             )
             q_s, d_s, s_s = q_s[live], d_s[live], s_s[live]
             q_s, d_s, s_s, ranks = _rank_and_trim(q_s, d_s, s_s, cutoff)
-        elif q_s.size and q_s[0] == q_s[-1]:
-            # one query, no overfetch (cutoff_eff == cutoff): rows are
-            # already rank-ordered and within the limit, so the group
-            # scan is pure overhead on the `search()` hot path
+        elif len(parts) == 1 and q_s.size and q_s[0] == q_s[-1]:
+            # one query from ONE kernel part, no overfetch: the kernel
+            # already trimmed to cutoff and rank-ordered, so the group
+            # scan is pure overhead on the `search()` hot path.  The
+            # len(parts) guard matters for a future unmerged-shard
+            # layout: a multi-part merge can carry up to
+            # len(parts)*cutoff rows for one query, which MUST go
+            # through _rank_and_trim.
             ranks = np.arange(1, q_s.size + 1, dtype=np.int64)
         else:
             q_s, d_s, s_s, ranks = _rank_and_trim(q_s, d_s, s_s, cutoff)
@@ -1100,6 +1116,10 @@ class PackedIndex:
             self.manifest["tombstones"] = {"count": total}
             _write_manifest(self.path, self.manifest)
             self.__dict__.pop("_tomb_memo", None)
+            # keep the per-handle pending memo coherent with the append
+            # this handle just made (the table and this count agree by
+            # construction — no re-count job needed)
+            self.__dict__["_pending_memo"] = total
         return n_new
 
     def pending_tombstones(self) -> int:
@@ -1109,7 +1129,16 @@ class PackedIndex:
         table append and the manifest write; this call reconciles the
         manifest whenever the two disagree.  ``index/sync.py`` and the
         CDC path gate their purge legs on this, never on the raw
-        manifest field."""
+        manifest field.
+
+        The table count() runs ONCE per loaded handle: afterwards the
+        table and this handle's view can only diverge through this
+        handle's own writes (:meth:`delete_docs` updates the memo in
+        step), so repeated gating calls — one per CDC micro-batch on a
+        long-lived handle — cost no Spark job."""
+        memo = self.__dict__.get("_pending_memo")
+        if memo is not None:
+            return memo
         n = (
             self.io.read("tombstones").select(DOC_ID).count()
             if self.io.exists("tombstones")
@@ -1119,7 +1148,15 @@ class PackedIndex:
             self.manifest["tombstones"] = {"count": int(n)}
             self.__dict__.pop("_tomb_memo", None)
             try:
-                _write_manifest(self.path, self.manifest)
+                # heal ONLY the tombstone field on disk: this handle's
+                # in-memory manifest may be stale in OTHER fields (a
+                # concurrent writer's sync/compact), and rewriting the
+                # whole file from it would roll those back
+                # (last-rename-wins).  Re-load, patch, write.
+                disk = _load_manifest(self.path)
+                if disk is not None:
+                    disk["tombstones"] = {"count": int(n)}
+                    _write_manifest(self.path, disk)
             except OSError as e:
                 # read-only serving mount: the in-memory manifest is
                 # reconciled (this handle serves correctly); the durable
@@ -1129,6 +1166,7 @@ class PackedIndex:
                 warnings.warn(
                     f"could not persist reconciled tombstone count: {e}"
                 )
+        self.__dict__["_pending_memo"] = int(n)
         return int(n)
 
     def _tombstones(self):

@@ -266,6 +266,7 @@ def make_shard_kernel(
     decoded_cache=None,
     vec_cache=None,
     idf_cache=None,
+    sp_cache=None,
 ):
     """Build the applyInPandas function for one msearch batch.
 
@@ -405,9 +406,15 @@ def make_shard_kernel(
             dense_ok = (
                 len(segs) * span * 8 + slab_bytes <= DENSE_BUDGET_BYTES
             )
-            if dense_ok:
-                vecs = {}
+            vecs: dict = {}
+
+            def _ensure_vecs():
+                # built lazily: the sparse single-query path below never
+                # touches span-sized vectors, so a query it fully
+                # handles must not pay the O(terms × span) build
                 for t, (doc_ids, tfs, dls) in segs.items():
+                    if t in vecs:
+                        continue
                     vk = (shard, t, model, k1, b)
                     if vec_cache is not None and vk in vec_cache:
                         vecs[t] = vec_cache[vk]
@@ -419,6 +426,47 @@ def make_shard_kernel(
                     vecs[t] = v
                     if vec_cache is not None:
                         vec_cache[vk] = v
+
+            def _sparse(t):
+                # df-SIZED per-term structure for the single-query path:
+                # (sorted absolute doc ids, aligned float64 partials,
+                # max partial).  Values are EXACTLY the non-zero entries
+                # of the dense vector _ensure_vecs builds — a gather
+                # from either source yields bit-identical addends.
+                key = (shard, t, model, k1, b)
+                hit = sp_cache.get(key) if sp_cache is not None else None
+                if hit is not None:
+                    return hit
+                doc_ids, tfs, dls = segs[t]
+                part = _partial_scores(
+                    tfs, dls, idf_by_term[t], model, k1, b, avg_doc_len
+                )
+                if doc_ids.size > 1 and not np.all(
+                    doc_ids[1:] >= doc_ids[:-1]
+                ):
+                    o = np.argsort(doc_ids, kind="stable")
+                    ids_s, part_s = doc_ids[o], part[o]
+                else:
+                    ids_s, part_s = doc_ids, np.asarray(part)
+                ub = float(part_s.max()) if part_s.size else 0.0
+                val = (ids_s, part_s, ub)
+                if sp_cache is not None:
+                    sp_cache[key] = val
+                return val
+
+            def _sparse_gather(t, cand_abs):
+                # partials of term t at the sorted absolute ids in
+                # cand_abs, 0.0 where the doc lacks the term — the
+                # sparse equivalent of vecs[t][cand_abs - base]
+                ids_s, part_s, _ = _sparse(t)
+                g = np.zeros(cand_abs.size, dtype=np.float64)
+                if ids_s.size:
+                    pos = np.searchsorted(ids_s, cand_abs)
+                    np.minimum(pos, ids_s.size - 1, out=pos)
+                    hit = ids_s[pos] == cand_abs
+                    g[hit] = part_s[pos[hit]]
+                return g
+
             q_ids_out: list = []
             q_counts: list = []
             d_chunks: list = []
@@ -442,31 +490,140 @@ def make_shard_kernel(
                 if p and not (is_and and len(p) < nt)
             ]
 
-            if dense_ok and not is_and and len(live) == 1:
+            if not is_and and len(live) == 1:
                 # ONE-query OR fast path (the reference's `search` loop
-                # protocol, one query per batch): gather the cached dense
-                # vectors at the UNION of the query terms' posting
-                # positions instead of streaming the full span through
-                # the tiled accumulator.  Work drops from
-                # O(terms × span) to O(Σ df) — measured ~1.6x on
-                # single-query serving.  Bit-identity: every candidate
-                # slot receives the SAME addends in the SAME canonical
-                # sorted-term order as the tiled loop (vecs[t][cand] is
-                # exactly the tile's slice values, 0.0 where the doc
-                # lacks the term, and fl32(0 + x) == fl32(x) makes the
-                # astype seed equal to the zeros-init first add); docs
-                # outside the union score exactly 0 in the dense path
-                # (every addend 0.0) and are dropped there by the
-                # `row > 0` cut, so the candidate sets agree too.
+                # protocol, one query per batch): score only at the
+                # UNION of the query terms' posting positions instead of
+                # streaming/scattering over the full span.  Work drops
+                # from O(terms × span) to O(Σ df).  Runs in BOTH the
+                # dense regime (span within budget: gather from the
+                # cached float64 vectors) and the big-span regime where
+                # dense_ok is false (1M-doc local serving: gather from
+                # df-sized sorted-sparse structures — no span-sized
+                # allocation anywhere on the query path).  Bit-identity:
+                # every candidate slot receives the SAME addends in the
+                # SAME canonical `present` order as the tiled loop
+                # (gathers yield the dense vector's values, 0.0 where
+                # the doc lacks the term, and fl32(0 + x) == fl32(x)
+                # makes the astype seed equal to the zeros-init first
+                # add); docs outside the union score exactly 0 there and
+                # are dropped by the `> 0` cut, so candidate sets agree.
                 q_id, present, _nt = live[0]
                 sum_df = sum(segs[t][0].size for t, _ in present)
-                if len(present) > 1 and sum_df * 8 >= span:
-                    # posting-heavy query: streaming the full dense
-                    # vectors (pure sequential adds + one flatnonzero
-                    # pass) beats building a sorted candidate union —
-                    # np.unique's O(n log n) sort loses to O(span)
-                    # sequential bandwidth once Σ df is within ~1/8 of
-                    # the span (measured on the sf0.1 bench corpus)
+                if dense_ok:
+                    _ensure_vecs()
+
+                def _gather_union(seed_terms):
+                    # candidate union seeded from seed_terms' postings;
+                    # scores gathered over ALL query terms in canonical
+                    # `present` order — identical addends/order to the
+                    # tiled loop restricted to these docs
+                    pos_parts = [segs[t][0] for t, _ in seed_terms]
+                    cand_abs = (
+                        pos_parts[0]
+                        if len(pos_parts) == 1
+                        else np.unique(np.concatenate(pos_parts))
+                    )
+                    acc = None
+                    for t, n_occ in present:
+                        g = (
+                            vecs[t][cand_abs - base]
+                            if dense_ok
+                            else _sparse_gather(t, cand_abs)
+                        )
+                        if n_occ != 1:
+                            g = g * n_occ
+                        if acc is None:
+                            # fl32(0 + x) == fl32(x): the astype seed is
+                            # bit-equal to the zeros-init first add
+                            acc = g.astype(np.float32)
+                        else:
+                            np.add(acc, g, out=acc, casting="unsafe")
+                    cand = cand_abs - base
+                    keep = acc > 0
+                    if not keep.all():
+                        cand, acc = cand[keep], acc[keep]
+                    return cand, acc
+
+                done = False
+                heavy = len(present) > 1 and sum_df * 8 >= span
+                if sub_mask is None and len(present) > 1 and (
+                    heavy if dense_ok else sum_df >= 8192
+                ):
+                    # Posting-heavy query: before paying the exact full
+                    # pass below, try a SCORE-PRESERVING MaxScore split
+                    # (Turtle & Flood 1995): terms whose maximum
+                    # possible contribution is small (the high-df,
+                    # low-idf head terms that make the query heavy in
+                    # the first place) are marked non-essential; the
+                    # candidate union is seeded from the ESSENTIAL lists
+                    # only, every candidate still gets its EXACT score
+                    # over all terms (same addends, same canonical
+                    # order), and the split is only accepted when the
+                    # fl32-accumulated sum of the non-essential maxima
+                    # is STRICTLY below the cutoff-th candidate score —
+                    # then no doc matching only non-essential terms can
+                    # reach the top-k, even on ties (its score is
+                    # strictly lower; fl32 rounding is monotone, so the
+                    # running-max bound dominates any subset
+                    # accumulation).  This is the 1M-doc single-query
+                    # regime where the full pass measured ~10 ms: work
+                    # drops to O(Σ essential df).
+                    ubs = [
+                        _sparse(t)[2] * (n if n != 1 else 1)
+                        for t, n in present
+                    ]
+                    # prune target: the essential union must be small
+                    # enough that the gather decisively beats the exact
+                    # fallback (full dense stream when span is budgeted,
+                    # full-union gather otherwise)
+                    target_df = (
+                        span // 8 if dense_ok
+                        else max(cutoff * 4, sum_df // 8)
+                    )
+                    order = sorted(
+                        range(len(present)), key=lambda i: ubs[i]
+                    )
+                    excluded = set()
+                    kept_df = sum_df
+                    for i in order[:-1]:  # always keep >= 1 term
+                        if kept_df <= target_df:
+                            break
+                        excluded.add(i)
+                        kept_df -= segs[present[i][0]][0].size
+                    if excluded and kept_df <= target_df:
+                        kept = [
+                            present[i]
+                            for i in range(len(present))
+                            if i not in excluded
+                        ]
+                        # fl32-accumulated bound over the excluded
+                        # maxima in canonical order: dominates the fl32
+                        # score of any doc matching only excluded terms
+                        bound = np.float32(0.0)
+                        for i in range(len(present)):
+                            if i in excluded:
+                                bound = np.float32(bound + ubs[i])
+                        cand, acc = _gather_union(kept)
+                        if cand.size >= cutoff:
+                            kth = np.partition(
+                                acc, cand.size - cutoff
+                            )[cand.size - cutoff]
+                            if bound < kth:
+                                _select_topk(q_id, cand, acc)
+                                done = True
+                        # validation failed (fewer than cutoff
+                        # essential candidates, or the excluded bound
+                        # could reach the k-th score): fall through to
+                        # the exact paths below
+                if not done and dense_ok and heavy:
+                    # posting-heavy query in the dense regime: streaming
+                    # the full dense vectors (pure sequential adds + one
+                    # flatnonzero pass) beats building a sorted
+                    # candidate union — np.unique's O(n log n) sort
+                    # loses to O(span) sequential bandwidth once Σ df is
+                    # within ~1/8 of the span (measured on the sf0.1
+                    # bench corpus)
                     acc = None
                     for t, n_occ in present:
                         v = vecs[t]
@@ -480,25 +637,8 @@ def make_shard_kernel(
                             np.add(acc, v, out=acc, casting="unsafe")
                     cand = np.flatnonzero(acc > 0)
                     _select_topk(q_id, cand, acc[cand])
-                else:
-                    pos_parts = [segs[t][0] for t, _ in present]
-                    cand = (
-                        pos_parts[0]
-                        if len(pos_parts) == 1
-                        else np.unique(np.concatenate(pos_parts))
-                    ) - base
-                    acc = None
-                    for t, n_occ in present:
-                        g = vecs[t][cand]
-                        if n_occ != 1:
-                            g = g * n_occ
-                        if acc is None:
-                            acc = g.astype(np.float32)
-                        else:
-                            np.add(acc, g, out=acc, casting="unsafe")
-                    keep = acc > 0
-                    if not keep.all():
-                        cand, acc = cand[keep], acc[keep]
+                elif not done:
+                    cand, acc = _gather_union(present)
                     _select_topk(q_id, cand, acc)
             elif dense_ok:
                 # TERM-MAJOR, doc-TILED accumulation over query chunks.
@@ -522,6 +662,7 @@ def make_shard_kernel(
                 # shared-LLC slice while the term loop runs over a tile
                 # (CHUNK/TILE are module constants — the dense_ok budget
                 # above accounts for the full CHUNK×span slab)
+                _ensure_vecs()
                 for c0 in range(0, len(live), CHUNK):
                     chunk = live[c0:c0 + CHUNK]
                     users: dict = {}

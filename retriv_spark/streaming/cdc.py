@@ -44,6 +44,7 @@ def apply_changes(
     op_col: str = "op",
     seq_col: Optional[str] = None,
     batch_id=None,
+    purge_pending_max: int = 0,
 ) -> Tuple[PackedIndex, dict]:
     """Apply ONE batch of change rows to the index at ``index_path``.
 
@@ -55,11 +56,27 @@ def apply_changes(
     one id (several upserts, or upsert-then-delete).  With ``seq_col``
     (an offset / LSN / event-time column), the LAST change per id wins
     — exactly one live version per id, and an upsert-then-delete stays
-    deleted (ties on ``seq_col`` resolve to the upsert).  Without it
-    there is no order to recover, so a batch with >1 upsert row for the
-    same id FAILS FAST (appending both would create two live documents
-    with the same original id); a single upsert still wins over a
-    delete for the same id, as documented."""
+    deleted (ties on ``seq_col`` resolve to the upsert).  Byte-identical
+    duplicate rows (source redelivery folded into one batch) collapse
+    first; after that, two DIFFERENT upsert payloads for one id sharing
+    one seq value FAIL FAST — there is no order to recover between
+    them, and letting row_number pick would make which text survives
+    nondeterministic across runs.  Without ``seq_col`` a batch with >1
+    distinct upsert row for the same id fails fast for the same reason;
+    a single upsert still wins over a delete for the same id.
+
+    ``purge_pending_max``: purge-cadence policy.  The default 0 purges
+    physically on every batch that tombstoned anything (simplest, and
+    what the equivalence tests pin).  At scale a purge is a full segment
+    compaction, so paying it per micro-batch is wasteful churn: a
+    positive value lets tombstones ACCUMULATE across batches and only
+    compacts once the pending count exceeds the threshold (serving
+    stays correct meanwhile — the serve-time mask handles pending
+    tombstones — so the threshold is additionally clamped to the
+    serve-time bound ``TOMBSTONE_SERVE_MAX``).  Amortized cost: one
+    compaction per ~``purge_pending_max`` deletes instead of one per
+    batch."""
+    from ..index.packed import TOMBSTONE_SERVE_MAX
     from .ingest import append_batch
 
     manifest = _load_manifest(index_path)
@@ -78,30 +95,75 @@ def apply_changes(
     id_col = idx.manifest["orig_id_col"]
     text_col = idx.manifest.get("text_col", "text")
 
-    bad = batch.where(~F.col(op_col).isin(*VALID_OPS)).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"unknown op {bad[0][op_col]!r} (expected one of {VALID_OPS})"
-        )
     if seq_col is not None and seq_col not in batch.columns:
         raise ValueError(
             f"seq_col {seq_col!r} is not a column of the change batch "
             f"(has {batch.columns}); pass the offset/LSN column name"
         )
+
+    # ONE validation pre-pass job for the whole batch (bad-op, duplicate
+    # /tied upserts, live-upsert count): chained aggregations collapse
+    # to scalars executor-side — nothing batch-sized reaches the driver.
+    # Byte-identical duplicate rows collapse first so folded source
+    # redelivery is not mistaken for a conflicting double-upsert.
+    keep_cols = [id_col, text_col, op_col] + (
+        [seq_col] if seq_col is not None else []
+    )
+    dedup = batch.select(*keep_cols).dropDuplicates(keep_cols)
+    grp_seq = [F.col(seq_col)] if seq_col is not None else []
+    per_key = dedup.groupBy(F.col(id_col), *grp_seq, F.col(op_col)).agg(
+        F.count("*").alias("_c")
+    )
     if seq_col is not None:
-        # last change per id wins (order by the caller's sequence); the
-        # window partitions on the id, so state per group is the few
-        # change rows for one key — micro-batch-bounded either way
+        # last change per id = max (seq, op) — 'upsert' > 'delete'
+        # lexically, so a seq tie between an upsert and a delete
+        # resolves to the upsert, matching the documented no-seq rule
+        per_id = per_key.groupBy(id_col).agg(
+            F.max(
+                F.struct(F.col(seq_col).alias("s"), F.col(op_col).alias("o"))
+            ).alias("_last"),
+            F.max(
+                F.when(
+                    (F.col(op_col) == "upsert") & (F.col("_c") > 1),
+                    F.col(seq_col),
+                )
+            ).alias("_tie_seq"),
+            F.max(
+                F.when(~F.col(op_col).isin(*VALID_OPS), F.col(op_col))
+            ).alias("_bad"),
+        )
+        pre = per_id.agg(
+            F.sum(
+                F.when(F.col("_last.o") == "upsert", 1).otherwise(0)
+            ).alias("n_up"),
+            F.max(
+                F.when(F.col("_tie_seq").isNotNull(), F.col(id_col))
+            ).alias("tie_id"),
+            F.max("_bad").alias("bad_op"),
+        ).collect()[0]
+        if pre["bad_op"] is not None:
+            raise ValueError(
+                f"unknown op {pre['bad_op']!r} "
+                f"(expected one of {VALID_OPS})"
+            )
+        if pre["tie_id"] is not None:
+            raise ValueError(
+                f"CDC batch has two different upsert payloads for id "
+                f"{pre['tie_id']!r} with the same {seq_col} value; "
+                "which one wins would be nondeterministic — assign "
+                "distinct sequence values"
+            )
         from pyspark.sql import Window
 
         w = Window.partitionBy(id_col).orderBy(
             F.col(seq_col).desc(),
             # tie on seq: prefer the upsert ('upsert' > 'delete'),
-            # matching the documented no-seq rule
+            # matching the documented no-seq rule; upsert-upsert ties
+            # were rejected above, so _rn == 1 is deterministic
             F.col(op_col).desc(),
         )
         last = (
-            batch.withColumn("_rn", F.row_number().over(w))
+            dedup.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
@@ -109,43 +171,56 @@ def apply_changes(
             F.col(id_col), F.col(text_col)
         )
     else:
-        # no order to recover: two upserts for one id would append two
-        # live documents with the same original id — refuse loudly and
-        # point at seq_col instead of guessing
-        dup = (
-            batch.where(F.col(op_col) == "upsert")
-            .groupBy(id_col)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
+        # no order to recover: two DISTINCT upserts for one id would
+        # append two live documents with the same original id — refuse
+        # loudly and point at seq_col instead of guessing
+        pre = per_key.agg(
+            F.sum(
+                F.when(F.col(op_col) == "upsert", F.col("_c")).otherwise(0)
+            ).alias("n_up"),
+            F.max(
+                F.when(
+                    (F.col(op_col) == "upsert") & (F.col("_c") > 1),
+                    F.col(id_col),
+                )
+            ).alias("dup_id"),
+            F.max(
+                F.when(~F.col(op_col).isin(*VALID_OPS), F.col(op_col))
+            ).alias("bad_op"),
+        ).collect()[0]
+        if pre["bad_op"] is not None:
             raise ValueError(
-                f"CDC batch has {dup[0]['count']} upsert rows for id "
-                f"{dup[0][id_col]!r} and no seq_col to order them; pass "
+                f"unknown op {pre['bad_op']!r} "
+                f"(expected one of {VALID_OPS})"
+            )
+        if pre["dup_id"] is not None:
+            raise ValueError(
+                f"CDC batch has multiple distinct upsert rows for id "
+                f"{pre['dup_id']!r} and no seq_col to order them; pass "
                 "seq_col=<offset/LSN column> so the last change per id "
                 "wins"
             )
         # a delete and a (single) upsert for the same id: the upsert
         # wins (the delete leg tombstones the current version either
         # way)
-        upserts = batch.where(F.col(op_col) == "upsert").select(
+        upserts = dedup.where(F.col(op_col) == "upsert").select(
             F.col(id_col), F.col(text_col)
         )
+    n_up = int(pre["n_up"] or 0)
+
     stale_ids = batch.select(F.col(id_col)).distinct()
     n_del = idx.delete_docs(stale_ids, max_pending=None)
     pending = int(idx.manifest.get("tombstones", {}).get("count", 0))
-    if pending:
+    purge_gate = min(max(int(purge_pending_max), 0), TOMBSTONE_SERVE_MAX)
+    if pending > purge_gate:
         compact_index(spark, index_path, purge_deletes=True)
 
-    n_up = upserts.count()
     if n_up:
         idx = append_batch(spark, index_path, upserts, batch_id=batch_id)
     else:
         # delete-only batch: nothing to append, so no registry entry —
         # safe, because replaying a delete-only batch is a pure no-op
-        # (its ids are already purged) and foreachBatch only ever
+        # (its ids are already tombstoned) and foreachBatch only ever
         # redelivers the LAST uncommitted batch
         idx = load_packed_index(spark, index_path)
     return idx, {"replayed": False, "upserts": n_up, "deletes": n_del}
@@ -160,17 +235,22 @@ def stream_changes(
     checkpoint: Optional[str] = None,
     trigger_once: bool = True,
     queryName: str = "index-cdc",
+    purge_pending_max: int = 0,
 ):
     """readStream of change rows → per-micro-batch :func:`apply_changes`.
 
     The micro-batch id keys the exactly-once registry, so source
     redelivery (checkpoint replay) is idempotent.  Batches apply
-    SEQUENTIALLY (foreachBatch), preserving change order."""
+    SEQUENTIALLY (foreachBatch), preserving change order.
+    ``purge_pending_max`` is the purge-cadence policy passed through to
+    :func:`apply_changes` — at a positive value a long-running CDC
+    stream compacts once per ~threshold deletes instead of once per
+    micro-batch."""
 
     def _apply(df: DataFrame, bid: int):
         apply_changes(
             spark, index_path, df, op_col=op_col, seq_col=seq_col,
-            batch_id=f"cdc-{bid}",
+            batch_id=f"cdc-{bid}", purge_pending_max=purge_pending_max,
         )
 
     w = (
