@@ -1799,6 +1799,63 @@ def q_bm25_lancaster(spark, sf_dir):
     )
 
 
+# Krovetz (KSTEM) full-pipeline pair: same corpus and quirk as
+# bm25_stemmed, but through the clean-room lexicon-gated inflectional
+# stemmer (Krovetz 1993; reference stemmer.py:11, krovetzstemmer) — the
+# distinctive behavior exercised end-to-end is the licensed rewrite
+# ("queries" -> "query" where Porter yields "queri") and inflection
+# conflation ("joined"/"scanning"/"sorted" score their base-form docs).
+KROVETZ_QUERIES = [
+    ("q1", "the tables spark"),
+    ("q2", "queries customers joined"),
+    ("q3", "merged values scanning"),
+    ("q4", "windows sorted streams"),
+]
+
+
+def _krovetz_tok_sql() -> str:
+    from .preprocessing.krovetz import krovetz_stem
+
+    return _quirk_tok_sql(krovetz_stem)
+
+
+def _krovetz_pre() -> TextPreprocessor:
+    return TextPreprocessor(
+        tokenizer="whitespace", stemmer="krovetz", stopwords="english",
+    )
+
+
+def q_bm25_krovetz(spark, sf_dir):
+    """BM25 through the Krovetz pipeline (tokenize -> stemmed-stopword
+    filter -> KSTEM inflectional rules), query side on the SAME pipe."""
+    docs = _docs(spark, sf_dir)
+    pre = _krovetz_pre()
+    idx = build_index(
+        spark, docs, pre,
+        text_col="text", id_col="doc_id",
+        order_cols=["doc_id"], min_df=1,
+        doc_id_col_precomputed="doc_id",
+    )
+    rows = [
+        (qid, t, 1) for qid, text in KROVETZ_QUERIES for t in pre(text)
+    ]
+    qt = spark.createDataFrame(rows, "q_id string, term string, n_occ int")
+    scored = score_query_terms(
+        idx, qt, model="bm25", k1=K1, b=B, cutoff=CUTOFF,
+        precision="float64",
+    )
+    return (
+        scored.join(idx.doc_map, DOC_ID)
+        .select(
+            "q_id",
+            F.col("doc_id"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 # Arabic full-pipeline pair: RTL Arabic-script text through normalization +
 # whitespace tokenizer + the arabic stop-word list, stemmer=None — the point
 # is the stop-word tier added in round 3 (reference stopwords.py:5-34 lists
@@ -3056,11 +3113,65 @@ def q_winnowing(spark, sf_dir):
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Order matters: the driver's CORRECTNESS snapshot takes the
-    # catalog HEAD (~50 pairs).  Head = the pairs with no driver row
-    # in r1-r3 yet, then the pairs whose implementation changed in
-    # r4 (tombstone commit point, CDC dedupe, id resolver) plus the
-    # flagships — so every pair ends up driver-verified across
-    # rounds.  jobs/validate_oracle.py still checks all 114.
+    # catalog HEAD (~50 pairs).  r5 head = (a) the pairs whose
+    # implementation changed this round (bm25_krovetz NEW; the
+    # CDC/tombstone rework behind cdc_apply/sync_reindex/delete/
+    # purge/compact; the packed-serving kernel rework behind the
+    # streaming/msearch pairs), then (b) every pair whose last
+    # green driver row is r2 (the stalest), then (c) the oldest
+    # r3 rows (the r1-era flagships postings_stats/doc_lens/
+    # metadata_filter among them).  jobs/validate_oracle.py still
+    # checks all 116.
+    "bm25_krovetz": q_bm25_krovetz,
+    "cdc_apply": q_cdc_apply,
+    "sync_reindex": q_sync_reindex,
+    "delete_docs": q_delete_docs,
+    "purge_rebuild": q_purge_rebuild,
+    "compacted_index": q_compacted_index,
+    "streaming_search": q_streaming_search,
+    "streaming_ingest": q_streaming_ingest,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "bm25_french": q_bm25_french,
+    "bm25_lancaster": q_bm25_lancaster,
+    "bm25_must_not": q_bm25_must_not,
+    "bm25_russian": q_bm25_russian,
+    "bm25_stemmed": q_bm25_stemmed,
+    "bm25_wordpunct": q_bm25_wordpunct,
+    "bsearch_qrels": q_bsearch_qrels,
+    "chunk_documents": q_chunk_documents,
+    "collection_stats": q_collection_stats,
+    "decontaminate": q_decontaminate,
+    "dedup_embedding": q_dedup_embedding,
+    "eval_ndcg": q_eval_ndcg,
+    "filters_only": q_filters_only,
+    "fingerprint": q_fingerprint,
+    "fusion_maxnorm": q_fusion_maxnorm,
+    "fusion_sumnorm": q_fusion_sumnorm,
+    "fusion_three_runs": q_fusion_three_runs,
+    "lang_id": q_lang_id,
+    "multimodal_meta": q_multimodal_meta,
+    "pack_sequences": q_pack_sequences,
+    "pii_redact": q_pii_redact,
+    "repetition_stats": q_repetition_stats,
+    "search_fetch_docs": q_search_fetch_docs,
+    "sessionize": q_sessionize,
+    "stratified_sample": q_stratified_sample,
+    "postings_stats": q_postings_stats,
+    "doc_lens": q_doc_lens,
+    "metadata_filter": q_metadata_filter,
+    "vocab_min_df": q_vocab_min_df,
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_canonical": q_dedup_exact_canonical,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
+    "dedup_minhash_char": q_dedup_minhash_char,
+    "dedup_jaccard_char": q_dedup_jaccard_char,
+    "dedup_clusters": q_dedup_clusters,
+    "simhash": q_simhash,
+    "token_count": q_token_count,
+    "wordpiece_count": q_wordpiece_count,
+    "wordpiece_encode": q_wordpiece_encode,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "bm25_finnish": q_bm25_finnish,
     "bm25_arabic": q_bm25_arabic,
     "bm25_isri": q_bm25_isri,
@@ -3074,8 +3185,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_removal": q_boilerplate_removal,
     "paragraph_dup_stats": q_paragraph_dup_stats,
     "paragraph_dedup": q_paragraph_dedup,
-    "compacted_index": q_compacted_index,
-    "streaming_search": q_streaming_search,
     "quality_filter": q_quality_filter,
     "repeated_spans": q_repeated_spans,
     "strip_spans": q_strip_spans,
@@ -3099,10 +3208,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bracket_balance": q_bracket_balance,
     "corpus_report": q_corpus_report,
     "streaming_neardup": q_streaming_neardup,
-    "delete_docs": q_delete_docs,
-    "purge_rebuild": q_purge_rebuild,
-    "sync_reindex": q_sync_reindex,
-    "cdc_apply": q_cdc_apply,
     "bm25_topk": q_bm25_topk,
     "bm25_and": q_bm25_and,
     "tfidf_topk": q_tfidf_topk,
@@ -3111,24 +3216,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_fusion": q_hybrid_fusion,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "streaming_ingest": q_streaming_ingest,
-    "postings_stats": q_postings_stats,
-    "doc_lens": q_doc_lens,
-    "vocab_min_df": q_vocab_min_df,
-    "metadata_filter": q_metadata_filter,
-    "dedup_exact": q_dedup_exact,
-    "dedup_exact_canonical": q_dedup_exact_canonical,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_jaccard_capped": q_dedup_jaccard_capped,
-    "dedup_minhash_char": q_dedup_minhash_char,
-    "dedup_jaccard_char": q_dedup_jaccard_char,
-    "dedup_clusters": q_dedup_clusters,
-    "simhash": q_simhash,
-    "ann_filtered_topk": q_ann_filtered_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "token_count": q_token_count,
-    "wordpiece_count": q_wordpiece_count,
-    "wordpiece_encode": q_wordpiece_encode,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "bpe_ids": q_bpe_ids,
@@ -3150,33 +3238,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_incremental": q_minhash_incremental,
     "quality_features": q_quality_features,
     "entropy_features": q_entropy_features,
-    "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "dedup_embedding": q_dedup_embedding,
-    "multimodal_meta": q_multimodal_meta,
-    "bm25_must_not": q_bm25_must_not,
-    "filters_only": q_filters_only,
-    "fusion_maxnorm": q_fusion_maxnorm,
-    "fusion_sumnorm": q_fusion_sumnorm,
-    "fusion_three_runs": q_fusion_three_runs,
-    "search_fetch_docs": q_search_fetch_docs,
-    "collection_stats": q_collection_stats,
-    "bsearch_qrels": q_bsearch_qrels,
-    "eval_ndcg": q_eval_ndcg,
-    "bm25_wordpunct": q_bm25_wordpunct,
-    "bm25_stemmed": q_bm25_stemmed,
-    "bm25_french": q_bm25_french,
-    "bm25_russian": q_bm25_russian,
-    "bm25_lancaster": q_bm25_lancaster,
-    "decontaminate": q_decontaminate,
-    "repetition_stats": q_repetition_stats,
-    "pii_redact": q_pii_redact,
-    "stratified_sample": q_stratified_sample,
-    "sessionize": q_sessionize,
-    "pack_sequences": q_pack_sequences,
-    "chunk_documents": q_chunk_documents,
 }
+
 
 
 # -- oracle SQL ---------------------------------------------------------------
@@ -3923,6 +3986,22 @@ ORDER BY q_id, rank
 ORACLE_SQL["bm25_lancaster"] = f"""{
     _bm25_ctes(_LANCASTER_QUERIES_ORACLE, "bm25",
                tok_sql=_lancaster_tok_sql())
+}
+SELECT q_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {CUTOFF}
+ORDER BY q_id, rank
+"""
+
+# Oracle query tokens through the same pipeline object, mirroring the
+# Spark side's `pre(text)` exactly (the stemmed-stopword quirk drops
+# "the" in q1 here).
+_KROVETZ_QUERIES_ORACLE = [
+    (qid, " ".join(_krovetz_pre()(text))) for qid, text in KROVETZ_QUERIES
+]
+
+ORACLE_SQL["bm25_krovetz"] = f"""{
+    _bm25_ctes(_KROVETZ_QUERIES_ORACLE, "bm25",
+               tok_sql=_krovetz_tok_sql())
 }
 SELECT q_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= {CUTOFF}

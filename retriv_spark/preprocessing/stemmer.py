@@ -16,6 +16,7 @@ from typing import Callable, Union
 
 from .cistem import cistem_stem
 from .isri import isri_stem
+from .krovetz import krovetz_stem
 from .lancaster import lancaster_stem
 from .porter import porter_stem
 from .porter2 import porter2_stem
@@ -50,11 +51,11 @@ stemmers_dict = {
     # round-3 additions, reconstructed offline from the published specs
     # with self-consistency vectors (tests/test_snowball.py) — exact
     # nltk/libstemmer parity not claimed (docs/COVERAGE.md).
-    # Snowball-arabic, arlstem/arlstem2 and krovetz (reference
-    # stemmer.py:10-43) stay fail-fast: their suffix state machines are
-    # not reproducible offline with confidence, and shipping
-    # unverifiable tables is worse than the reference-mirroring factory
-    # error below.  For Arabic use "isri" (below).
+    # Snowball-arabic and arlstem/arlstem2 (reference stemmer.py:10-43)
+    # stay fail-fast: their suffix state machines are not reproducible
+    # offline with confidence, and shipping unverifiable tables is worse
+    # than the reference-mirroring factory error below.  For Arabic use
+    # "isri" (below).
     "romanian": romanian_stem,
     "finnish": finnish_stem,
     "hungarian": hungarian_stem,
@@ -67,6 +68,11 @@ stemmers_dict = {
     # clean-room from Taghva/Elkhoury/Coombs 2005, pinned by
     # hand-derived root vectors (tests/test_isri.py)
     "isri": isri_stem,
+    # Krovetz / KSTEM (reference stemmer.py:11, the krovetzstemmer
+    # package) — clean-room inflectional component from Krovetz 1993
+    # with a compact embedded lexicon (lexicon-gated, under-stems on
+    # out-of-lexicon words; docs/COVERAGE.md, tests/test_krovetz.py)
+    "krovetz": krovetz_stem,
 }
 
 

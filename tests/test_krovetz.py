@@ -1,0 +1,132 @@
+"""Clean-room Krovetz (KSTEM) vectors — Krovetz 1993's inflectional
+morphology, lexicon-gated.  Golden pairs are hand-derived from the
+paper's rule descriptions (plural / past / -ing with e-restore and
+consonant undoubling), NOT captured from any KSTEM binary."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from retriv_spark.preprocessing.krovetz import (
+    LEXICON,
+    add_words,
+    krovetz_stem,
+)
+
+GOLDEN = [
+    # plural
+    ("factories", "factory"),
+    ("queries", "query"),
+    ("companies", "company"),
+    ("calories", "calorie"),  # -es restores the -e (lexicon-licensed)
+    ("classes", "class"),
+    ("matches", "match"),
+    ("boxes", "box"),
+    ("phrases", "phrase"),
+    ("dies", "die"),
+    ("tables", "table"),
+    ("rows", "row"),
+    ("joins", "join"),
+    # -s guards: -ss / -us / -is stay
+    ("class", "class"),
+    ("status", "status"),
+    ("basis", "basis"),
+    # past tense
+    ("carried", "carry"),
+    ("died", "die"),
+    ("hoped", "hope"),
+    ("stopped", "stop"),
+    ("planned", "plan"),
+    ("walked", "walk"),
+    ("sorted", "sort"),
+    # -ing
+    ("running", "run"),
+    ("making", "make"),
+    ("reading", "read"),
+    ("scanning", "scan"),
+    ("filtering", "filter"),
+    ("merging", "merge"),
+    # irregulars via the direct-conflation table
+    ("children", "child"),
+    ("women", "woman"),
+    ("wrote", "write"),
+    ("indices", "index"),
+    ("matrices", "matrix"),
+    # the hallmark KSTEM property: unknown words pass through where a
+    # Porter-family stemmer would strip ("-ing" with no licensed base)
+    ("sring", "sring"),
+    ("kerning", "kerning"),  # "kern" not in the compact lexicon
+    ("ring", "ring"),
+    ("king", "king"),
+    ("sing", "sing"),
+    ("thing", "thing"),
+]
+
+
+def test_golden_vectors():
+    for w, want in GOLDEN:
+        assert krovetz_stem(w) == want, (w, krovetz_stem(w), want)
+
+
+def test_lexicon_words_fixed():
+    # every lexicon headword is its own stem (the gate fires first)
+    for w in sorted(LEXICON)[:500]:
+        assert krovetz_stem(w) == w
+
+
+def test_idempotent_on_golden():
+    for w, want in GOLDEN:
+        assert krovetz_stem(want) == want
+
+
+def test_case_and_short_words():
+    assert krovetz_stem("Tables") == "table"
+    assert krovetz_stem("FACTORIES") == "factory"
+    assert krovetz_stem("at") == "at"
+    assert krovetz_stem("") == ""
+    # non-alphabetic tokens pass through untouched (original casing)
+    assert krovetz_stem("R2D2") == "R2D2"
+    assert krovetz_stem("c++") == "c++"
+
+
+def test_add_words_extends_license():
+    # "kerning" under-stems with the compact lexicon; licensing "kern"
+    # activates the -ing rule — the documented extension path
+    assert krovetz_stem("kerning") == "kerning"
+    lex = add_words(["kern"])
+    assert krovetz_stem("kerning", lexicon=lex) == "kern"
+    assert krovetz_stem("kerned", lexicon=lex) == "kern"
+    assert krovetz_stem("kerns", lexicon=lex) == "kern"
+
+
+def test_factory_wiring():
+    from retriv_spark.preprocessing.stemmer import stemmers_dict
+
+    assert stemmers_dict["krovetz"]("factories") == "factory"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(min_size=0, max_size=24))
+def test_total_over_unicode(w):
+    # never raises, always returns str; ASCII-alpha output is lowercase
+    out = krovetz_stem(w)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=string.ascii_lowercase, min_size=3, max_size=16))
+def test_conservative_no_overstem(w):
+    # under-stemming bias: the output is the input, or differs only via
+    # one of the three inflectional rewrites (never shorter than the
+    # input minus its longest handled suffix, never empty)
+    out = krovetz_stem(w)
+    assert out
+    assert len(out) >= max(2, len(w) - 4)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=string.ascii_lowercase, min_size=3, max_size=16))
+def test_idempotent_fuzz(w):
+    out = krovetz_stem(w)
+    assert krovetz_stem(out) == out
