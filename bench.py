@@ -174,6 +174,26 @@ def main():
     timings = {}
     spread = {}
 
+    # Machine-speed control: a fixed pure-numpy streaming workload,
+    # best-of-3, measured in the SAME window as the legs.  Cross-round
+    # comparisons divide by this — r4's verdict spent a paragraph
+    # adjudicating whether leg deltas were code or window noise; the
+    # control answers that inside the JSON itself (a slow window shows
+    # a proportionally slow control; a code regression doesn't).
+    import numpy as _np
+
+    _ctrl_a = _np.arange(2_000_000, dtype=_np.float64)
+    _ctrl_b = _np.ones(2_000_000, dtype=_np.float64)
+    control = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = _np.zeros_like(_ctrl_a)
+        for _i in range(40):
+            _np.add(acc, _ctrl_a, out=acc)
+            _np.multiply(acc, 0.5, out=acc)
+            _np.add(acc, _ctrl_b, out=acc)
+        control = min(control, time.perf_counter() - t0)
+
     # -- catalog queries (over the warm shared index, like msearch below) ----
     # best-of-N with the min/median spread persisted per leg: a single
     # pass cannot distinguish a real regression from a noisy driver
@@ -283,6 +303,7 @@ def main():
                 "queries": timings,
                 "queries_spread": spread,
                 "bench_passes": n_passes,
+                "machine_control_sec": round(control, 3),
                 "sf": sf,
                 "cpus": cpus,
                 "n_docs": n_docs,

@@ -71,6 +71,16 @@ TILE = 4096   # docs per cache-resident tile
 # parts are bounded independent of corpus size.
 DENSE_BUDGET_BYTES = 256 * 1024 * 1024
 
+# Single-query sparse path: the MaxScore prune attempt is skipped below
+# this many stored postings per query when the span is past the dense
+# budget — under it the full-union gather is already trivially cheap.
+SPARSE_PRUNE_MIN_POSTINGS = 8192
+# In the DENSE regime the prune only pays past this span: below it the
+# full-vector stream is a few hundred KB (microseconds) and the
+# attempt's Python overhead plus the wasted gather on validation
+# failure measurably SLOWED the small-corpus single-query bench.
+PRUNE_MIN_SPAN = 262144
+
 # kernel="auto": bmp is only considered above this many stored postings
 # per query (mean over the batch) on the distributed path — below it the
 # pruning pre-pass costs more than the decode it can avoid.
@@ -524,10 +534,11 @@ def make_shard_kernel(
                         if len(pos_parts) == 1
                         else np.unique(np.concatenate(pos_parts))
                     )
+                    cand_rel = cand_abs - base
                     acc = None
                     for t, n_occ in present:
                         g = (
-                            vecs[t][cand_abs - base]
+                            vecs[t][cand_rel]
                             if dense_ok
                             else _sparse_gather(t, cand_abs)
                         )
@@ -539,7 +550,7 @@ def make_shard_kernel(
                             acc = g.astype(np.float32)
                         else:
                             np.add(acc, g, out=acc, casting="unsafe")
-                    cand = cand_abs - base
+                    cand = cand_rel
                     keep = acc > 0
                     if not keep.all():
                         cand, acc = cand[keep], acc[keep]
@@ -548,7 +559,8 @@ def make_shard_kernel(
                 done = False
                 heavy = len(present) > 1 and sum_df * 8 >= span
                 if sub_mask is None and len(present) > 1 and (
-                    heavy if dense_ok else sum_df >= 8192
+                    (heavy and span >= PRUNE_MIN_SPAN) if dense_ok
+                    else sum_df >= SPARSE_PRUNE_MIN_POSTINGS
                 ):
                     # Posting-heavy query: before paying the exact full
                     # pass below, try a SCORE-PRESERVING MaxScore split

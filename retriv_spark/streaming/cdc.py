@@ -103,16 +103,15 @@ def apply_changes(
 
     # ONE validation pre-pass job for the whole batch (bad-op, duplicate
     # /tied upserts, live-upsert count): chained aggregations collapse
-    # to scalars executor-side — nothing batch-sized reaches the driver.
-    # Byte-identical duplicate rows collapse first so folded source
-    # redelivery is not mistaken for a conflicting double-upsert.
-    keep_cols = [id_col, text_col, op_col] + (
-        [seq_col] if seq_col is not None else []
-    )
-    dedup = batch.select(*keep_cols).dropDuplicates(keep_cols)
+    # to scalars executor-side — nothing batch-sized reaches the driver
+    # and the batch itself is NOT shuffled (count_distinct on the
+    # payload distinguishes byte-identical duplicates — folded source
+    # redelivery, harmless — from CONFLICTING double-upserts, which
+    # fail fast).
     grp_seq = [F.col(seq_col)] if seq_col is not None else []
-    per_key = dedup.groupBy(F.col(id_col), *grp_seq, F.col(op_col)).agg(
-        F.count("*").alias("_c")
+    per_key = batch.groupBy(F.col(id_col), *grp_seq, F.col(op_col)).agg(
+        F.count("*").alias("_c"),
+        F.count_distinct(F.col(text_col)).alias("_nv"),
     )
     if seq_col is not None:
         # last change per id = max (seq, op) — 'upsert' > 'delete'
@@ -124,7 +123,7 @@ def apply_changes(
             ).alias("_last"),
             F.max(
                 F.when(
-                    (F.col(op_col) == "upsert") & (F.col("_c") > 1),
+                    (F.col(op_col) == "upsert") & (F.col("_nv") > 1),
                     F.col(seq_col),
                 )
             ).alias("_tie_seq"),
@@ -158,12 +157,14 @@ def apply_changes(
         w = Window.partitionBy(id_col).orderBy(
             F.col(seq_col).desc(),
             # tie on seq: prefer the upsert ('upsert' > 'delete'),
-            # matching the documented no-seq rule; upsert-upsert ties
-            # were rejected above, so _rn == 1 is deterministic
+            # matching the documented no-seq rule; conflicting
+            # upsert-upsert ties were rejected above and byte-identical
+            # ones carry the same payload, so the _rn == 1 row VALUE is
+            # deterministic either way
             F.col(op_col).desc(),
         )
         last = (
-            dedup.withColumn("_rn", F.row_number().over(w))
+            batch.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
@@ -176,14 +177,20 @@ def apply_changes(
         # loudly and point at seq_col instead of guessing
         pre = per_key.agg(
             F.sum(
-                F.when(F.col(op_col) == "upsert", F.col("_c")).otherwise(0)
+                F.when(F.col(op_col) == "upsert", 1).otherwise(0)
             ).alias("n_up"),
+            F.max(
+                F.when(
+                    (F.col(op_col) == "upsert") & (F.col("_nv") > 1),
+                    F.col(id_col),
+                )
+            ).alias("dup_id"),
             F.max(
                 F.when(
                     (F.col(op_col) == "upsert") & (F.col("_c") > 1),
                     F.col(id_col),
                 )
-            ).alias("dup_id"),
+            ).alias("same_dup_id"),
             F.max(
                 F.when(~F.col(op_col).isin(*VALID_OPS), F.col(op_col))
             ).alias("bad_op"),
@@ -200,12 +207,14 @@ def apply_changes(
                 "seq_col=<offset/LSN column> so the last change per id "
                 "wins"
             )
-        # a delete and a (single) upsert for the same id: the upsert
-        # wins (the delete leg tombstones the current version either
-        # way)
-        upserts = dedup.where(F.col(op_col) == "upsert").select(
+        upserts = batch.where(F.col(op_col) == "upsert").select(
             F.col(id_col), F.col(text_col)
         )
+        if pre["same_dup_id"] is not None:
+            # byte-identical duplicate upserts (folded redelivery):
+            # collapse so the append sees one live row per id — the
+            # shuffle only happens on this rare path
+            upserts = upserts.dropDuplicates([id_col, text_col])
     n_up = int(pre["n_up"] or 0)
 
     stale_ids = batch.select(F.col(id_col)).distinct()

@@ -220,3 +220,83 @@ def test_apply_changes_rejects_unknown_seq_col(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="seq_col"):
         apply_changes(spark, path, batch, seq_col="offset")
+
+
+def test_apply_changes_seq_identical_dups_collapse(spark, tmp_path):
+    """Byte-identical duplicate upserts sharing one seq value (source
+    redelivery folded into a batch) collapse deterministically."""
+    path = str(tmp_path / "cdc_seqdup")
+    _build(spark, path)
+    batch = spark.createDataFrame(
+        [
+            (5, "same fresh text", "upsert", 7),
+            (5, "same fresh text", "upsert", 7),
+        ],
+        "id long, text string, op string, seq long",
+    )
+    idx2, stats = apply_changes(spark, path, batch, seq_col="seq")
+    assert stats["upserts"] == 1
+    got = idx2.msearch_df([{"id": "q", "text": "fresh"}], cutoff=50)
+    assert [r["doc_id"] for r in got.collect()] == [5]
+
+
+def test_apply_changes_seq_tie_differing_payloads_fail(spark, tmp_path):
+    """Two DIFFERENT upsert payloads for one id on the same seq value:
+    which wins would be nondeterministic — must fail fast."""
+    path = str(tmp_path / "cdc_seqtie")
+    _build(spark, path)
+    batch = spark.createDataFrame(
+        [
+            (5, "version one", "upsert", 7),
+            (5, "version two", "upsert", 7),
+        ],
+        "id long, text string, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="nondeterministic"):
+        apply_changes(spark, path, batch, seq_col="seq")
+
+
+def test_apply_changes_purge_cadence_knob(spark, tmp_path):
+    """purge_pending_max > 0 defers the physical purge across batches
+    (tombstones serve via the mask meanwhile); results after every batch
+    match the default purge-per-batch run, and a final explicit compact
+    converges byte-for-byte to the same stats."""
+    from retriv_spark.index.compact import compact_index
+    from retriv_spark.index.packed import _load_manifest
+
+    eager = str(tmp_path / "cdc_eager")
+    lazy = str(tmp_path / "cdc_lazy")
+    _build(spark, eager)
+    _build(spark, lazy)
+
+    batches = [
+        [(3, None, "delete"), (5, "fresh five alpha", "upsert")],
+        [(9, "fresh nine beta", "upsert"), (17, None, "delete")],
+        [(5, "fresh five gamma", "upsert"), (100, "fresh hundred", "upsert")],
+    ]
+    for bi, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "id long, text string, op string")
+        e_idx, _ = apply_changes(spark, eager, b, batch_id=f"b{bi}")
+        l_idx, _ = apply_changes(
+            spark, lazy, b, batch_id=f"b{bi}", purge_pending_max=10_000
+        )
+        # after EVERY batch the same documents serve (the mask hides
+        # tombstoned versions); SCORES legitimately differ until the
+        # purge recomputes df/avgdl without the deleted docs — that is
+        # the documented two-phase delete semantics
+        def _ids(idx):
+            return sorted(
+                (r["q_id"], r["doc_id"])
+                for r in idx.msearch_df(QUERIES, cutoff=200).collect()
+            )
+
+        assert _ids(e_idx) == _ids(l_idx), f"batch {bi}"
+    # the lazy run really deferred: tombstones still pending
+    assert l_idx.pending_tombstones() > 0
+    assert e_idx.pending_tombstones() == 0
+    # one final compaction converges the physical state
+    out = compact_index(spark, lazy, purge_deletes=True)
+    assert out.pending_tombstones() == 0
+    assert _result_set(out) == _result_set(e_idx)
+    assert out.doc_count == e_idx.doc_count
+    assert out.avg_doc_len == e_idx.avg_doc_len

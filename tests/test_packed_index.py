@@ -460,3 +460,81 @@ def test_single_query_fast_path_bit_identical(packed):
         cutoff=10_000,
     )["w"]
     assert all_single == all_batch
+
+
+def test_single_query_sparse_path_equals_dense(packed, monkeypatch):
+    """The big-span single-query serving path (dense budget
+    unaffordable: df-sized sorted-sparse gathers, MaxScore prune) must
+    be bit-identical to the dense fast path, query by query."""
+    import retriv_spark.search.kernels as K
+
+    base = [
+        _as_dict(packed.msearch_df([q], cutoff=20)) for q in QUERY_SET
+    ]
+    # fresh caches, then force the non-dense regime + prune attempts on
+    # every eligible query
+    packed.__dict__.pop("_local_cache", None)
+    monkeypatch.setattr(K, "DENSE_BUDGET_BYTES", 0)
+    monkeypatch.setattr(K, "SPARSE_PRUNE_MIN_POSTINGS", 1)
+    got = [
+        _as_dict(packed.msearch_df([q], cutoff=20)) for q in QUERY_SET
+    ]
+    assert got == base
+    packed.__dict__.pop("_local_cache", None)
+
+
+def test_single_query_prune_differential(spark, tmp_path):
+    """Head-heavy corpus (one term in ~every doc + rare anchors): the
+    MaxScore prune regime, validated against the numpy oracle and the
+    distributed plan in BOTH the dense and sparse regimes."""
+    import retriv_spark.search.kernels as K
+
+    rng = np.random.default_rng(5)
+    docs = []
+    for i in range(400):
+        toks = ["head"] * int(rng.integers(1, 4))
+        toks += [f"mid{int(rng.integers(0, 8))}"]
+        if i % 13 == 0:
+            toks.append("rareA")
+        if i % 29 == 0:
+            toks.append("rareB")
+        docs.append({"id": i, "text": " ".join(toks)})
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    df = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in docs], "id long, text string"
+    )
+    idx = build_packed_index(
+        spark, df, pre, str(tmp_path / "prune_idx"),
+        text_col="text", id_col="id", order_cols=["id"], n_shards=3,
+    )
+    oracle = NumpyOracle(docs, pre=pre)
+    queries = [
+        {"id": "p1", "text": "head rareA rareB"},
+        {"id": "p2", "text": "head mid0 rareA"},
+        {"id": "p3", "text": "head head rareB"},   # repeated head term
+        {"id": "p4", "text": "head mid1"},
+        {"id": "p5", "text": "rareA rareB"},
+    ]
+    import unittest.mock as mock
+
+    regimes = [
+        {},                                    # default dense path
+        {"PRUNE_MIN_SPAN": 1},                 # dense + forced prune
+        {"DENSE_BUDGET_BYTES": 0,              # sparse + forced prune
+         "SPARSE_PRUNE_MIN_POSTINGS": 1},
+        {"DENSE_BUDGET_BYTES": 0,              # sparse, no prune
+         "SPARSE_PRUNE_MIN_POSTINGS": 1 << 60},
+    ]
+    for cutoff in (5, 30):
+        for q in queries:
+            exp = oracle.search(q["text"], cutoff=cutoff)
+            for patches in regimes:
+                idx.__dict__.pop("_local_cache", None)
+                with mock.patch.multiple(K, **patches) if patches \
+                        else mock.patch.object(K, "CHUNK", K.CHUNK):
+                    got = _as_dict(idx.msearch_df([q], cutoff=cutoff))
+                g = got.get(q["id"], {})
+                assert set(g) == set(exp), (q["id"], cutoff, patches)
+                for doc_id, score in exp.items():
+                    assert isclose(g[doc_id], score, rel_tol=REL_TOL)
+    idx.__dict__.pop("_local_cache", None)

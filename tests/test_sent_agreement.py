@@ -1,0 +1,148 @@
+"""Quantified agreement corpus for the `sent` tokenizer stand-in.
+
+The reference's `sent` is nltk Punkt — a TRAINED model we cannot
+reproduce offline.  This suite pins the Kiss & Strunk heuristic
+stand-in against a hand-annotated corpus of English prose (README-style
+technical text, titles, initials, ordinals, quotes, decimals,
+ellipses): every expected split is hand-derived from standard English
+sentence-boundary rules, so the measured agreement RATE is a durable,
+quantified statement of where the stand-in matches a trained model's
+expected output and where it diverges (docs/COVERAGE.md cites the
+number).  Two-sided pinning: the known-divergent cases are asserted AS
+divergent, so a silent behavior change in either direction is caught.
+"""
+
+from retriv_spark.preprocessing.tokenizer import sent_tokenize
+
+# (document, expected sentence list) — hand-annotated.
+AGREE_CORPUS = [
+    (
+        "The index builds in two passes. Each pass is checkpointed.",
+        ["The index builds in two passes.", "Each pass is checkpointed."],
+    ),
+    (
+        "Dr. Smith reviewed the patch. It merged on Tuesday.",
+        ["Dr. Smith reviewed the patch.", "It merged on Tuesday."],
+    ),
+    (
+        "See Fig. 3 for the layout. The shards are doc-major.",
+        ["See Fig. 3 for the layout.", "The shards are doc-major."],
+    ),
+    (
+        "J. R. Hartley wrote the spec. Nobody read it.",
+        ["J. R. Hartley wrote the spec.", "Nobody read it."],
+    ),
+    (
+        "Results improved (see Table 2.) Latency dropped further.",
+        ["Results improved (see Table 2.)", "Latency dropped further."],
+    ),
+    (
+        'He said "ship it." The release went out Friday.',
+        ['He said "ship it."', "The release went out Friday."],
+    ),
+    (
+        "Is the cache warm? Yes. Serve the query!",
+        ["Is the cache warm?", "Yes.", "Serve the query!"],
+    ),
+    (
+        "The buffer holds 4.5 GB of postings per executor.",
+        ["The buffer holds 4.5 GB of postings per executor."],
+    ),
+    (
+        # the boundary after "index." is genuine; the ordinal "2." must
+        # not introduce a FURTHER split before "Run"
+        "1. Build the index. 2. Run the queries.",
+        ["1. Build the index.", "2. Run the queries."],
+    ),
+    (
+        "Compaction runs nightly, e.g. after the ingest window closes.",
+        ["Compaction runs nightly, e.g. after the ingest window closes."],
+    ),
+    (
+        "Ms. Chen et al. proved the bound. The proof is constructive.",
+        ["Ms. Chen et al. proved the bound.", "The proof is constructive."],
+    ),
+    (
+        "Prices rose 3 pct. in March. April was flat.",
+        ["Prices rose 3 pct. in March.", "April was flat."],
+    ),
+    (
+        "It works!  Multiple spaces are fine.",
+        ["It works!", "Multiple spaces are fine."],
+    ),
+    (
+        "Shards merge at 2 a.m. daily without downtime.",
+        ["Shards merge at 2 a.m. daily without downtime."],
+    ),
+    (
+        "The U.S. market differs. The U.K. market does too.",
+        ["The U.S. market differs.", "The U.K. market does too."],
+    ),
+    (
+        "Retrieval uses BM25. Fusion uses min-max normalization. "
+        "Autotune uses TPE.",
+        [
+            "Retrieval uses BM25.",
+            "Fusion uses min-max normalization.",
+            "Autotune uses TPE.",
+        ],
+    ),
+]
+
+# Known divergences from a trained Punkt model, pinned AS divergent
+# (the stand-in's documented honest gap).  Each entry: (document,
+# what the stand-in ACTUALLY produces today).
+DIVERGENT_CORPUS = [
+    # rare/domain abbreviation absent from the heuristic lexicon and
+    # followed by a capitalized word: the stand-in splits, Punkt's
+    # corpus statistics would typically learn "Corp." as an abbreviation
+    (
+        "Acme Corp. Shipped the index last year.",
+        ["Acme Corp.", "Shipped the index last year."],
+    ),
+    # "pct." followed by a capital: lexicon miss -> split (trained
+    # models vary here by corpus)
+    (
+        "Prices rose 3 pct. April was flat.",
+        ["Prices rose 3 pct.", "April was flat."],
+    ),
+    # ellipsis mid-thought before a capital: the stand-in treats the
+    # final "." as a terminator
+    (
+        "The merge ran... Nothing failed.",
+        ["The merge ran...", "Nothing failed."],
+    ),
+]
+
+
+def test_agreement_rate_pinned():
+    hits = sum(
+        1 for doc, want in AGREE_CORPUS if sent_tokenize(doc) == want
+    )
+    rate = hits / len(AGREE_CORPUS)
+    # every hand-annotated document must agree — this corpus was chosen
+    # to cover the classes the heuristics claim to handle
+    assert rate == 1.0, [
+        (doc, sent_tokenize(doc), want)
+        for doc, want in AGREE_CORPUS
+        if sent_tokenize(doc) != want
+    ]
+
+
+def test_divergences_stay_pinned():
+    # two-sided: if the heuristic improves (or regresses) on a case we
+    # document as divergent, this fails and COVERAGE.md must be updated
+    for doc, current in DIVERGENT_CORPUS:
+        assert sent_tokenize(doc) == current, (doc, sent_tokenize(doc))
+
+
+def test_combined_agreement_metric():
+    # the number COVERAGE.md cites: agreement over the union corpus,
+    # treating the documented divergences as misses
+    total = len(AGREE_CORPUS) + len(DIVERGENT_CORPUS)
+    hits = sum(
+        1 for doc, want in AGREE_CORPUS if sent_tokenize(doc) == want
+    )
+    rate = hits / total
+    assert abs(rate - len(AGREE_CORPUS) / total) < 1e-9
+    assert rate >= 0.84  # 16/19
