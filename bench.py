@@ -224,16 +224,26 @@ def main():
     docs = _docs(spark, sf_dir)
     n_docs = docs.count()
     idx_path = os.path.join(tempfile.gettempdir(), "retriv_bench_idx")
-    if os.path.isdir(idx_path):
-        shutil.rmtree(idx_path)
-    t0 = time.perf_counter()
-    idx = build_packed_index(
-        spark, docs, _plain_pre(), idx_path,
-        text_col="text", id_col="doc_id", order_cols=["doc_id"],
-        doc_id_col_precomputed="doc_id",
-    )
-    build_sec = time.perf_counter() - t0
+    # best-of-2 like the scaling bench's build protocol: a single pass
+    # is the most window-sensitive leg in the file (one GC pause or
+    # hypervisor-steal burst lands entirely on the headline docs/s)
+    build_runs = []
+    for _ in range(max(1, int(os.environ.get("BENCH_BUILD_PASSES", "2")))):
+        if os.path.isdir(idx_path):
+            shutil.rmtree(idx_path)
+        t0 = time.perf_counter()
+        idx = build_packed_index(
+            spark, docs, _plain_pre(), idx_path,
+            text_col="text", id_col="doc_id", order_cols=["doc_id"],
+            doc_id_col_precomputed="doc_id",
+        )
+        build_runs.append(time.perf_counter() - t0)
+    build_sec = min(build_runs)
     timings["index_build"] = round(build_sec, 3)
+    spread["index_build"] = {
+        "min": round(min(build_runs), 3),
+        "median": round(sorted(build_runs)[len(build_runs) // 2], 3),
+    }
 
     # -- headline: batch query throughput (msearch over the warm index) ------
     vocab = [r["term"] for r in idx.terms.orderBy("term").collect()]
