@@ -12,7 +12,15 @@ Three kernels, identical results:
   taat — vectorized term-at-a-time: dense float32 accumulator over the
          shard's doc range, one fancy-indexed add per term.  Optimal when
          most postings must be scored anyway (analytics batches, high
-         cutoff, local bench).
+         cutoff, local bench).  Single-query OR batches take a sparse
+         sub-path inside this kernel: df-sized sorted-sparse per-term
+         partials gathered at the candidate union (no span-sized
+         allocation — the 1M-doc serving regime), with a
+         score-preserving MaxScore split (Turtle & Flood 1995) that
+         prunes heavy low-impact lists when the fl32-accumulated
+         non-essential bound provably cannot reach the cutoff-th
+         candidate score; results stay bit-identical to the dense loop
+         (same addends, same canonical order, validated fallback).
 
   bmw  — document-at-a-time block-max WAND: posting blocks carry
          (max_tf, min_rel) upper-bound metadata; the kernel keeps a
