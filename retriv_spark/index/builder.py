@@ -54,6 +54,8 @@ def make_term_counts_udf(pre: TextPreprocessor):
     ``F.aggregate`` over the array, whose per-element interpreted lambda
     measured ~2.6 µs/element — hours of overhead at 10^12 tokens."""
 
+    from collections import Counter
+
     @pandas_udf("terms array<string>, tfs array<int>, doc_len int")
     def term_counts(texts: pd.Series) -> pd.DataFrame:
         terms_out, tfs_out, lens_out = [], [], []
@@ -63,14 +65,13 @@ def make_term_counts_udf(pre: TextPreprocessor):
                 tfs_out.append([])
                 lens_out.append(0)
                 continue
-            counts: dict = {}
-            n = 0
-            for t in pre(x):
-                counts[t] = counts.get(t, 0) + 1
-                n += 1
+            toks = pre(x)
+            # C-level counting; Counter is a dict, so key order stays
+            # first-appearance — identical output to the explicit loop
+            counts = Counter(toks)
             terms_out.append(list(counts.keys()))
             tfs_out.append(list(counts.values()))
-            lens_out.append(n)
+            lens_out.append(len(toks))
         return pd.DataFrame(
             {"terms": terms_out, "tfs": tfs_out, "doc_len": lens_out}
         )
