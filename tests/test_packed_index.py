@@ -538,3 +538,71 @@ def test_single_query_prune_differential(spark, tmp_path):
                 for doc_id, score in exp.items():
                     assert isclose(g[doc_id], score, rel_tol=REL_TOL)
     idx.__dict__.pop("_local_cache", None)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_prune_regimes_random_differential(spark, tmp_path_factory, data):
+    """Randomized guard on the MaxScore prune: random Zipf-ish corpora
+    and random head+tail queries must produce IDENTICAL results in the
+    default, forced-prune and forced-sparse regimes (the prune's
+    validation bound must never change a single row)."""
+    import unittest.mock as mock
+
+    import retriv_spark.search.kernels as K
+
+    seed = data.draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(80, 220))
+    n_rare = int(rng.integers(2, 6))
+    docs = []
+    for i in range(n_docs):
+        toks = ["head"] * int(rng.integers(1, 5))
+        toks += [f"mid{int(rng.integers(0, 6))}"
+                 for _ in range(int(rng.integers(0, 3)))]
+        for r in range(n_rare):
+            if rng.random() < 0.15:
+                toks.append(f"rare{r}")
+        docs.append({"id": i, "text": " ".join(toks)})
+    pre = TextPreprocessor(stemmer=None, stopwords=None)
+    df = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in docs], "id long, text string"
+    )
+    path = str(tmp_path_factory.mktemp("pfz") / f"idx{seed % 1000}")
+    idx = build_packed_index(
+        spark, df, pre, path, text_col="text", id_col="id",
+        order_cols=["id"], n_shards=int(rng.integers(1, 4)),
+    )
+    n_q = int(rng.integers(1, 4))
+    queries = []
+    for qi in range(n_q):
+        qt = ["head"]
+        qt += [f"rare{int(rng.integers(0, n_rare))}"
+               for _ in range(int(rng.integers(1, 3)))]
+        if rng.random() < 0.5:
+            qt.append(f"mid{int(rng.integers(0, 6))}")
+        queries.append({"id": f"q{qi}", "text": " ".join(qt)})
+    cutoff = int(rng.integers(3, 40))
+
+    results = []
+    for patches in (
+        {},
+        {"PRUNE_MIN_SPAN": 1},
+        {"DENSE_BUDGET_BYTES": 0, "SPARSE_PRUNE_MIN_POSTINGS": 1},
+    ):
+        idx.__dict__.pop("_local_cache", None)
+        ctx = (
+            mock.patch.multiple(K, **patches)
+            if patches else mock.patch.object(K, "CHUNK", K.CHUNK)
+        )
+        with ctx:
+            rows = [
+                (r["q_id"], r["doc_id"], r["score"], r["rank"])
+                for q in queries
+                for r in idx.msearch_df([q], cutoff=cutoff).collect()
+            ]
+        results.append(rows)
+    assert results[0] == results[1] == results[2], seed
