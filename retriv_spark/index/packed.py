@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 from ..preprocessing import TextPreprocessor
 from ..tableio import TableIO
 from .builder import DOC_ID, SparseIndex, build_index
-from .codec import encode_segment
+from .codec import BLOCK, _varint_nbytes, encode_segment, varint_encode
 
 POSTINGS_SCHEMA = (
     "shard int, term string, df long, n int, "
@@ -121,6 +121,110 @@ def default_n_shards(doc_count: int) -> int:
     return max(1, -(-doc_count // span))
 
 
+def _encode_segments_flat(
+    doc_rep, tfs_flat, dls_flat, run_starts, run_ends, base, seg_max
+):
+    """Vectorized whole-shard segment encode — bit-identical to calling
+    :func:`codec.encode_segment` once per segment, without the per-call
+    numpy-dispatch overhead that dominated the build at realistic
+    vocabularies (measured ~1 ms/call × ~50k terms/shard ⇒ the encode
+    stage was ~90% fixed overhead, 686 executor-seconds at 1M docs).
+
+    Inputs are the shard's postings as flat arrays SORTED by (term run,
+    doc): ``run_starts``/``run_ends`` delimit each term's run.  Every
+    per-value quantity (delta gaps with per-block absolute restarts,
+    LEB128 byte widths, block reductions) is computed in a handful of
+    flat numpy passes over ALL postings; per-segment output then falls
+    out of byte/list slicing.  Bit-identity holds because LEB128 is
+    per-value independent (slicing one big encode equals concatenating
+    per-segment encodes) and the gap-restart positions are exactly
+    encode_segment's (segment starts are block starts: local index 0).
+
+    Returns ``(seg_run_index, columns)`` where ``columns`` is an ordered
+    dict of per-segment lists matching POSTINGS_SCHEMA's tail (n …
+    block_min_dl)."""
+    n = doc_rep.size
+    seg_starts_l, seg_ends_l, seg_run_l = [], [], []
+    for i, (s, e) in enumerate(zip(run_starts, run_ends)):
+        for o in range(s, e, seg_max):
+            seg_starts_l.append(o)
+            seg_ends_l.append(min(o + seg_max, e))
+            seg_run_l.append(i)
+    seg_starts = np.asarray(seg_starts_l, dtype=np.int64)
+    seg_ends = np.asarray(seg_ends_l, dtype=np.int64)
+    seg_run = np.asarray(seg_run_l, dtype=np.int64)
+    nsegs = seg_starts.size
+    seg_len = seg_ends - seg_starts
+
+    # local posting index within its segment → block-start mask (the
+    # gap encoding restarts ABSOLUTE-from-base at every block start,
+    # segment starts included: local index 0 is a block start)
+    li = np.arange(n, dtype=np.int64) - np.repeat(seg_starts, seg_len)
+    is_bstart = (li % BLOCK) == 0
+    dls_int = np.asarray(
+        np.rint(np.asarray(dls_flat, dtype=np.float64)), dtype=np.int64
+    )
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    gaps[1:] = np.diff(doc_rep)
+    gaps[is_bstart] = doc_rep[is_bstart] - base
+    # within a block the previous posting is in the same segment, so
+    # the global diff is the in-segment diff — and must be positive
+    assert (gaps[~is_bstart] > 0).all(), "doc_ids must be strictly increasing"
+
+    def _enc(vals):
+        v = vals.astype(np.uint64)
+        cum = np.empty(n + 1, dtype=np.int64)
+        cum[0] = 0
+        np.cumsum(_varint_nbytes(v), out=cum[1:])
+        return varint_encode(v), cum
+
+    gbytes, gcum = _enc(gaps)
+    tbytes, tcum = _enc(tfs_flat)
+    dbytes, dcum = _enc(dls_int)
+
+    bstart_pos = np.nonzero(is_bstart)[0]
+    blocks_per_seg = (seg_len + BLOCK - 1) // BLOCK
+    blk_off = np.concatenate(([0], np.cumsum(blocks_per_seg)))
+    tb = int(bstart_pos.size)
+    # per-segment bounds positions [block starts..., segment end] — the
+    # exact index vector encode_segment feeds its offset cumsum
+    bpos = np.empty(tb + nsegs, dtype=np.int64)
+    seg_of_block = np.repeat(np.arange(nsegs, dtype=np.int64), blocks_per_seg)
+    bpos[np.arange(tb, dtype=np.int64) + seg_of_block] = bstart_pos
+    bpos[blk_off[1:] + np.arange(nsegs, dtype=np.int64)] = seg_ends
+    rep = blocks_per_seg + 1
+    gof = (gcum[bpos] - np.repeat(gcum[seg_starts], rep)).tolist()
+    tof = (tcum[bpos] - np.repeat(tcum[seg_starts], rep)).tolist()
+    dof = (dcum[bpos] - np.repeat(dcum[seg_starts], rep)).tolist()
+    first_doc = doc_rep[bstart_pos].tolist()
+    max_tf = np.maximum.reduceat(tfs_flat, bstart_pos).tolist()
+    min_dl = np.minimum.reduceat(dls_int, bstart_pos).tolist()
+
+    g0 = gcum[seg_starts].tolist()
+    g1 = gcum[seg_ends].tolist()
+    t0 = tcum[seg_starts].tolist()
+    t1 = tcum[seg_ends].tolist()
+    d0 = dcum[seg_starts].tolist()
+    d1 = dcum[seg_ends].tolist()
+    bo = blk_off.tolist()
+    b2 = np.concatenate(([0], np.cumsum(rep))).tolist()
+    r = range(nsegs)
+    cols = {
+        "n": seg_len.tolist(),
+        "doc_gaps": [gbytes[g0[i]:g1[i]] for i in r],
+        "tfs": [tbytes[t0[i]:t1[i]] for i in r],
+        "dls": [dbytes[d0[i]:d1[i]] for i in r],
+        "block_first_doc": [first_doc[bo[i]:bo[i + 1]] for i in r],
+        "block_doc_off": [gof[b2[i]:b2[i + 1]] for i in r],
+        "block_tf_off": [tof[b2[i]:b2[i + 1]] for i in r],
+        "block_dl_off": [dof[b2[i]:b2[i + 1]] for i in r],
+        "block_max_tf": [max_tf[bo[i]:bo[i + 1]] for i in r],
+        "block_min_dl": [min_dl[bo[i]:bo[i + 1]] for i in r],
+    }
+    return seg_run, cols
+
+
 def _encode_group(span: int, seg_max: int = SEG_MAX):
     """Encode ALL of one shard's segments in a single applyInPandas call.
 
@@ -142,25 +246,28 @@ def _encode_group(span: int, seg_max: int = SEG_MAX):
         dls = pdf["doc_len"].to_numpy()
         dfs = pdf["df"].to_numpy()
         n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {k.split()[0]: [] for k in POSTINGS_SCHEMA.split(", ")}
+            )
         change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [n]])
-        recs = []
-        for s, e in zip(starts, ends):
-            for o in range(s, e, seg_max):
-                hi = min(o + seg_max, e)
-                seg = encode_segment(
-                    doc_ids[o:hi], tfs[o:hi], dls[o:hi], shard_base=base
-                )
-                recs.append(
-                    {
-                        "shard": shard,
-                        "term": terms[s],
-                        "df": int(dfs[s]),
-                        **seg,
-                    }
-                )
-        return pd.DataFrame(recs)
+        seg_run, cols = _encode_segments_flat(
+            np.asarray(doc_ids, dtype=np.int64),
+            np.asarray(tfs, dtype=np.int64),
+            dls, starts, ends, base, seg_max,
+        )
+        terms_col = np.asarray(terms, dtype=object)[starts][seg_run].tolist()
+        dfs_col = np.asarray(dfs, dtype=np.int64)[starts][seg_run].tolist()
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(terms_col), shard, dtype=np.int64),
+                "term": terms_col,
+                "df": dfs_col,
+                **cols,
+            }
+        )
 
     return fn
 
@@ -209,24 +316,19 @@ def _encode_shard_packed(span: int, df_bc, seg_max: int = SEG_MAX):
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [n]])
         dfmap = df_bc.value
-        recs = []
-        for s, e in zip(starts, ends):
-            term = uniques[codes[s]]
-            for o in range(s, e, seg_max):
-                hi = min(o + seg_max, e)
-                seg = encode_segment(
-                    doc_rep[o:hi], tfs_flat[o:hi], dl_rep[o:hi],
-                    shard_base=base,
-                )
-                recs.append(
-                    {
-                        "shard": shard,
-                        "term": term,
-                        "df": int(dfmap.get(term, 0)),
-                        **seg,
-                    }
-                )
-        return pd.DataFrame(recs)
+        seg_run, cols = _encode_segments_flat(
+            doc_rep, tfs_flat, dl_rep, starts, ends, base, seg_max
+        )
+        run_terms = np.asarray(uniques, dtype=object)[codes[starts]]
+        terms_col = run_terms[seg_run].tolist()
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(terms_col), shard, dtype=np.int64),
+                "term": terms_col,
+                "df": [int(dfmap.get(t, 0)) for t in terms_col],
+                **cols,
+            }
+        )
 
     return fn
 

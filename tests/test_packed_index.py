@@ -606,3 +606,58 @@ def test_prune_regimes_random_differential(spark, tmp_path_factory, data):
             ]
         results.append(rows)
     assert results[0] == results[1] == results[2], seed
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # term index
+            st.integers(min_value=0, max_value=5000),  # doc id (pre-dedup)
+            st.integers(min_value=1, max_value=900),   # tf
+            st.integers(min_value=1, max_value=4000),  # doc_len
+        ),
+        min_size=1,
+        max_size=700,
+    ),
+    st.integers(min_value=1, max_value=300),           # seg_max
+)
+@settings(max_examples=60, deadline=None)
+def test_flat_encoder_bit_identical_to_encode_segment(rows, seg_max):
+    """_encode_segments_flat must reproduce codec.encode_segment's output
+    byte-for-byte for every segment, across term runs, seg_max splits and
+    block boundaries."""
+    from retriv_spark.index.packed import _encode_segments_flat
+
+    # unique (term, doc) sorted — the encoder's input contract
+    seen = {}
+    for t, d, tf, dl in rows:
+        seen[(t, d)] = (tf, dl)
+    items = sorted(seen.items())
+    doc_rep = np.asarray([d for (t, d), _ in items], dtype=np.int64)
+    term_i = np.asarray([t for (t, d), _ in items], dtype=np.int64)
+    tfs = np.asarray([v[0] for _, v in items], dtype=np.int64)
+    dls = np.asarray([v[1] for _, v in items], dtype=np.int64)
+    n = doc_rep.size
+    change = np.nonzero(term_i[1:] != term_i[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [n]])
+    base = 0
+
+    seg_run, cols = _encode_segments_flat(
+        doc_rep, tfs, dls, starts, ends, base, seg_max
+    )
+
+    si = 0
+    for s, e in zip(starts, ends):
+        for o in range(s, e, seg_max):
+            hi = min(o + seg_max, e)
+            ref = encode_segment(
+                doc_rep[o:hi], tfs[o:hi], dls[o:hi], shard_base=base
+            )
+            for k, v in ref.items():
+                got = cols[k][si]
+                assert got == (v if not isinstance(v, (bytes,)) else v), (
+                    k, si, got, v
+                )
+            si += 1
+    assert si == len(cols["n"])
